@@ -1,0 +1,16 @@
+"""Operator library — importing this package registers every query.
+
+One module per SURVEY.md §2 category; each operator is a function
+``(spark, sf_dir) -> DataFrame`` registered via ``registry.query`` with
+its DuckDB oracle twin.
+"""
+
+from . import (  # noqa: F401
+    aggregations,
+    joins,
+    projection,
+    scans,
+    scalar_fns,
+    setops,
+    sortlimit,
+)

@@ -1,0 +1,180 @@
+"""Aggregation operators (SURVEY.md §2.B).
+
+agg_price_stats is the flagship shape: the canonical query of the
+reference's data model (price stats per commodity/state/month over the
+mandi fact table, SURVEY.md §1.1) re-expressed on the driver star
+schema. Partial (map-side) aggregation comes free from Catalyst's
+HashAggregate(partial) → Exchange → HashAggregate(final) split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import davg, dsum, sql_davg, sql_dsum
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "agg_price_stats",
+    oracle=f"""
+SELECT p.p_brand,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_quantity")} AS sum_qty,
+       {sql_davg("l.l_extendedprice")} AS avg_price,
+       MIN(l.l_extendedprice) AS min_price,
+       MAX(l.l_extendedprice) AS max_price,
+       ROUND(STDDEV_SAMP(l.l_extendedprice), 4) AS std_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT)
+""",
+)
+def agg_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev price stats per (brand, year) — the
+    `agg_price_stats` shape of SURVEY.md §2.B (per Commodity×State×month
+    on the agmarknet table). part is broadcast (small dim); the
+    lineitem×orders join is the only large shuffle; the groupBy reuses
+    AQE-coalesced partitions."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity").alias("sum_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (expand + two-phase aggregate in Spark).
+    The approximate (HLL) variant is `agg_approx_count_distinct`
+    (rows-only check: approx values are engine-specific by design)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — at 100 TB this replaces exact
+    countDistinct wherever a ~2% error is acceptable: single pass, fixed
+    memory, no expand. Rows-only check (sketch values differ across
+    engines by construction); tests/test_aggregations.py bounds the
+    estimate against the exact count."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_n_suppliers"),
+        F.countDistinct("l_suppkey").alias("exact_n_suppliers"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection — planned as a groupBy on all columns, so it
+    gets map-side partial dedup before the shuffle."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup_cube",
+    oracle=f"""
+SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+       COALESCE(n.n_name, 'ALL') AS nation_name,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c.c_acctbal")} AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""",
+)
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy subtotals (region ▷ nation, the State ▷ District ▷ Market
+    analog): ROLLUP computes all three grouping sets in one pass over the
+    shuffled data instead of three scans. Grouping-null keys are
+    COALESCEd to 'ALL' so the rollup rows hash identically to the oracle
+    (the data contains no real nulls in these keys)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+_PIVOT_YEARS = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       {cols}
+FROM orders
+GROUP BY o_orderpriority
+""".format(
+        cols=",\n       ".join(
+            f"COUNT(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = {y} THEN 1 END) AS y{y}"
+            for y in _PIVOT_YEARS
+        )
+    ),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority × order-year count matrix — the Commodity×month
+    analog). Pivot values are enumerated explicitly: with them Spark
+    plans a single-pass conditional aggregation and skips the extra
+    distinct-values job; the oracle is the equivalent manual
+    CASE-WHEN fan-out."""
+    o = load(spark, sf_dir, "orders")
+    df = (
+        o.select("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .groupBy("o_orderpriority")
+        .pivot("yr", _PIVOT_YEARS)
+        .count()
+    )
+    renamed = df.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(str(y)), F.lit(0)).cast("long").alias(f"y{y}") for y in _PIVOT_YEARS],
+    )
+    return renamed

@@ -1,0 +1,160 @@
+"""Join operators (SURVEY.md §2.B).
+
+The reference has zero joins (its one wide table is pre-denormalized);
+these are the joins its star-schema data model exists to serve. Scale
+notes per operator: broadcast for small dims, sort-merge for
+large×large, and non-equi joins get an explicit cost containment story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+SELECT r.r_name,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c.c_acctbal")} AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × small-dim equi-join with explicit broadcast hints.
+
+    nation (25 rows) and region (5 rows) ship to every executor once; the
+    fact side never shuffles for the join — the only exchange left is the
+    final groupBy, which AQE coalesces. This is the pattern for every
+    dimension lookup at 100 TB (the reference's Commodity_Code lookup,
+    SURVEY.md §2.A `join_broadcast_dim`)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@query(
+    "join_shuffle_equi",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_extendedprice")} AS sum_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large × large equi-join (lineitem × orders): both sides hash-
+    partition on the join key → sort-merge join. At 100 TB the win is
+    bucketing both tables on orderkey at write time (no shuffle at read);
+    here we keep the declarative form and let AQE pick SMJ/shuffled-hash
+    and handle skew."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("sum_price"))
+    )
+
+
+@query(
+    "join_left_semi_anti",
+    oracle="""
+SELECT 'with_orders' AS side, COUNT(*) AS cnt
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS side, COUNT(*) AS cnt
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_left_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence (left semi) and absence (left anti) checks — the Spark
+    plans carry only the left side's columns and stop probing on first
+    match, far cheaper than join+distinct."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "leftsemi")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("with_orders").alias("side"), "cnt")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "leftanti")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("without_orders").alias("side"), "cnt")
+    )
+    return semi.unionByName(anti)
+
+
+@query(
+    "join_outer",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(o.o_orderkey) AS n_orders,
+       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched customers; null-probe counts
+    make outer semantics observable in the hash comparison."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_customers_no_orders"
+        ),
+    )
+
+
+@query(
+    "join_range_theta",
+    oracle="""
+SELECT s.s_suppkey,
+       COUNT(*) AS n_cust_in_band
+FROM supplier s
+JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 1000 AND s.s_acctbal + 1000
+GROUP BY s.s_suppkey
+""",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (band/theta) join: customers whose balance lies within
+    ±1000 of a supplier's. Spark plans this as BroadcastNestedLoopJoin
+    with the tiny side broadcast — correct here because supplier is a
+    dimension. At 100 TB with two large sides you pre-bucket both sides
+    into width-2000 bands, equi-join on the band id (each row joins its
+    own and one neighbor band) and re-apply the exact predicate — turning
+    O(n·m) into a co-partitioned equi-join."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    cond = c.c_acctbal.between(s.s_acctbal - 1000, s.s_acctbal + 1000)
+    return (
+        s.join(c, cond)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_cust_in_band"))
+    )

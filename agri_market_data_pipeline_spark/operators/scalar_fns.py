@@ -1,0 +1,236 @@
+"""Scalar-function suites (SURVEY.md §2.B fn_*).
+
+fn_string reproduces the reference's only scalar function — `safe_name`
+(lower, trim, strip [^\\w\\s-], whitespace→_, fetch_data.py:36-40) — as a
+pure built-in chain (no UDF). The rest are the date/math/conditional/
+array/json suites the data model needs. Everything stays inside
+whole-stage codegen; cross-engine float drift is handled by ROUNDing
+transcendental results on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+def safe_name(col: Column | str) -> Column:
+    """The reference's partition-key normalizer (fetch_data.py:36-40):
+    lowercase, trim, delete [^\\w\\s-], collapse whitespace to '_'.
+    e.g. "Bhindi(Ladies Finger)" -> "bhindiladies_finger"."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), r"[^\w\s-]", ""), r"\s+", "_"
+    )
+
+
+@query(
+    "fn_safe_name",
+    oracle="""
+SELECT p_partkey,
+       regexp_replace(
+           regexp_replace(lower(trim(p_name)), '[^\\w\\s-]', '', 'g'),
+           '\\s+', '_', 'g') AS safe_name
+FROM part
+""",
+)
+def fn_safe_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`safe_name` applied to part names — byte-for-byte the reference's
+    partition-file naming semantics (fetch_data.py:36-40), as a codegen'd
+    regexp chain (no Python in the hot path)."""
+    p = load(spark, sf_dir, "part")
+    return p.select("p_partkey", safe_name("p_name").alias("safe_name"))
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       substring(p_name, 1, 4) AS prefix4,
+       concat(p_brand, ':', p_type) AS brand_type,
+       length(p_name) AS name_len,
+       len(string_split(p_name, ' ')) AS n_tokens,
+       levenshtein(p_brand, 'Brand#13') AS lev_to_b13,
+       replace(p_type, 'ECONOMY', 'ECO') AS type_short
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String suite: case, substring, concat, length, tokenize-count,
+    edit distance, replace — all JVM built-ins."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.substring("p_name", 1, 4).alias("prefix4"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.size(F.split("p_name", " ")).alias("n_tokens"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).alias("lev_to_b13"),
+        F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INT) AS dom,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT)
+           AS days_to_2002,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time suite: extraction, truncation, arithmetic — the
+    Arrival_Date manipulations of the price table (SURVEY.md §2.B
+    fn_date)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("int")
+        .alias("days_to_2002"),
+        F.add_months(d.cast("date"), 3).alias("plus3m"),
+        F.last_day(d.cast("date")).alias("month_end"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       abs(l_discount - l_tax) AS disc_tax_gap,
+       round(ln(l_extendedprice), 6) AS log_price,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(ceil(l_quantity / 10.0) AS BIGINT) AS qty_decile,
+       CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS price_bucket
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math suite (price-band checks of SURVEY.md §2.B fn_math).
+    Transcendentals (ln) are ROUNDed on both sides — JVM and C math
+    libraries may differ in the last ulp; sqrt is IEEE-exact."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # scale-4 round: price×(1−discount) has ≤4 intrinsic decimal digits,
+        # so no value sits on a rounding tie (scale-2 would hit .xx5 ties
+        # where HALF_UP engines and float engines disagree).
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
+        F.round(F.log("l_extendedprice"), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+        F.floor(F.col("l_extendedprice") / 10000.0).alias("price_bucket"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hot'
+            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+            ELSE 'cold' END AS priority_class,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+       CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END AS big_price
+FROM orders
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif — the Grade-normalization shape
+    (SURVEY.md §2.B fn_conditional)."""
+    o = load(spark, sf_dir, "orders")
+    pr = F.col("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.when(pr.isin("1-URGENT", "2-HIGH"), "hot")
+        .when(pr == "3-MEDIUM", "warm")
+        .otherwise("cold")
+        .alias("priority_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("big_price"),
+    )
+
+
+@query(
+    "fn_array_map",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS self_dot,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+       round(list_sum(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE))), 6) AS head_sum
+FROM embeddings
+""",
+)
+def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column — size,
+    transform+aggregate (self dot product), element access, slice — all
+    without a UDF (SURVEY.md §2.B fn_array_map). The same
+    transform/aggregate shape computes pairwise dot products in the
+    similarity operators."""
+    e = load(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sq = F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda s, x: s + x)  # noqa: E731
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(fold(sq), 6).alias("self_dot"),
+        F.round(F.element_at(as_double, 1), 6).alias("first_elem"),
+        F.round(fold(F.slice(as_double, 1, 8)), 6).alias("head_sum"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from `events.props` (the raw-API-record
+    analog, fetch_data.py:80) — `get_json_object` evaluates JVM-side; at
+    scale prefer `from_json` with an explicit schema once the shape is
+    known, so the parse happens once per row."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )

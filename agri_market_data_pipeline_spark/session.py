@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime-conf hygiene.
+
+The engine targets a large multi-executor cluster; locally we run
+``local[N]``. Session-level choices that matter at 100 TB:
+
+- AQE on (skew-join handling, partition coalescing, runtime re-plan).
+- Arrow on (pandas UDF / toPandas batch transfer).
+- UTC session timezone (deterministic timestamp semantics vs. oracles).
+- shuffle partitions sized to the environment (overridable per job).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf we can (and do) also apply to sessions we did not create — e.g. the
+# driver-supplied session in __spark_entry__ — because they are
+# runtime-settable SQL confs.
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep pushdown on (it is by default; pinned for clarity).
+    "spark.sql.parquet.filterPushdown": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable conf to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be static in exotic deployments; never fail a
+            # query over a tuning knob.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "agri-market-data-pipeline-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster you would size it to ~2-3× total executor cores or simply let
+    AQE coalesce from a higher initial value.
+    """
+    master = master or os.environ.get("SPARK_MASTER", f"local[{default_parallelism()}]")
+    n_shuffle = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_runtime_conf(spark)

@@ -1,0 +1,50 @@
+"""Table loaders over the driver testdata (and generic parquet/CSV paths).
+
+All reads are plain ``spark.read.parquet`` so Catalyst gets projection +
+predicate pushdown for free; no caching by default (at 100 TB you cache
+dimensions only, and we broadcast those at join time instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table (projection/predicate pushdown
+    applies to whatever the caller selects/filters downstream)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+        # vectorized Spark reader rejects outright. Read nanos as long and
+        # rebuild a (microsecond) timestamp column; truncation below µs is
+        # irrelevant to query semantics and matches DuckDB's collected
+        # precision.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(prefix + name)

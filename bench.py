@@ -1,0 +1,75 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (distributed
+execution, no driver collect) — measuring engine time, not toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from agri_market_data_pipeline_spark.registry import all_queries  # noqa: E402
+from agri_market_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship price-stats query plus one representative per
+# operator family. Extend as families land.
+HEADLINE = [
+    "agg_price_stats",
+    "scan_parquet",
+    "join_shuffle_equi",
+    "join_broadcast_dim",
+    "agg_rollup_cube",
+    "win_moving_avg",
+    "join_asof_prices",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_search_topk",
+    "text_tokenize_stats",
+    "stream_tumbling_agg",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = queries[name]
+        # Warm the JVM/code paths once at tiny scale? No — cold per-query,
+        # but build the plan outside the timed region.
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
