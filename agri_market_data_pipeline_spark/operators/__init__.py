@@ -7,10 +7,13 @@ its DuckDB oracle twin.
 
 from . import (  # noqa: F401
     aggregations,
+    asof,
     joins,
     projection,
     scans,
     scalar_fns,
     setops,
     sortlimit,
+    udfs,
+    windows,
 )

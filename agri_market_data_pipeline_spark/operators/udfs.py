@@ -1,0 +1,118 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B udf_scalar_pandas,
+udaf_grouped, udtf_explode_like).
+
+Policy: UDFs are the slow path — everything expressible with built-ins
+uses built-ins. These operators exist to pin the *surface*: Arrow-batched
+pandas UDFs (vectorized, ~10-100× row-at-a-time Python), applyInPandas
+grouped aggregation, and generator (one-to-many) expansion.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(ln(1 + (l_extendedprice * (1 - l_discount)) / 10000.0), 6)
+           AS price_score
+FROM lineitem
+""",
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches, numpy inside).
+
+    The score itself IS built-in-expressible — deliberately, so the
+    oracle can verify the UDF machinery end-to-end. Real uses are the
+    library-backed transforms (tokenizers, decoders) in extensions/."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def price_score(price: pd.Series, discount: pd.Series) -> pd.Series:
+        net = price.to_numpy() * (1.0 - discount.to_numpy())
+        return pd.Series(np.round(np.log1p(net / 10000.0), 6))
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        price_score("l_extendedprice", "l_discount").alias("price_score"),
+    )
+
+
+@query(
+    "udaf_grouped",
+    oracle="""
+SELECT l_returnflag, qty_mode, mode_count
+FROM (
+    SELECT l_returnflag, l_quantity AS qty_mode, COUNT(*) AS mode_count,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+    FROM lineitem
+    GROUP BY l_returnflag, l_quantity
+) t
+WHERE rn = 1
+""",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas: the statistical MODE
+    of quantity per return flag (most frequent value; ties → smallest
+    value, making it deterministic). This is the 'modal price' of the
+    reference's domain — Agmarknet's Modal_Price column is exactly a
+    per-group mode the upstream computes.
+
+    Scale note: applyInPandas materializes each group in one worker's
+    memory — fine for bounded groups (per returnflag after pre-agg);
+    for unbounded groups pre-reduce with a built-in count first (as the
+    oracle formulation does) and keep the UDF for the tiny final step."""
+    li = load(spark, sf_dir, "lineitem")
+    # Pre-reduce JVM-side: (flag, qty) counts are tiny; the pandas step
+    # then handles only ~|distinct qty| rows per group.
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+
+    def pick_mode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cnt", "l_quantity"], ascending=[False, True])
+        top = pdf.iloc[0]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [top["l_returnflag"]],
+                "qty_mode": [float(top["l_quantity"])],
+                "mode_count": [int(top["cnt"])],
+            }
+        )
+
+    return counts.groupBy("l_returnflag").applyInPandas(
+        pick_mode, "l_returnflag string, qty_mode double, mode_count bigint"
+    )
+
+
+@query(
+    "udtf_explode_like",
+    oracle="""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS pos
+      FROM s)
+SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos] AS tok
+FROM e
+""",
+)
+def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many generator: explode each document into (position,
+    token) rows — posexplode over split, fully JVM-side. A Python UDTF
+    (Spark 3.5+) covers the same surface when the expansion needs
+    Python; for pure tokenization explode(split(...)) is strictly
+    faster."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")

@@ -1,0 +1,159 @@
+"""Window-function operators (SURVEY.md §2.B win_*).
+
+Time series in this engine are modeled relationally (date column +
+group keys), exactly the reference's model (SURVEY.md §1.2): window
+functions over the date column replace any bespoke time-series
+structure. Determinism discipline: every window ordering carries a
+unique tiebreaker, and windowed float sums go through DECIMAL (exact)
+so sliding-frame incremental evaluation can't drift from the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import query
+from ..tables import load
+
+
+def _daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (priority, day) exact daily aggregate — the shared 'price
+    series' input for the moving-window operators (the daily-modal-price
+    analog)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority", F.col("o_orderdate").cast("date").alias("d")
+        )
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("day_total"))
+    )
+
+
+_DAILY_SQL = f"""
+SELECT o_orderpriority,
+       CAST(o_orderdate AS DATE) AS d,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice")} AS day_total
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "win_rank_topk",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk
+FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+    FROM customer
+) t
+WHERE rnk <= 5
+""",
+)
+def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via rank() — the 'top markets by price' shape.
+    c_custkey tiebreaker makes the ordering total. At scale the
+    partition-by key distributes the sort; no global shuffle-sort."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT o_orderpriority, d, day_total,
+       CAST(SUM(CAST(day_total AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           / COUNT(day_total) OVER w AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of the daily totals (the 7-day modal-price MA
+    of SURVEY.md §2.B). The moving sum accumulates in DECIMAL: exact and
+    order-independent, so Spark's sliding-frame evaluation and the
+    oracle's agree bitwise."""
+    daily = _daily_orders(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    ma = F.sum(F.col("day_total").cast("decimal(30,6)")).over(w).cast(
+        "double"
+    ) / F.count("day_total").over(w)
+    return daily.select("o_orderpriority", "d", "day_total", ma.alias("ma7"))
+
+
+@query(
+    "win_lag_pct_change",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT o_orderpriority, d, day_total,
+       LAG(day_total) OVER w AS prev_total,
+       (day_total - LAG(day_total) OVER w) / LAG(day_total) OVER w AS pct_change
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d)
+""",
+)
+def win_lag_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day percent change via lag() — the price-change query.
+    The division operates on identical doubles in both engines, so no
+    rounding is needed."""
+    daily = _daily_orders(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("d")
+    prev = F.lag("day_total").over(w)
+    return daily.select(
+        "o_orderpriority",
+        "d",
+        "day_total",
+        prev.alias("prev_total"),
+        ((F.col("day_total") - prev) / prev).alias("pct_change"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last quote per group + quartile bucketing (ntile). The
+    first/last window pins an explicit unbounded frame — last_value's
+    default frame (up to CURRENT ROW) is a classic wrong-answer trap in
+    both engines."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wq = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.ntile(4).over(wq).alias("quartile"),
+    )
