@@ -1,0 +1,45 @@
+"""Vector (embedding) column expressions — pure higher-order functions.
+
+No UDF: dot products, norms, and cosine similarity compile to Catalyst
+expressions over ArrayType(Float), evaluated inside codegen. Element
+values are cast float→double (exact) before arithmetic so results are
+engine-portable; callers ROUND final similarity values when comparing
+across engines (fold order of a 64-element sum may differ).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Σ a[i]·b[i] via zip_with + aggregate (no UDF, no shuffle)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda s, x: s + x)
+
+
+def vec_norm2(a: Column | str) -> Column:
+    """Σ a[i]² (squared L2 norm)."""
+    return vec_dot(a, a)
+
+
+def vec_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity dot/(‖a‖·‖b‖); sqrt is IEEE-exact."""
+    return vec_dot(a, b) / (F.sqrt(vec_norm2(a)) * F.sqrt(vec_norm2(b)))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of vec_dot (explicit element-wise, same cast path)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"

@@ -8,12 +8,16 @@ its DuckDB oracle twin.
 from . import (  # noqa: F401
     aggregations,
     asof,
+    dedup,
     joins,
+    multimodal,
     projection,
     scans,
     scalar_fns,
     setops,
+    similarity,
     sortlimit,
+    textstats,
     udfs,
     windows,
 )

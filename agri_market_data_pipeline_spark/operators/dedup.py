@@ -1,0 +1,317 @@
+"""Deduplication operators (SURVEY.md §2.B [NS]: dedup_exact,
+dedup_near_minhash, dedup_simhash, dedup_ngram_jaccard,
+dedup_embedding_cosine).
+
+The reference *needs* dedup by construction: its at-least-once
+append-then-checkpoint order (fetch_data.py:158-162) re-appends the
+in-flight page after a crash (SURVEY.md §1.3.5). Here dedup is a
+first-class operator family at training-data-pipeline scale.
+
+Everything below is deterministic and — unusually — fully
+oracle-checkable, including MinHash and SimHash: signatures are built
+from md5, the one hash function Spark and DuckDB share bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_SHINGLES3, shingles3, tokens
+from ..functions.vectors import sql_cosine, vec_cosine
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: hash-groupBy on md5(text), keep the
+    lowest doc_id per group. At 100 TB this is the canonical shape —
+    shuffle by content hash (uniform, skew-free by construction), one
+    representative per group; `dropDuplicates(["text"])` plans the same
+    but loses the keep-lowest determinism."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding, deterministic (12 hashes = 3 bands × 4 rows).
+# h_s(shingle) = md5(s || ':' || shingle); signature_s = min over shingles;
+# band key = md5(concat of its 4 signature values in seed order).
+# ---------------------------------------------------------------------------
+_N_HASHES = 12
+_BAND_SIZE = 4
+
+_MINHASH_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle FROM toks
+),
+seeded AS (
+    SELECT doc_id, shingle, unnest(generate_series(0, {_N_HASHES - 1})) AS seed
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, seed,
+           MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+    FROM seeded
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+    FROM sig
+    GROUP BY doc_id, seed // {_BAND_SIZE}
+)
+"""
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) — one LSH bucket key per band per doc."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
+    )
+    seeded = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.array(*[F.lit(s) for s in range(_N_HASHES)])).alias("seed"),
+    )
+    sig = seeded.groupBy("doc_id", "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("mh")
+    )
+    return (
+        sig.groupBy(
+            "doc_id", (F.col("seed") / _BAND_SIZE).cast("int").alias("band")
+        )
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
+                        ),
+                        lambda x: x.mh,
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+@query(
+    "dedup_near_minhash",
+    oracle=_MINHASH_CTE
+    + """
+SELECT band,
+       COUNT(*) AS n_buckets,
+       MAX(bucket_size) AS max_bucket_size,
+       SUM(CASE WHEN bucket_size > 1 THEN bucket_size ELSE 0 END) AS docs_in_dup_buckets
+FROM (
+    SELECT band, band_key, COUNT(*) AS bucket_size
+    FROM bands
+    GROUP BY band, band_key
+) b
+GROUP BY band
+""",
+)
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via MinHash + LSH banding, end to end:
+    shingle (word 3-grams) → 12 minhash signatures → 3 band keys →
+    bucket by band key; docs sharing any band key are near-dup
+    candidates. Output is the per-band bucket histogram (candidate pairs
+    come from joining on band_key — see tests for the pair extraction).
+
+    Deterministic md5-based hash family makes the whole signature
+    pipeline oracle-checkable — rare for LSH. `pyspark.ml.MinHashLSH`
+    offers the same via approxSimilarityJoin; the explicit form is used
+    here so the shuffle structure (explode → two hash-aggregations, all
+    uniform keys) is visible and tunable. At 100 TB: shingle explosion
+    is the big intermediate — band keys, not raw shingles, are what get
+    joined."""
+    bands = _minhash_bands(spark, sf_dir)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket_size"),
+        F.sum(
+            F.when(F.col("bucket_size") > 1, F.col("bucket_size")).otherwise(0)
+        ).alias("docs_in_dup_buckets"),
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(tok), 1, 4)) AS INT) AS hv
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, hv, unnest(generate_series(0, 15)) AS b FROM hashed
+),
+bitsum AS (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM bits
+    GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (1 << b) ELSE 0 END) AS BIGINT) AS simhash16
+FROM bitsum
+GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit here; 64-bit in production) — per-token md5,
+    sign-sum each bit position over the document, majority bit wins.
+    Near-dups are docs within small Hamming distance of each other
+    (pairs via banding the simhash into chunks, same LSH trick as
+    MinHash). Token multiplicity weights naturally."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("hv"),
+    )
+    bits = hashed.select(
+        "doc_id",
+        "hv",
+        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
+    )
+    # shiftright/shiftleft builtins need a literal shift amount; the SQL
+    # expression form accepts a column.
+    bitsum = bits.groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(hv >> b) & 1") == 1, 1).otherwise(-1)
+        ).alias("s")
+    )
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1, b)")).otherwise(0))
+        .cast("bigint")
+        .alias("simhash16")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle FROM toks
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.02
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity join: distinct word-3-gram sets,
+    inverted-index self-join on shingle (only docs sharing ≥1 shingle
+    ever pair — the prefilter), |A∩B| by count, |A∪B| by inclusion-
+    exclusion. The 0.02 threshold keeps the candidate set honest for
+    synthetic data; production near-dup uses ~0.8.
+
+    Scale: the shingle self-join is the classic bottleneck — stop-shingle
+    removal (drop shingles with document frequency above a cap) bounds
+    the worst bucket; MinHash (dedup_near_minhash) is the sub-quadratic
+    path."""
+    d = load(spark, sf_dir, "documents")
+    ds = (
+        d.select("doc_id", F.explode(shingles3(tokens("text"))).alias("shingle"))
+        .distinct()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("c")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.02)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.3
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: pairwise cosine within a blocking key
+    (label here; at scale the block key is an LSH bucket or IVF cell, cf.
+    sim_search_ivf) — never the unblocked O(n²) cross join. Pure
+    higher-order functions for the dot products; no UDF."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.3)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""Similarity-search operators (SURVEY.md §2.B [NS]: sim_search_topk,
+sim_search_ivf, join_similarity_text).
+
+Grounding papers (PAPERS.md): ICDE'22 compressed-index string-similarity
+join (prefilter-then-verify shape of join_similarity_text), EDBT'20
+incremental top-k similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import sql_cosine, vec_cosine
+from ..registry import query
+from ..tables import load
+
+_QUERY_VEC_ID = 0
+_TOP_K = 20
+
+
+@query(
+    "sim_search_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT e.vec_id,
+       ROUND({sql_cosine('e.embedding', 'q.qvec')}, 6) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != {_QUERY_VEC_ID}
+ORDER BY {sql_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id
+LIMIT {_TOP_K}
+""",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vector, score every
+    row with codegen'd higher-order functions, TakeOrderedAndProject
+    keeps per-partition heaps — the exact-baseline ANN every approximate
+    method is measured against. One scan, no shuffle beyond the k-row
+    merge; at 100 TB this is embarrassingly parallel and
+    scan-bandwidth-bound."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    cos = vec_cosine("embedding", "qvec")
+    return (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+_N_CELLS = 16
+_N_PROBE = 4
+
+
+@query("sim_search_ivf")
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: partition vectors into _N_CELLS Voronoi cells
+    around fixed seed centroids (vec_id < _N_CELLS — deterministic,
+    training-free; production runs a few k-means rounds), then search
+    only the _N_PROBE cells nearest the query. Scales the top-k scan by
+    nprobe/ncells at a recall cost (bounded in tests vs the brute-force
+    baseline). Rows-only check: cell assignment is an engine-internal
+    detail with no ANSI-SQL twin worth maintaining.
+
+    At 100 TB the cell id becomes a *partition column* of the stored
+    table, so a query prunes to nprobe partitions at the file level."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+
+    # Assign every vector to its nearest centroid (argmax cosine).
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        vec_cosine("embedding", "cvec").alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+    # Probe list: the _N_PROBE cells whose centroids best match the query.
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select("cell_id", vec_cosine("cvec", "qvec").alias("c_cos"))
+        .orderBy(F.desc("c_cos"), F.asc("cell_id"))
+        .limit(_N_PROBE)
+        .select("cell_id")
+    )
+
+    cos = vec_cosine("embedding", "qvec")
+    return (
+        assigned.join(F.broadcast(probe), "cell_id", "leftsemi")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_TOP_K)
+        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "join_similarity_text",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS lev
+FROM names a
+JOIN names b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def join_similarity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join over name variants (the market/commodity name
+    normalization problem of the reference's string dimensions):
+    blocking prefilter on a shared token → exact edit-distance verify.
+    The prefilter-then-verify shape is the ICDE'22 string-similarity-join
+    pattern; blocking turns O(n²) levenshtein into per-bucket work, and
+    the buckets are equi-join keys (shuffle-friendly, AQE-skew-safe)."""
+    p = load(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    a = names.alias("a")
+    b = names.alias("b")
+    key = lambda side: F.element_at(F.split(F.col(f"{side}.p_name"), " "), 2)  # noqa: E731
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (key("a") == key("b")) & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(lev <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.alias("lev"),
+        )
+    )

@@ -1,0 +1,270 @@
+"""Text-analysis operators (SURVEY.md §2.B [NS]: text_tokenize_stats,
+text_lang_id, text_quality_score, text_fingerprint, text_token_count_bpe,
+text_sentiment_lexicon).
+
+All expressions are JVM built-ins (split/filter/transform/regexp) — a
+100 TB text sweep should be scan-bound, not Python-bound. The EDBT'16
+Spark sentiment paper grounds the lexicon-scoring shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    SENTIMENT_LEXICON,
+    SQL_SHINGLES3,
+    shingles3,
+    tokens,
+)
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "text_tokenize_stats",
+    oracle="""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS n_char
+           FROM documents)
+SELECT doc_id, lang,
+       n_char,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr,
+       ROUND(CAST(n_char - len(toks) + 1 AS DOUBLE) / len(toks), 6) AS avg_tok_len
+FROM t
+""",
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, type-token ratio, average
+    token length — the quality-signal primitives of an LLM data
+    pipeline."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.length("text").alias("n_char"), tokens("text").alias("toks")
+    )
+    n_tok = F.size("toks")
+    n_dis = F.size(F.array_distinct("toks"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_char",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(n_dis.cast("double") / n_tok, 6).alias("ttr"),
+        F.round((F.col("n_char") - n_tok + 1).cast("double") / n_tok, 6).alias(
+            "avg_tok_len"
+        ),
+    )
+
+
+def _sql_stop_count(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id,
+           {_sql_stop_count('en')} AS s_en,
+           {_sql_stop_count('es')} AS s_es,
+           {_sql_stop_count('de')} AS s_de,
+           {_sql_stop_count('fr')} AS s_fr
+    FROM t
+)
+SELECT doc_id, s_en, s_es, s_de, s_fr,
+       CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+            WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de >= s_fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID: score each candidate language by
+    closed-class (stopword) token hits, argmax with a fixed priority
+    order for ties. The cheap deterministic heuristic used to pre-bucket
+    a crawl before an expensive model-based identifier; char-n-gram
+    profiles slot into the same scored-CASE shape."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+
+    def stop_count(lang: str) -> F.Column:
+        words = LANG_STOPWORDS[lang]
+        return F.size(F.filter("toks", lambda x: x.isin(*words)))
+
+    s = t.select(
+        "doc_id",
+        stop_count("en").alias("s_en"),
+        stop_count("es").alias("s_es"),
+        stop_count("de").alias("s_de"),
+        stop_count("fr").alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_es") == 0)
+            & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return s.select("doc_id", "s_en", "s_es", "s_de", "s_fr", pred.alias("lang_pred"))
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           length(text) AS n_char,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the', 'and', 'of', 'a', 'to', 'in'))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_char, n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+       CASE WHEN n_tokens >= 20
+             AND n_char >= 100
+             AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+            THEN 1 ELSE 0 END AS keep
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (Gopher/C4-style rules, reduced): length
+    floors + stopword-ratio band → binary keep flag. The same shape the
+    reference applies to its feed (coerce-and-drop, fetch_data.py:149-156)
+    — here as an auditable flag instead of a silent drop."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
+    t = d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        F.size(toks).alias("n_tokens"),
+        stop.alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    keep = (
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_char") >= 100)
+        & ratio.between(0.01, 0.5)
+    )
+    return t.select(
+        "doc_id",
+        "n_char",
+        "n_tokens",
+        F.round(ratio, 6).alias("stop_ratio"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       md5(text) AS full_hash,
+       CASE WHEN len(toks) >= 3
+            THEN list_min(list_transform({SQL_SHINGLES3.format(toks='toks')},
+                                         s -> md5(s)))
+            ELSE md5(text) END AS min_shingle_hash
+FROM t
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content hash + minimum shingle hash
+    (a 1-hash MinHash — the winnowing/rolling-fingerprint family's
+    simplest member). Two docs sharing min_shingle_hash almost surely
+    share a 3-gram window; used as a cheap pre-cluster key before the
+    full MinHash pipeline."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", shingles3(tokens("text")).alias("sh"))
+    min_sh = F.array_min(F.transform("sh", lambda s: F.md5(s)))
+    return t.select(
+        "doc_id",
+        F.md5("text").alias("full_hash"),
+        F.when(F.size("sh") > 0, min_sh).otherwise(F.md5("text")).alias(
+            "min_shingle_hash"
+        ),
+    )
+
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS char4_estimate
+FROM documents
+""",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex pieces
+    (letter runs / digit runs / single punctuation — the pre-tokenizer
+    split of GPT-style BPE), and the chars/4 rule of thumb. The budget
+    arithmetic of every LLM data pipeline, kept regex-only so the count
+    is a column expression, not a Python pass."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
+    )
+
+
+@query(
+    "text_sentiment_lexicon",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+lex(word, weight) AS (VALUES {values})
+SELECT t.doc_id,
+       COALESCE(SUM(l.weight), 0) AS sentiment,
+       COUNT(l.word) AS n_hits
+FROM tok t LEFT JOIN lex l ON t.tok = l.word
+GROUP BY t.doc_id
+""".format(
+        values=", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON.items())
+    ),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored sentiment (EDBT'16 approach): token → weight via a
+    broadcast lexicon, integer sum per document (exact across engines).
+    Implemented as explode + broadcast equi-join — the lexicon is tiny,
+    the fact side never shuffles for the join itself."""
+    d = load(spark, sf_dir, "documents")
+    lex = d.sparkSession.createDataFrame(
+        list(SENTIMENT_LEXICON.items()), "word string, weight int"
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    j = tok.join(F.broadcast(lex), tok.tok == lex.word, "left")
+    return j.groupBy("doc_id").agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("sentiment"),
+        F.count("word").alias("n_hits"),
+    )
