@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     aggregations,
     asof,
     dedup,
+    ingest_parity,
     joins,
     multimodal,
     projection,
@@ -21,3 +22,7 @@ from . import (  # noqa: F401
     udfs,
     windows,
 )
+
+# Streaming operators register through the same decorator; importing the
+# package completes the registry.
+from ..streaming import ops as _streaming_ops  # noqa: E402,F401

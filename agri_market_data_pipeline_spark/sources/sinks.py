@@ -1,0 +1,79 @@
+"""Sinks (SURVEY.md §2.A group_partition_by_key, sink_partitioned_append;
+§2.B sink_delta_upsert).
+
+The reference's per-commodity CSV layout (fetch_data.py:119-128,
+`data/crops/<safe_name(c)>.csv`) is a hand-rolled hive partitioning.
+Here the same layout is one declarative write: partitionBy on the key.
+Its blind append (at-least-once replay risk) is replaced by
+merge_upsert — Delta's MERGE INTO when Delta is on the classpath, and a
+pure-parquet keep-latest rewrite otherwise (this container has no
+Delta, so the fallback is the tested path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def sink_partitioned_append(
+    df: DataFrame, path: str, partition_key: str = "Commodity", fmt: str = "parquet"
+) -> None:
+    """Append-or-create, one directory per partition value — the Spark
+    form of the reference's append_to_crop_csv loop. At 100 TB add a
+    coarse second partition level (year) and target ~128 MB files via
+    AQE / maxRecordsPerFile instead of per-group driver loops."""
+    (
+        df.write.mode("append")
+        .partitionBy(partition_key)
+        .option("maxRecordsPerFile", 5_000_000)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> None:
+    """Idempotent upsert: keep, per key, the row with the highest
+    order_col across existing + incoming data.
+
+    Prefers Delta Lake MERGE INTO (transactional, no full rewrite) when
+    available; falls back to read-union-dedup-rewrite on plain parquet —
+    correct but O(table); the fallback exists so the semantics are
+    testable anywhere."""
+    try:  # pragma: no cover - Delta not shipped in this container
+        from delta.tables import DeltaTable  # noqa: F401
+
+        target = DeltaTable.forPath(spark, target_path)
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            target.alias("t")
+            .merge(updates.alias("s"), cond)
+            .whenMatchedUpdateAll(condition=f"s.{order_col} >= t.{order_col}")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    except Exception:
+        pass
+
+    try:
+        existing = spark.read.parquet(target_path)
+        merged = existing.unionByName(updates, allowMissingColumns=True)
+    except Exception:  # first write: nothing to merge
+        merged = updates
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Rewrite via a staging dir then swap would be the crash-safe form;
+    # for the in-engine fallback we localize+overwrite, which Spark can't
+    # do reading and writing the same path — so materialize first.
+    latest = latest.localCheckpoint(eager=True)
+    latest.write.mode("overwrite").parquet(target_path)

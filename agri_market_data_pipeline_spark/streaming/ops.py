@@ -1,0 +1,373 @@
+"""Streaming operators, driver-checkable form.
+
+Each operator builds a readStream over the events table, applies the
+streaming transformation, runs it to completion with
+Trigger.AvailableNow into a memory sink, and returns the sink table —
+a bounded, deterministic replay whose result an ANSI-SQL oracle can
+reproduce on the batch table. Checkpoint dirs are fresh per run
+(exactly-once within the run; production pins a durable
+checkpointLocation, which IS the reference's data/progress.json made
+transactional).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import query
+
+_run_counter = itertools.count()
+
+# Stream-side schema: ts is INT64 TIMESTAMP(NANOS) in the parquet footer,
+# which the vectorized reader rejects — declare long + nanosAsLong and
+# rebuild (same trick as tables.load).
+_EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (bounded replay —
+    SURVEY.md §2.B stream_source_rate)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source requires a directory; point it at sf_dir and
+    # glob-select the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # integral `div` (see tables.load): float division would lose µs.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming frame to completion (AvailableNow) into a
+    memory sink; return the materialized result."""
+    spark = df.sparkSession
+    sink = f"mem_{name}_{next(_run_counter)}_{os.getpid()}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "stream_source_rate",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded stream replay of the events feed: readStream → aggregate →
+    AvailableNow. The exactly-the-batch-answer result is the point —
+    the micro-batch pipeline computes what the batch query would
+    (the reference's incremental harvest ≡ its full re-harvest)."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), dsum("value").alias("sum_value")
+    )
+    return run_to_table(agg, "src_rate", "complete")
+
+
+@query(
+    "stream_tumbling_agg",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling event-time windows (the reference's 3-hour cron
+    window made event-time-correct)."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+    out = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value"
+    )
+    return run_to_table(out, "tumbling", "complete")
+
+
+@query(
+    "stream_sliding_agg",
+    oracle="""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS i),
+w AS (
+    SELECT time_bucket(INTERVAL '30 minutes', e.ts)
+               - k.i * INTERVAL '30 minutes' AS window_start,
+           e.event_id
+    FROM events e CROSS JOIN k
+)
+SELECT window_start, COUNT(*) AS cnt
+FROM w
+GROUP BY window_start
+""",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour windows every 30 minutes — each event
+    lands in 4 overlapping windows. The oracle reproduces Spark's
+    epoch-aligned window set by fanning each event out to its 4 bucket
+    starts."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w")).agg(
+        F.count("*").alias("cnt")
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "cnt")
+    return run_to_table(out, "sliding", "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+WITH marks AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '2 hours'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM marks
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_no
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (2-hour inactivity gap) per user —
+    session_window() merges event-time intervals in streaming state; the
+    oracle is the classic lag/cumsum sessionization, which is also the
+    exact batch semantics of the operator."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", "2 hours").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+    return run_to_table(out, "session", "complete")
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1
+""",
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation (1-hour bounded lateness): state
+    for windows older than watermark is dropped, late rows beyond the
+    bound are discarded. On an in-order bounded replay nothing is late,
+    so the oracle is the full aggregate — the *eviction* behavior (a
+    2-micro-batch run where a late row is dropped) is pinned
+    deterministically in tests/test_streaming.py, where batch boundaries
+    are controlled."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "cnt")
+    # update mode: with a single AvailableNow batch, append mode would
+    # hold every window back behind the (not yet advanced) watermark.
+    return run_to_table(out, "watermark", "update")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-ish dedup: the input is deliberately
+    doubled (two readStreams of the same files unioned — simulating the
+    reference's checkpoint-replay re-append, SURVEY.md §1.3.5), then
+    dropDuplicates on the event key collapses replays across
+    micro-batches. Production uses dropDuplicatesWithinWatermark so the
+    key state ages out."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = a.unionByName(b).dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return run_to_table(agg, "dedup", "complete")
+
+
+_SPIKE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_spikes", LongType()),
+    ]
+)
+def _spike_fn(key, pdf_iter, state):
+    """Per-user running state: count + exact running sum (value scaled to
+    integer cents so state math is exact). A spike = value > 2× running
+    mean of all PRIOR events for that user."""
+    (user_id,) = key
+    cnt, total_cents = state.get() if state.exists else (0, 0)
+    n_spikes = 0
+    n_events = 0
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])  # deterministic order
+        for v in pdf["value"]:
+            cents = int(round(v * 100))
+            if cnt > 0 and cents * cnt > 2 * total_cents:
+                n_spikes += 1
+            cnt += 1
+            total_cents += cents
+            n_events += 1
+    state.update((cnt, total_cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n_events], "n_spikes": [n_spikes]}
+    )
+
+
+@query(
+    "stream_stateful",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           COUNT(*) OVER w AS prior_cnt,
+           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS prior_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN prior_cnt > 0 AND cents * prior_cnt > 2 * prior_total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+FROM ordered
+GROUP BY user_id
+""",
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-key streaming state via applyInPandasWithState: a
+    price-spike alert (value > 2× the user's running mean). State is
+    (count, exact integer total) so results are reproducible bit-for-bit
+    by the SQL running-window oracle. The shape generalizes to any
+    per-entity monitor over the reference's feed (price spikes per
+    market×commodity)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+    result = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _spike_fn,
+            outputStructType=_SPIKE_OUT_SCHEMA,
+            stateStructType="cnt long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_table(result, "stateful", "update")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id,
+       COUNT(*) AS n_purchases_5m
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join with watermarks: clicks joined to the
+    same user's purchases within the following 5 minutes. The watermark +
+    time-bound condition is what lets Spark expire join state; the
+    bounded replay's inner-join result equals the batch interval join
+    (join_interval_events' inner form)."""
+    clicks = events_stream(spark, sf_dir)
+    purchases = events_stream(spark, sf_dir)
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    out = run_to_table(
+        joined.select("c_event_id"), "interval_join", "append"
+    )
+    return out.groupBy(F.col("c_event_id").alias("event_id")).agg(
+        F.count("*").alias("n_purchases_5m")
+    )

@@ -34,9 +34,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # precision.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integral `div`, not `/`: epoch nanos exceed double's 53-bit
+        # mantissa, so float division would round some values by ±1 µs.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

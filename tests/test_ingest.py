@@ -1,0 +1,151 @@
+"""Ingestion-layer tests: the paginated source's resilience ladder,
+offset checkpoint resume, partitioned sink layout, and upsert
+idempotence — the reference's whole operational loop
+(fetch_data.py:45-165) under failure injection."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from agri_market_data_pipeline_spark.sources.checkpoint import OffsetCheckpoint
+from agri_market_data_pipeline_spark.sources.paginated_api import (
+    fetch_page_with_resilience,
+    read_paginated_api,
+)
+from agri_market_data_pipeline_spark.sources.sinks import (
+    merge_upsert,
+    sink_partitioned_append,
+)
+
+SCHEMA = StructType(
+    [StructField("id", IntegerType()), StructField("commodity", StringType())]
+)
+
+
+def _fake_feed(n_records: int):
+    """Deterministic fake API: records 0..n-1, page (offset, limit)."""
+
+    def fetch(offset: int, limit: int) -> list[dict]:
+        return [
+            {"id": i, "commodity": f"crop{i % 3}"}
+            for i in range(offset, min(offset + limit, n_records))
+        ]
+
+    return fetch
+
+
+def test_source_reads_all_pages_in_parallel(spark):
+    records, dead = read_paginated_api(
+        spark,
+        _fake_feed(250),
+        max_offset=300,  # last page intentionally empty (skip_empty_page)
+        limit=100,
+        schema=SCHEMA,
+        num_partitions=3,
+        pace=0.0,
+        throttle_s=0.0,
+    )
+    rows = records.collect()
+    assert len(rows) == 250
+    assert {r.id for r in rows} == set(range(250))
+    assert dead.count() == 0
+
+
+def test_retry_ladder_then_dead_letter(spark):
+    calls = {"n": 0}
+
+    def flaky(offset: int, limit: int) -> list[dict]:
+        calls["n"] += 1
+        if offset == 100:
+            raise ConnectionError("boom")
+        return [{"id": offset, "commodity": "c"}]
+
+    sleeps: list[float] = []
+    records, err = fetch_page_with_resilience(
+        flaky, 100, 100, pace=1.0, sleep=sleeps.append
+    )
+    assert records == [] and "boom" in err
+    # ladder: 2 rounds × 5 attempts, backoffs 1,2,4,8,16 + 300/900 cool-downs
+    assert calls["n"] == 10
+    assert sleeps == [1, 2, 4, 8, 16, 300.0, 1, 2, 4, 8, 16, 900.0]
+
+    records, dead = read_paginated_api(
+        spark,
+        flaky,
+        max_offset=300,
+        limit=100,
+        schema=SCHEMA,
+        num_partitions=2,
+        pace=0.0,
+        throttle_s=0.0,
+    )
+    assert records.count() == 2  # pages 0 and 200
+    dl = dead.collect()
+    assert len(dl) == 1 and dl[0].offset == 100 and "boom" in dl[0].error
+
+
+def test_checkpoint_resume_plus_upsert_is_effectively_once(spark, tmp_path):
+    """Crash between data write and checkpoint write (the reference's
+    at-least-once window, fetch_data.py:158-162): the replayed page
+    appends duplicates; merge_upsert collapses them."""
+    ckpt = OffsetCheckpoint(str(tmp_path / "progress.json"))
+    target = str(tmp_path / "table")
+    fetch = _fake_feed(200)
+
+    def run_once(crash_before_checkpoint: bool):
+        offset = ckpt.load()
+        while offset < 200:
+            records, _ = read_paginated_api(
+                spark, fetch, start_offset=offset, max_offset=offset + 100,
+                limit=100, schema=SCHEMA, num_partitions=1, pace=0.0, throttle_s=0.0,
+            )
+            merge_upsert(
+                spark, target, records.withColumn("v", F.lit(1)),
+                keys=["id"], order_col="v",
+            )
+            if crash_before_checkpoint:
+                return  # crashed: data written, checkpoint NOT advanced
+            offset += 100
+            ckpt.save(offset)
+
+    run_once(crash_before_checkpoint=True)
+    assert ckpt.load() == 0  # checkpoint still at 0
+    run_once(crash_before_checkpoint=False)  # replays page 0, continues
+    final = spark.read.parquet(target)
+    assert final.count() == 200  # no duplicates despite the replay
+    assert ckpt.load() == 200
+
+
+def test_corrupt_checkpoint_restarts_at_zero(tmp_path):
+    p = tmp_path / "progress.json"
+    p.write_text("{not json")
+    assert OffsetCheckpoint(str(p)).load() == 0
+
+
+def test_partitioned_append_layout(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "apple", 10.0), (2, "apple", 11.0), (3, "tea", 5.0)],
+        "id int, Commodity string, price double",
+    )
+    path = str(tmp_path / "crops")
+    sink_partitioned_append(df, path)
+    dirs = {d for d in os.listdir(path) if d.startswith("Commodity=")}
+    assert dirs == {"Commodity=apple", "Commodity=tea"}
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    # append (not overwrite): second write adds rows
+    sink_partitioned_append(df.filter("id = 3"), path)
+    assert spark.read.parquet(path).filter("Commodity = 'tea'").count() == 2
+
+
+def test_merge_upsert_keeps_latest(spark, tmp_path):
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "k int, val string, ver int")
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    v2 = spark.createDataFrame([(2, "B2", 2), (3, "c", 2)], "k int, val string, ver int")
+    merge_upsert(spark, target, v2, keys=["k"], order_col="ver")
+    got = {r.k: (r.val, r.ver) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("B2", 2), 3: ("c", 2)}

@@ -1,0 +1,68 @@
+"""Streaming semantics that need controlled micro-batch boundaries:
+watermark late-data eviction and checkpoint resume (the behaviors
+stream_watermark_late's single-batch oracle can't observe)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    collected: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .format("parquet")
+            .load(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "cnt")
+        )
+
+        def sink(batch_df, batch_id):
+            collected.extend(
+                (batch_id, r.ws, r.cnt) for r in batch_df.collect()
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two 10:xx events and a 12:00 event -> watermark becomes 11:30
+    _write_events(
+        spark, src, [(1, t(10, 0), 1.0), (2, t(10, 10), 1.0), (3, t(12, 0), 1.0)]
+    )
+    run_once()
+    out1 = {(ws, cnt) for _, ws, cnt in collected}
+    assert (t(10, 0), 2) in out1 and (t(12, 0), 1) in out1
+
+    # batch 2 (resumed from checkpoint): a 10:20 event is now LATE
+    # (watermark 11:30) and must be dropped; 12:10 lands in the live window.
+    collected.clear()
+    _write_events(spark, src, [(4, t(10, 20), 1.0), (5, t(12, 10), 1.0)])
+    run_once()
+    out2 = {(ws, cnt) for _, ws, cnt in collected}
+    assert (t(12, 0), 2) in out2, f"live window not updated: {out2}"
+    late_updates = [o for o in out2 if o[0] == t(10, 0)]
+    assert not late_updates, f"late row was not dropped: {late_updates}"
