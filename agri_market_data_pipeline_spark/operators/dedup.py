@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import SQL_SHINGLES3, shingles3, tokens
 from ..functions.vectors import sql_cosine, vec_cosine
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 @query(
@@ -54,6 +54,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 12
 _BAND_SIZE = 4
 
+# Universal-hash family over the 31-bit Mersenne prime: one md5 per
+# shingle (the only hash both engines share), then k cheap linear
+# permutations (a·h + b) mod P. a·h ≤ 2^31·2^32 < 2^63: no overflow.
+_MH_P = 2_147_483_647
+_MH_A = (7, 13, 31, 61, 127, 251, 509, 1021, 2039, 4093, 8191, 16381)
+_MH_B = (3, 17, 29, 47, 71, 89, 101, 131, 149, 173, 191, 211)
+
+
+def _sql_band_keys() -> list[str]:
+    bands = []
+    for b in range(_N_HASHES // _BAND_SIZE):
+        mhs = " || '|' || ".join(
+            f"CAST(MIN(({_MH_A[s]} * hv + {_MH_B[s]}) % {_MH_P}) AS VARCHAR)"
+            for s in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)
+        )
+        bands.append(f"md5({mhs})")
+    return bands
+
+
 _MINHASH_CTE = f"""
 WITH toks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -61,59 +80,70 @@ WITH toks AS (
 sh AS (
     SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle FROM toks
 ),
-seeded AS (
-    SELECT doc_id, shingle, unnest(generate_series(0, {_N_HASHES - 1})) AS seed
+hv AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT) AS hv
     FROM sh
 ),
 sig AS (
-    SELECT doc_id, seed,
-           MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-    FROM seeded
-    GROUP BY doc_id, seed
+    SELECT doc_id,
+           {", ".join(f"{expr} AS bk{b}" for b, expr in enumerate(_sql_band_keys()))}
+    FROM hv
+    GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
-           md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+    SELECT doc_id, CAST(unnest(generate_series(0, {_N_HASHES // _BAND_SIZE - 1})) AS INT) AS band,
+           unnest([{", ".join(f"bk{b}" for b in range(_N_HASHES // _BAND_SIZE))}])
+               AS band_key
     FROM sig
-    GROUP BY doc_id, seed // {_BAND_SIZE}
 )
 """
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_key) — one LSH bucket key per band per doc."""
-    d = load(spark, sf_dir, "documents")
+    """(doc_id, band, band_key) — one LSH bucket key per band per doc.
+
+    All _N_HASHES minhashes are computed as parallel MIN aggregates in a
+    SINGLE pass over the exploded shingles (one shuffle keyed by doc_id,
+    partial map-side mins). Cost discipline: exactly ONE md5 per shingle;
+    the k-hash family is k linear permutations of that value — the
+    seed-explode formulation both shuffles 12× the rows and pays 12
+    md5s per shingle for the same answer."""
+    d = load_parallel(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
     )
-    seeded = sh.select(
+    hv = sh.select(
         "doc_id",
-        "shingle",
-        F.explode(F.array(*[F.lit(s) for s in range(_N_HASHES)])).alias("seed"),
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("hv"),
     )
-    sig = seeded.groupBy("doc_id", "seed").agg(
-        F.min(
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-        ).alias("mh")
+    min_aggs = [
+        F.min((F.lit(_MH_A[s]) * F.col("hv") + _MH_B[s]) % _MH_P)
+        .cast("string")
+        .alias(f"mh{s}")
+        for s in range(_N_HASHES)
+    ]
+    sig = hv.groupBy("doc_id").agg(*min_aggs)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh{s}") for s in range(b * _BAND_SIZE, (b + 1) * _BAND_SIZE)]
+            )
+        ).alias(f"bk{b}")
+        for b in range(_N_HASHES // _BAND_SIZE)
+    ]
+    keyed = sig.select("doc_id", *band_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), F.col(f"bk{b}").alias("band_key")
+            )
+            for b in range(_N_HASHES // _BAND_SIZE)
+        ]
     )
-    return (
-        sig.groupBy(
-            "doc_id", (F.col("seed") / _BAND_SIZE).cast("int").alias("band")
-        )
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("seed"), F.col("mh")))
-                        ),
-                        lambda x: x.mh,
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
-    )
+    return keyed.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.band_key").alias("band_key"))
 
 
 @query(
@@ -191,7 +221,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dups are docs within small Hamming distance of each other
     (pairs via banding the simhash into chunks, same LSH trick as
     MinHash). Token multiplicity weights naturally."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     hashed = tok.select(
         "doc_id",
@@ -251,7 +281,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal (drop shingles with document frequency above a cap) bounds
     the worst bucket; MinHash (dedup_near_minhash) is the sub-quadratic
     path."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     ds = (
         d.select("doc_id", F.explode(shingles3(tokens("text"))).alias("shingle"))
         .distinct()

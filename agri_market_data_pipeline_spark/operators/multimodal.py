@@ -29,13 +29,13 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload BINARY, media_type, byte_len):
     the canonical multimodal table shape."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")
     return d.select(
         "doc_id",

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 @query(
@@ -60,7 +60,7 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stand-in for the reference API's raw JSON records,
     fetch_data.py:80). `get_json_object` stays JVM-side (codegen'd), no
     Python round trip."""
-    ev = load(spark, sf_dir, "events")
+    ev = load_parallel(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return (
         ev.select("event_type", k.alias("k"))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import sql_cosine, vec_cosine
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 _QUERY_VEC_ID = 0
 _TOP_K = 20

@@ -20,7 +20,7 @@ from ..functions.text import (
     tokens,
 )
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 @query(
@@ -41,7 +41,7 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics: counts, type-token ratio, average
     token length — the quality-signal primitives of an LLM data
     pipeline."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", "lang", F.length("text").alias("n_char"), tokens("text").alias("toks")
     )
@@ -92,7 +92,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     order for ties. The cheap deterministic heuristic used to pre-bucket
     a crawl before an expensive model-based identifier; char-n-gram
     profiles slot into the same scored-CASE shape."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
 
     def stop_count(lang: str) -> F.Column:
@@ -152,7 +152,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     floors + stopword-ratio band → binary keep flag. The same shape the
     reference applies to its feed (coerce-and-drop, fetch_data.py:149-156)
     — here as an auditable flag instead of a silent drop."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     toks = tokens("text")
     stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
     t = d.select(
@@ -195,7 +195,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     simplest member). Two docs sharing min_shingle_hash almost surely
     share a 3-gram window; used as a cheap pre-cluster key before the
     full MinHash pipeline."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     t = d.select("doc_id", "text", shingles3(tokens("text")).alias("sh"))
     min_sh = F.array_min(F.transform("sh", lambda s: F.md5(s)))
     return t.select(
@@ -226,7 +226,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     split of GPT-style BPE), and the chars/4 rule of thumb. The budget
     arithmetic of every LLM data pipeline, kept regex-only so the count
     is a column expression, not a Python pass."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(tokens("text")).alias("ws_tokens"),
@@ -258,7 +258,7 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast lexicon, integer sum per document (exact across engines).
     Implemented as explode + broadcast equi-join — the lexicon is tiny,
     the fact side never shuffles for the join itself."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     lex = d.sparkSession.createDataFrame(
         list(SENTIMENT_LEXICON.items()), "word string, weight int"
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 @query(
@@ -41,7 +41,7 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         net = price.to_numpy() * (1.0 - discount.to_numpy())
         return pd.Series(np.round(np.log1p(net / 10000.0), 6))
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load_parallel(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -112,7 +112,7 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark 3.5+) covers the same surface when the expansion needs
     Python; for pure tokenization explode(split(...)) is strictly
     faster."""
-    d = load(spark, sf_dir, "documents")
+    d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")

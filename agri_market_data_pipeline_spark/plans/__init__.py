@@ -1,0 +1,10 @@
+"""Physical-plan introspection helpers (SURVEY.md §4 discipline)."""
+
+from .audit import explain_str, has_broadcast_join, has_partial_agg, pushed_filters
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_join",
+    "has_partial_agg",
+    "pushed_filters",
+]

@@ -1,0 +1,45 @@
+"""Plan audit: assert that the physical plan Catalyst picked is the plan
+the engine is designed around — filters reach the parquet scan,
+dimension joins broadcast, aggregations have a map-side partial phase.
+
+Scale rationale (SURVEY.md §4): on 100 TB these properties are the
+difference between scanning columns of matching row groups and scanning
+the table; tests pin them so an innocent refactor can't silently turn a
+broadcast join into a 600-partition shuffle."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters lists from every scan node in the plan."""
+    txt = explain_str(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_partial_agg(df: DataFrame) -> bool:
+    txt = explain_str(df)
+    return "partial_" in txt  # partial_count / partial_sum / ...
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets actually read by each scan (projection pruning)."""
+    txt = explain_str(df)
+    out = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", txt):
+        cols = {c.split(":")[0].strip() for c in m.split(",") if c.strip()}
+        out.append(cols)
+    return out

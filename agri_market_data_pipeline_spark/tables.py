@@ -40,6 +40,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, name: str, parts: int | None = None
+) -> DataFrame:
+    """Scan + round-robin repartition for CPU-heavy derivations.
+
+    The testdata tables are single parquet files → a map-only pipeline
+    over them runs in ONE task regardless of cluster size. Operators
+    whose per-row work dominates (shingling, hashing, vector math,
+    pandas UDFs) pay one cheap shuffle here to engage every core. On a
+    real 100 TB table with many files this is unnecessary — file splits
+    already parallelize — so `parts` defaults to the local core count
+    only when the scan has fewer partitions than that."""
+    from .session import default_parallelism
+
+    df = load(spark, sf_dir, name)
+    target = parts or default_parallelism()
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -45,11 +45,23 @@ def main() -> int:
     queries = all_queries()
     names = [n for n in HEADLINE if n in queries]
 
+    # Warm-up: spin the JVM, whole-stage codegen for the join/agg/exchange
+    # operators, Python worker pool, and parquet footer caches once —
+    # session startup is environment cost, not query cost.
+    a = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000)
+    b = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).limit(1000)
+    (
+        a.join(b, a.l_orderkey == b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        # Warm the JVM/code paths once at tiny scale? No — cold per-query,
-        # but build the plan outside the timed region.
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,49 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+commits to, pinned against the actual Catalyst output."""
+
+from __future__ import annotations
+
+from agri_market_data_pipeline_spark.plans import (
+    has_broadcast_join,
+    has_partial_agg,
+    pushed_filters,
+)
+from agri_market_data_pipeline_spark.plans.audit import read_schema_columns
+from agri_market_data_pipeline_spark.registry import all_queries
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_scan_parquet_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = _q("scan_parquet")(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"date filter not pushed: {pushed}"
+    cols = read_schema_columns(df)
+    assert any(
+        c <= {"l_returnflag", "l_quantity", "l_shipdate"} and c for c in cols
+    ), f"projection not pruned: {cols}"
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert has_broadcast_join(_q("join_broadcast_dim")(spark, sf_dir))
+    assert has_broadcast_join(_q("agg_price_stats")(spark, sf_dir))
+
+
+def test_aggregations_have_map_side_partial(spark, sf_dir):
+    assert has_partial_agg(_q("agg_price_stats")(spark, sf_dir))
+    assert has_partial_agg(_q("dedup_near_minhash")(spark, sf_dir))
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    from agri_market_data_pipeline_spark.plans.audit import explain_str
+
+    txt = explain_str(_q("limit_topk")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt, txt[:500]
+
+
+def test_filter_pred_pushdown(spark, sf_dir):
+    df = _q("filter_pred")(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed and "o_orderpriority" in pushed
