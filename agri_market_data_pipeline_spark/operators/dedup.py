@@ -153,7 +153,8 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT band,
        COUNT(*) AS n_buckets,
        MAX(bucket_size) AS max_bucket_size,
-       SUM(CASE WHEN bucket_size > 1 THEN bucket_size ELSE 0 END) AS docs_in_dup_buckets
+       CAST(SUM(CASE WHEN bucket_size > 1 THEN bucket_size ELSE 0 END) AS BIGINT)
+           AS docs_in_dup_buckets
 FROM (
     SELECT band, band_key, COUNT(*) AS bucket_size
     FROM bands

@@ -110,7 +110,8 @@ def join_left_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.c_mktsegment,
        COUNT(*) AS n_rows,
        COUNT(o.o_orderkey) AS n_orders,
-       SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers_no_orders
 FROM customer c
 LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment

@@ -41,7 +41,7 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         payload.alias("payload"),
         F.lit("text/plain").alias("media_type"),
-        F.length(payload).alias("byte_len"),
+        F.length(payload).cast("long").alias("byte_len"),
     )
 
 

@@ -68,9 +68,9 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("upper_name"),
         F.substring("p_name", 1, 4).alias("prefix4"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
-        F.size(F.split("p_name", " ")).alias("n_tokens"),
-        F.levenshtein("p_brand", F.lit("Brand#13")).alias("lev_to_b13"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_tokens"),
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("lev_to_b13"),
         F.regexp_replace("p_type", "ECONOMY", "ECO").alias("type_short"),
     )
 
@@ -205,7 +205,7 @@ def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda s, x: s + x)  # noqa: E731
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(fold(sq), 6).alias("self_dot"),
         F.round(F.element_at(as_double, 1), 6).alias("first_elem"),
         F.round(fold(F.slice(as_double, 1, 8)), 6).alias("head_sum"),

@@ -147,6 +147,6 @@ def join_similarity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            lev.alias("lev"),
+            lev.cast("long").alias("lev"),
         )
     )

@@ -43,10 +43,10 @@ def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline."""
     d = load_parallel(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id", "lang", F.length("text").alias("n_char"), tokens("text").alias("toks")
+        "doc_id", "lang", F.length("text").cast("long").alias("n_char"), tokens("text").alias("toks")
     )
-    n_tok = F.size("toks")
-    n_dis = F.size(F.array_distinct("toks"))
+    n_tok = F.size("toks").cast("long")
+    n_dis = F.size(F.array_distinct("toks")).cast("long")
     return t.select(
         "doc_id",
         "lang",
@@ -97,7 +97,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stop_count(lang: str) -> F.Column:
         words = LANG_STOPWORDS[lang]
-        return F.size(F.filter("toks", lambda x: x.isin(*words)))
+        return F.size(F.filter("toks", lambda x: x.isin(*words))).cast("long")
 
     s = t.select(
         "doc_id",
@@ -157,9 +157,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop = F.size(F.filter(toks, lambda x: x.isin(*LANG_STOPWORDS["en"])))
     t = d.select(
         "doc_id",
-        F.length("text").alias("n_char"),
-        F.size(toks).alias("n_tokens"),
-        stop.alias("n_stop"),
+        F.length("text").cast("long").alias("n_char"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        stop.cast("long").alias("n_stop"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     keep = (
@@ -229,10 +229,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_parallel(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(tokens("text")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
-            "bpe_ish_tokens"
-        ),
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("char4_estimate"),
     )
 

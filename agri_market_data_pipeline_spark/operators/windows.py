@@ -63,7 +63,7 @@ def win_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
     return (
-        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk"))
+        c.select("c_mktsegment", "c_custkey", "c_acctbal", F.rank().over(w).cast("long").alias("rnk"))
         .filter(F.col("rnk") <= 5)
     )
 
@@ -155,5 +155,5 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w).alias("last_price"),
-        F.ntile(4).over(wq).alias("quartile"),
+        F.ntile(4).over(wq).cast("long").alias("quartile"),
     )
