@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     setops,
     similarity,
     sortlimit,
+    sources_parity,
     textstats,
     udfs,
     windows,

@@ -194,6 +194,57 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_session",
+    oracle="""
+WITH k AS (SELECT unnest(generate_series(0, 3)) AS i),
+sliding AS (
+    SELECT 'sliding' AS kind,
+           time_bucket(INTERVAL '30 minutes', e.ts)
+               - k.i * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS cnt
+    FROM events e CROSS JOIN k
+    GROUP BY 2
+),
+marks AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL '2 hours'
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM marks
+),
+sessions AS (
+    SELECT 'session' AS kind, MIN(ts) AS window_start, COUNT(*) AS cnt
+    FROM sess
+    GROUP BY user_id, session_no
+)
+SELECT * FROM sliding UNION ALL SELECT * FROM sessions
+""",
+)
+def stream_sliding_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.B's combined `stream_sliding_session` id: both window
+    families over one replay — 2h/30min sliding windows (kind='sliding')
+    and 2h-gap per-user session windows (kind='session') in a single
+    result. The finer-grained `stream_sliding_agg` /
+    `stream_session_window` operators are the per-family entries."""
+    sliding = stream_sliding_agg(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"), "window_start", "cnt"
+    )
+    sessions = stream_session_window(spark, sf_dir).select(
+        F.lit("session").alias("kind"),
+        F.col("session_start").alias("window_start"),
+        F.col("n_events").alias("cnt"),
+    )
+    return sliding.unionByName(sessions)
+
+
+@query(
     "stream_watermark_late",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start,
