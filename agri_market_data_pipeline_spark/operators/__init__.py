@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     scalar_fns,
     setops,
     similarity,
+    skew,
     sortlimit,
     sources_parity,
     textstats,
