@@ -143,6 +143,49 @@ def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(c.c_mktsegment) * 2 + GROUPING(o.o_orderpriority) AS BIGINT)
+           AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o.o_totalprice")} AS sum_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((c.c_mktsegment), (o.o_orderpriority),
+                        (c.c_mktsegment, o.o_orderpriority))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id (SURVEY.md §2.B
+    agg_rollup_cube row): three grouping sets computed in one pass —
+    per-segment, per-priority, and the cross — with grouping_id
+    disambiguating subtotal rows from real 'ALL'-valued keys. Catalyst
+    plans this as an Expand (one row per set) feeding a single hash
+    aggregate; at 100 TB that is one shuffle instead of three scans."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    grouped = j.groupingSets(
+        [["c_mktsegment"], ["o_orderpriority"], ["c_mktsegment", "o_orderpriority"]],
+        "c_mktsegment",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+    return grouped.select(
+        F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "gid",
+        "n_orders",
+        "sum_price",
+    )
+
+
 _PIVOT_YEARS = [1995, 1996, 1997, 1998, 1999, 2000, 2001]
 
 

@@ -46,13 +46,84 @@ def join_asof_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     index at or before its ship date (per priority class) — the 'latest
     quote ≤ date per market×commodity' query of SURVEY.md §2.B.
 
-    Implementation: union-and-carry-forward. Build rows (daily index)
-    and probe rows (shipments) are unioned; within each key, ordered by
-    (date, side) with build first on equal dates (inclusive as-of); the
-    last non-null index value is carried forward to every probe row.
-    One exchange on the join key — at 100 TB with a low-cardinality key
-    you additionally range-partition each key's timeline and carry the
-    per-chunk boundary value, keeping partitions bounded."""
+    Strategy (small build side): densify-and-broadcast. The daily index
+    is forward-filled over each key's full calendar range (a window over
+    the SMALL side only), broadcast, and the probe side equi-joins on
+    (key, clamp(date)) — the as-of becomes a broadcast hash join with
+    ZERO shuffle and zero sort of the probe table. Probe dates past the
+    last index day clamp to it (as-of semantics); dates before the first
+    drop (inner as-of).
+
+    When the build side is too large per key to densify/broadcast, use
+    `asof_union_carry` below — one shuffle+sort, no size assumption."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    idx = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(davg("o_totalprice").alias("idx_val"))
+    )
+
+    rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dense_days = rng.select(
+        "prio", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    wff = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = (
+        dense_days.join(idx, ["prio", "d"], "left")
+        .select(
+            "prio",
+            "d",
+            F.last(F.when(F.col("idx_val").isNotNull(), F.col("d")), ignorenulls=True)
+            .over(wff)
+            .alias("idx_date"),
+            F.last("idx_val", ignorenulls=True).over(wff).alias("idx_val"),
+        )
+    )
+
+    probe = (
+        li.join(
+            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderpriority").alias("prio"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+        )
+    )
+    clamped = probe.join(F.broadcast(rng), "prio").filter(
+        F.col("sd") >= F.col("d0")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "prio",
+        "sd",
+        F.least("sd", "d1").alias("join_d"),
+    )
+    return (
+        clamped.join(
+            F.broadcast(dense),
+            (clamped.prio == dense.prio) & (clamped.join_d == dense.d),
+        )
+        .select("l_orderkey", "l_linenumber", "sd", "idx_date", "idx_val")
+    )
+
+
+def asof_union_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-size as-of join: union build+probe rows, sort within key
+    by (date, side) with build first on ties (inclusive as-of), carry
+    the last non-null build value forward. One exchange + sort, no
+    assumption on build-side size. Kept as the fallback strategy and
+    cross-checked against the broadcast formulation in tests."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
 

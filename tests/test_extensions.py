@@ -61,3 +61,16 @@ def test_decode_stub_deterministic_and_complete(spark, sf_dir):
             for r in multimodal_decode_stub(spark, sf_dir).collect()}
     assert out1 == out2
     assert len(out1) == 500  # one feature row per document, none dropped
+
+
+def test_asof_strategies_agree(spark, sf_dir):
+    """The broadcast densify strategy and the general union-carry-forward
+    strategy must produce identical as-of results."""
+    from agri_market_data_pipeline_spark.operators.asof import (
+        asof_union_carry,
+        join_asof_prices,
+    )
+
+    a = {tuple(r) for r in join_asof_prices(spark, sf_dir).collect()}
+    b = {tuple(r) for r in asof_union_carry(spark, sf_dir).collect()}
+    assert a == b
