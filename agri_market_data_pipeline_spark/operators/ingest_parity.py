@@ -35,8 +35,8 @@ WITH raw AS (
 )
 SELECT CAST(EXTRACT(YEAR FROM try_strptime(date_str, '%d/%m/%Y')) AS INT) AS yr,
        COUNT(*) AS cnt,
-       SUM(CASE WHEN try_strptime(date_str, '%d/%m/%Y') IS NULL
-                THEN 1 ELSE 0 END) AS n_failed
+       CAST(SUM(CASE WHEN try_strptime(date_str, '%d/%m/%Y') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
 FROM raw
 GROUP BY 1
 """,
@@ -70,8 +70,8 @@ WITH raw AS (
     FROM orders
 )
 SELECT COUNT(*) AS cnt,
-       SUM(CASE WHEN TRY_CAST(price_str AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
-           AS n_failed,
+       CAST(SUM(CASE WHEN TRY_CAST(price_str AS DOUBLE) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_failed,
        {sql_dsum("TRY_CAST(price_str AS DOUBLE)")} AS sum_parsed
 FROM raw
 """,

@@ -207,6 +207,49 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_tfidf",
+    oracle="""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+    FROM documents
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+tf AS (
+    SELECT doc_id, t.term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+    GROUP BY doc_id, t.term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n_docs n
+WHERE tf.tf >= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF by explicit formula (tf × ln(N/df)) — term frequency per
+    doc, document frequency via a distinct-explode aggregate, broadcast
+    of the tiny (N) scalar. `pyspark.ml`'s HashingTF/IDF computes the
+    hashed-feature equivalent; the explicit form keeps exact terms and
+    an ANSI oracle. tf>=3 keeps the result set focused (and the shuffle
+    output small) — at 100 TB the df table is the broadcast side after
+    a stop-term cap."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n = d.count()  # driver-side scalar: one tiny job, broadcast as literal
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+    ).alias("tfidf")
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(F.broadcast(df_), "term")
+        .select("doc_id", "term", "tf", "df", tfidf)
+    )
+
+
 _BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
@@ -245,7 +288,7 @@ WITH tok AS (
 ),
 lex(word, weight) AS (VALUES {values})
 SELECT t.doc_id,
-       COALESCE(SUM(l.weight), 0) AS sentiment,
+       CAST(COALESCE(SUM(l.weight), 0) AS BIGINT) AS sentiment,
        COUNT(l.word) AS n_hits
 FROM tok t LEFT JOIN lex l ON t.tok = l.word
 GROUP BY t.doc_id

@@ -66,19 +66,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion (AvailableNow) into a
-    memory sink; return the materialized result."""
+    memory sink; return the materialized result. The throwaway
+    checkpoint dir is deleted after termination (a durable run pins a
+    real checkpointLocation instead)."""
+    import shutil
+
     spark = df.sparkSession
     sink = f"mem_{name}_{next(_run_counter)}_{os.getpid()}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 
 

@@ -35,6 +35,11 @@ HEADLINE = [
     "sim_search_topk",
     "text_tokenize_stats",
     "stream_tumbling_agg",
+    "join_skew_salted",
+    "scan_csv",
+    "udf_scalar_pandas",
+    "dedup_ngram_jaccard",
+    "agg_grouping_sets",
 ]
 
 

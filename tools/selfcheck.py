@@ -94,6 +94,20 @@ def main() -> int:
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
+            # informative: surface dtype-level divergence between engines
+            try:
+                sd = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+                od = dict(zip(rel.columns, [str(t) for t in rel.types]))
+                norm = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE",
+                        "float": "FLOAT", "string": "VARCHAR", "date": "DATE",
+                        "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+                        "boolean": "BOOLEAN"}
+                for cname, spark_t in sd.items():
+                    duck_t = od.get(cname, "?")
+                    if norm.get(spark_t, spark_t) != duck_t:
+                        print(f"      dtype note {name}.{cname}: spark={spark_t} duckdb={duck_t}")
+            except Exception:
+                pass
             s = canon(srows, scols)
             o = canon(orows, ocols)
             if s != o:
