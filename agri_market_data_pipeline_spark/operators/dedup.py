@@ -14,7 +14,7 @@ from md5, the one hash function Spark and DuckDB share bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_SHINGLES3, shingles3, tokens
@@ -247,6 +247,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOP_SHINGLE_DF = 100
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -256,7 +259,14 @@ WITH toks AS (
 sh AS (
     SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle FROM toks
 ),
-ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ds_all AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ds AS (
+    SELECT doc_id, shingle
+    FROM (SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df
+          FROM ds_all) t
+    WHERE df <= {_STOP_SHINGLE_DF}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -272,20 +282,29 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.02
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity join: distinct word-3-gram sets,
-    inverted-index self-join on shingle (only docs sharing ≥1 shingle
-    ever pair — the prefilter), |A∩B| by count, |A∪B| by inclusion-
-    exclusion. The 0.02 threshold keeps the candidate set honest for
-    synthetic data; production near-dup uses ~0.8.
-
-    Scale: the shingle self-join is the classic bottleneck — stop-shingle
-    removal (drop shingles with document frequency above a cap) bounds
-    the worst bucket; MinHash (dedup_near_minhash) is the sub-quadratic
-    path."""
+    """Exact n-gram Jaccard similarity join with stop-shingle removal:
+    shingles appearing in more than {_STOP_SHINGLE_DF} documents carry
+    no near-dup signal but generate the quadratic worst-case buckets of
+    the inverted-index self-join, so they are dropped from the universe
+    FIRST (both sizes and intersections are over the capped sets —
+    standard stop-shingling, and what bounds the join at 100 TB). Then:
+    inverted-index self-join on shingle (only docs sharing ≥1 rare
+    shingle ever pair), |A∩B| by count, |A∪B| by inclusion-exclusion.
+    The 0.02 threshold keeps the candidate set honest for synthetic
+    data; production near-dup uses ~0.8. MinHash (dedup_near_minhash)
+    is the sub-quadratic alternative."""
     d = load_parallel(spark, sf_dir, "documents")
-    ds = (
+    ds_all = (
         d.select("doc_id", F.explode(shingles3(tokens("text"))).alias("shingle"))
         .distinct()
+    )
+    # df via a window partitioned by shingle: the same hash partitioning
+    # the self-join needs, so no extra standalone aggregation + semi-join.
+    wdf = Window.partitionBy("shingle")
+    ds = (
+        ds_all.withColumn("df", F.count("*").over(wdf))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .drop("df")
     )
     sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = ds.alias("a")

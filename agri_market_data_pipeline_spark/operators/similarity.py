@@ -136,7 +136,8 @@ def join_similarity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = p.select("p_name").distinct()
     a = names.alias("a")
     b = names.alias("b")
-    key = lambda side: F.element_at(F.split(F.col(f"{side}.p_name"), " "), 2)  # noqa: E731
+    # try_element_at: null (not an ANSI error) when a name has <2 tokens
+    key = lambda side: F.try_element_at(F.split(F.col(f"{side}.p_name"), " "), F.lit(2))  # noqa: E731
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(

@@ -74,7 +74,15 @@ def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     spark = df.sparkSession
     sink = f"mem_{name}_{next(_run_counter)}_{os.getpid()}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    # Stateful streaming pays a state-store init per shuffle partition per
+    # micro-batch — at bounded-replay volume 32 partitions is ~5× slower
+    # than 8 for identical results. The partition count is baked into the
+    # (throwaway) checkpoint, so scoping it here is safe; a durable
+    # production stream sizes it to expected state volume instead.
+    n_stream = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", n_stream)
         q = (
             df.writeStream.format("memory")
             .queryName(sink)
@@ -85,6 +93,7 @@ def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
         )
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(sink)
 

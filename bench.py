@@ -82,10 +82,49 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows_per_sec": _ingest_throughput(spark),
             }
         )
     )
     return 0
+
+
+def _ingest_throughput(spark, n_rows: int = 1_000_000, limit: int = 1000) -> float:
+    """Paginated-source ingestion throughput (rows/s), the reference's
+    own headline metric: its loop is capped at ~3,333 rows/s by design
+    (1,000-row pages / 0.3 s sleep, BASELINE.md). Same page size, no
+    artificial sleep, pages fanned out over the local cores — the
+    apples-to-apples 'what does the distributed source sustain' number."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from agri_market_data_pipeline_spark.sources.paginated_api import (
+        read_paginated_api,
+    )
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", StringType())]
+    )
+
+    def fetch(offset: int, limit_: int) -> list[dict]:
+        return [
+            {"id": i, "v": f"row-{i}"} for i in range(offset, offset + limit_)
+        ]
+
+    t0 = time.time()
+    records, _ = read_paginated_api(
+        spark,
+        fetch,
+        max_offset=n_rows,
+        limit=limit,
+        schema=schema,
+        num_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        pace=0.0,
+        throttle_s=0.0,
+    )
+    n = records.count()
+    dt = time.time() - t0
+    assert n == n_rows, (n, n_rows)
+    return round(n / dt, 1)
 
 
 if __name__ == "__main__":
