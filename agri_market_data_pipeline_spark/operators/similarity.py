@@ -112,6 +112,67 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3
+
+
+@query(
+    "sim_knn_join",
+    oracle=f"""
+SELECT vec_id, neighbor_id, cos_sim, rnk
+FROM (
+    SELECT a.vec_id,
+           b.vec_id AS neighbor_id,
+           ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+           ) AS BIGINT) AS rnk
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+) t
+WHERE rnk <= {_KNN_K}
+""",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: top-{_KNN_K} nearest neighbors for EVERY vector (not a
+    single probe) within its blocking cell — the all-pairs workhorse
+    behind embedding near-dup clustering and retrieval-index build.
+    Blocked self-join on label (≡ IVF cell / LSH bucket at scale: the
+    block bounds candidates per row), cosine scored by codegen'd
+    higher-order functions, per-vector window rank keeps k. At 100 TB
+    the block key is the stored partition column, so each cell's
+    all-pairs runs co-located, and rank uses the cell-local window —
+    no global shuffle beyond the blocked join itself."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    scored = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ))
+    )
+    return (
+        scored.filter(F.col("rnk") <= _KNN_K)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 @query(
     "join_similarity_text",
     oracle="""
