@@ -98,6 +98,44 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_moving_avg_range",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL}),
+keyed AS (
+    SELECT o_orderpriority, d, day_total,
+           date_diff('day', DATE '1995-01-01', d) AS day_no
+    FROM daily
+)
+SELECT o_orderpriority, d, day_total,
+       CAST(SUM(CAST(day_total AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           / COUNT(day_total) OVER w AS ma7r
+FROM keyed
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_no
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average with a RANGE frame (SURVEY.md §2.B
+    win_moving_avg's `rangeBetween(-6, 0)` form): the frame is defined
+    by the *value* of the ordering key (days since epoch), so calendar
+    gaps shrink the window — on a series with missing days this differs
+    from the ROWS form (win_moving_avg), which always spans 7 physical
+    rows. Same DECIMAL-exact accumulation."""
+    daily = _daily_orders(spark, sf_dir).withColumn(
+        "day_no", F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    ma = F.sum(F.col("day_total").cast("decimal(30,6)")).over(w).cast(
+        "double"
+    ) / F.count("day_total").over(w)
+    return daily.select("o_orderpriority", "d", "day_total", ma.alias("ma7r"))
+
+
+@query(
     "win_lag_pct_change",
     oracle=f"""
 WITH daily AS ({_DAILY_SQL})
