@@ -27,6 +27,47 @@ from ..registry import query
 from ..tables import load
 
 _SALT = 16
+_BAND_W = 1000  # acctbal band width == the range predicate's radius
+
+
+@query(
+    "join_range_banded",
+    oracle="""
+SELECT s.s_suppkey,
+       COUNT(*) AS n_cust_in_band
+FROM supplier s
+JOIN customer c
+  ON c.c_acctbal BETWEEN s.s_acctbal - 1000 AND s.s_acctbal + 1000
+GROUP BY s.s_suppkey
+""",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for join_range_theta, implemented and proven:
+    band-bucket both sides at the predicate radius (width = 1000), fan
+    the probe side out to its own and both neighbor bands, equi-join on
+    the band id, then re-apply the exact range predicate. Every
+    candidate pair falls in some shared band (|a−b| ≤ W ⇒ bands differ
+    by ≤ 1), so the rewrite is lossless — and the oracle is the plain
+    theta join, hash-proving it. O(n·m) nested-loop becomes a
+    co-partitioned equi-join with ≤3× probe fan-out; at 100 TB both
+    sides shuffle once on the band id and AQE handles band skew."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    s_banded = s.withColumn(
+        "band", F.floor(F.col("s_acctbal") / _BAND_W).cast("long")
+    )
+    c_banded = c.withColumn(
+        "band0", F.floor(F.col("c_acctbal") / _BAND_W).cast("long")
+    ).withColumn("band", F.explode(F.expr("array(band0 - 1, band0, band0 + 1)")))
+    exact = F.col("c_acctbal").between(
+        F.col("s_acctbal") - _BAND_W, F.col("s_acctbal") + _BAND_W
+    )
+    return (
+        s_banded.join(c_banded, "band")
+        .filter(exact)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_cust_in_band"))
+    )
 
 
 @query(

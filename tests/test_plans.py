@@ -47,3 +47,20 @@ def test_filter_pred_pushdown(spark, sf_dir):
     df = _q("filter_pred")(spark, sf_dir)
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed and "o_orderpriority" in pushed
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """SURVEY.md §4.1 row 1: the reference's one-file-per-commodity layout
+    ≡ partitionBy; a filter on the partition key must prune at the file
+    level (PartitionFilters, not a post-scan filter)."""
+    from agri_market_data_pipeline_spark.plans.audit import explain_str
+    from agri_market_data_pipeline_spark.tables import load
+
+    path = str(tmp_path / "part_by_brand")
+    load(spark, sf_dir, "part").write.partitionBy("p_brand").parquet(path)
+    df = spark.read.parquet(path).filter("p_brand = 'Brand#13'")
+    txt = explain_str(df)
+    assert "PartitionFilters" in txt
+    assert "Brand#13" in txt.split("PartitionFilters")[1].split("]")[0], txt[:600]
+    got = {r.p_brand for r in df.select("p_brand").distinct().collect()}
+    assert got == {"Brand#13"}
