@@ -95,6 +95,55 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK = 20
+
+
+@query(
+    "udtf_python",
+    oracle=f"""
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+e AS (SELECT doc_id, toks,
+             unnest(generate_series(0,
+                 CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT) - 1)) AS chunk_no
+      FROM s)
+SELECT doc_id,
+       CAST(chunk_no AS INT) AS chunk_no,
+       array_to_string(toks[chunk_no * {_CHUNK} + 1 : (chunk_no + 1) * {_CHUNK}], ' ')
+           AS chunk_text,
+       CAST(least(len(toks) - chunk_no * {_CHUNK}, {_CHUNK}) AS INT) AS n_tokens
+FROM e
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 3.5+ table function): chunk each
+    document into {_CHUNK}-token windows — the canonical pre-tokenizer
+    document splitter of an LLM pipeline, where per-row one-to-many
+    logic genuinely needs Python (a tokenizer library call sits where
+    the split is). Registered and invoked through SQL LATERAL, so it
+    composes with any relational query; each UDTF call handles one row,
+    Arrow-batched."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK):
+                piece = toks[i : i + _CHUNK]
+                yield (i // _CHUNK, " ".join(piece), len(piece))
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_parallel(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.chunk_no, t.chunk_text, t.n_tokens
+        FROM _udtf_docs d, LATERAL chunk_doc(d.text) t
+        """
+    )
+
+
 @query(
     "udtf_explode_like",
     oracle="""

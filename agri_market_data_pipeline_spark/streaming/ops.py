@@ -367,7 +367,12 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count, exact integer total) so results are reproducible bit-for-bit
     by the SQL running-window oracle. The shape generalizes to any
     per-entity monitor over the reference's feed (price spikes per
-    market×commodity)."""
+    market×commodity).
+
+    Note: Spark 4's successor API (transformWithStateInPandas +
+    StatefulProcessor) requires the python `protobuf` package for its
+    driver-side runner, which this container does not ship — probed and
+    gated; the applyInPandasWithState form is the supported path here."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = events_stream(spark, sf_dir)
