@@ -59,6 +59,34 @@ def agg_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99 price per flag) —
+    Spark `percentile` ≡ DuckDB `quantile_cont` (both linear
+    interpolation at rank p·(n−1)); ROUND(…,4) absorbs the one-ulp
+    interpolation-arithmetic difference. At 100 TB exact percentiles
+    need a full sort per group — `percentile_approx` (KLL/GK sketch,
+    single pass, fixed memory) is the production default and is
+    engine-specific by construction, hence exact-only in the oracle
+    gate."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+    )
+
+
+@query(
     "agg_count_distinct",
     oracle="""
 SELECT l_returnflag,
