@@ -213,6 +213,37 @@ def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       array_to_string(json_keys(props), ',') AS keys_csv,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(list_sum(list_transform(json_keys(props),
+            kk -> CAST(json_extract_string(props, '$.' || kk) AS BIGINT)))
+        AS BIGINT) AS sum_values
+FROM events
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType operations (SURVEY.md §2.B fn_array_map's 'map ops on
+    props'): parse the JSON payload into a typed map once, then
+    map_keys / size / value aggregation — all codegen'd. The map form is
+    what you use when the JSON keys are open-ended (vs from_json to a
+    struct when the schema is known, df_from_records)."""
+    from ..tables import load_parallel
+
+    ev = load_parallel(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("bigint"), lambda s, x: s + x)
+        .alias("sum_values"),
+    )
+
+
+@query(
     "fn_json",
     oracle="""
 SELECT event_id,

@@ -281,6 +281,44 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ngrams",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(generate_series(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END) AS bigram
+    FROM toks
+)
+SELECT bigram, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM bi
+GROUP BY bigram
+HAVING COUNT(*) >= 20
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram extraction + corpus frequency (the NGram stage of
+    SURVEY.md §2.B text_tokenize_stats): zip-shifted token arrays (the
+    same outer-reference-free construction as shingles3), exploded and
+    counted. The ≥20 corpus-frequency floor is the collocation-mining
+    cut; `pyspark.ml.feature.NGram` produces the same arrays inside an
+    ML pipeline."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.greatest(F.size(t) - 1, F.lit(0))
+    z = F.arrays_zip(F.slice(t, 1, n).alias("a"), F.slice(t, 2, n).alias("b"))
+    bigrams = F.transform(z, lambda s: F.concat_ws(" ", s.a, s.b))
+    bi = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count("*").alias("freq"), F.countDistinct("doc_id").alias("doc_freq"))
+        .filter(F.col("freq") >= 20)
+    )
+
+
+@query(
     "text_sentiment_lexicon",
     oracle="""
 WITH tok AS (
