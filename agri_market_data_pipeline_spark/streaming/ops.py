@@ -391,6 +391,61 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_foreach_batch_sink",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum("value")} AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production sink pattern (SURVEY.md §3: the reference's whole
+    loop ≡ a foreachBatch job): each micro-batch lands in the store as
+    `batch=<id>` partitioned parquet — idempotent under retry because a
+    replayed batch overwrites its own partition (dynamic partition
+    overwrite), the transactional trick that fixes the reference's
+    append-twice window (fetch_data.py:158-162) without Delta. The
+    read-back aggregate hash-matching the source proves no batch was
+    lost or doubled."""
+    import shutil
+
+    store = tempfile.mkdtemp(prefix="fbsink_")
+    try:
+        ev = events_stream(spark, sf_dir).select("event_type", "value")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(os.path.join(store, "data"))
+            )
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+        out = (
+            spark.read.parquet(os.path.join(store, "data"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_interval_join",
     oracle="""
 SELECT c.event_id,
