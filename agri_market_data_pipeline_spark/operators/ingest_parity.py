@@ -221,13 +221,18 @@ _CSV_CACHE: dict[str, str] = {}
 def _csv_mirror(spark: SparkSession, sf_dir: str) -> str:
     """Materialize a CSV mirror of lineitem once per sf (the reference's
     storage format, SURVEY.md §1.2) for the CSV-scan operator."""
-    if sf_dir in _CSV_CACHE and os.path.isdir(_CSV_CACHE[sf_dir]):
+    def complete(d: str) -> bool:
+        # _SUCCESS marker: a crashed earlier write leaves a partial dir
+        # that must not be served as the mirror.
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if sf_dir in _CSV_CACHE and complete(_CSV_CACHE[sf_dir]):
         return _CSV_CACHE[sf_dir]
     out = os.path.join(
         tempfile.gettempdir(),
         "agri_csv_mirror_" + sf_dir.strip("/").replace("/", "_"),
     )
-    if not os.path.isdir(out):
+    if not complete(out):
         li = load(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_linenumber",

@@ -7,11 +7,17 @@ checkouts. Delta Lake's transaction log is the industrial form; this
 module is the dependency-free equivalent the engine ships with:
 
 - each publish writes a NEW immutable version directory, then atomically
-  repoints `MANIFEST.json` (os.replace) — readers never see a torn
-  table, exactly git's ref-update semantics;
+  repoints `MANIFEST.json` (fsync + os.replace) — readers never see a
+  torn table, exactly git's ref-update semantics;
 - `read(version=N)` is time travel (`git checkout <rev>` ≡ reading an
   old manifest entry);
-- old versions are retained until `vacuum(keep_last)` — `git gc`.
+- old versions are retained until `vacuum(keep_last)` — `git gc` —
+  which also reclaims orphan directories left by crashed publishes;
+- a corrupt (not merely missing) manifest REFUSES to publish rather
+  than silently restarting at v1 over existing data;
+- a coarse lock file serializes publishers (two overlapping cron runs
+  is the reference's own failure mode); true multi-writer isolation is
+  what Delta's log protocol provides in production.
 
 At 100 TB the version directory holds only NEW/CHANGED files plus a
 file-list manifest (like Delta's add/remove log), not a full copy; the
@@ -22,10 +28,19 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentPublishError(RuntimeError):
+    pass
+
+
+class CorruptManifestError(RuntimeError):
+    pass
 
 
 class SnapshotStore:
@@ -38,11 +53,44 @@ class SnapshotStore:
         return os.path.join(self.root, "MANIFEST.json")
 
     def _manifest(self) -> dict:
+        """Missing manifest → fresh store. Corrupt/unreadable manifest →
+        raise: guessing here would let the next publish restart at v1 and
+        overwrite real data."""
+        if not os.path.exists(self._manifest_path):
+            return {"current": None, "versions": []}
         try:
             with open(self._manifest_path) as fh:
-                return json.load(fh)
-        except (OSError, json.JSONDecodeError):
-            return {"current": None, "versions": []}
+                m = json.load(fh)
+            if "current" not in m or "versions" not in m:
+                raise CorruptManifestError(f"malformed manifest: {m!r}")
+            return m
+        except (OSError, json.JSONDecodeError) as exc:
+            raise CorruptManifestError(
+                f"unreadable manifest at {self._manifest_path}: {exc}"
+            ) from exc
+
+    def _write_manifest(self, m: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".manifest_")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(m, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._manifest_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    def _disk_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            mm = re.fullmatch(r"v(\d+)", name)
+            if mm and os.path.isdir(os.path.join(self.root, name)):
+                out.append(int(mm.group(1)))
+        return sorted(out)
 
     def current_version(self) -> int | None:
         return self._manifest()["current"]
@@ -52,19 +100,34 @@ class SnapshotStore:
 
     def publish(self, df: DataFrame) -> int:
         """Write df as the next version; atomically repoint the manifest.
-        A crash before the manifest swap leaves the old version live and
-        the half-written directory unreferenced (vacuumable) — never a
-        torn table."""
-        m = self._manifest()
-        version = (m["current"] or 0) + 1
-        vdir = os.path.join(self.root, f"v{version}")
-        df.write.mode("overwrite").parquet(vdir)
-        m = {"current": version, "versions": m["versions"] + [version]}
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".manifest_")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, self._manifest_path)
-        return version
+        The next version number is derived from BOTH the manifest and the
+        directories on disk, so a crashed half-publish can never be
+        overwritten. A lock file serializes concurrent publishers."""
+        lock = os.path.join(self.root, ".publish.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentPublishError(
+                f"another publish holds {lock}; remove it only if that "
+                "publisher is known dead"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            m = self._manifest()
+            disk = self._disk_versions()
+            version = max([m["current"] or 0, *disk, 0]) + 1
+            vdir = os.path.join(self.root, f"v{version}")
+            df.write.mode("overwrite").parquet(vdir)
+            self._write_manifest(
+                {"current": version, "versions": m["versions"] + [version]}
+            )
+            return version
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._manifest()
@@ -74,17 +137,19 @@ class SnapshotStore:
         return spark.read.parquet(os.path.join(self.root, f"v{v}"))
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest keep_last versions (never the current)."""
+        """Drop all but the newest keep_last versions (never the current),
+        plus any orphan version directories a crashed publish left behind
+        (on disk but in no manifest)."""
         m = self._manifest()
-        keep = set(m["versions"][-keep_last:]) | {m["current"]}
+        keep = {m["current"]}
+        if keep_last > 0:
+            keep |= set(m["versions"][-keep_last:])
         dropped = []
-        for v in m["versions"]:
-            if v not in keep:
-                shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
-                dropped.append(v)
+        for v in self._disk_versions():
+            if v in keep:
+                continue
+            shutil.rmtree(os.path.join(self.root, f"v{v}"), ignore_errors=True)
+            dropped.append(v)
         m["versions"] = [v for v in m["versions"] if v in keep]
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".manifest_")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, self._manifest_path)
+        self._write_manifest(m)
         return dropped

@@ -425,19 +425,27 @@ def stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         ckpt = tempfile.mkdtemp(prefix="ckpt_fb_")
-        q = (
-            ev.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            q = (
+                ev.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
 
-        out = (
-            spark.read.parquet(os.path.join(store, "data"))
-            .groupBy("event_type")
-            .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+        data_dir = os.path.join(store, "data")
+        if os.path.isdir(data_dir):
+            back = spark.read.parquet(data_dir)
+        else:
+            # zero micro-batches (empty source): the store was never
+            # created; the correct result is the empty aggregate, not a
+            # missing-path error.
+            back = spark.createDataFrame([], "event_type string, value double")
+        out = back.groupBy("event_type").agg(
+            F.count("*").alias("cnt"), dsum("value").alias("sum_value")
         )
         out = out.localCheckpoint(eager=True)
     finally:

@@ -43,3 +43,60 @@ def test_torn_manifest_never_visible(spark, tmp_path):
     os.makedirs(str(tmp_path / "store" / "v99"), exist_ok=True)
     assert store.current_version() == 1
     assert store.read(spark).count() == 1
+
+
+def test_corrupt_manifest_refuses_to_publish(spark, tmp_path):
+    from agri_market_data_pipeline_spark.sources.snapshots import (
+        CorruptManifestError,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.publish(spark.createDataFrame([(1,)], "id int"))
+    (tmp_path / "store" / "MANIFEST.json").write_text("{truncated")
+    for op in (store.current_version, lambda: store.publish(
+        spark.createDataFrame([(2,)], "id int")
+    )):
+        try:
+            op()
+            raise AssertionError("expected CorruptManifestError")
+        except CorruptManifestError:
+            pass
+    # v1 data untouched by the refused publish
+    assert spark.read.parquet(str(tmp_path / "store" / "v1")).count() == 1
+
+
+def test_crashed_publish_never_clobbered_and_vacuumable(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.publish(spark.createDataFrame([(1,)], "id int"))
+    # crashed publish: v2 on disk, manifest still at v1
+    spark.createDataFrame([(99,)], "id int").write.parquet(
+        str(tmp_path / "store" / "v2")
+    )
+    v = store.publish(spark.createDataFrame([(3,)], "id int"))
+    assert v == 3  # skipped over the orphan instead of overwriting it
+    dropped = store.vacuum(keep_last=1)
+    assert 2 in dropped  # orphan reclaimed
+    assert store.versions() == [3]
+
+
+def test_vacuum_keep_last_zero_keeps_only_current(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    for i in range(3):
+        store.publish(spark.createDataFrame([(i,)], "id int"))
+    dropped = store.vacuum(keep_last=0)
+    assert dropped == [1, 2]
+    assert store.versions() == [3] and store.current_version() == 3
+
+
+def test_publish_lock_blocks_concurrent(spark, tmp_path):
+    from agri_market_data_pipeline_spark.sources.snapshots import (
+        ConcurrentPublishError,
+    )
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    (tmp_path / "store" / ".publish.lock").write_text("12345")
+    try:
+        store.publish(spark.createDataFrame([(1,)], "id int"))
+        raise AssertionError("expected ConcurrentPublishError")
+    except ConcurrentPublishError:
+        pass

@@ -24,11 +24,10 @@ DOCUMENTED_NON_QUERY = {
     "(atomic versioned publication); tests/test_ingest.py, tests/test_snapshots.py",
 }
 
-# §2 ids that map to differently-named (finer-grained) queries() keys.
-ALIASES = {
-    "stream_sliding_session": ["stream_sliding_session", "stream_sliding_agg",
-                               "stream_session_window"],
-}
+# §2 ids that map to differently-named queries() keys would be listed
+# here; currently every §2 id is registered under its own name (the
+# combined stream_sliding_session included).
+ALIASES: dict[str, list[str]] = {}
 
 
 def survey_ids(survey_path: str) -> list[str]:
