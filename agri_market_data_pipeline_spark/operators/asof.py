@@ -19,6 +19,32 @@ from ..registry import query
 from ..tables import load
 
 
+
+def _daily_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (priority, day) exact price index — the shared build side."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(davg("o_totalprice").alias("idx_val"))
+
+
+def _probe_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipment probe rows (lineitem keyed by priority via orders); the
+    equi-join strategy is left to the planner — orders is a fact table,
+    so forcing a broadcast here would be wrong at scale."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return li.join(
+        o.select("o_orderkey", "o_orderpriority"), li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+
+
 @query(
     "join_asof_prices",
     oracle=f"""
@@ -56,17 +82,7 @@ def join_asof_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     When the build side is too large per key to densify/broadcast, use
     `asof_union_carry` below — one shuffle+sort, no size assumption."""
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-
-    idx = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("prio"),
-            F.col("o_orderdate").cast("date").alias("d"),
-        )
-        .agg(davg("o_totalprice").alias("idx_val"))
-    )
-
+    idx = _daily_index(spark, sf_dir)
     rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     dense_days = rng.select(
         "prio", F.explode(F.sequence("d0", "d1")).alias("d")
@@ -88,18 +104,7 @@ def join_asof_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    probe = (
-        li.join(
-            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
-            li.l_orderkey == o.o_orderkey,
-        )
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("o_orderpriority").alias("prio"),
-            F.col("l_shipdate").cast("date").alias("sd"),
-        )
-    )
+    probe = _probe_shipments(spark, sf_dir)
     clamped = probe.join(F.broadcast(rng), "prio").filter(
         F.col("sd") >= F.col("d0")
     ).select(
@@ -124,25 +129,8 @@ def asof_union_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last non-null build value forward. One exchange + sort, no
     assumption on build-side size. Kept as the fallback strategy and
     cross-checked against the broadcast formulation in tests."""
-    o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
-
-    idx = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("prio"),
-            F.col("o_orderdate").cast("date").alias("d"),
-        )
-        .agg(davg("o_totalprice").alias("idx_val"))
-    )
-    probe = (
-        li.join(o.select("o_orderkey", "o_orderpriority"), li.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("o_orderpriority").alias("prio"),
-            F.col("l_shipdate").cast("date").alias("sd"),
-        )
-    )
+    idx = _daily_index(spark, sf_dir)
+    probe = _probe_shipments(spark, sf_dir)
 
     build_side = idx.select(
         "prio",

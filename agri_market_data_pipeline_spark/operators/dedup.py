@@ -340,7 +340,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {sql_cosine('a.embedding', 'b.embedding')} > 0.3
+WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.3
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +351,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
-    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # threshold on the ROUNDED cosine so the pair set can't differ by a
+    # last-ulp fold-order divergence between engines
+    cos = F.round(vec_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (
         a.join(
             b,
@@ -362,6 +364,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
     )

@@ -93,20 +93,12 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     PIL.Image.open(io.BytesIO(payload)) and emits width/height/channels;
     the Spark-side contract (batch iterator in, batch iterator out,
     explicit schema) is exactly this."""
-    try:  # pragma: no cover - codec not shipped in this container
-        import PIL.Image  # noqa: F401
-
-        have_codec = True
-    except Exception:
-        have_codec = False
-
+    # A real deployment swaps this loop body for the codec call, e.g.
+    # PIL.Image.open(io.BytesIO(payload)) -> (width, height, channels).
+    # The stub stays in force regardless of which libraries happen to be
+    # importable, so the operator's output never depends on environment.
     for pdf in batches:
         payloads = pdf["payload"]
-        if have_codec:
-            # Real decode would go here; unreachable in this container.
-            raise NotImplementedError(
-                "real image decode intentionally stubbed (no codec libs baked in)"
-            )
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -27,7 +27,7 @@ SELECT e.vec_id,
        ROUND({sql_cosine('e.embedding', 'q.qvec')}, 6) AS cos_sim
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id != {_QUERY_VEC_ID}
-ORDER BY {sql_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id
+ORDER BY ROUND({sql_cosine('e.embedding', 'q.qvec')}, 6) DESC, e.vec_id
 LIMIT {_TOP_K}
 """,
 )
@@ -42,14 +42,15 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("qvec")
     )
-    cos = vec_cosine("embedding", "qvec")
+    # ordering on the ROUNDED cosine: selection/rank boundaries must not
+    # depend on last-ulp fold-order differences between engines
+    cos = F.round(vec_cosine("embedding", "qvec"), 6)
     return (
         e.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(q))
-        .select("vec_id", cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
-        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
     )
 
 
@@ -100,15 +101,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell_id")
     )
 
-    cos = vec_cosine("embedding", "qvec")
+    cos = F.round(vec_cosine("embedding", "qvec"), 6)
     return (
         assigned.join(F.broadcast(probe), "cell_id", "leftsemi")
         .filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(q))
-        .select("vec_id", cos.alias("cos"))
-        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
-        .select("vec_id", F.round("cos", 6).alias("cos_sim"))
     )
 
 
@@ -125,7 +125,8 @@ FROM (
            ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY a.vec_id
-               ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC, b.vec_id
+               ORDER BY ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                        b.vec_id
            ) AS BIGINT) AS rnk
     FROM embeddings a
     JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
@@ -146,7 +147,8 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     a = e.alias("a")
     b = e.alias("b")
-    cos = vec_cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # rank over the ROUNDED cosine (see sim_search_topk)
+    cos = F.round(vec_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     scored = (
         a.join(
             b,
@@ -156,20 +158,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cos"),
+            cos.alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+            Window.partitionBy("vec_id").orderBy(
+                F.desc("cos_sim"), F.asc("neighbor_id")
+            )
         ))
     )
     return (
         scored.filter(F.col("rnk") <= _KNN_K)
-        .select(
-            "vec_id",
-            "neighbor_id",
-            F.round("cos", 6).alias("cos_sim"),
-            F.col("rnk").cast("long").alias("rnk"),
-        )
+        .select("vec_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
     )
 
 

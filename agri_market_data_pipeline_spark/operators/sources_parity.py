@@ -60,6 +60,11 @@ def _feed(sf_dir: str, fail_once_every: int | None = None):
     retry — deterministic because retry state lives in the closure."""
     path = table_path(sf_dir, "events")
     seen_failures: set[int] = set()
+    # NOTE: raw pyarrow (not tables.load) is deliberate — this closure
+    # *simulates the external API server*, not an engine read path. The
+    # nanos `ts` column is excluded from the feed for exactly the reason
+    # CLAUDE.md routes engine reads through tables.load.
+    table_cache: list = []  # one parse per deserialized task closure
 
     def fetch(offset: int, limit: int) -> list[dict]:
         if (
@@ -69,12 +74,15 @@ def _feed(sf_dir: str, fail_once_every: int | None = None):
         ):
             seen_failures.add(offset)
             raise ConnectionError(f"transient fault at offset {offset}")
-        import pyarrow.parquet as pq
+        if not table_cache:
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            path, columns=["event_id", "user_id", "event_type", "value"]
-        )
-        return t.slice(offset, limit).to_pylist()
+            table_cache.append(
+                pq.read_table(
+                    path, columns=["event_id", "user_id", "event_type", "value"]
+                )
+            )
+        return table_cache[0].slice(offset, limit).to_pylist()
 
     return fetch
 
@@ -152,7 +160,8 @@ def skip_empty_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition token-bucket throttle (the reference's 0.3 s
     inter-page sleep, fetch_data.py:165, scaled down): correctness is
-    unchanged by pacing; tests assert the pacing itself."""
+    unchanged by pacing; tests/test_ingest.py asserts the actual sleep
+    behavior (the throttle is independent of the retry `pace` knob)."""
     records, _ = read_paginated_api(
         spark,
         _feed(sf_dir),

@@ -95,29 +95,50 @@ def read_paginated_api(
     def fetch_partition(rows: Iterator) -> Iterator[tuple]:
         for row in rows:
             offset = row["offset"]
+            # clamp the final page so the scan never overshoots
+            # [start_offset, max_offset) on non-limit-aligned ranges
+            page_limit = min(limit, max_offset - offset)
             records, err = fetch_page_with_resilience(
-                fetch, offset, limit, pace=pace
+                fetch, offset, page_limit, pace=pace
             )
             if err is not None:
                 yield (offset, None, err)
             for rec in records:
-                payload = json.dumps({k: rec.get(k) for k in field_names})
+                # default=str: feeds may carry datetimes/decimals; the
+                # wire IR is JSON, so non-JSON scalars serialize as text
+                payload = json.dumps(
+                    {k: rec.get(k) for k in field_names}, default=str
+                )
                 yield (offset, payload, None)
             # skip_empty_page: no rows for this offset is not an error —
             # the offset range is still consumed (gap-tolerant scan).
-            time.sleep(throttle_s * pace)
+            # The throttle is the API-quota knob and is deliberately NOT
+            # scaled by `pace` (which only compresses retry backoffs).
+            if throttle_s > 0:
+                time.sleep(throttle_s)
 
     raw = pages.rdd.mapPartitions(fetch_partition).toDF(
         "offset long, payload string, error string"
     )
+    # Fetch exactly once: persist, eagerly materialize both outputs, then
+    # release the cached raw blocks (a bare persist would pin a full copy
+    # of the feed in executor memory for the session lifetime).
     raw = raw.persist()
-    records = (
-        raw.filter(F.col("payload").isNotNull())
-        .select(
-            F.col("offset").alias("_src_offset"),
-            F.from_json("payload", schema).alias("rec"),
+    try:
+        records = (
+            raw.filter(F.col("payload").isNotNull())
+            .select(
+                F.col("offset").alias("_src_offset"),
+                F.from_json("payload", schema).alias("rec"),
+            )
+            .select("_src_offset", "rec.*")
+            .localCheckpoint(eager=True)
         )
-        .select("_src_offset", "rec.*")
-    )
-    dead_letters = raw.filter(F.col("error").isNotNull()).select("offset", "error")
+        dead_letters = (
+            raw.filter(F.col("error").isNotNull())
+            .select("offset", "error")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
     return records, dead_letters

@@ -149,3 +149,33 @@ def test_merge_upsert_keeps_latest(spark, tmp_path):
     merge_upsert(spark, target, v2, keys=["k"], order_col="ver")
     got = {r.k: (r.val, r.ver) for r in spark.read.parquet(target).collect()}
     assert got == {1: ("a", 1), 2: ("B2", 2), 3: ("c", 2)}
+
+
+def test_last_page_clamped_to_max_offset(spark):
+    """Non-limit-aligned ranges must not overshoot [start, max_offset)."""
+    asked = []
+
+    def fetch(offset: int, limit: int) -> list[dict]:
+        asked.append((offset, limit))
+        return [{"id": i, "commodity": "c"} for i in range(offset, offset + limit)]
+
+    records, _ = read_paginated_api(
+        spark, fetch, max_offset=1500, limit=1000, schema=SCHEMA,
+        num_partitions=1, pace=0.0, throttle_s=0.0,
+    )
+    rows = records.collect()
+    assert len(rows) == 1500
+    assert max(r.id for r in rows) == 1499  # no overshoot past the bound
+
+
+def test_throttle_independent_of_pace(spark):
+    """The API-quota throttle must apply even when pace=0 collapses the
+    retry backoffs."""
+    import time as _time
+
+    t0 = _time.time()
+    read_paginated_api(
+        spark, _fake_feed(500), max_offset=500, limit=100, schema=SCHEMA,
+        num_partitions=1, pace=0.0, throttle_s=0.05,
+    )
+    assert _time.time() - t0 >= 0.25  # 5 pages x 50ms on one partition
