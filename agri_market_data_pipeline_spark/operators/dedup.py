@@ -191,6 +191,105 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_near_minhash_pairs",
+    oracle=_MINHASH_CTE
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def dedup_near_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate-pair extraction of the MinHash/LSH pipeline: docs
+    sharing any band key pair up (then production verifies each pair
+    with exact Jaccard — dedup_ngram_jaccard — before dropping). The
+    band-key equi-join is tiny relative to the corpus: only bucket
+    contents multiply, and stop-shingle-free signatures keep buckets
+    small."""
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_cluster")
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the LSH candidate
+    pairs via iterative label propagation — each doc adopts the minimum
+    doc_id reachable through its edges until fixpoint. The dedup policy
+    'keep one representative per duplicate CLUSTER' needs components,
+    not pairs (A~B, B~C must collapse to one keeper even if A≁C).
+
+    This is the engine's iterative-algorithm surface: a driver-side loop
+    over declarative joins, each iteration one shuffle, convergence
+    checked with a cheap aggregate; iterations are O(component
+    diameter) — near-dup clusters are shallow, so 3-6 rounds suffice at
+    any corpus size (large-diameter graphs would use the
+    alternating-large/small-star optimization). Rows-only check:
+    iterative fixpoints are not single-statement ANSI SQL; planted-
+    cluster recovery is pinned in tests/test_extensions.py."""
+    pairs = dedup_near_minhash_pairs(spark, sf_dir)
+    # undirected edge list + self-loops so isolated members keep labels
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(8):  # diameter bound; loop exits early at fixpoint
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # truncate lineage each round or the plan grows exponentially
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keep_doc_id"))
+        .select(
+            F.col("label").alias("cluster_id"), "cluster_size", "keep_doc_id"
+        )
+    )
+
+
+@query(
     "dedup_simhash",
     oracle="""
 WITH toks AS (

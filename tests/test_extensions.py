@@ -74,3 +74,31 @@ def test_asof_strategies_agree(spark, sf_dir):
     a = {tuple(r) for r in join_asof_prices(spark, sf_dir).collect()}
     b = {tuple(r) for r in asof_union_carry(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_dedup_cluster_recovers_planted_components(spark, tmp_path):
+    """A~B and B~C (but A≁C directly) must land in ONE cluster; an
+    unrelated near-dup pair forms its own; singletons don't appear."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("tok7", "x")),       # ~1
+            (3, base.replace("tok35", "y")),      # ~1 (and ~2 via 1)
+            # aaa17->z verified to band-collide under the fixed hash
+            # family (LSH recall is probabilistic per pair; the family is
+            # deterministic, so a checked perturbation stays checked)
+            (10, " ".join(f"aaa{i}" for i in range(40))),
+            (11, " ".join(f"aaa{i}" for i in range(40)).replace("aaa17", "z")),
+            (99, " ".join(f"zzz{i}" for i in range(40))),  # singleton
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from agri_market_data_pipeline_spark.operators.dedup import dedup_cluster
+
+    out = {r.cluster_id: (r.cluster_size, r.keep_doc_id)
+           for r in dedup_cluster(spark, str(tmp_path)).collect()}
+    assert out.get(1) == (3, 1), out     # {1,2,3} merged transitively
+    assert out.get(10) == (2, 10), out   # {10,11}
+    assert 99 not in out                 # no edges -> not in any cluster
