@@ -67,32 +67,42 @@ def run_incremental_ingest(
         num_partitions=num_partitions,
         pace=pace,
     )
-    cleaned = clean_agmarknet(records.drop("_src_offset"))
+    cleaned = clean_agmarknet(records)
     # Natural row identity of the quotation grain (SURVEY.md §1.1);
     # replays of the same page upsert to the same keys -> no duplicates.
-    keyed = cleaned.withColumn(
-        "row_key",
-        F.sha2(
-            F.concat_ws(
-                "\x1f", "State", "District", "Market", "Commodity", "Variety",
-                "Grade", F.col("Arrival_Date").cast("string"),
-            ),
-            256,
-        ),
-    )
+    # NULL components are coalesced to a sentinel BEFORE hashing:
+    # concat_ws silently drops NULLs, which would collide rows that
+    # differ only in which nullable field is NULL.
+    key_cols = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in ("State", "District", "Market", "Commodity", "Variety",
+                  "Grade", "Arrival_Date")
+    ]
+    keyed = cleaned.withColumn("row_key", F.sha2(F.concat_ws("\x1f", *key_cols), 256))
     n_rows = keyed.count()
+    # Recency = source offset: a later page carrying a correction to the
+    # same quotation key wins. (Arrival_Date would be degenerate here —
+    # it is part of the key, so every tie would break arbitrarily.)
     merge_upsert(
         spark,
         os.path.join(store_dir, "prices"),
-        keyed,
+        keyed.withColumnRenamed("_src_offset", "src_offset"),
         keys=["row_key"],
-        order_col="Arrival_Date",
+        order_col="src_offset",
     )
 
     dead_rows = dead.collect()
     if dead_rows:
+        # keyed by offset via upsert: a crash-replay that dead-letters the
+        # same page again must not double-count it.
         dl = spark.createDataFrame(dead_rows)
-        dl.write.mode("append").parquet(os.path.join(store_dir, "dead_letters"))
+        merge_upsert(
+            spark,
+            os.path.join(store_dir, "dead_letters"),
+            dl,
+            keys=["offset"],
+            order_col="offset",
+        )
 
     ckpt.save(end)
     return {

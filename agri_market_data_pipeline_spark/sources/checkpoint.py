@@ -34,7 +34,7 @@ class OffsetCheckpoint:
         try:
             with open(self.path) as fh:
                 return int(json.load(fh)["last_offset"])
-        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+        except (OSError, ValueError, KeyError, TypeError, json.JSONDecodeError):
             return 0
 
     def save(self, offset: int) -> None:

@@ -45,27 +45,52 @@ def merge_upsert(
     available; falls back to read-union-dedup-rewrite on plain parquet —
     correct but O(table); the fallback exists so the semantics are
     testable anywhere."""
+    # Delta path: ONLY the import and is-this-a-delta-table detection are
+    # guarded — a real MERGE failure (concurrency, duplicate source keys)
+    # must propagate, never fall through to a parquet rewrite that would
+    # clobber the _delta_log.
+    delta_table = None
     try:  # pragma: no cover - Delta not shipped in this container
-        from delta.tables import DeltaTable  # noqa: F401
+        from delta.tables import DeltaTable
 
-        target = DeltaTable.forPath(spark, target_path)
+        try:
+            delta_table = DeltaTable.forPath(spark, target_path)
+        except Exception:
+            delta_table = None  # target absent or not a Delta table
+    except ImportError:
+        pass
+    if delta_table is not None:  # pragma: no cover
+        # Delta rejects multiple source rows per target key: pre-dedup the
+        # batch to its newest row per key (same keep-latest the fallback
+        # applies).
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest_updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
         (
-            target.alias("t")
-            .merge(updates.alias("s"), cond)
+            delta_table.alias("t")
+            .merge(latest_updates.alias("s"), cond)
             .whenMatchedUpdateAll(condition=f"s.{order_col} >= t.{order_col}")
             .whenNotMatchedInsertAll()
             .execute()
         )
         return
-    except Exception:
-        pass
 
     try:
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)
-    except Exception:  # first write: nothing to merge
-        merged = updates
+    except Exception as exc:
+        # First write ONLY when the path genuinely doesn't exist; any
+        # other read failure (corrupt footer, storage error) must raise —
+        # treating it as first-write would overwrite the whole table.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            merged = updates
+        else:
+            raise
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))

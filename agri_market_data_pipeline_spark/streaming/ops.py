@@ -95,7 +95,11 @@ def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(sink)
+    # copy the result out and drop the sink view — otherwise every
+    # streaming run pins its full materialized output for the session
+    out = spark.table(sink).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out
 
 
 @query(
@@ -322,6 +326,8 @@ def _spike_fn(key, pdf_iter, state):
     """Per-user running state: count + exact running sum (value scaled to
     integer cents so state math is exact). A spike = value > 2× running
     mean of all PRIOR events for that user."""
+    import math
+
     (user_id,) = key
     cnt, total_cents = state.get() if state.exists else (0, 0)
     n_spikes = 0
@@ -329,7 +335,10 @@ def _spike_fn(key, pdf_iter, state):
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["ts", "event_id"])  # deterministic order
         for v in pdf["value"]:
-            cents = int(round(v * 100))
+            # floor(x+0.5): explicit half-up — Python round() is
+            # half-to-even while SQL round() is half-away, and the oracle
+            # must compute the identical integer
+            cents = int(math.floor(v * 100 + 0.5))
             if cnt > 0 and cents * cnt > 2 * total_cents:
                 n_spikes += 1
             cnt += 1
@@ -346,9 +355,9 @@ def _spike_fn(key, pdf_iter, state):
     oracle="""
 WITH ordered AS (
     SELECT user_id, event_id, ts,
-           CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
            COUNT(*) OVER w AS prior_cnt,
-           SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS prior_total
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS prior_total
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)

@@ -52,6 +52,10 @@ def main() -> int:
     only = set(sys.argv[2:])
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
