@@ -45,6 +45,10 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Ingestion throughput first, in its own JVM, before the query
+    # session exists — the two workloads contend for all 32 cores and
+    # measuring either in the other's shadow swings results 3-5×.
+    ingest_rps = _ingest_throughput_isolated()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -94,10 +98,6 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    # Ingestion throughput runs in a FRESH subprocess JVM: in-session it
-    # both suffers from and causes worker/GC interference with the query
-    # loop (measured swings of 3×).
-    ingest_rps = _ingest_throughput_isolated()
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
