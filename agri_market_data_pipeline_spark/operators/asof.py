@@ -82,7 +82,10 @@ def join_asof_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     When the build side is too large per key to densify/broadcast, use
     `asof_union_carry` below — one shuffle+sort, no size assumption."""
-    idx = _daily_index(spark, sf_dir)
+    # materialize the tiny daily index once — it feeds three subtrees
+    # (range bounds, densify left-join, clamp broadcast) that Spark would
+    # otherwise recompute as three full orders-table aggregations
+    idx = _daily_index(spark, sf_dir).localCheckpoint(eager=True)
     rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     dense_days = rng.select(
         "prio", F.explode(F.sequence("d0", "d1")).alias("d")
@@ -150,9 +153,12 @@ def asof_union_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("date").alias("idx_date"),
         F.lit(None).cast("double").alias("idx_val"),
     )
+    # (l_orderkey, l_linenumber) make the ordering total: tied probe rows
+    # currently only carry NULLs forward, but a partial order here is one
+    # refactor away from nondeterministic output (CLAUDE.md window rule)
     w = (
         Window.partitionBy("prio")
-        .orderBy("t", "is_probe")
+        .orderBy("t", "is_probe", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = build_side.unionByName(probe_side).select(

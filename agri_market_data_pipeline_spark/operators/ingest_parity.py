@@ -17,7 +17,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import cast_date_coerce, cast_double_coerce
+from ..functions.cleaning import (
+    cast_date_coerce,
+    cast_double_coerce,
+    filter_required_nonnull,
+)
 from ..functions.exact import dsum, sql_dsum
 from ..registry import query
 from ..tables import load
@@ -123,7 +127,7 @@ def op_filter_required_nonnull(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("price"),
     )
-    return dirty.na.drop(subset=["status", "price"]).agg(
+    return filter_required_nonnull(dirty, ("status", "price")).agg(
         F.count("*").alias("n_kept")
     )
 
@@ -277,6 +281,10 @@ def op_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
+        # cache BEFORE filtering on _corrupt: without it, column pruning
+        # parses only the projected columns and corruption in the others
+        # silently passes as clean (cf. tests/test_csv_corrupt.py)
+        .cache()
     )
     return (
         df.filter(F.col("_corrupt").isNull())

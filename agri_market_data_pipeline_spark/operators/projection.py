@@ -44,7 +44,7 @@ FROM orders
 WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
   AND o_orderpriority IN ('1-URGENT', '2-HIGH')
   AND (o_totalprice > 150000 OR o_orderstatus = 'F')
-  AND o_orderpriority LIKE '%H%'
+  AND o_orderpriority LIKE '%G%'
 """,
 )
 def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +59,9 @@ def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
         & ((F.col("o_totalprice") > 150000) | (F.col("o_orderstatus") == "F"))
-        & F.col("o_orderpriority").like("%H%")
+        # '%G%' matches both '1-URGENT' and '2-HIGH' — a pattern that
+        # dead-ends one IN-list member would make half the IN coverage vacuous
+        & F.col("o_orderpriority").like("%G%")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 

@@ -34,7 +34,10 @@ _RUNTIME_CONF = {
 
 
 def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
 
 
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:

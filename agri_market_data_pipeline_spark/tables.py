@@ -32,8 +32,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rebuild a (microsecond) timestamp column; truncation below µs is
         # irrelevant to query semantics and matches DuckDB's collected
         # precision.
+        # Scoped conf: the legacy flag is consulted at schema-conversion
+        # (plan-creation) time, so it can be restored immediately after
+        # read.parquet — leaving it set session-wide would silently turn
+        # TIMESTAMP(NANOS) columns in *unrelated* reads into BIGINTs.
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         # integral `div`, not `/`: epoch nanos exceed double's 53-bit
         # mantissa, so float division would round some values by ±1 µs.
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
