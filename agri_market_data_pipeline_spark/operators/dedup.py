@@ -400,6 +400,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df via a window partitioned by shingle: the same hash partitioning
     # the self-join needs, so no extra standalone aggregation + semi-join.
     wdf = Window.partitionBy("shingle")
+    # no checkpoint here: the three consumers (sizes, both self-join
+    # sides) hash-partition identically, so ReusedExchange already
+    # computes the explode+distinct+window chain once — measured
+    # identical with/without materialization. At 100 TB you'd still
+    # persist this inverted index to parquet across *jobs*.
     ds = (
         ds_all.withColumn("df", F.count("*").over(wdf))
         .filter(F.col("df") <= _STOP_SHINGLE_DF)
