@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     projection,
+    reshape,
     scans,
     scalar_fns,
     setops,
@@ -21,6 +22,7 @@ from . import (  # noqa: F401
     sortlimit,
     sources_parity,
     textstats,
+    timeseries,
     udfs,
     windows,
 )

@@ -293,3 +293,60 @@ def op_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"), dsum("l_extendedprice").alias("sum_price"))
     )
+
+
+_ORC_CACHE: dict[str, str] = {}
+
+
+def _orc_mirror(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize an ORC mirror of lineitem once per sf — the second
+    columnar format of the source layer (scan_parquet's sibling)."""
+    def complete(d: str) -> bool:
+        return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if sf_dir in _ORC_CACHE and complete(_ORC_CACHE[sf_dir]):
+        return _ORC_CACHE[sf_dir]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "agri_orc_mirror_" + sf_dir.strip("/").replace("/", "_"),
+    )
+    if not complete(out):
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_returnflag",
+            "l_shipdate",
+        ).write.mode("overwrite").orc(out)
+    _ORC_CACHE[sf_dir] = out
+    return out
+
+
+@query(
+    "scan_orc",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag
+""",
+)
+def op_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar ORC scan — same pushdown story as scan_parquet (the
+    `.explain` shows PushedFilters + a 3-column ReadSchema against the
+    ORC reader) proving the source layer is format-plural: parquet, CSV,
+    JSON and ORC all feed the same declarative plans. The oracle reads
+    the parquet original, so a match also proves the ORC round trip is
+    lossless (vectorized ORC reader, zero Python involvement)."""
+    path = _orc_mirror(spark, sf_dir)
+    df = spark.read.orc(path)
+    return (
+        df.filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"), dsum("l_extendedprice").alias("sum_price")
+        )
+    )

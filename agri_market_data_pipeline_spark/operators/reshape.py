@@ -1,0 +1,97 @@
+"""Reshape + sampling operators.
+
+Neither exists in the reference (its one table is consumed as-is), but
+both are table-stakes for the analytics surface its data model implies
+(SURVEY.md §1.1: wide fact table with three measure columns) and for the
+100 TB training-data pipeline scope (BASELINE.json north star):
+
+- deterministic hash sampling is how you carve reproducible dev/eval
+  subsets out of a 100 TB corpus — `df.sample()` is seed-dependent on
+  partitioning and not reproducible across engines/cluster layouts, a
+  content-hash bucket is;
+- unpivot (melt) turns the Min/Max/Modal price triple of the agmarknet
+  row (SURVEY.md §1.1 cols 8-10) into long form for per-measure
+  aggregation — one pass, no self-union of three scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum, sql_dsum
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "sample_hash",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE CAST('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 8)
+           AS BIGINT) % 100 < 10
+GROUP BY l_returnflag
+""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample via md5 content-hash bucketing.
+
+    The predicate is a pure row-local function of the primary key, so it
+    (a) reproduces exactly on any engine, any partitioning, any cluster
+    size — unlike `df.sample(seed)`, whose output depends on partition
+    layout; (b) is embarrassingly parallel with no shuffle: at 100 TB
+    the sample is a single filtered scan, and the same expression used
+    as a persisted `sample_bucket` column makes it a partition-pruned
+    read. md5 is the one hash both engines share (registry.py rules).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    return (
+        li.filter(bucket < 10)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle=f"""
+SELECT measure,
+       COUNT(*) AS cnt,
+       {sql_dsum("val")} AS sum_val
+FROM (
+  UNPIVOT (SELECT l_extendedprice, l_discount, l_tax FROM lineitem)
+  ON l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val
+)
+GROUP BY measure
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the three measure columns, then per-measure
+    stats — the long-form view of the agmarknet Min/Max/Modal triple.
+
+    `unpivot` expands 1 row → 3 in the same map stage (no join, no
+    union of three scans); the only shuffle is the final 3-key
+    aggregation. At 100 TB the alternative — three scans UNION ALL'd —
+    reads the table three times; this reads it once.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "val",
+        )
+        .groupBy("measure")
+        .agg(F.count("*").alias("cnt"), dsum("val").alias("sum_val"))
+    )
