@@ -249,3 +249,68 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(str(y)), F.lit(0)).cast("long").alias(f"y{y}") for y in _PIVOT_YEARS],
     )
     return renamed
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson correlation + sample covariance) per
+    group — the "do arrivals move prices" question over the agmarknet
+    fact table. Both are single-pass partial-aggregable moments (sum, sum
+    of squares, co-moment), so they parallelize exactly like SUM — no
+    second pass, no sort. ROUND on both sides absorbs the order-dependent
+    float tail of the co-moment accumulation (registry.py rules)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )
+
+
+_HIST_LO, _HIST_HI, _HIST_NBINS = 900.0, 105000.0, 16
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT CAST(GREATEST(0, LEAST({_HIST_NBINS - 1},
+         CAST(FLOOR((l_extendedprice - {_HIST_LO})
+                    / (({_HIST_HI} - {_HIST_LO}) / {_HIST_NBINS})) AS INT)))
+         AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM lineitem
+GROUP BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the price column via pure arithmetic
+    binning (floor((x-lo)/width), clamped) — the price-distribution
+    profile query. Binning is row-local arithmetic inside whole-stage
+    codegen and the aggregation carries exactly nbins keys, so at 100 TB
+    the shuffle is nbins rows per task regardless of data volume —
+    histograms are the textbook partial-aggregation win."""
+    li = load(spark, sf_dir, "lineitem")
+    width = (_HIST_HI - _HIST_LO) / _HIST_NBINS
+    bin_ = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(_HIST_NBINS - 1),
+            F.floor((F.col("l_extendedprice") - _HIST_LO) / width).cast("int"),
+        ),
+    ).cast("long")
+    return (
+        li.groupBy(bin_.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )

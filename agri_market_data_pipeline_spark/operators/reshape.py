@@ -95,3 +95,55 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("measure")
         .agg(F.count("*").alias("cnt"), dsum("val").alias("sum_val"))
     )
+
+
+# per-stratum sampling rates (percent): downsample the dominant 'N'
+# flag, keep the rarer flags at higher rates — class rebalancing
+_STRATA_PCT = {"N": 5, "A": 20, "R": 50}
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE CAST('0x' || substring(md5(l_orderkey || '|' || l_linenumber), 1, 8)
+           AS BIGINT) % 100
+      < CASE l_returnflag WHEN 'N' THEN 5 WHEN 'A' THEN 20
+                          WHEN 'R' THEN 50 ELSE 0 END
+GROUP BY l_returnflag
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each class keeps its own
+    hash-bucket rate — the class-rebalancing step of a training-data
+    pipeline (downsample the dominant class, keep the rare ones).
+
+    Same zero-shuffle, reproducible-anywhere properties as
+    `sample_hash`; the per-stratum rate is a row-local CASE over the
+    class column, so no per-group pass, no join against a rates table
+    (broadcast a rates dim instead when strata are dynamic). A seed
+    column appended to the hash input yields independent resamples.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    rate = None
+    for flag, pct in _STRATA_PCT.items():
+        rate = (
+            F.when(F.col("l_returnflag") == flag, pct)
+            if rate is None
+            else rate.when(F.col("l_returnflag") == flag, pct)
+        )
+    rate = rate.otherwise(0)
+    return (
+        li.filter(bucket < rate)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )

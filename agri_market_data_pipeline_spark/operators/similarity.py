@@ -211,3 +211,53 @@ def join_similarity_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("long").alias("lev"),
         )
     )
+
+
+@query(
+    "agg_vector_centroid",
+    oracle="""
+SELECT label, idx,
+       CAST(SUM(CAST(FLOOR(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+         AS centroid_v
+FROM (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS idx,
+         UNNEST(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, idx
+""",
+)
+def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise centroid of the embedding column — the
+    cluster-center computation every embedding pipeline needs (IVF
+    coarse quantizers, k-means steps, class prototypes).
+
+    posexplode → groupBy(label, idx) makes each dimension an independent
+    partial-aggregable SUM/COUNT: one shuffle of #labels × dim rows, no
+    vector ever held whole on the reduce side — at 100 TB and dim=1024
+    the shuffle stays tiny while the map side streams. (The dense
+    alternative — `F.aggregate` over zip_with accumulating an
+    array<double> — is one fewer explode but makes the combiner a
+    full-width array merge; long-form wins at scale.)
+
+    Determinism: float32 components have no exact decimal form, so the
+    DECIMAL(30,6) sum rule would *re-quantize* each value and the two
+    engines round those quantizations differently. Instead sum on an
+    exact integer lattice — FLOOR(v·1e9) is the same IEEE product and
+    floor on both engines, the BIGINT sum is order-independent, and one
+    shared division at the end restores scale (headroom: ~9e9 rows per
+    group before BIGINT overflow at |v|≤1; widen the scale factor down
+    or sum as DECIMAL(38,0) beyond that)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("idx"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1e9)).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("centroid_v")
+        )
+    )

@@ -195,3 +195,37 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(w).alias("last_price"),
         F.ntile(4).over(wq).cast("long").alias("quartile"),
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+SELECT o_orderkey,
+       percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS cum_dist
+FROM orders
+WHERE o_totalprice > 400000
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing windows (percent_rank / cume_dist): where does
+    each order sit in its priority class's price distribution — the
+    "is this quotation high for its market" query. Rank-family windows
+    need one sort per partition key and stream in O(1) memory per
+    partition (no frame buffering); o_orderkey tiebreaks the ordering so
+    ties can't flip ranks between engines (registry.py rule)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        # no ROUND: both values are ratios of the same integers, so the
+        # double division is bitwise-identical across engines — rounding
+        # would *introduce* tie divergence (k/(n-1) lands exactly on
+        # decimal half-ulp boundaries), not absorb it
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
