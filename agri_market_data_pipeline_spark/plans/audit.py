@@ -43,3 +43,10 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
         cols = {c.split(":")[0].strip() for c in m.split(",") if c.strip()}
         out.append(cols)
     return out
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange nodes (broadcast exchanges excluded) —
+    the scale-cost signature of a plan."""
+    txt = explain_str(df, "simple")
+    return len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single)", txt))

@@ -64,3 +64,50 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     assert "Brand#13" in txt.split("PartitionFilters")[1].split("]")[0], txt[:600]
     got = {r.p_brand for r in df.select("p_brand").distinct().collect()}
     assert got == {"Brand#13"}
+
+
+def test_sampling_is_shuffle_free_before_agg(spark, sf_dir):
+    """Hash sampling must stay a row-local filter: exactly the final
+    aggregation's exchange, nothing for the sample itself."""
+    from agri_market_data_pipeline_spark.plans import exchange_count
+
+    assert exchange_count(_q("sample_hash")(spark, sf_dir)) == 1
+    assert exchange_count(_q("sample_stratified")(spark, sf_dir)) == 1
+
+
+def test_histogram_and_unpivot_single_exchange(spark, sf_dir):
+    """Arithmetic binning and the wide→long melt are map-side constructs;
+    each plan's only shuffle is the tiny final aggregation."""
+    from agri_market_data_pipeline_spark.plans import (
+        exchange_count,
+        has_partial_agg,
+    )
+
+    for name in ("agg_histogram", "agg_unpivot", "agg_vector_centroid"):
+        df = _q(name)(spark, sf_dir)
+        assert exchange_count(df) == 1, name
+        assert has_partial_agg(df), name
+
+
+def test_sessionize_reuses_one_shuffle(spark, sf_dir):
+    """Gaps-and-islands: lag window, running-sum window and the final
+    groupBy all hash-partition by user_id — one exchange total."""
+    from agri_market_data_pipeline_spark.plans import exchange_count
+
+    assert exchange_count(_q("win_sessionize")(spark, sf_dir)) == 1
+
+
+def test_scan_orc_pushes_filter_and_prunes(spark, sf_dir):
+    from agri_market_data_pipeline_spark.plans import pushed_filters
+    from agri_market_data_pipeline_spark.plans.audit import (
+        read_schema_columns,
+    )
+
+    df = _q("scan_orc")(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, f"ORC date filter not pushed: {pushed}"
+    cols = read_schema_columns(df)
+    assert any(
+        c <= {"l_returnflag", "l_extendedprice", "l_shipdate"} and c
+        for c in cols
+    ), f"ORC projection not pruned: {cols}"
