@@ -471,3 +471,84 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
     )
+
+
+_CHUNK_WORDS = 10
+
+
+@query(
+    "dedup_paragraph",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+), chunks AS (
+  SELECT doc_id, CAST(FLOOR(pos / {_CHUNK_WORDS}) AS BIGINT) AS cpos,
+         string_agg(tok, ' ' ORDER BY pos) AS ctext
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, cpos, ctext,
+         row_number() OVER (PARTITION BY md5(ctext)
+                            ORDER BY doc_id, cpos) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(COALESCE(string_agg(ctext, ' ' ORDER BY cpos) FILTER (rn = 1),
+                    '')) AS kept_md5
+FROM ranked
+GROUP BY doc_id
+""",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level (here: 10-word-chunk) dedup across the whole
+    corpus — the boilerplate-removal pass of a training-data pipeline:
+    every repeated chunk keeps only its first occurrence in corpus order
+    (doc_id, position), documents are reconstructed from their surviving
+    chunks, and the per-doc audit row carries total/kept counts plus the
+    md5 of the reconstructed text (proving the round trip, not just the
+    counts).
+
+    Shuffle story: tokenize+chunk is map-side (posexplode + one
+    hash-agg back to chunk grain); global first-occurrence is ONE
+    window over md5(chunk) — at 100 TB that shuffle carries one row per
+    chunk, partitioned by content hash, so it's uniform by construction
+    (hash keys can't skew); reconstruction re-aggregates by doc_id.
+    Three exchanges total, each at a different natural grain
+    (doc×chunk, hash, doc). Within-doc repeats dedupe too (earliest
+    position wins) — stated semantics, same on both engines."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    chunks = (
+        toks.groupBy(
+            "doc_id",
+            F.floor(F.col("pos") / _CHUNK_WORDS).cast("long").alias("cpos"),
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("ctext")
+        )
+    )
+    w = Window.partitionBy(F.md5("ctext")).orderBy("doc_id", "cpos")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    arr = F.array_sort(F.collect_list(F.struct("cpos", "rn", "ctext")))
+    kept = F.filter(arr, lambda s: s.rn == 1)
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s.ctext))).alias(
+            "kept_md5"
+        ),
+    )

@@ -349,3 +349,93 @@ def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("sentiment"),
         F.count("word").alias("n_hits"),
     )
+
+
+# PII patterns shared verbatim by both engines: RE2 (DuckDB) and Java
+# regex agree on this subset (char classes, {m,n}, \b, alternation —
+# no backrefs/lookaround, which RE2 lacks).
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\b\+?\d{2,3}[- ]\d{3,4}[- ]\d{4}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or +91-' || 1000 + doc_id % 9000 || '-' ||
+         (1000 + doc_id % 8999) || ' host 10.' || doc_id % 256 || '.0.' ||
+         doc_id % 250 AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS clean,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+         len(regexp_extract_all(text, '{_PII_IP}')) AS n_ip
+  FROM seeded
+)
+SELECT doc_id,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean,
+       md5(clean) AS clean_md5,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ip AS BIGINT) AS n_ip
+FROM scrubbed
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus — emails, phone numbers and IPs
+    replaced by typed placeholder tokens, with per-document redaction
+    counts (the audit trail a compliance pass needs). The synthetic
+    corpus carries no PII, so the operator deterministically seeds each
+    document with id-derived PII first — both engines build the same
+    dirty text, then both scrub it, so the match proves the patterns
+    fire identically.
+
+    Row-local regexp_replace chain: embarrassingly parallel, zero
+    shuffle, whole-stage-codegen'd — at 100 TB a PII sweep is pure scan
+    throughput. Patterns stay in the RE2∩Java-regex subset (no
+    lookaround/backrefs) so the same strings work on both engines; the
+    order matters (emails before IPs: an IPv4-looking domain must not
+    pre-empt the email hit)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +91-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 8999).cast("string"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return seeded.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        F.md5(clean).alias("clean_md5"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_ip"),
+    )
