@@ -314,3 +314,78 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(bin_.alias("bin"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+_Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2023-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_interface", oracle=_Q1_SQL)
+def sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end, end to end: the SAME ANSI text that serves as
+    the DuckDB oracle is executed by `spark.sql` over registered views —
+    a TPC-H Q1-shaped pricing summary. One string, two engines, one
+    hash: the strongest possible statement that the engine's SQL surface
+    is ANSI-faithful (dialect-drift would fail the gate immediately).
+    Catalyst plans it identically to the DataFrame form — same
+    partial/final hash-agg, same pushed date filter."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q1_SQL)
+
+
+@query(
+    "incr_agg_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven: a 'snapshot' aggregate
+    (events before the cutover) and a 'delta' aggregate (events after)
+    are merged by re-aggregating their partials — and the oracle is the
+    full recompute, so the gate certifies snapshot ⊕ delta ≡ full.
+
+    This is the reference's whole operating model (3-hourly incremental
+    harvests accumulating into one dataset, SURVEY.md §1.2) applied to
+    aggregates: at 100 TB you never recompute the rollup — you aggregate
+    the new partition and MERGE partials. Works because COUNT/SUM are
+    commutative monoids; the same split works per key for min/max and
+    any partial-aggregable sketch (HLL, KLL)."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-03-01").cast("timestamp")
+
+    def part(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+        )
+
+    snapshot = part(ev.filter(F.col("ts") < cut))
+    delta = part(ev.filter(F.col("ts") >= cut))
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )

@@ -265,3 +265,48 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         F.when(k >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+_URL_HOST = r"^[a-z]+://([^/?#]+)"
+_URL_PATH = r"^[a-z]+://[^/?#]+([^?#]*)"
+_URL_QPARAM = r"[?&]q=([^&#]*)"
+
+
+@query(
+    "fn_url",
+    oracle=f"""
+WITH u AS (
+  SELECT event_id,
+         'https://api.data.gov.in/resource/mandi?format=json&q=' ||
+         event_type || '&offset=' || event_id % 1000 AS url
+  FROM events
+)
+SELECT event_id,
+       regexp_extract(url, '{_URL_HOST}', 1) AS host,
+       regexp_extract(url, '{_URL_PATH}', 1) AS path,
+       regexp_extract(url, '{_URL_QPARAM}', 1) AS q_param
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host / path / query param) with regexp groups
+    — the reference's own endpoint shape (fetch_data.py:14-15) built
+    per-row then parsed back. Spark's dedicated `parse_url` is
+    JVM-only; the regexp form keeps the oracle bit-identical (same
+    pattern text, same group indices on both engines) and stays in
+    whole-stage codegen. The patterns are RE2∩Java-safe (no
+    lookaround)."""
+    ev = load(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://api.data.gov.in/resource/mandi?format=json&q="),
+        F.col("event_type"),
+        F.lit("&offset="),
+        (F.col("event_id") % 1000).cast("string"),
+    )
+    u = ev.select("event_id", url.alias("url"))
+    return u.select(
+        "event_id",
+        F.regexp_extract("url", _URL_HOST, 1).alias("host"),
+        F.regexp_extract("url", _URL_PATH, 1).alias("path"),
+        F.regexp_extract("url", _URL_QPARAM, 1).alias("q_param"),
+    )
