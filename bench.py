@@ -40,6 +40,13 @@ HEADLINE = [
     "udf_scalar_pandas",
     "dedup_ngram_jaccard",
     "agg_grouping_sets",
+    "sample_hash",
+    "win_sessionize",
+    "ts_gap_fill",
+    "dedup_paragraph",
+    "text_pii_scrub",
+    "agg_vector_centroid",
+    "sql_interface",
 ]
 
 
