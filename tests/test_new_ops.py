@@ -1,0 +1,179 @@
+"""Properties of the sampling / time-series / scrub / dedup operators
+that the DuckDB value-hash oracle cannot express: layout invariance,
+idempotence, structural soundness of sessions, lossless reconstruction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agri_market_data_pipeline_spark.registry import all_queries
+from agri_market_data_pipeline_spark.tables import load
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_sample_hash_is_layout_invariant(spark, sf_dir):
+    """The sample must select the SAME rows regardless of partitioning —
+    the whole point of content-hash sampling vs sample(seed)."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100
+    )
+    a = li.filter(bucket < 10).select("l_orderkey", "l_linenumber")
+    b = (
+        li.repartition(17, "l_suppkey")
+        .filter(bucket < 10)
+        .select("l_orderkey", "l_linenumber")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pii_scrub_leaves_no_matches(spark, sf_dir):
+    """Completeness: after scrubbing, none of the three patterns fires
+    anywhere in the corpus (count of residual matches == 0)."""
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    df = _q("text_pii_scrub")(spark, sf_dir)
+    # rebuild the scrubbed text the same way the operator does, then
+    # re-run the extractors over it
+    d = load(spark, sf_dir, "documents")
+    seeded = d.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +91-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            F.lit("-"),
+            (F.lit(1000) + F.col("doc_id") % 8999).cast("string"),
+            F.lit(" host 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 250).cast("string"),
+        ).alias("text")
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    residual = seeded.select(
+        (
+            F.size(F.regexp_extract_all(clean, F.lit(_PII_EMAIL), F.lit(0)))
+            + F.size(F.regexp_extract_all(clean, F.lit(_PII_PHONE), F.lit(0)))
+            + F.size(F.regexp_extract_all(clean, F.lit(_PII_IP), F.lit(0)))
+        ).alias("n")
+    ).agg(F.sum("n").alias("total")).collect()[0]["total"]
+    assert residual == 0
+    # and every doc did get at least one email + one ip redacted
+    row = df.agg(
+        F.min("n_email").alias("e"), F.min("n_ip").alias("i")
+    ).collect()[0]
+    assert row["e"] >= 1 and row["i"] >= 1
+
+
+def test_sessionize_structure(spark, sf_dir):
+    """Sessions are a partition of each user's events, ids are dense from
+    1, and every session span is consistent (t0 <= t1, events >= 1)."""
+    df = _q("win_sessionize")(spark, sf_dir).cache()
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    got = df.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    assert got == n_events  # partition: every event in exactly one session
+    bad = df.filter(
+        (F.col("t1_us") < F.col("t0_us")) | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0
+    dense = (
+        df.groupBy("user_id")
+        .agg(
+            F.min("session_id").alias("lo"),
+            F.max("session_id").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert dense == 0  # ids are 1..n per user, no gaps
+    df.unpersist()
+
+
+def test_gap_fill_is_dense_and_carries_forward(spark, sf_dir):
+    """Output covers every day in [min, max] per group exactly once and
+    v_filled is never null after the group's first observed day."""
+    df = _q("ts_gap_fill")(spark, sf_dir).cache()
+    spans = df.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        (F.datediff(F.max("d"), F.min("d")) + 1).alias("expect"),
+        F.countDistinct("d").alias("nd"),
+    )
+    bad = spans.filter(
+        (F.col("n") != F.col("expect")) | (F.col("nd") != F.col("n"))
+    ).count()
+    assert bad == 0
+    assert df.filter(F.col("v_filled").isNull()).count() == 0
+    df.unpersist()
+
+
+def test_dedup_paragraph_unique_corpus_is_identity(spark, sf_dir):
+    """On a corpus with no repeated chunks, dedup keeps everything and
+    the reconstruction md5 equals md5 of the original text."""
+    df = _q("dedup_paragraph")(spark, sf_dir).cache()
+    # synthetic corpus is word soup — repeats DO occur; so assert the
+    # weaker-but-oracle-inexpressible identity on the provably-unique
+    # subset: docs where every chunk survived must reconstruct exactly.
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("orig_md5")
+    )
+    full = df.filter(F.col("n_kept") == F.col("n_chunks")).join(d, "doc_id")
+    mismatched = full.filter(F.col("kept_md5") != F.col("orig_md5")).count()
+    assert full.count() > 0, "no fully-kept docs — fixture too dupey"
+    assert mismatched == 0
+    df.unpersist()
+
+
+def test_incr_merge_cut_invariance(spark, sf_dir):
+    """snapshot ⊕ delta must equal the full aggregate for ANY cut point,
+    not just the registered one — the monoid property itself."""
+    ev = load(spark, sf_dir, "events")
+
+    def split_merge(cut: str):
+        c = F.lit(cut).cast("timestamp")
+
+        def part(df):
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(30,6)")).alias("s"),
+            )
+
+        return (
+            part(ev.filter(F.col("ts") < c))
+            .unionByName(part(ev.filter(F.col("ts") >= c)))
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("s").cast("double").alias("s"))
+        )
+
+    full = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("s"),
+    )
+    for cut in ("2024-01-15", "2024-02-01", "2030-01-01", "1990-01-01"):
+        m = split_merge(cut)
+        diff = m.exceptAll(full).count() + full.exceptAll(m).count()
+        assert diff == 0, f"cut {cut} broke the merge"
