@@ -389,3 +389,28 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT l_returnflag,
+       list_sort(list(DISTINCT l_quantity)) AS quantities,
+       CAST(len(list(DISTINCT l_quantity)) AS BIGINT) AS n_distinct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: the sorted distinct quantity vector per
+    group — list results hash across engines only because the list is
+    canonicalized (distinct + sort) inside the query; a bare
+    collect_list is partition-order-dependent and would never match.
+    At scale collect_* must be bounded (here: the quantity domain);
+    unbounded group payloads belong in a re-explode pipeline, not an
+    array cell."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_quantity")).alias("quantities"),
+        F.size(F.collect_set("l_quantity")).cast("long").alias("n_distinct"),
+    )

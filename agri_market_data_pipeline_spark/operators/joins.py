@@ -159,3 +159,29 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(F.count("*").alias("n_cust_in_band"))
     )
+
+
+@query(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CASE WHEN r.r_regionkey = n.n_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Cartesian product of two tiny dimensions (5 × 25) — the
+    membership-matrix shape (every region × every nation, flagged). The
+    plan is BroadcastNestedLoopJoin: correct exactly because one side is
+    broadcast-small; a fact×fact cross is never legitimate at scale —
+    every big-table pairing in this library goes through an equi or
+    banded prefilter instead (join_range_banded, similarity blocking)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        F.when(F.col("r_regionkey") == F.col("n_regionkey"), 1)
+        .otherwise(0)
+        .alias("is_home"),
+    )

@@ -75,3 +75,27 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customer_only").alias("side"), "n_nationkey"
     )
     return both.unionByName(cust_only)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — nations having either a rich customer or any
+    supplier, each once. Planned as union-all + hash-dedup with
+    map-side partial dedup, so the shuffle carries distinct keys per
+    partition, not raw rows — at 100 TB the exchange is bounded by key
+    cardinality. `set_union_all` is the bag twin."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
