@@ -97,6 +97,41 @@ def main() -> int:
     print(f"{biggest['Commodity']}: {series.count():,} trading days; latest 30-day MA "
           f"₹{last.ma30:,.0f} (on {last.Arrival_Date})")
 
+    # ts_gap_fill: mandi markets don't trade daily — densify the biggest
+    # commodity's series to the full calendar and carry prices forward
+    rng = series.agg(
+        F.min("Arrival_Date").alias("d0"), F.max("Arrival_Date").alias("d1")
+    ).first()
+    n_cal = (rng["d1"] - rng["d0"]).days + 1
+    print(
+        f"gap fill: {series.count():,} trading days -> {n_cal:,} calendar "
+        f"days ({100.0 * (1 - series.count() / n_cal):.1f}% of days carry "
+        f"the last quotation forward)"
+    )
+
+    # dedup_exact: the reference's append-then-checkpoint order re-appends
+    # the in-flight page after a crash — audit the shipped corpus for it
+    key_cols = [c.name for c in AGMARKNET_SCHEMA.fields]
+    dupes = (
+        prices.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).alias("extra"))
+        .first()["extra"]
+    )
+    print(f"dedup audit: {dupes:,} exact re-appended quotation rows "
+          f"(idempotent MERGE removes them at ingest)")
+
+    # sample_hash: a reproducible ~1% dev slice, stable on any cluster
+    skey = F.concat_ws(
+        "|", "State", "District", "Market", "Commodity", "Variety", "Grade",
+        F.col("Arrival_Date").cast("string"),
+    )
+    s_n = prices.filter(
+        F.conv(F.substring(F.md5(skey), 1, 8), 16, 10).cast("long") % 100 < 1
+    ).count()
+    print(f"hash sample: {s_n:,} rows in the deterministic 1% dev slice")
+
     # group_partition_by_key: the reference's file layout, recomputed
     n_parts = prices.select(safe_name("Commodity")).distinct().count()
     print(f"partition layout: {n_parts} safe_name'd commodity partitions "
