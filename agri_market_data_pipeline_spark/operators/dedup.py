@@ -224,7 +224,30 @@ def dedup_near_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster")
+@query(
+    "dedup_cluster",
+    oracle=_MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc_id
+), comp AS (
+  SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+)
+SELECT cluster_id, COUNT(*) AS cluster_size, MIN(doc_id) AS keep_doc_id
+FROM comp GROUP BY cluster_id
+""",
+)
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: connected components over the LSH candidate
     pairs via iterative label propagation — each doc adopts the minimum
@@ -237,9 +260,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked with a cheap aggregate; iterations are O(component
     diameter) — near-dup clusters are shallow, so 3-6 rounds suffice at
     any corpus size (large-diameter graphs would use the
-    alternating-large/small-star optimization). Rows-only check:
-    iterative fixpoints are not single-statement ANSI SQL; planted-
-    cluster recovery is pinned in tests/test_extensions.py."""
+    alternating-large/small-star optimization). Oracle: a RECURSIVE CTE
+    computing the transitive closure's per-node minimum — fine for the
+    gate's corpus, quadratic per component in general, which is exactly
+    why the engine side iterates label propagation instead. Planted-
+    cluster recovery is additionally pinned in tests/test_extensions.py."""
     pairs = dedup_near_minhash_pairs(spark, sf_dir)
     # undirected edge list + self-loops so isolated members keep labels
     edges = (
