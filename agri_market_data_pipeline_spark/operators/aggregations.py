@@ -414,3 +414,32 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("l_quantity")).alias("quantities"),
         F.size(F.collect_set("l_quantity")).cast("long").alias("n_distinct"),
     )
+
+
+_SUBQ_SQL = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_expensive
+FROM orders o
+WHERE o.o_totalprice >
+      (SELECT 1.5 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*)
+       FROM orders o2
+       WHERE o2.o_orderpriority = o.o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("sql_subquery", oracle=_SUBQ_SQL)
+def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, same ANSI text on both engines:
+    orders costing more than 1.5× their priority class's mean. Catalyst
+    DECORRELATES it — the plan is one aggregate of orders by priority
+    joined back to orders, not a per-row subquery execution — which is
+    the difference between O(n) and O(n²) at 100 TB. The threshold uses
+    the exact-decimal AVG so the comparison boundary is bit-identical
+    across engines (a float AVG threshold could flip rows at the last
+    ulp)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQ_SQL)
