@@ -7,6 +7,7 @@ its DuckDB oracle twin.
 
 from . import (  # noqa: F401
     aggregations,
+    analytics,
     asof,
     dedup,
     ingest_parity,

@@ -1,0 +1,325 @@
+"""Price-analytics operators: the domain queries the reference's data
+model exists to serve (SURVEY.md §1.1 — daily min/max/modal price
+quotations per market×commodity), re-expressed on the driver star
+schema.
+
+- `ts_ohlc`: open/high/low/close downsampling of a price series — the
+  canonical "daily quotes → monthly bars" rollup of any market feed;
+- `anomaly_zscore`: price-spike detection (the data-quality operator
+  SURVEY.md §1.3.5 calls for: the reference ships known dirt like
+  Min_Price > Max_Price and never flags it);
+- `agg_entropy`: Shannon entropy of a categorical mix per group — the
+  assortment-diversity metric (and a standard training-data corpus
+  diagnostic);
+- `agg_vwap`: volume-weighted average price — the weighted-mean twin of
+  `agg_price_stats`' plain mean;
+- `win_pareto_share`: cumulative revenue share + ABC classification
+  ("which commodities make 80% of volume").
+
+Cross-engine determinism (registry.py rules): all means/variances are
+built from DECIMAL-accumulated sums (exact, order-independent); ratios
+of exact values are evaluated with the identical IEEE expression tree on
+both engines (div/mul/sub/sqrt are correctly rounded, hence bitwise
+reproducible); only genuinely order-sensitive float SUMs (the entropy's
+Σ c·ln c) and libm-boundary fns (ln) are ROUNDed, at 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query(
+    "ts_ohlc",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority,
+                                         date_trunc('month', o_orderdate)
+                            ORDER BY o_orderdate, o_orderkey) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority,
+                                         date_trunc('month', o_orderdate)
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+  FROM orders
+)
+SELECT prio, month,
+       MAX(CASE WHEN rn_a = 1 THEN o_totalprice END) AS open_price,
+       MAX(o_totalprice) AS high_price,
+       MIN(o_totalprice) AS low_price,
+       MAX(CASE WHEN rn_d = 1 THEN o_totalprice END) AS close_price,
+       COUNT(*) AS n_quotes
+FROM t
+GROUP BY prio, month
+""",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: monthly open/high/low/close bars per priority
+    class — "daily mandi quotes → monthly price bars" on the agmarknet
+    table (open = first quote of the month, close = last).
+
+    Spark side uses `min_by`/`max_by` keyed on a packed BIGINT
+    (epoch_day·10¹³ + orderkey — day-granular date then the unique
+    orderkey tiebreaker, per the registry.py window rule): a single-pass
+    declarative aggregate with partial (map-side) combine, so at 100 TB
+    each bar costs one shuffled row per (group, month) — no per-group
+    sort at all. The packing matters: a struct ordering key would demote
+    the plan to SortAggregate (struct buffers aren't hash-aggregable,
+    asserted in tests/test_plans.py), while the BIGINT keeps
+    HashAggregate. Packing budget: epoch_day < 10⁶ (year ~4700) and
+    orderkey < 10¹³ fit int64 with headroom. The oracle expresses the
+    same semantics as ROW_NUMBER-over-total-order; the two formulations
+    coincide exactly because (o_orderdate, o_orderkey) is a total order.
+    min/max/first/last on doubles are exact picks, not accumulations —
+    no decimal path needed.
+    """
+    o = load(spark, sf_dir, "orders")
+    tb = F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * F.lit(
+        10_000_000_000_000
+    ) + F.col("o_orderkey")
+    return (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.min_by("o_totalprice", tb).alias("open_price"),
+            F.max("o_totalprice").alias("high_price"),
+            F.min("o_totalprice").alias("low_price"),
+            F.max_by("o_totalprice", tb).alias("close_price"),
+            F.count("*").alias("n_quotes"),
+        )
+    )
+
+
+# z-score threshold: the testdata's o_totalprice is uniform per group
+# (z ∈ [-√3, √3]), so 1.7σ flags the top ~1% tail; on real bell-tailed
+# price data the conventional 3σ applies unchanged. Any cut works
+# cross-engine — z is bitwise identical on both sides (see docstring).
+_Z_THRESHOLD = 1.7
+
+
+@query(
+    "anomaly_zscore",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS prio, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM orders
+  GROUP BY o_orderpriority
+), m AS (
+  SELECT prio, s1 / n AS mean_price,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd_price
+  FROM s
+)
+SELECT o.o_orderkey, m.prio, o.o_totalprice,
+       ROUND((o.o_totalprice - m.mean_price) / m.sd_price, 6) AS zscore
+FROM orders o JOIN m ON o.o_orderpriority = m.prio
+WHERE (o.o_totalprice - m.mean_price) / m.sd_price > {_Z_THRESHOLD}
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-spike detection: rows whose price sits more than the threshold above
+    their group mean — the anomaly-flagging operator the reference's
+    cleaning pass lacks (SURVEY.md §1.3.5).
+
+    Determinism is engineered, not rounded-into: mean and variance come
+    from DECIMAL-exact Σx and Σx² (x² is exact in double — price has 2
+    decimal digits and ≤6 integer digits, so x² needs ≤53 bits), and
+    the z expression is the *identical* IEEE tree on both engines
+    (each of div/mul/sub/sqrt is correctly rounded, hence bitwise
+    deterministic given identical inputs) — so the threshold cut cannot
+    disagree. The ROUND(6) on the *output* column is cosmetic.
+
+    Scale: one partial-agg pass for the 5-row stats table, broadcast
+    back onto the fact scan — no window over fact-sized partitions, no
+    second shuffle. At 100 TB this is 2 scans (or 1 with a cached
+    stats table) and zero exchanges of fact rows.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    x = F.col("o_totalprice")
+    st = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    m = st.select(
+        "prio",
+        (F.col("s1") / F.col("n")).alias("mean_price"),
+        F.sqrt(
+            F.col("s2") / F.col("n")
+            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+        ).alias("sd_price"),
+    )
+    z = (x - F.col("mean_price")) / F.col("sd_price")
+    return (
+        o.join(F.broadcast(m), o.o_orderpriority == m.prio)
+        .filter(z > _Z_THRESHOLD)
+        .select(
+            "o_orderkey",
+            "prio",
+            "o_totalprice",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+WITH c AS (
+  SELECT p_brand, p_type, COUNT(*) AS cnt
+  FROM part
+  GROUP BY p_brand, p_type
+)
+SELECT p_brand,
+       CAST(SUM(cnt) AS BIGINT) AS n_parts,
+       COUNT(*) AS n_types,
+       ROUND(ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt), 4) AS entropy_nats
+FROM c
+GROUP BY p_brand
+""",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the type mix per brand (assortment diversity;
+    on the agmarknet table: variety-mix entropy per commodity — how
+    concentrated "Other" really is, SURVEY.md §1.3.5). Also the
+    standard corpus-diversity diagnostic of a training-data pipeline.
+
+    H = ln n − (Σ cᵢ·ln cᵢ)/n over exact integer category counts: one
+    partial-agg pass to counts (the only fact-sized shuffle, keyed by
+    (group, category)), then a tiny second agg. The Σ cᵢ·ln cᵢ float sum
+    is order-sensitive and ln is a libm boundary — ROUND(4) per
+    registry.py; everything upstream is exact integers.
+    """
+    p = load(spark, sf_dir, "part")
+    c = p.groupBy("p_brand", "p_type").agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    return c.groupBy("p_brand").agg(
+        n.cast("long").alias("n_parts"),
+        F.count("*").alias("n_types"),
+        F.round(F.log(n) - F.sum(F.col("cnt") * F.log("cnt")) / n, 4).alias(
+            "entropy_nats"
+        ),
+    )
+
+
+@query(
+    "agg_vwap",
+    oracle="""
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) * l.l_quantity
+                     AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS vwap,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per brand — the arrivals-weighted
+    mean price of the mandi domain (a plain AVG over quotes is biased by
+    thin markets; the VWAP weights by traded quantity).
+
+    Both numerator Σ(price·(1−disc)·qty) and denominator Σqty accumulate
+    in DECIMAL (order-independent); the per-row product is plain IEEE
+    arithmetic (deterministic given identical parquet doubles) and its
+    DECIMAL(38,6) quantization is tie-free (a binary double is never
+    exactly at a 1e-6 midpoint). The final ratio of two exact doubles is
+    one correctly-rounded division — bitwise equal across engines, so no
+    rounding is applied (registry.py: rounding *introduces* divergence
+    on exact ratios). part is broadcast; one fact shuffle on p_brand.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wsum = F.sum(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_quantity")
+        ).cast("decimal(38,6)")
+    ).cast("double")
+    qsum = F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (wsum / qsum).alias("vwap"),
+            qsum.alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "win_pareto_share",
+    oracle="""
+WITH r AS (
+  SELECT p.p_brand,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), w AS (
+  SELECT p_brand, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, p_brand
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM r
+)
+SELECT p_brand,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.80 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM w
+""",
+)
+def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: rank brands by revenue, accumulate their
+    share of the total, classify A (first 80%), B (to 95%), C (tail) —
+    "which commodities carry the market" on the agmarknet table.
+
+    The fact-sized work is the one pre-aggregation shuffle; the windows
+    run over the K-row aggregate (K = brands ≈ group-key cardinality,
+    thousands at worst), so the single-partition global window is over
+    K rows, never fact rows — the safe pattern for global cumulative
+    metrics at 100 TB. Running sums stay in DECIMAL through the window
+    (exact, order-independent given the total ORDER BY rev DESC,
+    p_brand); shares are exact-over-exact double divisions, so the
+    0.80/0.95 class cuts cannot disagree between engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    ).alias("rev")
+    r = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(rev)
+    )
+    w_cum = Window.orderBy(F.desc("rev"), "p_brand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = F.sum("rev").over(w_cum).cast("double") / F.sum("rev").over(
+        w_all
+    ).cast("double")
+    return r.select(
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

@@ -577,3 +577,104 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_md5"
         ),
     )
+
+
+@query(
+    "dedup_url",
+    oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://Data.GOV.in/resource/' ||
+                       CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'https://data.gov.in/resource/' ||
+                       CAST(doc_id // 4 AS VARCHAR) || '/'
+           WHEN 2 THEN 'https://data.gov.in/resource/' ||
+                       CAST(doc_id // 4 AS VARCHAR) ||
+                       '?utm_source=feed&utm_campaign=x'
+           ELSE 'https://data.gov.in:443/resource/' ||
+                CAST(doc_id // 4 AS VARCHAR) || '#section'
+         END AS url
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+                        '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u
+  FROM raw
+), canon AS (
+  SELECT doc_id,
+         'https://' ||
+         regexp_replace(lower(regexp_extract(u, '^https://([^/?#]+)', 1)),
+                        ':443$', '') ||
+         regexp_replace(regexp_extract(u, '^https://[^/?#]+(.*)$', 1),
+                        '/$', '') AS canonical_url
+  FROM stripped
+)
+SELECT canonical_url,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_variants
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-corpus shape of `dedup_exact`:
+    the same resource reached through case-variant hosts, default ports,
+    trailing slashes, fragments, and utm_* tracking params collapses to
+    one canonical key. The fixture synthesizes four wire-variants of
+    each resource id from doc_id (mod 4) so every canonical group is a
+    real multi-variant cluster, then canonicalizes with a pure column
+    pipeline: strip fragment → strip tracking params → lowercase host,
+    drop :443 → strip trailing slash.
+
+    Every step is regexp_replace/regexp_extract/lower in the RE2∩Java
+    subset (registry.py rules; DuckDB needs the explicit 'g' flag where
+    Spark's regexp_replace is global by default). Scale: canonicalization
+    is row-local (zero shuffle); the group-by shuffles one row per URL
+    keyed by canonical hash — uniform by construction, like dedup_exact.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    rid = F.expr("doc_id div 4").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://Data.GOV.in/resource/"), rid),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://data.gov.in/resource/"), rid, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://data.gov.in/resource/"),
+                rid,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://data.gov.in:443/resource/"),
+                rid,
+                F.lit("#section"),
+            )
+        )
+    )
+    u = F.regexp_replace(
+        F.regexp_replace(url, r"#.*$", ""), r"[?&]utm_[a-z]+=[^&#]*", ""
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^https://([^/?#]+)", 1)), r":443$", ""
+    )
+    rest = F.regexp_replace(
+        F.regexp_extract(u, r"^https://[^/?#]+(.*)$", 1), r"/$", ""
+    )
+    canonical = F.concat(F.lit("https://"), host, rest)
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_variants"),
+        )
+    )

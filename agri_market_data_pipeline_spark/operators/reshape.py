@@ -16,7 +16,7 @@ both are table-stakes for the analytics surface its data model implies
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
@@ -146,4 +146,54 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(bucket < rate)
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+_RESERVOIR_K = 5
+
+
+@query(
+    "sample_reservoir_k",
+    oracle=f"""
+WITH t AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                          c_custkey) AS BIGINT) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_acctbal, rn
+FROM t
+WHERE rn <= {_RESERVOIR_K}
+""",
+)
+def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-k sample per stratum (k customers per nation) — the
+    deterministic twin of per-group reservoir sampling: rank rows by
+    md5(key) within each group and keep the k smallest. Because the
+    hash order is a fixed pseudo-random permutation of the keys, the
+    marginal distribution matches a uniform k-reservoir, but the result
+    reproduces exactly on any engine, partitioning, or cluster size
+    (`sample_hash`'s argument, extended from rate-based to size-based).
+
+    Complements `sample_hash` (global rate) and `sample_stratified`
+    (per-class rates): this is the "exactly k examples per class" shape
+    of eval-set construction. Scale: row_number sorts within each group
+    partition; for huge groups with tiny k, the bottom-k-by-hash is
+    equivalently an aggregate of the k smallest hashes (a fixed-size
+    min-heap partial aggregate — `collect_list`+`slice` after a coarse
+    hash-range prefilter), avoiding the full per-group sort.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= _RESERVOIR_K)
     )

@@ -47,6 +47,8 @@ HEADLINE = [
     "text_pii_scrub",
     "agg_vector_centroid",
     "sql_interface",
+    "ts_ohlc",
+    "anomaly_zscore",
 ]
 
 

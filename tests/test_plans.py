@@ -111,3 +111,36 @@ def test_scan_orc_pushes_filter_and_prunes(spark, sf_dir):
         c <= {"l_returnflag", "l_extendedprice", "l_shipdate"} and c
         for c in cols
     ), f"ORC projection not pruned: {cols}"
+
+
+def test_analytics_batch_plan_properties(spark, sf_dir):
+    """The price-analytics family (operators/analytics.py) keeps its
+    scale contracts: OHLC is a single-pass partial aggregate (min_by /
+    max_by, no per-group sort); the z-score stats table broadcasts back
+    onto the fact scan; VWAP broadcasts its dim and partial-aggregates."""
+    from agri_market_data_pipeline_spark.plans.audit import explain_str
+
+    ohlc = _q("ts_ohlc")(spark, sf_dir)
+    assert has_partial_agg(ohlc)
+    assert "Sort" not in explain_str(ohlc).split("HashAggregate")[0]
+
+    assert has_broadcast_join(_q("anomaly_zscore")(spark, sf_dir))
+    vwap = _q("agg_vwap")(spark, sf_dir)
+    assert has_broadcast_join(vwap)
+    assert has_partial_agg(vwap)
+
+
+def test_pareto_window_runs_over_aggregate_not_fact(spark, sf_dir):
+    """win_pareto_share's global (single-partition) window must sit
+    ABOVE the pre-aggregation: the exchange-to-one-partition carries K
+    aggregate rows, never fact rows."""
+    from agri_market_data_pipeline_spark.plans.audit import explain_str
+
+    txt = explain_str(_q("win_pareto_share")(spark, sf_dir))
+    # formatted explain numbers nodes scan-first, so the aggregate over
+    # the fact scan must appear BEFORE the to-one-partition exchange
+    # that feeds the window
+    i_agg = txt.find("HashAggregate")
+    i_single = txt.find("SinglePartition")
+    assert i_agg != -1 and i_single != -1
+    assert i_agg < i_single, txt[:800]
