@@ -67,3 +67,57 @@ def test_date_coerce_never_throws_and_nulls_invalid(spark, rows):
     df = spark.createDataFrame([(r,) for r in rows], ["d"])
     out = df.select(cast_date_coerce("d").alias("d")).collect()
     assert len(out) == len(rows)  # no crash, row-for-row
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """Every OHLC bar satisfies low ≤ {open, close} ≤ high, and the
+    bar's quote count is positive — the algebraic contract of the
+    downsampling regardless of data distribution."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["ts_ohlc"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low_price <= r.open_price <= r.high_price
+        assert r.low_price <= r.close_price <= r.high_price
+        assert r.n_quotes >= 1
+
+
+def test_pareto_share_invariants(spark, sf_dir):
+    """Cumulative shares are strictly increasing in rank order, end at
+    exactly 1.0, and the A/B/C classes are contiguous prefixes."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["win_pareto_share"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.cum_share)
+    prev = 0.0
+    for r in rows:
+        assert r.cum_share > prev
+        prev = r.cum_share
+    assert abs(rows[-1].cum_share - 1.0) < 1e-12
+    classes = [r.abc_class for r in rows]
+    assert classes == sorted(classes)  # A-block, then B, then C
+
+
+def test_reservoir_k_exact_group_sizes(spark, sf_dir):
+    """Each stratum yields exactly min(k, |stratum|) rows and the pick
+    is stable across two independent evaluations (determinism)."""
+    from agri_market_data_pipeline_spark.operators.reshape import _RESERVOIR_K
+    from agri_market_data_pipeline_spark.registry import all_queries
+    from agri_market_data_pipeline_spark.tables import load
+
+    q = all_queries()["sample_reservoir_k"]
+    got = {(r.c_nationkey, r.c_custkey) for r in q(spark, sf_dir).collect()}
+    again = {(r.c_nationkey, r.c_custkey) for r in q(spark, sf_dir).collect()}
+    assert got == again
+    sizes = {}
+    for nk, _ in got:
+        sizes[nk] = sizes.get(nk, 0) + 1
+    full = dict(
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    for nk, n in full.items():
+        assert sizes.get(nk, 0) == min(_RESERVOIR_K, n)
