@@ -121,7 +121,7 @@ WITH s AS (
 SELECT o.o_orderkey, m.prio, o.o_totalprice,
        ROUND((o.o_totalprice - m.mean_price) / m.sd_price, 6) AS zscore
 FROM orders o JOIN m ON o.o_orderpriority = m.prio
-WHERE (o.o_totalprice - m.mean_price) / m.sd_price > {_Z_THRESHOLD}
+WHERE (o.o_totalprice - m.mean_price) > {_Z_THRESHOLD} * m.sd_price
 """,
 )
 def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,9 +160,13 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sd_price"),
     )
     z = (x - F.col("mean_price")) / F.col("sd_price")
+    # multiply-form cut, not z > T: division-free, so a constant-price
+    # group (sd = 0, as real mandi data contains) flags nothing instead
+    # of tripping ANSI divide-by-zero; for sd > 0 the two forms agree on
+    # both engines because each uses this same expression
     return (
         o.join(F.broadcast(m), o.o_orderpriority == m.prio)
-        .filter(z > _Z_THRESHOLD)
+        .filter((x - F.col("mean_price")) > _Z_THRESHOLD * F.col("sd_price"))
         .select(
             "o_orderkey",
             "prio",

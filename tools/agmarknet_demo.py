@@ -132,6 +132,77 @@ def main() -> int:
     ).count()
     print(f"hash sample: {s_n:,} rows in the deterministic 1% dev slice")
 
+    # ts_ohlc: monthly OHLC bars of the biggest commodity's daily price
+    # (packed-key min_by/max_by — one sort-free aggregate pass)
+    tbk = F.unix_date(F.col("Arrival_Date")).cast("long")
+    bars = (
+        series.groupBy(F.date_trunc("month", "Arrival_Date").cast("date").alias("m"))
+        .agg(
+            F.min_by("daily", tbk).alias("open"),
+            F.max("daily").alias("high"),
+            F.min("daily").alias("low"),
+            F.max_by("daily", tbk).alias("close"),
+        )
+    )
+    b = bars.orderBy(F.desc("m")).first()
+    print(f"OHLC: {bars.count():,} monthly bars for {biggest['Commodity']}; "
+          f"latest {b.m:%Y-%m}: O ₹{b.open:,.0f} H ₹{b.high:,.0f} "
+          f"L ₹{b.low:,.0f} C ₹{b.close:,.0f}")
+
+    # anomaly_zscore: quotes > 4σ above their commodity mean (real mandi
+    # data is heavy-tailed — the data-quality flag the reference lacks)
+    x = F.col("Modal_Price")
+    cstats = prices.groupBy("Commodity").agg(
+        F.count("*").alias("cn"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("cs1"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("cs2"),
+    ).select(
+        "Commodity",
+        (F.col("cs1") / F.col("cn")).alias("cmean"),
+        F.sqrt(
+            F.col("cs2") / F.col("cn")
+            - (F.col("cs1") / F.col("cn")) * (F.col("cs1") / F.col("cn"))
+        ).alias("csd"),
+    )
+    # multiply form, not (x-mean)/sd: division-free, so constant-price
+    # commodities (sd=0) safely flag nothing instead of tripping ANSI
+    # divide-by-zero
+    spikes = (
+        prices.join(F.broadcast(cstats), "Commodity")
+        .filter((x - F.col("cmean")) > 4.0 * F.col("csd"))
+        .count()
+    )
+    print(f"spike audit: {spikes:,} quotations sit >4 sigma above their "
+          f"commodity mean ({100.0*spikes/n:.3f}% — flagged for review)")
+
+    # win_pareto_share: how concentrated is the corpus across commodities?
+    cq = prices.groupBy("Commodity").agg(F.count("*").cast("long").alias("nq"))
+    wcum = Window.orderBy(F.desc("nq"), "Commodity").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pareto = cq.select(
+        "Commodity",
+        (F.sum("nq").over(wcum) / F.sum("nq").over(wtot)).alias("cshare"),
+    )
+    n_a = pareto.filter(F.col("cshare") <= 0.80).count()
+    print(f"pareto: {n_a} of {cq.count()} visible commodities carry 80% of "
+          f"all quotations (class A of the ABC split)")
+
+    # agg_entropy: variety-mix diversity per commodity — quantifies the
+    # 'Variety=Other for half the rows' skew (SURVEY.md §1.3.5)
+    vc = prices.groupBy("Commodity", "Variety").agg(F.count("*").alias("c"))
+    ent = vc.groupBy("Commodity").agg(
+        (F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c")).alias("H"),
+        F.sum("c").alias("nr"),
+    )
+    hi = ent.filter(F.col("nr") >= 1000).orderBy(F.desc("H")).first()
+    lo = ent.filter(F.col("nr") >= 1000).orderBy(F.asc("H")).first()
+    print(f"variety entropy (n>=1000): most diverse {hi.Commodity} "
+          f"(H={hi.H:.2f} nats), least {lo.Commodity} (H={lo.H:.2f})")
+
     # group_partition_by_key: the reference's file layout, recomputed
     n_parts = prices.select(safe_name("Commodity")).distinct().count()
     print(f"partition layout: {n_parts} safe_name'd commodity partitions "
