@@ -261,3 +261,142 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_v")
         )
     )
+
+
+_KM_K = 8  # coarse-quantizer cells for the k-means refinement proof
+
+
+def _argmax_cell(cells_col: str, vec_col: str):
+    """Row-local argmax over a broadcast array of (cell_id, cvec)
+    structs: best (rounded) cosine, ties to the smallest cell_id. The
+    comparator is a strict total order, so the fold is independent of
+    the array's element order."""
+    def step(acc, c):
+        cos = F.round(vec_cosine(F.col(vec_col), c.cvec), 6)
+        better = (cos > acc.cos) | ((cos == acc.cos) & (c.cell_id < acc.cell_id))
+        return F.when(
+            better,
+            F.struct(cos.alias("cos"), c.cell_id.alias("cell_id")),
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(-2.0).alias("cos"),
+        F.lit(9223372036854775807).cast("long").alias("cell_id"),
+    )
+    return F.aggregate(F.col(cells_col), init, step)
+
+
+@query(
+    "ml_kmeans_refine",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {_KM_K}
+), a0 AS (
+  SELECT e.vec_id, e.embedding, s.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 's.cvec')}, 6) DESC,
+                    s.cell_id) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+), assign0 AS (
+  SELECT vec_id, embedding, cell_id FROM a0 WHERE rn = 1
+), cent AS (
+  SELECT cell_id, idx,
+         CAST(SUM(CAST(FLOOR(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+           AS cv
+  FROM (SELECT cell_id, generate_subscripts(embedding, 1) AS idx,
+               UNNEST(embedding) AS v
+        FROM assign0)
+  GROUP BY cell_id, idx
+), carr AS (
+  SELECT cell_id, list(cv ORDER BY idx) AS cvec FROM cent GROUP BY cell_id
+), a1 AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN carr c
+), assign1 AS (
+  SELECT vec_id, cell_id FROM a1 WHERE rn = 1
+)
+SELECT c0.cell_id, c0.n AS n_seeded, COALESCE(c1.n, 0) AS n_refined
+FROM (SELECT cell_id, COUNT(*) AS n FROM assign0 GROUP BY cell_id) c0
+LEFT JOIN (SELECT cell_id, COUNT(*) AS n FROM assign1 GROUP BY cell_id) c1
+  ON c0.cell_id = c1.cell_id
+""",
+)
+def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means refinement round over the embedding corpus —
+    the training step `sim_search_ivf` defers to ("production runs a
+    few k-means rounds"): seed centroids (vec_id < k), assign every
+    vector by best cosine, recompute centroids as per-cell element
+    means, re-assign, and report per-cell membership before/after.
+    Looping the middle two stages is the production trainer; one
+    unrolled round keeps the whole iteration oracle-checkable.
+
+    Scale shape (the point of the exercise): ASSIGNMENT IS A ROW-LOCAL
+    FOLD over the broadcast (cell_id, centroid) array — zero shuffle,
+    no per-vector window, embarrassingly parallel at 100 TB. The only
+    fact-sized exchange per round is the centroid update's long-form
+    partial aggregate (k × dim rows out of each task, same as
+    `agg_vector_centroid`). The oracle states the identical semantics
+    as window-argmax; the two coincide because (rounded cosine,
+    cell_id) is a strict total order per vector.
+
+    Determinism: centroid means ride the FLOOR(v·1e9) integer lattice
+    (exact, order-independent); cosines against those bitwise-identical
+    centroids are ROUND(6)ed before every comparison so rank boundaries
+    never hinge on fold-order ulps (registry.py rules)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    seed_arr = seeds.agg(
+        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+    )
+    assign0 = (
+        e.join(F.broadcast(seed_arr))
+        .select(
+            "vec_id",
+            "embedding",
+            _argmax_cell("cells", "embedding").cell_id.alias("cell_id"),
+        )
+    )
+    cent = (
+        assign0.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cell_id", (F.col("pos") + 1).cast("long").alias("idx"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * 1e9)).cast("double")
+                / F.lit(1e9)
+                / F.count("*")
+            ).alias("cv")
+        )
+    )
+    carr = cent.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda s: s.cv
+        ).alias("cvec")
+    )
+    new_arr = carr.agg(
+        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+    )
+    assign1 = (
+        e.join(F.broadcast(new_arr))
+        .select(
+            "vec_id",
+            _argmax_cell("cells", "embedding").cell_id.alias("cell_id"),
+        )
+    )
+    c0 = assign0.groupBy("cell_id").agg(F.count("*").alias("n_seeded"))
+    c1 = assign1.groupBy("cell_id").agg(F.count("*").alias("n1"))
+    return (
+        c0.join(c1, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_seeded",
+            F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_refined"),
+        )
+    )

@@ -121,3 +121,18 @@ def test_reservoir_k_exact_group_sizes(spark, sf_dir):
     )
     for nk, n in full.items():
         assert sizes.get(nk, 0) == min(_RESERVOIR_K, n)
+
+
+def test_kmeans_refine_conserves_membership(spark, sf_dir):
+    """Both assignment passes partition the whole corpus: memberships
+    sum to the corpus size before and after refinement, and every seed
+    cell exists in the output."""
+    from agri_market_data_pipeline_spark.operators.similarity import _KM_K
+    from agri_market_data_pipeline_spark.registry import all_queries
+    from agri_market_data_pipeline_spark.tables import load
+
+    rows = all_queries()["ml_kmeans_refine"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert sorted(r.cell_id for r in rows) == list(range(_KM_K))
+    assert sum(r.n_seeded for r in rows) == n
+    assert sum(r.n_refined for r in rows) == n
