@@ -49,6 +49,8 @@ HEADLINE = [
     "sql_interface",
     "ts_ohlc",
     "anomaly_zscore",
+    "win_pareto_share",
+    "ml_kmeans_refine",
 ]
 
 
