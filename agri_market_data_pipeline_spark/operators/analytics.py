@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum, sql_dsum
 from ..registry import query
 from ..tables import load
 
@@ -71,8 +72,9 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at all. The packing matters: a struct ordering key would demote
     the plan to SortAggregate (struct buffers aren't hash-aggregable,
     asserted in tests/test_plans.py), while the BIGINT keeps
-    HashAggregate. Packing budget: epoch_day < 10⁶ (year ~4700) and
-    orderkey < 10¹³ fit int64 with headroom. The oracle expresses the
+    HashAggregate. Packing budget: epoch_day ≤ 922,336 (year ~4495)
+    and orderkey < 10¹³ keep the packed value under int64's 9.22e18
+    ceiling. The oracle expresses the
     same semantics as ROW_NUMBER-over-total-order; the two formulations
     coincide exactly because (o_orderdate, o_orderkey) is a total order.
     min/max/first/last on doubles are exact picks, not accumulations —
@@ -109,13 +111,13 @@ _Z_THRESHOLD = 1.7
     oracle=f"""
 WITH s AS (
   SELECT o_orderpriority AS prio, COUNT(*) AS n,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+         {sql_dsum("o_totalprice")} AS s1,
          CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s2
   FROM orders
   GROUP BY o_orderpriority
 ), m AS (
   SELECT prio, s1 / n AS mean_price,
-         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd_price
+         sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0.0)) AS sd_price
   FROM s
 )
 SELECT o.o_orderkey, m.prio, o.o_totalprice,
@@ -148,15 +150,21 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("o_totalprice")
     st = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.count("*").alias("n"),
-        F.sum(x.cast("decimal(30,6)")).cast("double").alias("s1"),
+        dsum(x).alias("s1"),
         F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("s2"),
     )
     m = st.select(
         "prio",
         (F.col("s1") / F.col("n")).alias("mean_price"),
+        # GREATEST(var, 0) on BOTH sides: a constant group's variance can
+        # land a few ulps negative via cancellation, and DuckDB's sqrt
+        # hard-errors on negatives where Spark would yield NaN
         F.sqrt(
-            F.col("s2") / F.col("n")
-            - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))
+            F.greatest(
+                F.col("s2") / F.col("n")
+                - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n")),
+                F.lit(0.0),
+            )
         ).alias("sd_price"),
     )
     z = (x - F.col("mean_price")) / F.col("sd_price")
@@ -218,12 +226,12 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_vwap",
-    oracle="""
+    oracle=f"""
 SELECT p.p_brand,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) * l.l_quantity
                      AS DECIMAL(38,6))) AS DOUBLE)
-       / CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS vwap,
-       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS total_qty,
+       / {sql_dsum("l.l_quantity")} AS vwap,
+       {sql_dsum("l.l_quantity")} AS total_qty,
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
@@ -250,7 +258,7 @@ def agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_quantity")
         ).cast("decimal(38,6)")
     ).cast("double")
-    qsum = F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+    qsum = dsum("l_quantity")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")

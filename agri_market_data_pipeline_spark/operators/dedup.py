@@ -586,28 +586,33 @@ WITH raw AS (
   SELECT doc_id,
          CASE doc_id % 4
            WHEN 0 THEN 'https://Data.GOV.in/resource/' ||
-                       CAST(doc_id // 4 AS VARCHAR)
+                       CAST(doc_id // 4 AS VARCHAR) || '?page=2'
            WHEN 1 THEN 'https://data.gov.in/resource/' ||
-                       CAST(doc_id // 4 AS VARCHAR) || '/'
+                       CAST(doc_id // 4 AS VARCHAR) || '/?page=2'
            WHEN 2 THEN 'https://data.gov.in/resource/' ||
                        CAST(doc_id // 4 AS VARCHAR) ||
-                       '?utm_source=feed&utm_campaign=x'
+                       '?utm_source=feed&page=2&utm_campaign=x'
            ELSE 'https://data.gov.in:443/resource/' ||
-                CAST(doc_id // 4 AS VARCHAR) || '#section'
+                CAST(doc_id // 4 AS VARCHAR) || '?page=2#section'
          END AS url
   FROM documents
 ), stripped AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(url, '#.*$', ''),
-                        '[?&]utm_[a-z]+=[^&#]*', '', 'g') AS u
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(regexp_replace(url, '#.*$', ''), '[?]', '&'),
+             '&utm_[a-z]+=[^&]*', '', 'g'),
+           '^([^&]*)&', '\\1?') AS u
   FROM raw
 ), canon AS (
   SELECT doc_id,
          'https://' ||
-         regexp_replace(lower(regexp_extract(u, '^https://([^/?#]+)', 1)),
+         regexp_replace(lower(regexp_extract(u, '^https://([^/?#&]+)', 1)),
                         ':443$', '') ||
-         regexp_replace(regexp_extract(u, '^https://[^/?#]+(.*)$', 1),
-                        '/$', '') AS canonical_url
+         regexp_replace(regexp_extract(regexp_extract(u, '^https://[^/?#&]+(.*)$', 1),
+                                       '^([^?]*)', 1), '/$', '') ||
+         regexp_extract(regexp_extract(u, '^https://[^/?#&]+(.*)$', 1),
+                        '([?].*)$', 1) AS canonical_url
   FROM stripped
 )
 SELECT canonical_url,
@@ -622,54 +627,71 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same resource reached through case-variant hosts, default ports,
     trailing slashes, fragments, and utm_* tracking params collapses to
     one canonical key. The fixture synthesizes four wire-variants of
-    each resource id from doc_id (mod 4) so every canonical group is a
-    real multi-variant cluster, then canonicalizes with a pure column
-    pipeline: strip fragment → strip tracking params → lowercase host,
-    drop :443 → strip trailing slash.
+    each resource id from doc_id (mod 4) — including tracking params
+    interleaved AROUND a real param — so every canonical group is a
+    real multi-variant cluster. Canonicalization is a pure column
+    pipeline: strip fragment → normalize '?' to '&' → strip utm_*
+    params anywhere in the string → restore the first separator to
+    '?' → lowercase host, drop :443 → strip the trailing slash of the
+    PATH (not of the query). The '?'→'&'→'?' round trip is what makes
+    utm-stripping position-independent: without it, removing a leading
+    '?utm_...' would orphan the next parameter's separator.
 
     Every step is regexp_replace/regexp_extract/lower in the RE2∩Java
     subset (registry.py rules; DuckDB needs the explicit 'g' flag where
-    Spark's regexp_replace is global by default). Scale: canonicalization
-    is row-local (zero shuffle); the group-by shuffles one row per URL
-    keyed by canonical hash — uniform by construction, like dedup_exact.
+    Spark's regexp_replace is global by default, and spells the
+    restore backreference '\\1' where Java spells it '$1'). Scale:
+    canonicalization is row-local (zero shuffle); the group-by shuffles
+    one row per URL keyed by canonical hash — uniform by construction,
+    like dedup_exact.
     """
     d = load(spark, sf_dir, "documents").select("doc_id")
     rid = F.expr("doc_id div 4").cast("string")
     url = (
         F.when(
             F.col("doc_id") % 4 == 0,
-            F.concat(F.lit("https://Data.GOV.in/resource/"), rid),
+            F.concat(
+                F.lit("https://Data.GOV.in/resource/"), rid, F.lit("?page=2")
+            ),
         )
         .when(
             F.col("doc_id") % 4 == 1,
-            F.concat(F.lit("https://data.gov.in/resource/"), rid, F.lit("/")),
+            F.concat(
+                F.lit("https://data.gov.in/resource/"), rid, F.lit("/?page=2")
+            ),
         )
         .when(
             F.col("doc_id") % 4 == 2,
             F.concat(
                 F.lit("https://data.gov.in/resource/"),
                 rid,
-                F.lit("?utm_source=feed&utm_campaign=x"),
+                F.lit("?utm_source=feed&page=2&utm_campaign=x"),
             ),
         )
         .otherwise(
             F.concat(
                 F.lit("https://data.gov.in:443/resource/"),
                 rid,
-                F.lit("#section"),
+                F.lit("?page=2#section"),
             )
         )
     )
     u = F.regexp_replace(
-        F.regexp_replace(url, r"#.*$", ""), r"[?&]utm_[a-z]+=[^&#]*", ""
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(url, r"#.*$", ""), r"[?]", "&"),
+            r"&utm_[a-z]+=[^&]*",
+            "",
+        ),
+        r"^([^&]*)&",
+        r"$1?",
     )
     host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, r"^https://([^/?#]+)", 1)), r":443$", ""
+        F.lower(F.regexp_extract(u, r"^https://([^/?#&]+)", 1)), r":443$", ""
     )
-    rest = F.regexp_replace(
-        F.regexp_extract(u, r"^https://[^/?#]+(.*)$", 1), r"/$", ""
-    )
-    canonical = F.concat(F.lit("https://"), host, rest)
+    rest = F.regexp_extract(u, r"^https://[^/?#&]+(.*)$", 1)
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/$", "")
+    qry = F.regexp_extract(rest, r"([?].*)$", 1)
+    canonical = F.concat(F.lit("https://"), host, path, qry)
     return (
         d.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")

@@ -185,3 +185,79 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_home"),
     )
+
+
+@query(
+    "join_bloom_runtime",
+    oracle=f"""
+SELECT l.l_returnflag,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l.l_quantity")} AS sum_qty
+FROM lineitem l
+JOIN (SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT') o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag
+""",
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with a RUNTIME BLOOM FILTER (semi-join reduction):
+    Catalyst's InjectRuntimeFilter plants a bloom filter built from the
+    selective build side (urgent orders) as a `might_contain` predicate
+    on the probe-side scan, so most non-matching lineitem rows die
+    BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~20% that can
+    match. The hint forces a sort-merge join (broadcast would bypass
+    the row-level filter); tests/test_plans.py asserts the
+    bloom_filter_agg/might_contain pair is really in the plan.
+
+    The injection thresholds are scoped: InjectRuntimeFilter reads conf
+    at OPTIMIZATION time, so the function materializes the query
+    execution (optimized + physical plan are cached on the returned
+    DataFrame) inside the scoped block, then restores session state —
+    the hostile-session rule (tests/test_hostile_session.py): no
+    operator leaks config to its neighbors.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    confs = {
+        # probe side must look "big enough to be worth filtering";
+        # local testdata is far below the 10 GB production default
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # InjectRuntimeFilter declines when the build side is
+        # broadcastable by size (a broadcast join needs no reduction);
+        # at production scale the urgent-orders side IS over the
+        # threshold — emulate that here so the rule fires on testdata
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            li.hint("merge")
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dsum("l_quantity").alias("sum_qty"),
+            )
+        )
+        # force optimization + physical planning NOW, while the scoped
+        # confs are live; both plans cache on this DataFrame's
+        # QueryExecution, so the later action reuses them
+        j._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return j

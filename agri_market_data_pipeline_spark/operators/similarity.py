@@ -268,22 +268,26 @@ _KM_K = 8  # coarse-quantizer cells for the k-means refinement proof
 
 def _argmax_cell(cells_col: str, vec_col: str):
     """Row-local argmax over a broadcast array of (cell_id, cvec)
-    structs: best (rounded) cosine, ties to the smallest cell_id. The
-    comparator is a strict total order, so the fold is independent of
-    the array's element order."""
-    def step(acc, c):
-        cos = F.round(vec_cosine(F.col(vec_col), c.cvec), 6)
-        better = (cos > acc.cos) | ((cos == acc.cos) & (c.cell_id < acc.cell_id))
-        return F.when(
-            better,
-            F.struct(cos.alias("cos"), c.cell_id.alias("cell_id")),
-        ).otherwise(acc)
-
-    init = F.struct(
-        F.lit(-2.0).alias("cos"),
-        F.lit(9223372036854775807).cast("long").alias("cell_id"),
+    structs: best (rounded) cosine, ties to the smallest cell_id —
+    via array_max over (cos, -cell_id) structs, so each O(dim) cosine
+    is evaluated exactly once per (vector, cell) pair and struct
+    ordering supplies the tie-break. NaN cosines (zero-norm vector or
+    centroid) are mapped to +inf, matching the oracle: DuckDB sorts
+    NaN above +inf, so ROW_NUMBER ... ORDER BY cos DESC picks the
+    NaN cell with the smallest id, exactly what +inf yields here."""
+    best = F.array_max(
+        F.transform(
+            F.col(cells_col),
+            lambda c: F.struct(
+                F.nanvl(
+                    F.round(vec_cosine(F.col(vec_col), c.cvec), 6),
+                    F.lit(float("inf")),
+                ).alias("cos"),
+                (-c.cell_id).alias("neg_id"),
+            ),
+        )
     )
-    return F.aggregate(F.col(cells_col), init, step)
+    return (-best.neg_id).cast("long")
 
 
 @query(
@@ -361,7 +365,7 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
-            _argmax_cell("cells", "embedding").cell_id.alias("cell_id"),
+            _argmax_cell("cells", "embedding").alias("cell_id"),
         )
     )
     cent = (
@@ -387,7 +391,7 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(new_arr))
         .select(
             "vec_id",
-            _argmax_cell("cells", "embedding").cell_id.alias("cell_id"),
+            _argmax_cell("cells", "embedding").alias("cell_id"),
         )
     )
     c0 = assign0.groupBy("cell_id").agg(F.count("*").alias("n_seeded"))

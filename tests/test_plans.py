@@ -137,10 +137,27 @@ def test_pareto_window_runs_over_aggregate_not_fact(spark, sf_dir):
     from agri_market_data_pipeline_spark.plans.audit import explain_str
 
     txt = explain_str(_q("win_pareto_share")(spark, sf_dir))
-    # formatted explain numbers nodes scan-first, so the aggregate over
-    # the fact scan must appear BEFORE the to-one-partition exchange
-    # that feeds the window
-    i_agg = txt.find("HashAggregate")
-    i_single = txt.find("SinglePartition")
+    # search the numbered DETAILS section only — the root-first tree
+    # header above it lists operator names (always HashAggregate-first)
+    # and would make a whole-text find() vacuously pass
+    details = txt[txt.find("\n(1) ") :]
+    i_agg = details.find("HashAggregate")
+    i_single = details.find("SinglePartition")
     assert i_agg != -1 and i_single != -1
-    assert i_agg < i_single, txt[:800]
+    # details are numbered scan-first, so the aggregate over the fact
+    # scan must appear BEFORE the to-one-partition exchange that feeds
+    # the window
+    assert i_agg < i_single, details[:800]
+
+
+def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
+    """join_bloom_runtime really plants the runtime bloom filter on the
+    probe side of a shuffle join, and its threshold overrides do not
+    leak into the session (hostile-session rule)."""
+    from agri_market_data_pipeline_spark.plans.audit import explain_str
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    txt = explain_str(_q("join_bloom_runtime")(spark, sf_dir))
+    assert "might_contain" in txt.lower(), txt[:600]
+    assert "SortMergeJoin" in txt
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

@@ -160,8 +160,11 @@ def main() -> int:
         "Commodity",
         (F.col("cs1") / F.col("cn")).alias("cmean"),
         F.sqrt(
-            F.col("cs2") / F.col("cn")
-            - (F.col("cs1") / F.col("cn")) * (F.col("cs1") / F.col("cn"))
+            F.greatest(
+                F.col("cs2") / F.col("cn")
+                - (F.col("cs1") / F.col("cn")) * (F.col("cs1") / F.col("cn")),
+                F.lit(0.0),
+            )
         ).alias("csd"),
     )
     # multiply form, not (x-mean)/sd: division-free, so constant-price
