@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -159,3 +160,111 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a binary payload to per-frame rows. Rows-only check."""
     m = documents_as_media(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_sample_frames, _FRAME_SCHEMA)
+
+
+_RESIZE_TARGET = 96  # bytes; stands in for a (width, height) target
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_len", IntegerType()),
+        StructField("resized", BinaryType()),
+        StructField("resized_len", IntegerType()),
+    ]
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor 1-D resample of each payload to _RESIZE_TARGET
+    bytes — the byte-level stand-in for image resize. out[i] =
+    payload[floor(i*n/T)], the exact index arithmetic of 2-D
+    nearest-neighbor resize collapsed to one axis; a real deployment
+    swaps the numpy take for PIL's Image.resize and keeps everything
+    else (batching, schema, binary round-trip) unchanged. Vectorized per
+    payload via np.frombuffer — no Python loop over bytes."""
+    idx = np.arange(_RESIZE_TARGET, dtype=np.int64)
+    for pdf in batches:
+        out = []
+        for payload in pdf["payload"]:
+            n = len(payload)
+            if n == 0:
+                out.append(b"")
+                continue
+            src = np.frombuffer(payload, dtype=np.uint8)
+            out.append(src[idx * n // _RESIZE_TARGET].tobytes())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_len": pdf["payload"].map(len).astype("int32"),
+                "resized": out,
+                "resized_len": [len(b) for b in out],
+            }
+        )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (image analog): binary in → fixed-size binary out, the
+    normalize-before-embedding step of a multimodal training pipeline.
+    Row-local mapInPandas — zero shuffle, scales as a single pass over
+    the payload column; at 100 TB the resized copy is written back
+    partitioned alongside the source so downstream feature extraction
+    reads the small column. Rows-only check (byte-index arithmetic is
+    not worth a SQL oracle); determinism + exact-recompute property in
+    tests/test_extensions.py."""
+    m = documents_as_media(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_resize_batch, _RESIZE_SCHEMA)
+
+
+_ENERGY_WINDOW = 32  # bytes per analysis window (non-overlapping)
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_no", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def _energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Windowed feature extraction: treat the payload as a PCM-ish
+    sample stream, emit per-window energy (sum of squared samples) and
+    peak — the audio-analysis shape (a real deployment computes these
+    from decoded float PCM; the uint8 arithmetic here is the same
+    reduce-per-window contract). Vectorized: one reshape + two reduces
+    per payload, no per-byte Python."""
+    for pdf in batches:
+        out_id, out_no, out_e, out_p = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_win = len(payload) // _ENERGY_WINDOW
+            if n_win == 0:
+                continue
+            w = np.frombuffer(
+                payload[: n_win * _ENERGY_WINDOW], dtype=np.uint8
+            ).reshape(n_win, _ENERGY_WINDOW)
+            out_id.extend([doc_id] * n_win)
+            out_no.extend(range(n_win))
+            out_e.extend((w.astype(np.int64) ** 2).sum(axis=1).tolist())
+            out_p.extend(w.max(axis=1).astype(np.int32).tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "window_no": pd.Series(out_no, dtype="int32"),
+                "energy": pd.Series(out_e, dtype="int64"),
+                "peak": pd.Series(out_p, dtype="int32"),
+            }
+        )
+
+
+@query("multimodal_audio_energy")
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (audio analog): one-to-many expansion from an
+    opaque payload to typed per-window numeric features — the shape of
+    spectrogram/energy extraction feeding a training pipeline. Zero
+    shuffle (row-local expansion); the downstream aggregate of these
+    features is where the first exchange appears. Rows-only check;
+    exact-recompute property in tests/test_extensions.py."""
+    m = documents_as_media(spark, sf_dir)
+    return m.select("doc_id", "payload").mapInPandas(_energy_batch, _ENERGY_SCHEMA)

@@ -10,7 +10,9 @@ from agri_market_data_pipeline_spark.operators.similarity import (
     sim_search_topk,
 )
 from agri_market_data_pipeline_spark.operators.multimodal import (
+    multimodal_audio_energy,
     multimodal_decode_stub,
+    multimodal_resize,
 )
 
 
@@ -61,6 +63,54 @@ def test_decode_stub_deterministic_and_complete(spark, sf_dir):
             for r in multimodal_decode_stub(spark, sf_dir).collect()}
     assert out1 == out2
     assert len(out1) == 500  # one feature row per document, none dropped
+
+
+def test_resize_matches_exact_recompute(spark, sf_dir):
+    """multimodal_resize must equal the nearest-neighbor resample
+    computed independently in plain Python, for every document."""
+    from agri_market_data_pipeline_spark.operators.multimodal import (
+        _RESIZE_TARGET,
+        documents_as_media,
+    )
+
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in documents_as_media(spark, sf_dir).collect()
+    }
+    out = {r.doc_id: (r.orig_len, bytes(r.resized))
+           for r in multimodal_resize(spark, sf_dir).collect()}
+    assert len(out) == len(payloads) == 500
+    for doc_id, payload in payloads.items():
+        n = len(payload)
+        want = bytes(
+            payload[i * n // _RESIZE_TARGET] for i in range(_RESIZE_TARGET)
+        ) if n else b""
+        assert out[doc_id] == (n, want), doc_id
+
+
+def test_audio_energy_matches_exact_recompute(spark, sf_dir):
+    """Per-window energy/peak must equal an independent recompute; the
+    window count per document is floor(len/W)."""
+    from agri_market_data_pipeline_spark.operators.multimodal import (
+        _ENERGY_WINDOW,
+        documents_as_media,
+    )
+
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in documents_as_media(spark, sf_dir).collect()
+    }
+    rows = multimodal_audio_energy(spark, sf_dir).collect()
+    got = {(r.doc_id, r.window_no): (r.energy, r.peak) for r in rows}
+    n_expected = sum(len(p) // _ENERGY_WINDOW for p in payloads.values())
+    assert len(rows) == len(got) == n_expected  # no dups, none dropped
+    for doc_id, payload in payloads.items():
+        for w in range(len(payload) // _ENERGY_WINDOW):
+            chunk = payload[w * _ENERGY_WINDOW : (w + 1) * _ENERGY_WINDOW]
+            assert got[(doc_id, w)] == (
+                sum(b * b for b in chunk),
+                max(chunk),
+            ), (doc_id, w)
 
 
 def test_asof_strategies_agree(spark, sf_dir):
