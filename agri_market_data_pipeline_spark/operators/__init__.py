@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     skew,
     sortlimit,
     sources_parity,
+    storage_layout,
     textstats,
     timeseries,
     udfs,
