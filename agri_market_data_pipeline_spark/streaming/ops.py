@@ -33,35 +33,48 @@ from ..registry import query
 
 _run_counter = itertools.count()
 
-# Stream-side schema: ts is INT64 TIMESTAMP(NANOS) in the parquet footer,
-# which the vectorized reader rejects — declare long + nanosAsLong and
-# rebuild (same trick as tables.load).
-_EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (bounded replay —
-    SURVEY.md §2.B stream_source_rate)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    SURVEY.md §2.B stream_source_rate). Normalizes ts to TIMESTAMP
+    (session-zone, UTC) for either physical layout of the file — INT64
+    TIMESTAMP(NANOS) or plain timestamp[us] (see tables.load_events)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from ..tables import events_ts_is_nanos
+
+    nanos = events_ts_is_nanos(sf_dir)
+    if nanos:
+        # TIMESTAMP(NANOS) footers are rejected by the vectorized reader —
+        # declare long + nanosAsLong and rebuild (same trick as tables.load).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_stream_schema(LongType())
+    else:
+        schema = _events_stream_schema(TimestampNTZType())
     # The file-stream source requires a directory; point it at sf_dir and
     # glob-select the events file.
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # integral `div` (see tables.load): float division would lose µs.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        # integral `div` (see tables.load): float division would lose µs.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -27,11 +27,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
-        # vectorized Spark reader rejects outright. Read nanos as long and
-        # rebuild a (microsecond) timestamp column; truncation below µs is
-        # irrelevant to query semantics and matches DuckDB's collected
-        # precision.
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when events.parquet stores ts as TIMESTAMP(NANOS) (which the
+    vectorized Spark reader rejects outright); False for the plain
+    micro/millisecond timestamp layout. Decided from the parquet footer so
+    the engine tolerates either generation of the testdata."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+    return str(field.type) == "timestamp[ns]"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events scan, normalized so downstream always sees ts: TIMESTAMP
+    (session-zone, UTC). Handles both physical layouts the driver has
+    shipped: INT64 TIMESTAMP(NANOS) and plain timestamp[us]."""
+    path = table_path(sf_dir, "events")
+    if events_ts_is_nanos(sf_dir):
+        # Read nanos as long and rebuild a (microsecond) timestamp column;
+        # truncation below µs is irrelevant to query semantics and matches
+        # DuckDB's collected precision.
         # Scoped conf: the legacy flag is consulted at schema-conversion
         # (plan-creation) time, so it can be restored immediately after
         # read.parquet — leaving it set session-wide would silently turn
@@ -39,13 +58,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(table_path(sf_dir, name))
+            df = spark.read.parquet(path)
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         # integral `div`, not `/`: epoch nanos exceed double's 53-bit
         # mantissa, so float division would round some values by ±1 µs.
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "timestamp_ntz":
+        # Session timezone is pinned to UTC (session.py), so NTZ→LTZ is a
+        # value-preserving relabel; keeps every downstream query and plan
+        # identical across both physical layouts.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_parallel(
