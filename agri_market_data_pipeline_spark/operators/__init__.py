@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     joins,
     multimodal,
     projection,
+    quality_stats,
     reshape,
     scans,
     scalar_fns,

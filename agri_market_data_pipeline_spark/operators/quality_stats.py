@@ -1,0 +1,172 @@
+"""Data-quality & robust-statistics operators.
+
+The reference's entire cleaning pass is "coerce, drop, hope"
+(fetch_data.py:149-156) and its headline metric is literally named
+Modal_Price — yet it never computes a mode, a profile, or a weighted
+center anywhere. This family makes those first-class, scale-designed
+operators:
+
+- ``dq_profile``: the one-pass column profiler every ingest run should
+  publish (null/distinct/min/max per column) — the reference's
+  equivalent is eyeballing `git diff` on the committed CSVs
+  (run.yml:29-35).
+- ``agg_mode``: exact mode with a deterministic tiebreak — the "modal"
+  in Modal_Price computed from raw quotations rather than trusted from
+  the upstream API.
+- ``agg_weighted_median``: volume-weighted median price (the robust twin
+  of agg_vwap's weighted mean), DECIMAL-exact so both engines cut the
+  cumulative distribution at the identical row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+from ..registry import query
+from ..tables import load
+
+# (column, needs-cast-to-repr) — one profile row per entry.
+_PROFILE_COLS = [
+    "l_orderkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_returnflag",
+    "l_shipdate",
+]
+
+
+def _profile_union_sql() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_repr,
+       CAST(MAX({c}) AS VARCHAR) AS max_repr
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_profile", oracle=_profile_union_sql())
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile in ONE scan: per column, row/null/
+    distinct counts and min/max (string repr so every column fits one
+    schema). Spark plans the multi-distinct agg as a single pass with an
+    Expand (k× row multiplication, k = #profiled columns) — still one
+    scan of the table vs the oracle's k scans. At 100 TB swap
+    count_distinct for approx_count_distinct (HLL, no Expand blowup,
+    fixed memory) — same operator shape, sketchable partials."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_repr, max_repr)"
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+WITH counted AS (
+    SELECT p.p_brand,
+           CAST(l.l_quantity AS BIGINT) AS q,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, CAST(l.l_quantity AS BIGINT)
+)
+SELECT p_brand,
+       MAX_BY(q, cnt * 1024 + (1024 - q)) AS modal_qty,
+       MAX(cnt) AS modal_n
+FROM counted
+GROUP BY p_brand
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode (most frequent order quantity per brand) with a
+    deterministic smallest-value tiebreak — the reference's "Modal_Price"
+    notion computed, not trusted. Two hash aggregations: count per
+    (brand, value), then argmax per brand. The tiebreak is packed into
+    ONE BIGINT ordering key (cnt·1024 + (1024 − q), q ≤ 50 ≪ 1024) so
+    max_by keeps HashAggregate — a struct ordering key would demote it
+    to SortAggregate (see CLAUDE.md). Both stages partial-aggregate
+    map-side; the second stage's input is already tiny (|brands|×|values|
+    rows), so the pattern survives any fact-table scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    counted = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.col("l_quantity").cast("bigint").alias("q"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    key = F.col("cnt") * 1024 + (1024 - F.col("q"))
+    return counted.groupBy("p_brand").agg(
+        F.max_by("q", key).alias("modal_qty"),
+        F.max("cnt").alias("modal_n"),
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+WITH by_price AS (
+    SELECT l_returnflag,
+           l_extendedprice AS price,
+           SUM(CAST(l_quantity AS DECIMAL(30,6))) AS wt
+    FROM lineitem
+    GROUP BY l_returnflag, l_extendedprice
+), cum AS (
+    SELECT l_returnflag, price,
+           SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+    FROM by_price
+)
+SELECT l_returnflag, MIN(price) AS wmedian
+FROM cum
+WHERE cw * 2 >= tw
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    whose cumulative weight reaches half the total. All weights
+    accumulate in DECIMAL (exact, order-independent) and the window is
+    ordered by the (grouped, hence unique) price, so both engines cut
+    the cumulative distribution at the identical row — no float-sum
+    drift, no tie ambiguity. The pre-aggregation to (flag, price) grain
+    bounds the windowed data to |distinct prices| per group; at 100 TB
+    the production variant is a weighted KLL/GK sketch (single pass,
+    fixed memory) with this exact path as its audit."""
+    li = load(spark, sf_dir, "lineitem")
+    by_price = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).alias("wt"))
+    w_cum = Window.partitionBy("l_returnflag").orderBy("price")
+    w_all = Window.partitionBy("l_returnflag")
+    return (
+        by_price.withColumn("cw", F.sum("wt").over(w_cum))
+        .withColumn("tw", F.sum("wt").over(w_all))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("wmedian"))
+    )

@@ -112,6 +112,91 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PLANES = 6  # bits per band → 2^6 buckets per band table
+_LSH_BANDS = 2  # independent plane-sets; candidates = union over bands
+
+
+def _lsh_plane(band: int, j: int, dim: int) -> list[float]:
+    """Pseudo-random hyperplane (band, j), components in [-1, 1] derived
+    from an md5 lattice — deterministic across runs/engines/partitions
+    with no RNG state to ship (same trick as the MinHash permutations)."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"lshrp:{band}:{j}:{d}".encode()).hexdigest()[:8], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def _lsh_bucket(vec_col: str, band: int, dim: int) -> F.Column:
+    """Signed-random-projection bucket id for one band:
+    bit j = sign(v · plane_j)."""
+    bucket = F.lit(0)
+    for j in range(_LSH_PLANES):
+        arr = F.array(*[F.lit(v) for v in _lsh_plane(band, j, dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+@query("sim_search_lsh_rp")
+def sim_search_lsh_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the cosine cousin of MinHash): bit j of
+    a vector's band-bucket is the sign of its projection onto
+    deterministic hyperplane (band, j), so vectors at small angle
+    collide with high probability. A candidate matches the query's
+    bucket — or any hamming-1 flip of it (multiprobe) — in ANY of the
+    _LSH_BANDS independent band tables; only candidates are
+    brute-force-scored, ~B·(P+1)/2^P of the corpus. Bands are the
+    recall knob: each added band trades a bucket's worth of extra scan
+    for an independent chance to catch a neighbor the other bands
+    hashed apart. Rows-only check (bucket geometry has no ANSI twin);
+    recall is bounded in tests against the brute-force baseline.
+
+    Scale shape: bucketing is a row-local codegen'd fold (zero
+    shuffle, same as ml_kmeans_refine's assignment); the candidate
+    filter is one broadcast of a single probe row (B·(P+1) bucket ids)
+    — no shuffle anywhere before the final k-row merge. At 100 TB the
+    band-0 bucket becomes the stored partition/cluster column so the
+    dominant probe prunes at the file level, with the other bands as
+    in-file cluster columns (row-group skipping)."""
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").head().embedding)  # setup-time scalar
+    assigned = e
+    for b in range(_LSH_BANDS):
+        assigned = assigned.withColumn(f"b{b}", _lsh_bucket("embedding", b, dim))
+
+    # One probe row: the query vector plus, per band, the array of its
+    # bucket id and every hamming-1 flip (multiprobe).
+    def flips(col: str) -> F.Column:
+        return F.array(
+            F.col(col),
+            *[F.col(col).bitwiseXOR(F.lit(1 << j)) for j in range(_LSH_PLANES)],
+        )
+
+    q = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec"),
+        *[flips(f"b{b}").alias(f"p{b}") for b in range(_LSH_BANDS)],
+    )
+
+    hit = F.lit(False)
+    for b in range(_LSH_BANDS):
+        hit = hit | F.array_contains(F.col(f"p{b}"), F.col(f"b{b}"))
+    cos = F.round(vec_cosine("embedding", "qvec"), 6)
+    return (
+        assigned.join(F.broadcast(q))
+        .filter(hit & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
 _KNN_K = 3
 
 
