@@ -62,16 +62,23 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_distinct for approx_count_distinct (HLL, no Expand blowup,
     fixed memory) — same operator shape, sketchable partials."""
     li = load(spark, sf_dir, "lineitem")
-    aggs = []
+    # Two single-row aggregates, cross-joined. Keeping the string-buffered
+    # min/max OUT of the multi-distinct aggregate matters at scale: inside
+    # one agg, Spark's distinct rewrite inherits the variable-width
+    # buffers and demotes to SortAggregate — a sort of the k×N Expand
+    # output. Split, the distinct branch is counts-only (HashAggregate
+    # over the Expand) and the min/max branch is a keyless streaming fold
+    # with no Expand at all.
+    basic_aggs, distinct_aggs = [], []
     for c in _PROFILE_COLS:
-        aggs += [
+        basic_aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    one = li.agg(*aggs)
+        distinct_aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one = li.agg(*basic_aggs).join(li.agg(*distinct_aggs))
     stack_args = ", ".join(
         f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in _PROFILE_COLS
