@@ -462,6 +462,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_TAU = 0.1
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle FROM toks
+),
+ds_all AS (SELECT DISTINCT doc_id, shingle FROM sh),
+ds AS (
+    SELECT doc_id, shingle
+    FROM (SELECT doc_id, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df
+          FROM ds_all) t
+    WHERE df <= {_STOP_SHINGLE_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+    FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+directed AS (
+    SELECT i.doc_a AS doc_src, i.doc_b AS doc_dst,
+           CAST(i.c AS DOUBLE) / sa.n AS containment
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+    UNION ALL
+    SELECT i.doc_b AS doc_src, i.doc_a AS doc_dst,
+           CAST(i.c AS DOUBLE) / sb.n AS containment
+    FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_src, doc_dst, containment
+FROM directed WHERE containment >= {_CONTAIN_TAU}
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment C(src→dst) = |S(src)∩S(dst)|/|S(src)|
+    — the asymmetric companion to dedup_ngram_jaccard. Jaccard misses
+    the commonest real near-dup at corpus scale: a short document wholly
+    quoted inside a much longer one (|A∩B|/|A∪B| stays tiny while
+    |A∩B|/|A| ≈ 1). Same stop-shingled inverted-index self-join as the
+    Jaccard operator (one symmetric intersection count), then each pair
+    projects into BOTH directions with its own denominator — no second
+    join pass. Containment values are integer-count ratios, bitwise
+    identical across engines (registry.py rules: don't round them)."""
+    d = load_parallel(spark, sf_dir, "documents")
+    ds = (
+        d.select("doc_id", F.explode(shingles3(tokens("text"))).alias("shingle"))
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= _STOP_SHINGLE_DF)
+        .drop("df")
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    fwd = (
+        inter.join(sizes, inter.doc_a == sizes.doc_id)
+        .select(
+            F.col("doc_a").alias("doc_src"),
+            F.col("doc_b").alias("doc_dst"),
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+    rev = (
+        inter.join(sizes, inter.doc_b == sizes.doc_id)
+        .select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_dst"),
+            (F.col("c").cast("double") / F.col("n")).alias("containment"),
+        )
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= _CONTAIN_TAU)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
