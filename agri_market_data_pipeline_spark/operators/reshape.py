@@ -149,6 +149,61 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WSAMPLE_K = 10
+
+
+@query(
+    "sample_weighted_k",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(ln((h + 1) / 4294967296.0) / GREATEST(n_tokens, 1), 6) AS wkey
+  FROM t
+)
+SELECT doc_id, n_tokens, wkey
+FROM keyed
+ORDER BY wkey DESC, doc_id
+LIMIT {_WSAMPLE_K}
+""",
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-sample without replacement (Efraimidis–Spirakis A-Res):
+    each doc gets key u^(1/w) — here in the equivalent log form
+    ln(u)/w — and the k largest keys ARE a weighted reservoir sample.
+    Weight = token count: the quality/length-weighted corpus-sampling
+    step of training-data curation (sample long docs preferentially
+    without ever sorting the corpus by weight).
+
+    u is md5-derived (u = (h+1)/2^32 ∈ (0,1]), so like sample_hash the
+    sample reproduces on any engine/partitioning/cluster — no RNG state.
+    The key is row-local; selection is TakeOrderedAndProject
+    (per-partition heaps, no shuffle, no global sort) — at 100 TB this
+    is one filtered-scan-shaped pass. Per-stratum variant: the same key
+    under a row_number window (sample_reservoir_k's shape). ln() is the
+    one order-sensitive float here: ROUND(…,6) + doc_id tiebreak pins
+    rank boundaries across engines (registry.py rules)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    wkey = F.round(
+        F.log((h + 1) / F.lit(4294967296.0)) / F.greatest(n, F.lit(1)), 6
+    )
+    return (
+        d.select("doc_id", n.alias("n_tokens"), wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(_WSAMPLE_K)
+    )
+
+
 _RESERVOIR_K = 5
 
 

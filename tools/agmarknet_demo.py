@@ -122,6 +122,57 @@ def main() -> int:
     print(f"dedup audit: {dupes:,} exact re-appended quotation rows "
           f"(idempotent MERGE removes them at ingest)")
 
+    # dq_profile: the one-pass column profile every harvest run should
+    # publish (the reference's only QA is eyeballing git diffs)
+    prof_cols = ["State", "Arrival_Date", "Modal_Price", "Commodity_Code"]
+    basic = prices.agg(
+        *[
+            a
+            for c in prof_cols
+            for a in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ]
+    )
+    dist = prices.agg(
+        *[F.count_distinct(F.col(c)).alias(f"{c}__nd") for c in prof_cols]
+    )
+    prow = basic.join(dist).first()
+    print("column profile (one scan):")
+    for c in prof_cols:
+        print(
+            f"  {c:16s} nulls={prow[f'{c}__nulls']:<7,} "
+            f"distinct={prow[f'{c}__nd']:<8,} "
+            f"range [{prow[f'{c}__min']} .. {prow[f'{c}__max']}]"
+        )
+
+    # agg_mode: the 'modal' in Modal_Price, computed rather than trusted —
+    # most frequent quoted modal price per commodity, deterministic ties
+    counted = (
+        prices.filter(F.col("Modal_Price").isNotNull())
+        .groupBy("Commodity", F.col("Modal_Price").cast("bigint").alias("q"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    modal = (
+        counted.groupBy("Commodity")
+        .agg(
+            F.max_by("q", F.col("cnt") * F.lit(1 << 24) - F.col("q")).alias(
+                "modal_price"
+            ),
+            F.max("cnt").alias("n_at_mode"),
+            F.sum("cnt").alias("nq"),
+        )
+        .filter(F.col("nq") >= 10000)
+        .orderBy(F.desc("n_at_mode"))
+    )
+    m = modal.first()
+    print(
+        f"modal price recomputed: {m.Commodity} quotes ₹{m.modal_price:,}"
+        f"/quintal in {m.n_at_mode:,} of {m.nq:,} quotations"
+    )
+
     # sample_hash: a reproducible ~1% dev slice, stable on any cluster
     skey = F.concat_ws(
         "|", "State", "District", "Market", "Commodity", "Variety", "Grade",
