@@ -439,3 +439,50 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ip"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS n_corpus FROM vocab)
+SELECT t.doc_id,
+       ROUND(SUM(ln(v.cnt / tot.n_corpus)) / COUNT(*), 4) AS avg_logprob,
+       COUNT(*) AS n_tokens
+FROM tok t JOIN vocab v USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the perplexity-style quality filter of LLM data
+    curation (documents scoring far below the corpus norm are
+    boilerplate/garbage candidates; far above are repetitive). Two-pass
+    shape: build the vocabulary (token → count, a partial-aggregable
+    groupBy), then score each token occurrence against it and average
+    per document.
+
+    Scale: the token→count join is the only fact-sized shuffle and it
+    keys on the token — Zipf-skewed, so at 100 TB you broadcast the
+    top-V head of the vocabulary (covers ~95% of occurrences) and
+    shuffle-join only the tail (the join_skew_salted playbook); the
+    corpus total rides a 1-row cross join, not a collect. ln() sums are
+    ROUND(4)ed per registry.py's order-sensitive-float rule."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    return (
+        tok.join(vocab, "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.log(F.col("cnt") / F.col("n_corpus"))) / F.count("*"), 4
+            ).alias("avg_logprob"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

@@ -51,6 +51,10 @@ HEADLINE = [
     "anomaly_zscore",
     "win_pareto_share",
     "ml_kmeans_refine",
+    "dq_profile",
+    "agg_mode",
+    "text_unigram_logprob",
+    "sim_search_lsh_rp",
 ]
 
 
