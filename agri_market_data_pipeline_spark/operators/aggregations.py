@@ -497,3 +497,34 @@ def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SUBQ_SQL)
+
+
+@query("agg_hll_merge")
+def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, built
+    into Spark): per event_type, daily user sketches are built once,
+    then UNIONed into the period-level sketch — the COUNT DISTINCT
+    twin of incr_agg_merge's rollup maintenance. Exact COUNT DISTINCT
+    is not a monoid (you can't merge two distinct counts), so at 100 TB
+    the only way to maintain a distinct rollup incrementally is to
+    store sketches and merge; this operator IS that path, with the
+    exact count carried alongside as its audit.
+
+    Rows-only driver check (the estimate is engine-internal);
+    tests/test_extensions.py pins the real guarantees: the merged
+    estimate equals the directly-built estimate bit-for-bit
+    (merge associativity) and sits within HLL error of exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_merged")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select("event_type", "hll_merged", "exact_distinct")
+    )

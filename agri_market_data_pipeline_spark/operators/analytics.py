@@ -335,3 +335,116 @@ def win_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@query(
+    "win_funnel_steps",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = '{_FUNNEL[1]}' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = '{_FUNNEL[2]}' GROUP BY e.user_id
+)
+SELECT 'step1_{_FUNNEL[0]}' AS step, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 'step2_{_FUNNEL[1]}', COUNT(*) FROM s2
+UNION ALL SELECT 'step3_{_FUNNEL[2]}', COUNT(*) FROM s3
+""",
+)
+def win_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users whose first
+    view precedes a later click precedes a later purchase — the product
+    analytics every event pipeline serves. Step N is 'earliest step-N
+    event strictly after the user's step-(N−1) time', so out-of-order
+    arrivals can't fake a conversion.
+
+    Scale shape: each step is a per-user MIN aggregate joined back to
+    the event scan on user_id — every stage hash-partitions by the SAME
+    key, so Catalyst reuses one exchange layout down the chain and the
+    per-step state is one timestamp per surviving user (monotonically
+    shrinking). Timestamps compare as exact integers (no float rank
+    boundaries). The sessionize/asof alternative — one sort per user —
+    pays a full per-user ordering this never needs."""
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(step: str, prev: DataFrame, tcol: str, out: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == step)
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(_FUNNEL[1], s1, "t1", "t2")
+    s3 = first_after(_FUNNEL[2], s2, "t2", "t3")
+    rows = [
+        s1.agg(F.lit(f"step1_{_FUNNEL[0]}").alias("step"), F.count("*").alias("n_users")),
+        s2.agg(F.lit(f"step2_{_FUNNEL[1]}").alias("step"), F.count("*").alias("n_users")),
+        s3.agg(F.lit(f"step3_{_FUNNEL[2]}").alias("step"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@query(
+    "win_retention_cohort",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+)
+SELECT f.cohort_day,
+       CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_day f USING (user_id)
+GROUP BY f.cohort_day, a.d - f.cohort_day
+""",
+)
+def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day as an offset from their cohort — the
+    retention curve behind every 'day-N retention' metric (and, for the
+    reference's data model, 'markets still quoting N days after first
+    quotation').
+
+    Scale shape: cohort assignment is a per-user MIN (partial-agg), the
+    (user, day) activity grid is a distinct over the same user-keyed
+    exchange, and the final matrix is |days|² rows regardless of event
+    volume. COUNT(*) over the distinct grid ≡ COUNT(DISTINCT user) per
+    cell but keeps the final aggregate Expand-free."""
+    from ..tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

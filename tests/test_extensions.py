@@ -166,3 +166,30 @@ def test_dedup_cluster_recovers_planted_components(spark, tmp_path):
     assert out.get(1) == (3, 1), out     # {1,2,3} merged transitively
     assert out.get(10) == (2, 10), out   # {10,11}
     assert 99 not in out                 # no edges -> not in any cluster
+
+
+def test_hll_merge_consistent_and_bounded(spark, sf_dir):
+    """Merged daily sketches must estimate exactly what a directly-built
+    sketch estimates (merge associativity), and land within HLL error
+    of the true distinct count."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.operators.aggregations import (
+        agg_hll_merge,
+    )
+    from agri_market_data_pipeline_spark.tables import load
+
+    rows = {r.event_type: r for r in agg_hll_merge(spark, sf_dir).collect()}
+    direct = {
+        r.event_type: r.est
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert rows, "no event types"
+    for et, r in rows.items():
+        assert r.hll_merged == direct[et], (et, r.hll_merged, direct[et])
+        assert abs(r.hll_merged - r.exact_distinct) <= max(
+            3, 0.05 * r.exact_distinct
+        ), (et, r.hll_merged, r.exact_distinct)
