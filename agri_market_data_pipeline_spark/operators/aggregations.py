@@ -528,3 +528,30 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.join(exact, "event_type")
         .select("event_type", "hll_merged", "exact_distinct")
     )
+
+
+_EXISTS_SQL = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderpriority = '1-URGENT')
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_exists_subquery", oracle=_EXISTS_SQL)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS, same ANSI text on both engines:
+    customers with a big order but no urgent one. Catalyst decorrelates
+    the pair into one LEFT SEMI and one LEFT ANTI hash join against
+    orders — set-membership scans, not per-customer subquery executions
+    (sql_subquery's argument, extended from scalar to existential
+    subqueries). At 100 TB both joins shuffle on custkey once and AQE
+    handles the skewed customers."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

@@ -448,3 +448,55 @@ def win_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS prio,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS moy,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), t AS (
+  SELECT o_orderpriority AS prio,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS s_all,
+         COUNT(*) AS n_all
+  FROM orders GROUP BY 1
+)
+SELECT m.prio, m.moy,
+       m.s / m.n AS month_avg,
+       (m.s / m.n) / (t.s_all / t.n_all) AS seasonal_idx
+FROM m JOIN t ON m.prio = t.prio
+""",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index per priority class: monthly mean
+    price over the class's all-time mean — the query behind 'onion
+    prices spike before monsoon' on the mandi table. Index 1.0 = no
+    seasonality; the profile aggregates ACROSS years, so one pass
+    yields the seasonal fingerprint directly (no per-year series to
+    post-process).
+
+    Two partial-aggregable passes over the fact (12·K and K rows out),
+    joined on the tiny key. Determinism: both means are exact-DECIMAL
+    sums over counts, and the index divides those exact doubles with
+    the same IEEE expression tree on both engines — unroundable, per
+    the module's ratio rule."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(dsum("o_totalprice").alias("s"), F.count("*").alias("n"))
+    t = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        dsum("o_totalprice").alias("s_all"), F.count("*").alias("n_all")
+    )
+    month_avg = F.col("s") / F.col("n")
+    overall = F.col("s_all") / F.col("n_all")
+    return m.join(t, "prio").select(
+        "prio",
+        "moy",
+        month_avg.alias("month_avg"),
+        (month_avg / overall).alias("seasonal_idx"),
+    )

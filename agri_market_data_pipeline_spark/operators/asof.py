@@ -225,3 +225,97 @@ def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_event_id").alias("event_id")).agg(
         F.count("p_event_id").alias("n_purchases_5m")
     )
+
+
+_NEAR_D = 7  # band width in days; candidates live in adjacent buckets
+
+
+@query(
+    "join_asof_nearest",
+    oracle=f"""
+WITH idx AS (
+    SELECT o_orderpriority AS prio,
+           CAST(o_orderdate AS DATE) AS d,
+           {sql_davg("o_totalprice")} AS idx_val
+    FROM orders
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority AS prio,
+           CAST(l.l_shipdate AS DATE) AS sd
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+rep AS (
+    SELECT prio, d, idx_val,
+           (CAST(d - DATE '1970-01-01' AS BIGINT) // {_NEAR_D}) + off AS bkt
+    FROM idx CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS off) offs
+),
+cand AS (
+    SELECT p.l_orderkey, p.l_linenumber, p.sd, r.d, r.idx_val,
+           ABS(CAST(p.sd - r.d AS BIGINT)) * 2
+             + CASE WHEN r.d > p.sd THEN 1 ELSE 0 END AS k
+    FROM probe p
+    JOIN rep r
+      ON p.prio = r.prio
+     AND CAST(p.sd - DATE '1970-01-01' AS BIGINT) // {_NEAR_D} = r.bkt
+    WHERE ABS(CAST(p.sd - r.d AS BIGINT)) <= {_NEAR_D}
+)
+SELECT l_orderkey, l_linenumber, sd,
+       MIN_BY(d, k) AS idx_date,
+       MIN_BY(idx_val, k) AS idx_val,
+       MIN(k) // 2 AS day_dist
+FROM cand
+GROUP BY l_orderkey, l_linenumber, sd
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join, the bidirectional sibling of
+    join_asof_prices: each shipment takes the index quote CLOSEST to its
+    ship date within ±{_NEAR_D} days, earlier winning ties. No engine
+    has this natively (ASOF is one-directional), so both sides state the
+    same composition: band-bucket the calendar (⌊epoch_day/{_NEAR_D}⌋),
+    replicate the SMALL side into its 3 neighbor buckets, equi-join the
+    probe on its own bucket — provably lossless for |Δ| ≤ {_NEAR_D} —
+    then per-probe argmin via min_by on the packed key
+    |Δdays|·2 + is_later (one BIGINT: magnitude then direction, unique
+    per candidate date, keeps HashAggregate).
+
+    Scale: the probe never shuffles for the band (its bucket is
+    row-local); only the tiny index triples. Same playbook as
+    join_range_banded, pointed at time."""
+    idx = _daily_index(spark, sf_dir)
+    rep = (
+        idx.select(
+            "prio",
+            "d",
+            "idx_val",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("off"),
+        )
+        .withColumn("bkt", F.expr(f"unix_date(d) div {_NEAR_D}") + F.col("off"))
+        .drop("off")
+    )
+    probe = _probe_shipments(spark, sf_dir).withColumn(
+        "pbkt", F.expr(f"unix_date(sd) div {_NEAR_D}")
+    )
+    ad = F.abs(F.datediff("sd", "d")).cast("long")
+    cand = (
+        probe.join(
+            F.broadcast(rep),
+            (probe.prio == rep.prio) & (probe.pbkt == rep.bkt),
+        )
+        .filter(ad <= _NEAR_D)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "sd",
+            "d",
+            "idx_val",
+            (ad * 2 + F.when(F.col("d") > F.col("sd"), 1).otherwise(0)).alias("k"),
+        )
+    )
+    return cand.groupBy("l_orderkey", "l_linenumber", "sd").agg(
+        F.min_by("d", F.col("k")).alias("idx_date"),
+        F.min_by("idx_val", F.col("k")).alias("idx_val"),
+        F.expr("min(k) div 2").alias("day_dist"),
+    )
