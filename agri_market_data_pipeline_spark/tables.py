@@ -100,6 +100,18 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
-    """Register every testdata table as a temp view (for spark.sql paths)."""
+    """Register every testdata table as a temp view (for spark.sql paths).
+
+    Memoized per (session, prefix → sf_dir): a catalog registers once,
+    like a metastore — re-resolving ten parquet footers per query would
+    bill every SQL call ~1s of pure setup. Re-pointing the same prefix
+    at a different sf_dir re-registers (and replaces) the views."""
+    reg = getattr(spark, "_agri_registered_views", None)
+    if reg is None:
+        reg = {}
+        spark._agri_registered_views = reg
+    if reg.get(prefix) == sf_dir:
+        return
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+    reg[prefix] = sf_dir
