@@ -266,31 +266,67 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     why the engine side iterates label propagation instead. Planted-
     cluster recovery is additionally pinned in tests/test_extensions.py."""
     pairs = dedup_near_minhash_pairs(spark, sf_dir)
-    # undirected edge list + self-loops so isolated members keep labels
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    labels = _connected_components(pairs, "doc_a", "doc_b")
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("keep_doc_id"))
+        .select(
+            F.col("label").alias("cluster_id"), "cluster_size", "keep_doc_id"
         )
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+
+
+def _connected_components(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Min-label propagation with pointer jumping to fixpoint over an
+    undirected pair list → (node, label) where label = the component's
+    minimum id. Each round does (1) the neighbor-min hop and (2) a
+    label-of-label shortcut — the hop alone converges in O(diameter)
+    rounds, which long chains (observed in the sf0.1 cosine graph) blow
+    past any fixed cap; with the shortcut the min's reach roughly
+    doubles per round, so 16 rounds covers diameters past 2^16. Two
+    shuffles per round over edges/labels only; lineage truncated per
+    round (shared by dedup_cluster and dedup_semantic_cluster)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        # materialize once: pair extraction (LSH band join / blocked
+        # cosine join) is the expensive subtree, and every round joins
+        # edges twice — without this the loop re-runs it every iteration
         .localCheckpoint(eager=True)
     )
-    for _ in range(8):  # diameter bound; loop exits early at fixpoint
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(16):  # log-diameter bound; loop exits early at fixpoint
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+            edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: adopt the label currently held by one's label
+        lab_map = stepped.select(
+            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            stepped.join(lab_map, stepped.label == lab_map.pj_node, "left")
             .select(
-                "doc_id",
+                "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("pj_label"), F.col("label")),
                 ).alias("label"),
             )
             # truncate lineage each round or the plan grows exponentially
@@ -298,20 +334,14 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
-    return (
-        labels.groupBy("label")
-        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keep_doc_id"))
-        .select(
-            F.col("label").alias("cluster_id"), "cluster_size", "keep_doc_id"
-        )
-    )
+    return labels
 
 
 @query(
@@ -787,5 +817,53 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
             F.count("*").alias("n_variants"),
+        )
+    )
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) > 0.3
+), edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+reach(vec_id, lab) AS (
+  SELECT vec_id, vec_id FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.vec_id
+), comp AS (
+  SELECT vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT cluster_id, COUNT(*) AS cluster_size, MIN(vec_id) AS keep_vec_id
+FROM comp GROUP BY cluster_id
+""",
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup clustering: connected components over the
+    embedding-cosine pair graph (dedup_embedding_cosine's edges) — the
+    'paraphrase cluster' dedup policy, where textually different but
+    semantically identical documents collapse to one representative.
+    Same min-label propagation as dedup_cluster (shared helper), same
+    recursive-CTE transitive-closure oracle, so the iterative engine
+    path is machine-checked on a SECOND edge geometry.
+
+    At 100 TB the pair graph comes from the blocked cosine join (LSH
+    cell or IVF cell as the block key — sim_search_lsh_rp's bucket
+    column); components then cost one shuffle per diameter round over
+    edges only, never over vectors."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    labels = _connected_components(pairs, "vec_a", "vec_b")
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("cluster_size"), F.min("node").alias("keep_vec_id"))
+        .select(
+            F.col("label").alias("cluster_id"), "cluster_size", "keep_vec_id"
         )
     )
