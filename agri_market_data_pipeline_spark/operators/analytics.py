@@ -500,3 +500,52 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         month_avg.alias("month_avg"),
         (month_avg / overall).alias("seasonal_idx"),
     )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority AS prio, o_totalprice AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+)
+SELECT prio,
+       ROUND(2.0 * CAST(SUM(CAST(rn * x AS DECIMAL(38,6))) AS DOUBLE)
+         / (COUNT(*) * CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE))
+         - (COUNT(*) + 1.0) / COUNT(*), 10) AS gini,
+       COUNT(*) AS n
+FROM r GROUP BY prio
+""",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    inequality measure completing the concentration family
+    (win_pareto_share ranks the classes, agg_entropy scores the mix,
+    Gini scalars the whole distribution). Rank formula over ascending
+    values: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+
+    Determinism: i·xᵢ is one IEEE product (identical bits both
+    engines) summed in DECIMAL — but the two engines ROUND that product
+    to the 1e-6 decimal grain with different rounding modes (half-up vs
+    half-even), leaving ~1e-16 relative drift in the sums, so the final
+    coefficient is ROUND(10)ed on both sides (drift sits 6 orders below
+    the grain). Σᵢ i·xᵢ is permutation-invariant within tied values, so
+    the rank tiebreak can't change the sum. Scale: ranking costs one sort per
+    group — at 100 TB swap in the histogram/binned Gini (one pass, no
+    sort) with this exact form as its audit."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    s1 = F.sum((F.col("rn") * F.col("x")).cast("decimal(38,6)")).cast("double")
+    s0 = F.sum(F.col("x").cast("decimal(30,6)")).cast("double")
+    n = F.count("*")
+    return r.groupBy("prio").agg(
+        F.round(F.lit(2.0) * s1 / (n * s0) - (n + 1.0) / n, 10).alias("gini"),
+        n.alias("n"),
+    )

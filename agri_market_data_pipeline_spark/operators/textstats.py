@@ -486,3 +486,77 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+# RE2∩Java subset (CLAUDE.md regex rules): inline (?s) dotall + lazy
+# quantifiers are supported by both; no lookaround/backrefs.
+_HTML_SCRIPT = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_HTML_TAG = r"<[^>]+>"
+
+
+@query(
+    "text_html_strip",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         '<html><head><title>doc' || doc_id ||
+         '</title><style>p {{color: red}}</style></head><body><h1>H' ||
+         doc_id || '</h1><p class="x">' || text ||
+         '</p><script>var t = 1 < 2;</script></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(html,
+             '{_HTML_SCRIPT}', ' ', 'g'),
+             '{_HTML_TAG}', ' ', 'g'),
+             '\\s+', ' ', 'g')) AS clean
+  FROM seeded
+)
+SELECT doc_id,
+       CAST(length(clean) AS BIGINT) AS n_chars,
+       md5(clean) AS clean_md5
+FROM stripped
+""",
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal for web-corpus cleaning: drop <script>/<style>
+    blocks wholesale (their CONTENT is not text), then strip remaining
+    tags, then collapse whitespace — order matters, a tag-only strip
+    would leak javascript into the 'clean' text. The corpus is plain
+    text, so each document is first wrapped in deterministic id-derived
+    HTML; both engines build and clean the same page, and the md5 match
+    proves every pattern fired identically (text_pii_scrub's seeding
+    argument).
+
+    Row-local regexp chain: zero shuffle, codegen'd, scan-bound at
+    100 TB — the boilerplate-removal stage in front of dedup_paragraph's
+    chunk-level pass."""
+    d = load_parallel(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>doc"),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><style>p {color: red}</style></head><body><h1>H'),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><p class="x">'),
+            F.col("text"),
+            F.lit("</p><script>var t = 1 < 2;</script></body></html>"),
+        ).alias("html"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), _HTML_SCRIPT, " "),
+                _HTML_TAG,
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return seeded.select(
+        "doc_id",
+        F.length(clean).cast("long").alias("n_chars"),
+        F.md5(clean).alias("clean_md5"),
+    )
