@@ -15,6 +15,7 @@ is thereby hash-checked, not just unit-tested.
 
 from __future__ import annotations
 
+import itertools
 import os
 import tempfile
 
@@ -35,6 +36,8 @@ from ..sources.paginated_api import read_paginated_api
 from ..sources.sinks import merge_upsert
 from ..tables import load, table_path
 from .scalar_fns import safe_name
+
+_SINK_IDS = itertools.count()
 
 _FEED_SCHEMA = StructType(
     [
@@ -276,3 +279,82 @@ def op_sink_partitioned_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@query("src_python_datasource", oracle=_EVENTS_AGG_ORACLE)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paged feed as a REGISTERED Spark data source (Spark 4 Python
+    DataSource API, sources/pyds.py) — `spark.read.format("paged_feed")`
+    replaces hand-built range+mapPartitions plumbing: Catalyst sees a
+    real source with page-range InputPartitions, each executor pulls its
+    pages through the same wire-IR path, and the aggregate hash-matches
+    the backing table (no page lost, duplicated, or torn)."""
+    from ..sources import pyds
+
+    pyds.register(spark)
+    records = (
+        spark.read.format("paged_feed")
+        .option("path", sf_dir)
+        .option("limit", "1000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return _agg(records)
+
+
+@query("stream_python_datasource", oracle=_EVENTS_AGG_ORACLE)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cron loop, end to end, on the modern API: the
+    Python DataSource's SimpleDataSourceStreamReader hands Spark
+    `initialOffset`/`read(start)`/`readBetweenOffsets` — progress.json
+    become the engine's own offset log — and repeated AvailableNow
+    triggers against ONE durable checkpoint are the 3-hourly harvests
+    (run.yml:6). Each trigger drains the reader's prefetched pages,
+    commits its offset transactionally with the aggregate state, and
+    the next trigger resumes where the last stopped; the final complete-
+    mode aggregate hash-matches the backing table, proving exactly-once
+    across all resumed runs (vs fetch_data.py's at-least-once window)."""
+    import shutil
+
+    from ..sources import pyds
+
+    pyds.register(spark)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_pyds_")
+    sink = f"pyds_stream_{next(_SINK_IDS)}_{os.getpid()}"
+    total = _feed_rows(sf_dir)
+    # each cron tick drains one prefetched harvest; size the harvest so
+    # ~6 ticks cover any feed (the reference's per-run ingest is likewise
+    # 'whatever accumulated', not a fixed page count)
+    pages_per_batch = max(3, -(-total // 1000) // 6 + 1)
+    try:
+        done = 0
+        for _ in range(16):  # cron ticks; exits when the feed is drained
+            ev = (
+                spark.readStream.format("paged_feed")
+                .option("path", sf_dir)
+                .option("limit", "1000")
+                .option("pagesPerBatch", str(pages_per_batch))
+                .load()
+            )
+            agg = ev.groupBy("event_type").agg(
+                F.count("*").alias("cnt"), dsum("value").alias("sum_value")
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            done += sum(
+                p["sources"][0]["numInputRows"] for p in q.recentProgress
+            )
+            if done >= total:
+                break
+        out = spark.table(sink)
+        out.localCheckpoint(eager=True)  # detach from the memory sink
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
