@@ -268,3 +268,93 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-recompute property in tests/test_extensions.py."""
     m = documents_as_media(spark, sf_dir)
     return m.select("doc_id", "payload").mapInPandas(_energy_batch, _ENERGY_SCHEMA)
+
+
+_PHASH_GRID = 8  # 8×8 mean-threshold grid → 64-bit fingerprint
+_PHASH_BAND_BITS = 16  # 4 bands of 16 bits for the LSH pair join
+_PHASH_MAX_HAMMING = 12
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """64-bit perceptual-hash-style fingerprint per payload: resample the
+    byte stream onto an 8×8 grid (the stand-in for decode+grayscale —
+    see _decode_batch's stub note), threshold each cell against the grid
+    mean, pack the bits. Pure numpy over Arrow batches."""
+    for pdf in batches:
+        out = []
+        n_cells = _PHASH_GRID * _PHASH_GRID
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+            if buf.size == 0:
+                out.append((doc_id, 0))
+                continue
+            # nearest-neighbor resample to one value per grid cell
+            idx = (np.arange(n_cells) * buf.size) // n_cells
+            grid = buf[idx].astype(np.float64)
+            bits = (grid > grid.mean()).astype(np.uint64)
+            h = np.uint64(0)
+            for b in bits:
+                h = (h << np.uint64(1)) | b
+            out.append((doc_id, int(np.int64(h))))  # two's complement into BIGINT
+        yield pd.DataFrame(out, columns=["doc_id", "phash"])
+
+
+def multimodal_phashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(spark, sf_dir)
+    return media.select("doc_id", "payload").mapInPandas(
+        _phash_batch, "doc_id long, phash long"
+    )
+
+
+@query("multimodal_phash_pairs")
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate MEDIA detection: perceptual-style 64-bit
+    fingerprints compared by hamming distance — the image twin of
+    dedup_simhash, closing the loop between the multimodal and dedup
+    families. Candidate pairs come from LSH banding over the fingerprint
+    (4 bands × 16 bits: a pair within hamming {_PHASH_MAX_HAMMING} of a
+    64-bit hash agrees on ≥1 whole band unless all differing bits spread
+    4+ per band), then exact bit_count verification — never O(n²).
+
+    Rows-only check (the fingerprint rides the stubbed decode path,
+    which has no SQL twin); determinism and planted-pair recovery are
+    pinned in tests/test_extensions.py. At 100 TB: fingerprints are one
+    mapInPandas scan, band keys are the shuffle (uniform md5-like
+    distribution), buckets bound the quadratic term exactly like
+    dedup_near_minhash."""
+    hashes = multimodal_phashes(spark, sf_dir)
+    bands = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("phash"), b * _PHASH_BAND_BITS
+                        ).bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+                        .alias("band_key"),
+                    )
+                    for b in range(64 // _PHASH_BAND_BITS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", "phash", F.col("p.band"), F.col("p.band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )

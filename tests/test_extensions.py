@@ -193,3 +193,31 @@ def test_hll_merge_consistent_and_bounded(spark, sf_dir):
         assert abs(r.hll_merged - r.exact_distinct) <= max(
             3, 0.05 * r.exact_distinct
         ), (et, r.hll_merged, r.exact_distinct)
+
+
+def test_phash_recovers_planted_near_dup_media(spark, tmp_path):
+    """Two payloads differing by one byte in 4KB must pair with small
+    hamming distance; unrelated payloads must not pair within the
+    threshold. Run twice for determinism."""
+    from agri_market_data_pipeline_spark.operators.multimodal import (
+        multimodal_phash_pairs,
+    )
+
+    base = ("lorem ipsum " * 340)[:4000]
+    near = base[:2000] + "X" + base[2001:]
+    other = "".join(chr(33 + (i * 7) % 90) for i in range(4000))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal_phash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 4, got
+    assert (1, 3) not in got and (2, 3) not in got, got
+    again = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal_phash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert got == again
