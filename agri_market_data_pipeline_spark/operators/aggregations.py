@@ -9,7 +9,7 @@ HashAggregate(partial) → Exchange → HashAggregate(final) split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import davg, dsum, sql_davg, sql_dsum
@@ -555,3 +555,50 @@ def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+_TOPF_K = 3
+
+
+@query(
+    "agg_topk_freq",
+    oracle=f"""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+), r AS (
+  SELECT l_returnflag, q, cnt,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY cnt DESC, q) AS rn
+  FROM c
+)
+SELECT l_returnflag,
+       list(q ORDER BY rn) AS top_values,
+       list(cnt ORDER BY rn) AS top_counts
+FROM r WHERE rn <= {_TOPF_K}
+GROUP BY l_returnflag
+""",
+)
+def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOPF_K} most frequent values per group, as rank-ordered
+    arrays — agg_mode generalized from the argmax to the head of the
+    frequency table (the heavy-hitters report each curation run
+    publishes per column). Count per (group, value), rank inside the
+    group with a deterministic (cnt DESC, value) order, keep k, then
+    canonicalize into arrays via the sorted-struct collect (lists only
+    hash across engines when the query itself fixes their order —
+    agg_collect_sorted's rule). The ranked input is ≤ |values| rows per
+    group and k is constant, so the collect is bounded at any fact
+    scale; the unbounded-sketch alternative is count-min + heap, this
+    exact form is its audit."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("q"))
+    r = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPF_K)
+    packed = F.array_sort(F.collect_list(F.struct("rn", "q", "cnt")))
+    return r.groupBy("l_returnflag").agg(
+        F.transform(packed, lambda s: s.q).alias("top_values"),
+        F.transform(packed, lambda s: s.cnt).alias("top_counts"),
+    )

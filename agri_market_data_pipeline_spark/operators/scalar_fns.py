@@ -310,3 +310,38 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", _URL_PATH, 1).alias("path"),
         F.regexp_extract("url", _URL_QPARAM, 1).alias("q_param"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(l_orderkey & 255 AS BIGINT) AS and_lo,
+       CAST(l_orderkey | 4096 AS BIGINT) AS or_hi,
+       CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS xored,
+       CAST(l_orderkey << 3 AS BIGINT) AS shl3,
+       CAST(l_orderkey >> 3 AS BIGINT) AS shr3,
+       CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+FROM lineitem
+WHERE l_orderkey % 997 = 0
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar suite — and/or/xor, shifts, popcount — exact
+    integer semantics both engines share bit-for-bit. Not decoration:
+    these are the primitives the engine's sketch operators are built
+    from (simhash/phash band extraction, LSH bucket flips, packed
+    ordering keys), here pinned as a first-class cross-engine
+    contract."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    key = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        key.bitwiseAND(F.lit(255)).cast("long").alias("and_lo"),
+        key.bitwiseOR(F.lit(4096)).cast("long").alias("or_hi"),
+        key.bitwiseXOR(F.col("l_linenumber").cast("long")).cast("long").alias("xored"),
+        F.shiftleft(key, 3).cast("long").alias("shl3"),
+        F.shiftright(key, 3).cast("long").alias("shr3"),
+        F.bit_count(key).cast("long").alias("popcnt"),
+    )

@@ -229,3 +229,48 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@query(
+    "win_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), isl AS (
+  SELECT user_id, d,
+         CAST(d - DATE '1970-01-01' AS BIGINT)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+)
+SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks
+FROM runs GROUP BY user_id
+""",
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the run-length
+    face of gaps-and-islands (win_sessionize cuts on gaps; this measures
+    the islands): epoch_day − row_number is constant exactly within a
+    consecutive run, so one window plus two aggregates yields every
+    user's longest streak and streak count. All three stages key on
+    user_id — one exchange layout end to end, and day arithmetic is
+    exact integers (no float boundaries). The mandi reading: longest
+    unbroken quotation run per market×commodity, the data-freshness
+    metric the reference's 3-hourly harvest implies but never computes."""
+    from ..tables import load as _load
+
+    days = (
+        _load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        (F.unix_date("d").cast("long") - F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak"), F.count("*").alias("n_streaks")
+    )
