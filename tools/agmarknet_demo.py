@@ -257,6 +257,52 @@ def main() -> int:
     print(f"variety entropy (n>=1000): most diverse {hi.Commodity} "
           f"(H={hi.H:.2f} nats), least {lo.Commodity} (H={lo.H:.2f})")
 
+    # ts_seasonal_profile: month-of-year price seasonality of the biggest
+    # commodity — the 'prices spike before monsoon' query
+    big = prices.filter(F.col("Commodity") == biggest["Commodity"])
+    mo = big.groupBy(F.month("Arrival_Date").alias("moy")).agg(
+        F.sum(F.col("Modal_Price").cast("decimal(30,6)")).cast("double").alias("s"),
+        F.count("*").alias("cn"),
+    )
+    tot = big.agg(
+        F.sum(F.col("Modal_Price").cast("decimal(30,6)")).cast("double").alias("sa"),
+        F.count("*").alias("na"),
+    )
+    season = (
+        mo.join(tot)
+        .select("moy", ((F.col("s") / F.col("cn")) / (F.col("sa") / F.col("na"))).alias("idx"))
+        .orderBy("moy")
+        .collect()
+    )
+    peak = max(season, key=lambda r: r.idx)
+    trough = min(season, key=lambda r: r.idx)
+    print(
+        f"seasonality ({biggest['Commodity']}): peak month {peak.moy} "
+        f"(idx {peak.idx:.2f}), trough month {trough.moy} (idx {trough.idx:.2f})"
+    )
+
+    # win_streak: longest unbroken daily-quotation run — the freshness
+    # metric the 3-hourly harvest implies but never computes
+    mkt_days = prices.select(
+        "Market", "Commodity", F.col("Arrival_Date").alias("d")
+    ).distinct()
+    wrun = Window.partitionBy("Market", "Commodity").orderBy("d")
+    streaks = (
+        mkt_days.select(
+            "Market",
+            "Commodity",
+            (F.unix_date("d").cast("long") - F.row_number().over(wrun)).alias("grp"),
+        )
+        .groupBy("Market", "Commodity", "grp")
+        .agg(F.count("*").alias("len"))
+        .orderBy(F.desc("len"))
+    )
+    s = streaks.first()
+    print(
+        f"longest quotation streak: {s.Market} quoted {s.Commodity} "
+        f"{s.len} consecutive days"
+    )
+
     # group_partition_by_key: the reference's file layout, recomputed
     n_parts = prices.select(safe_name("Commodity")).distinct().count()
     print(f"partition layout: {n_parts} safe_name'd commodity partitions "
