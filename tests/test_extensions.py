@@ -221,3 +221,28 @@ def test_phash_recovers_planted_near_dup_media(spark, tmp_path):
         for r in multimodal_phash_pairs(spark, str(tmp_path)).collect()
     }
     assert got == again
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The curation DAG must be monotone (each stage only drops rows),
+    produce the requested sample size, publish valid lang-partitioned
+    parquet with no exact duplicates, and be run-to-run deterministic."""
+    from agri_market_data_pipeline_spark.jobs.curation_pipeline import curate
+
+    rep = curate(spark, sf_dir, str(tmp_path), sample_k=50)
+    assert (
+        rep["raw"]
+        >= rep["after_quality_gate"]
+        >= rep["after_exact_dedup"]
+        >= rep["after_near_dedup"]
+        >= rep["sampled"]
+    )
+    assert rep["sampled"] == 50
+    out = spark.read.parquet(rep["out"])
+    assert "lang" in out.columns
+    assert out.count() == 50
+    assert out.select("text").distinct().count() == 50  # no exact dupes
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    rep2 = curate(spark, sf_dir, str(tmp_path), sample_k=50)
+    out2 = spark.read.parquet(rep2["out"])
+    assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == ids1
