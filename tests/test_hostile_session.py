@@ -13,7 +13,17 @@ import __spark_entry__ as entrymod
 from agri_market_data_pipeline_spark.schemas import TABLE_NAMES
 from agri_market_data_pipeline_spark.tables import table_path
 
-PROBES = ["fn_date", "stream_tumbling_agg", "sink_delta_upsert", "scan_jsonl"]
+PROBES = [
+    "fn_date",
+    "stream_tumbling_agg",
+    "sink_delta_upsert",
+    "scan_jsonl",
+    # ts→DATE casts are session-timezone-sensitive: these prove the
+    # wrapper's UTC pin holds for the cohort/streak day arithmetic
+    "win_retention_cohort",
+    "win_streak",
+    "stream_python_datasource",
+]
 
 
 @pytest.mark.parametrize("name", PROBES)
