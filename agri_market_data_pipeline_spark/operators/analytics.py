@@ -549,3 +549,58 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(2.0) * s1 / (n * s0) - (n + 1.0) / n, 10).alias("gini"),
         n.alias("n"),
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+WITH med AS (
+  SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+  FROM lineitem GROUP BY l_returnflag
+), mad AS (
+  SELECT l.l_returnflag,
+         ROUND(quantile_cont(ABS(l.l_extendedprice - m.med), 0.5), 4) AS mad
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+  GROUP BY l.l_returnflag
+)
+SELECT l.l_returnflag, m.med, d.mad,
+       CAST(SUM(CASE WHEN ABS(l.l_extendedprice - m.med) > 6 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN med m ON l.l_returnflag = m.l_returnflag
+JOIN mad d ON l.l_returnflag = d.l_returnflag
+GROUP BY l.l_returnflag, m.med, d.mad
+""",
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation instead of
+    anomaly_zscore's moments. The zscore flag breaks down exactly where
+    it matters — heavy-tailed mandi prices inflate the stddev until real
+    spikes hide under the 4σ line — while median and MAD have a 50%
+    breakdown point, so the flag stays calibrated on dirty data.
+
+    Three passes over the fact (median, MAD, count-outliers), each a
+    per-group aggregate with the tiny stats rows broadcast back —
+    never a fact-sized window. Exact interpolated medians carry
+    agg_percentiles' ROUND(4) rule so both engines draw the identical
+    outlier boundary; at 100 TB both medians come from one KLL sketch
+    pass each, with this exact form as the audit."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile(F.abs(F.col("l_extendedprice") - F.col("med")), 0.5), 4
+        ).alias("mad")
+    )
+    scored = li.join(F.broadcast(med), "l_returnflag").join(
+        F.broadcast(mad), "l_returnflag"
+    )
+    is_out = F.abs(F.col("l_extendedprice") - F.col("med")) > 6 * F.col("mad")
+    return scored.groupBy("l_returnflag", "med", "mad").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        F.count("*").alias("n"),
+    )

@@ -16,6 +16,10 @@ operators:
 - ``agg_weighted_median``: volume-weighted median price (the robust twin
   of agg_vwap's weighted mean), DECIMAL-exact so both engines cut the
   cumulative distribution at the identical row.
+- ``dq_referential``: FK orphan audit across the star schema's edges
+  (the Commodity_Code mapping nothing in the reference validates).
+- ``dq_freshness``: per-group staleness vs the table tip — the harvest
+  health metric a 3-hourly incremental loop lives or dies by.
 """
 
 from __future__ import annotations
@@ -176,4 +180,90 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(F.min("price").alias("wmedian"))
+    )
+
+
+@query(
+    "dq_referential",
+    oracle="""
+SELECT 'lineitem->orders' AS fk_edge,
+       COUNT(*) AS n_child,
+       COUNT(*) - COUNT(o.o_orderkey) AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       COUNT(*),
+       COUNT(*) - COUNT(c.c_custkey)
+FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer->nation',
+       COUNT(*),
+       COUNT(*) - COUNT(n.n_nationkey)
+FROM customer c2 LEFT JOIN nation n ON c2.c_nationkey = n.n_nationkey
+""",
+)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    children whose parent key resolves nowhere (the reference's
+    Commodity_Code → commodity mapping, which nothing ever validates).
+    Each edge is a left join + counted nulls; the dimension edges
+    broadcast and the fact edge is the one real shuffle. At 100 TB this
+    is the post-ingest gate that catches a truncated dimension load
+    before queries silently drop rows through inner joins."""
+
+    def edge(child: DataFrame, parent: DataFrame, ck: str, pk: str, name: str):
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_child"),
+            (F.count(F.lit(1)) - F.count(parent[pk])).alias("n_orphans"),
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey")
+    e1 = edge(li, o.select("o_orderkey"), "l_orderkey", "o_orderkey",
+              "lineitem->orders")
+    e2 = edge(o.select("o_custkey"), c.select("c_custkey"), "o_custkey",
+              "c_custkey", "orders->customer")
+    e3 = edge(c.select("c_nationkey"), n, "c_nationkey", "n_nationkey",
+              "customer->nation")
+    return e1.unionByName(e2).unionByName(e3)
+
+
+@query(
+    "dq_freshness",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS prio,
+         MAX(o_orderdate) AS latest,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+), t AS (SELECT MAX(o_orderdate) AS tip FROM orders)
+SELECT g.prio, g.latest, g.n_orders,
+       CAST(date_diff('day', CAST(g.latest AS DATE), CAST(t.tip AS DATE))
+            AS BIGINT) AS stale_days
+FROM g CROSS JOIN t
+""",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group staleness: how far each partition's newest record lags
+    the table tip — THE operational metric for the reference's 3-hourly
+    harvest (a commodity whose latest quotation is weeks old means the
+    upstream API silently stopped serving it; nothing in the reference
+    would notice). One partial-aggregable MAX per group plus a one-row
+    cross join for the tip — no window, no second fact scan."""
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.max("o_orderdate").alias("latest"), F.count("*").alias("n_orders")
+    )
+    t = o.agg(F.max("o_orderdate").alias("tip"))
+    return g.join(F.broadcast(t)).select(
+        "prio",
+        "latest",
+        "n_orders",
+        F.datediff(F.col("tip").cast("date"), F.col("latest").cast("date"))
+        .cast("long")
+        .alias("stale_days"),
     )
