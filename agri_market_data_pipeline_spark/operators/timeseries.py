@@ -149,3 +149,151 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+_EWMA_R = 0.75  # per-step decay; 8-tap FIR truncation (r^8 < 0.11)
+_EWMA_TAPS = 8
+
+
+def _sql_ewma() -> tuple[str, str]:
+    """(numerator, denominator) SQL for the truncated-EWMA over lag taps
+    t0..t7 — the same left-associated expression tree the Spark side
+    builds, so both engines evaluate identical IEEE operation orders."""
+    num = " + ".join(
+        f"CASE WHEN t{k} IS NULL THEN 0.0 ELSE {_EWMA_R**k!r} * t{k} END"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN t{k} IS NULL THEN 0.0 ELSE {_EWMA_R**k!r} END"
+        for k in range(_EWMA_TAPS)
+    )
+    return num, den
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), lagged AS (
+  SELECT prio, d, x,
+         {", ".join(f"LAG(x, {k}) OVER (PARTITION BY prio ORDER BY d) AS t{k}" for k in range(_EWMA_TAPS))}
+  FROM daily
+)
+SELECT prio, d, x,
+       ({_sql_ewma()[0]}) / ({_sql_ewma()[1]}) AS ewma
+FROM lagged
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily order-value
+    series, as a truncated FIR filter: 8 lag taps with literal r^k
+    weights and an adaptive normalizer over the taps that exist (so the
+    series head isn't biased toward zero). The recursive IIR form
+    (ewma = αx + (1−α)·prev) is inexpressible as a window function —
+    truncation at r^8 ≈ 0.10 is the standard declarative rendering, and
+    at 100 TB it keeps the operator one window pass with a bounded
+    frame instead of a stateful scan.
+
+    Determinism without rounding: tap values are DECIMAL-exact daily
+    sums, weights are literals, and BOTH engines evaluate the same
+    left-associated sum — neither Catalyst nor DuckDB reassociates
+    floating-point arithmetic, so the division's operands are
+    bit-identical."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x"))
+    w = Window.partitionBy("prio").orderBy("d")
+    lagged = daily.select(
+        "prio",
+        "d",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"t{k}") for k in range(_EWMA_TAPS)],
+    )
+    num = None
+    den = None
+    for k in range(_EWMA_TAPS):
+        t = F.col(f"t{k}")
+        term = F.when(t.isNull(), 0.0).otherwise(F.lit(_EWMA_R**k) * t)
+        wgt = F.when(t.isNull(), 0.0).otherwise(F.lit(_EWMA_R**k))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return lagged.select("prio", "d", "x", (num / den).alias("ewma"))
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), stats AS (
+  SELECT prio,
+         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mu,
+         COUNT(*) AS n_days
+  FROM daily GROUP BY prio
+), c AS (
+  SELECT dd.prio, dd.d, s.n_days,
+         SUM(dd.x - s.mu) OVER (PARTITION BY dd.prio ORDER BY dd.d) AS cusum
+  FROM daily dd JOIN stats s ON dd.prio = s.prio
+), best AS (
+  SELECT prio, MAX(ROUND(ABS(cusum), 6)) AS max_abs_cusum
+  FROM c GROUP BY prio
+)
+SELECT c.prio,
+       MIN(c.d) AS changepoint_d,
+       b.max_abs_cusum,
+       MIN(c.n_days) AS n_days
+FROM c JOIN best b
+  ON c.prio = b.prio AND ROUND(ABS(c.cusum), 6) = b.max_abs_cusum
+GROUP BY c.prio, b.max_abs_cusum
+""",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily order-value series: the
+    running sum of deviations from the series mean peaks (in absolute
+    value) exactly where the level shifts — the classic single-pass
+    drift locator for 'did this commodity's price regime change, and
+    when'. Ties break to the earliest day.
+
+    Determinism: μ is an exact-DECIMAL ratio, per-row deviations are
+    exact IEEE subtractions, and BOTH engines accumulate the running
+    window sum sequentially in date order (no reassociation), so the
+    cusum trajectory is bit-identical; only its |argmax| comparison is
+    ROUND(6)ed to pin the boundary. Scale: one window pass over the
+    (group, day) pre-aggregate — never fact rows — then two tiny
+    aggregates."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x"))
+    stats = daily.groupBy("prio").agg(
+        (F.sum(F.col("x").cast("decimal(30,6)")).cast("double") / F.count("*")).alias("mu"),
+        F.count("*").alias("n_days"),
+    )
+    w = Window.partitionBy("prio").orderBy("d")
+    c = (
+        daily.join(F.broadcast(stats), "prio")
+        .withColumn("cusum", F.sum(F.col("x") - F.col("mu")).over(w))
+        .select("prio", "d", "n_days", F.round(F.abs("cusum"), 6).alias("ac"))
+    )
+    best = c.groupBy("prio").agg(F.max("ac").alias("max_abs_cusum"))
+    ca, ba = c.alias("ca"), best.alias("ba")
+    return (
+        ca.join(
+            ba,
+            (F.col("ca.prio") == F.col("ba.prio"))
+            & (F.col("ca.ac") == F.col("ba.max_abs_cusum")),
+        )
+        .groupBy(F.col("ca.prio").alias("prio"), "max_abs_cusum")
+        .agg(F.min("d").alias("changepoint_d"), F.min("n_days").alias("n_days"))
+        .select("prio", "changepoint_d", "max_abs_cusum", "n_days")
+    )
