@@ -10,6 +10,8 @@ pruned ReadSchema.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,3 +69,60 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"), dsum("k").alias("sum_k"))
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-file ingestion — Spark's `binaryFile` source, the real
+    entry path for image/audio corpora (one file per asset, content as
+    an opaque BINARY column + path/length metadata). The corpus is
+    first materialized to doc_<id>.bin files from documents.text, then
+    scanned back through the format; id parsed from the path, content
+    md5'd — hash-matching the source table proves the round trip loses
+    nothing (sink_partitioned_append's argument, pointed at blobs).
+
+    At 100 TB: binaryFile splits per FILE (assets are indivisible), so
+    parallelism = file count and small-file pressure is real — pair
+    with sink_compact_files-style packing (many assets per parquet row
+    group via multimodal_metadata's layout) once assets are ingested."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..tables import table_path
+
+    blob_dir = tempfile.mkdtemp(prefix="blobs_")
+    try:
+        tbl = pq.read_table(table_path(sf_dir, "documents"), columns=["doc_id", "text"])
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            with open(os.path.join(blob_dir, f"doc_{doc_id}.bin"), "wb") as fh:
+                fh.write(text.encode("utf-8"))
+        scanned = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(blob_dir)
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+                .cast("long")
+                .alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.md5("content").alias("content_md5"),
+            )
+        )
+        # materialize before deleting the backing files (lazy scan);
+        # localCheckpoint RETURNS the detached frame — the original stays
+        # file-backed
+        return scanned.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(blob_dir, ignore_errors=True)

@@ -9,7 +9,7 @@ Spark sentiment paper grounds the lexicon-scoring shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -559,4 +559,77 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length(clean).cast("long").alias("n_chars"),
         F.md5(clean).alias("clean_md5"),
+    )
+
+
+_KW_K = 3
+
+
+@query(
+    "text_keyword_extract",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok
+), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * ROUND(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6), 6)
+           AS score
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       list(tok ORDER BY rn) AS keywords,
+       list(score ORDER BY rn) AS scores
+FROM ranked WHERE rn <= {_KW_K}
+GROUP BY doc_id
+""",
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-{_KW_K} TF-IDF terms as
+    rank-ordered arrays — the tagging/routing primitive downstream of
+    text_tfidf's flat scores. TF is exact, IDF's ln is ROUND(6)ed before
+    the (then-exact) integer multiply so both engines rank on identical
+    scores, ties break lexically, and the arrays are canonicalized by
+    rank (agg_collect_sorted's rule).
+
+    Scale: same inverted-index shuffles as text_tfidf (doc-keyed TF,
+    token-keyed DF) plus one bounded per-doc window; the corpus-size
+    scalar rides a one-row cross join. Zipf head handling mirrors
+    text_unigram_logprob: broadcast the top-V DF table, shuffle the
+    tail."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    ranked = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KW_K
+    )
+    packed = F.array_sort(F.collect_list(F.struct("rn", "tok", "score")))
+    return ranked.groupBy("doc_id").agg(
+        F.transform(packed, lambda s: s.tok).alias("keywords"),
+        F.transform(packed, lambda s: s.score).alias("scores"),
     )
