@@ -267,3 +267,79 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("stale_days"),
     )
+
+
+@query(
+    "agg_moments_higher",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                       AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice * l_extendedprice
+                       * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n)
+              + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+              + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT l_returnflag, n,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE ROUND(m3 / POW(m2, 1.5), 4) END AS skewness,
+       CASE WHEN m2 <= 0 THEN NULL
+            ELSE ROUND(m4 / (m2 * m2) - 3.0, 4) END AS excess_kurtosis
+FROM m
+""",
+)
+def agg_moments_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per group, from exact raw power sums
+    — the tail-shape diagnostics that justify ts_anomaly_mad over
+    anomaly_zscore (heavy tails = high kurtosis = inflated stddev).
+    Spark's built-in skewness/kurtosis and DuckDB's use different bias
+    corrections, so both sides compute the population (g-) moments from
+    the SAME formula over DECIMAL-accumulated Σx..Σx⁴: one partial-agg
+    pass, four extra multiply columns, identical expression trees.
+    ROUND(4) absorbs the pow/cancellation ulps; m2 ≤ 0 (constant group)
+    yields NULL on both engines instead of a divide-by-zero. Headroom:
+    x⁴ ≈ 1e20 per row sums to < 1e27 per group — DECIMAL(38,6) holds to
+    1e32, i.e. ~5 more orders of magnitude of rows."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    dec = "decimal(38,6)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("s1"),
+        F.sum((x * x).cast(dec)).cast("double").alias("s2"),
+        F.sum((x * x * x).cast(dec)).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast(dec)).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3.0 * mean * (F.col("s2") / n) + 2.0 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mean * (F.col("s3") / n)
+        + 6.0 * mean * mean * (F.col("s2") / n)
+        - 3.0 * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.when(m2 <= 0, F.lit(None)).otherwise(
+            F.round(m3 / F.pow(m2, 1.5), 4)
+        ).alias("skewness"),
+        F.when(m2 <= 0, F.lit(None)).otherwise(
+            F.round(m4 / (m2 * m2) - 3.0, 4)
+        ).alias("excess_kurtosis"),
+    )
