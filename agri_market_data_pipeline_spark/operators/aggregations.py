@@ -602,3 +602,39 @@ def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(packed, lambda s: s.q).alias("top_values"),
         F.transform(packed, lambda s: s.cnt).alias("top_counts"),
     )
+
+
+_Q5_SQL = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("sql_star_join", oracle=_Q5_SQL)
+def sql_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full star-schema join, TPC-H Q5 shape: six tables, a
+    local-supplier θ-condition (customer and supplier share a nation),
+    region/date filters, DECIMAL-exact revenue — the one query that
+    exercises join REORDERING end to end. Catalyst pushes the region
+    filter through nation to prune before the fact joins, broadcasts
+    every dimension, and leaves lineitem⋈orders as the single big
+    exchange; the same ANSI text runs on both engines (sql_interface's
+    argument at maximum join width). At 100 TB this is the query
+    bucketing (join_bucketed) and runtime filters (join_bloom_runtime)
+    exist to accelerate."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q5_SQL)

@@ -55,6 +55,7 @@ HEADLINE = [
     "agg_mode",
     "text_unigram_logprob",
     "sim_search_lsh_rp",
+    "sql_star_join",
 ]
 
 
