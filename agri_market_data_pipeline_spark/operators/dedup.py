@@ -867,3 +867,45 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("cluster_id"), "cluster_size", "keep_vec_id"
         )
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS nh,
+         md5(text) AS rh
+  FROM documents
+)
+SELECT nh AS norm_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(DISTINCT rh) AS BIGINT) AS n_raw_variants
+FROM norm
+GROUP BY nh
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: hash AFTER lowercasing, trimming and
+    collapsing whitespace — the canonical-form pass that catches the
+    re-encoded copies byte-exact dedup (dedup_exact) misses while
+    staying fully exact (no similarity threshold to tune). Reporting
+    n_raw_variants > 1 per group shows precisely what normalization
+    bought. Same skew-free md5-keyed shuffle as dedup_exact; the
+    normalization chain is row-local regexp inside codegen. The
+    reference's own safe_name (fetch_data.py:36-40) is this idea
+    applied to partition keys; here it applies to content."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    )
+    return (
+        d.select("doc_id", norm.alias("nh"), F.md5("text").alias("rh"))
+        .groupBy(F.col("nh").alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_members"),
+            F.count_distinct("rh").alias("n_raw_variants"),
+        )
+    )

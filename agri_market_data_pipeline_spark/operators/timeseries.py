@@ -297,3 +297,77 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("d").alias("changepoint_d"), F.min("n_days").alias("n_days"))
         .select("prio", "changepoint_d", "max_abs_cusum", "n_days")
     )
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), lagd AS (
+  SELECT prio, x,
+         LAG(x, 1) OVER (PARTITION BY prio ORDER BY d) AS xl
+  FROM daily
+), p AS (SELECT prio, x, xl FROM lagd WHERE xl IS NOT NULL
+), s AS (
+  SELECT prio, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(xl AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * xl AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(xl * xl AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM p GROUP BY prio
+)
+SELECT prio, n,
+       CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+            ELSE ROUND((n * sxy - sx * sy)
+                       / SQRT(n * sxx - sx * sx)
+                       / SQRT(n * syy - sy * sy), 4)
+       END AS autocorr_lag1
+FROM s
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily order-value series — the
+    persistence diagnostic that says whether ts_ewma smoothing or
+    ts_cusum_changepoint drift tests are even warranted (white noise:
+    ≈0; trending/level-shifted: ≫0). Pearson correlation of the series
+    against its own lag, from DECIMAL-exact product sums over the
+    lag-paired rows (agg_corr_covar's recipe pointed at a window lag),
+    ROUND(4)ed; degenerate variance yields NULL on both engines. One
+    window pass over the daily pre-aggregate plus one partial-agg —
+    fact rows are touched exactly once, in the pre-aggregation."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x"))
+    w = Window.partitionBy("prio").orderBy("d")
+    p = (
+        daily.withColumn("xl", F.lag("x", 1).over(w))
+        .filter(F.col("xl").isNotNull())
+    )
+    dec = "decimal(38,6)"
+    x, xl = F.col("x"), F.col("xl")
+    s = p.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(dec)).cast("double").alias("sx"),
+        F.sum(xl.cast(dec)).cast("double").alias("sy"),
+        F.sum((x * xl).cast(dec)).cast("double").alias("sxy"),
+        F.sum((x * x).cast(dec)).cast("double").alias("sxx"),
+        F.sum((xl * xl).cast(dec)).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "prio",
+        "n",
+        F.when((vx <= 0) | (vy <= 0), F.lit(None))
+        .otherwise(F.round(cov / F.sqrt(vx) / F.sqrt(vy), 4))
+        .alias("autocorr_lag1"),
+    )
