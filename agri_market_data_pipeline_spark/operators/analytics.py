@@ -604,3 +604,65 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_out, 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), run AS (
+  SELECT prio, d, x,
+         MAX(x) OVER (PARTITION BY prio ORDER BY d
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+), dd AS (
+  SELECT prio, d, ROUND(1.0 - x / peak, 6) AS drawdown FROM run
+)
+SELECT prio,
+       MAX(drawdown) AS max_drawdown,
+       MIN_BY(d, CAST(ROUND((1.0 - drawdown) * 1e6, 0) AS BIGINT) * 100000
+                 + (CAST(d - DATE '1970-01-01' AS BIGINT) % 100000))
+           AS trough_d,
+       COUNT(*) AS n_days
+FROM dd
+GROUP BY prio
+""",
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily order-value series: the deepest
+    peak-to-trough fall of the running maximum — the risk metric the
+    OHLC/VWAP family reads off a price feed. Running MAX is exact
+    selection (no float accumulation anywhere); the per-day drawdown
+    ratio divides exact doubles and is ROUND(6)ed once so the argmin
+    cut is cross-engine stable; the trough day rides a packed-BIGINT
+    min_by (scaled retained-value then epoch-day tiebreak — earliest
+    deepest trough wins) to keep HashAggregate. One window pass over
+    the daily pre-aggregate, one aggregate — fact rows touched once."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("x"))
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "prio",
+        "d",
+        F.round(1.0 - F.col("x") / F.max("x").over(w), 6).alias("drawdown"),
+    )
+    key = (
+        F.round((1.0 - F.col("drawdown")) * 1e6, 0).cast("bigint") * 100000
+        + F.unix_date("d").cast("bigint") % 100000
+    )
+    return dd.groupBy("prio").agg(
+        F.max("drawdown").alias("max_drawdown"),
+        F.min_by("d", key).alias("trough_d"),
+        F.count("*").alias("n_days"),
+    )
