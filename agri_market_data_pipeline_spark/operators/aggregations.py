@@ -449,7 +449,8 @@ def incr_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT l_returnflag,
-       list_sort(list(DISTINCT l_quantity)) AS quantities,
+       array_to_string(list_sort(list(DISTINCT CAST(l_quantity AS BIGINT))),
+                       '|') AS quantities,
        CAST(len(list(DISTINCT l_quantity)) AS BIGINT) AS n_distinct
 FROM lineitem
 GROUP BY l_returnflag
@@ -460,12 +461,19 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     group — list results hash across engines only because the list is
     canonicalized (distinct + sort) inside the query; a bare
     collect_list is partition-order-dependent and would never match.
-    At scale collect_* must be bounded (here: the quantity domain);
-    unbounded group payloads belong in a re-explode pipeline, not an
-    array cell."""
+    The vector is serialized to one pipe-joined string (values cast to
+    BIGINT first — double→string rendering differs per engine) so the
+    result frame carries only scalar columns: array cells are not
+    hashable by pandas-based comparators, and the long-form alternative
+    is a plain explode anyway. At scale collect_* must be bounded
+    (here: the quantity domain); unbounded group payloads belong in a
+    re-explode pipeline, not an array cell."""
     li = load(spark, sf_dir, "lineitem")
+    qset = F.sort_array(F.collect_set(F.col("l_quantity").cast("bigint")))
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_quantity")).alias("quantities"),
+        F.concat_ws("|", F.transform(qset, lambda x: x.cast("string"))).alias(
+            "quantities"
+        ),
         F.size(F.collect_set("l_quantity")).cast("long").alias("n_distinct"),
     )
 
@@ -573,8 +581,8 @@ WITH c AS (
   FROM c
 )
 SELECT l_returnflag,
-       list(q ORDER BY rn) AS top_values,
-       list(cnt ORDER BY rn) AS top_counts
+       string_agg(CAST(q AS VARCHAR), '|' ORDER BY rn) AS top_values,
+       string_agg(CAST(cnt AS VARCHAR), '|' ORDER BY rn) AS top_counts
 FROM r WHERE rn <= {_TOPF_K}
 GROUP BY l_returnflag
 """,
@@ -590,7 +598,10 @@ def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_collect_sorted's rule). The ranked input is ≤ |values| rows per
     group and k is constant, so the collect is bounded at any fact
     scale; the unbounded-sketch alternative is count-min + heap, this
-    exact form is its audit."""
+    exact form is its audit. The ranked vectors are serialized to
+    pipe-joined strings (rank order fixed by the sorted-struct collect)
+    so the result carries only scalar columns — array cells are not
+    hashable by pandas-based comparators."""
     li = load(spark, sf_dir, "lineitem")
     c = li.groupBy(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
@@ -599,8 +610,12 @@ def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _TOPF_K)
     packed = F.array_sort(F.collect_list(F.struct("rn", "q", "cnt")))
     return r.groupBy("l_returnflag").agg(
-        F.transform(packed, lambda s: s.q).alias("top_values"),
-        F.transform(packed, lambda s: s.cnt).alias("top_counts"),
+        F.concat_ws(
+            "|", F.transform(packed, lambda s: s.q.cast("string"))
+        ).alias("top_values"),
+        F.concat_ws(
+            "|", F.transform(packed, lambda s: s.cnt.cast("string"))
+        ).alias("top_counts"),
     )
 
 

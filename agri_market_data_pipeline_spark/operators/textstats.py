@@ -587,8 +587,9 @@ WITH tok AS (
   FROM scored
 )
 SELECT doc_id,
-       list(tok ORDER BY rn) AS keywords,
-       list(score ORDER BY rn) AS scores
+       string_agg(tok, '|' ORDER BY rn) AS keywords,
+       string_agg(CAST(CAST(ROUND(score * 1e6) AS BIGINT) AS VARCHAR),
+                  '|' ORDER BY rn) AS scores_micro
 FROM ranked WHERE rn <= {_KW_K}
 GROUP BY doc_id
 """,
@@ -599,7 +600,10 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_tfidf's flat scores. TF is exact, IDF's ln is ROUND(6)ed before
     the (then-exact) integer multiply so both engines rank on identical
     scores, ties break lexically, and the arrays are canonicalized by
-    rank (agg_collect_sorted's rule).
+    rank (agg_collect_sorted's rule), then serialized to pipe-joined
+    strings — keywords directly, scores on the 1e-6 integer lattice
+    (double→string rendering differs per engine; micro-units don't) —
+    so the result carries only scalar, driver-hashable columns.
 
     Scale: same inverted-index shuffles as text_tfidf (doc-keyed TF,
     token-keyed DF) plus one bounded per-doc window; the corpus-size
@@ -630,6 +634,14 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = F.array_sort(F.collect_list(F.struct("rn", "tok", "score")))
     return ranked.groupBy("doc_id").agg(
-        F.transform(packed, lambda s: s.tok).alias("keywords"),
-        F.transform(packed, lambda s: s.score).alias("scores"),
+        F.concat_ws("|", F.transform(packed, lambda s: s.tok)).alias(
+            "keywords"
+        ),
+        F.concat_ws(
+            "|",
+            F.transform(
+                packed,
+                lambda s: F.round(s.score * 1e6).cast("bigint").cast("string"),
+            ),
+        ).alias("scores_micro"),
     )
