@@ -61,11 +61,20 @@ def curate(
     n_exact = exact.count()
 
     # 3. near-dup clustering over LSH candidate pairs; drop everything
-    # but each component's representative (min doc_id)
+    # but each component's representative. The representative must be
+    # chosen among the docs that SURVIVED stages 1-2 — the global
+    # min-doc_id label may already be gone, and dropping relative to it
+    # would silently erase whole clusters.
     pairs = dedup_near_minhash_pairs(spark, sf_dir)
     labels = _connected_components(pairs, "doc_a", "doc_b")
-    drop = labels.filter(F.col("node") != F.col("label")).select(
-        F.col("node").alias("doc_id")
+    surv = labels.withColumnRenamed("node", "doc_id").join(
+        exact.select("doc_id"), "doc_id", "leftsemi"
+    )
+    rep = surv.groupBy("label").agg(F.min("doc_id").alias("rep_id"))
+    drop = (
+        surv.join(rep, "label")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
     )
     unique = exact.join(drop, "doc_id", "leftanti")
     n_unique = unique.count()

@@ -91,15 +91,14 @@ def run_incremental_ingest(
         order_col="src_offset",
     )
 
-    dead_rows = dead.collect()
-    if dead_rows:
+    if not dead.isEmpty():
         # keyed by offset via upsert: a crash-replay that dead-letters the
-        # same page again must not double-count it.
-        dl = spark.createDataFrame(dead_rows)
+        # same page again must not double-count it. Written distributed —
+        # no driver round-trip even though failed-page counts are small.
         merge_upsert(
             spark,
             os.path.join(store_dir, "dead_letters"),
-            dl,
+            dead,
             keys=["offset"],
             order_col="offset",
         )

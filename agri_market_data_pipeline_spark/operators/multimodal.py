@@ -312,9 +312,12 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints compared by hamming distance — the image twin of
     dedup_simhash, closing the loop between the multimodal and dedup
     families. Candidate pairs come from LSH banding over the fingerprint
-    (4 bands × 16 bits: a pair within hamming {_PHASH_MAX_HAMMING} of a
-    64-bit hash agrees on ≥1 whole band unless all differing bits spread
-    4+ per band), then exact bit_count verification — never O(n²).
+    (4 bands × 16 bits), then exact bit_count verification — never
+    O(n²). Recall is GUARANTEED only for hamming < 4 (pigeonhole: 3
+    differing bits cannot touch all 4 bands); for hamming 4..
+    {_PHASH_MAX_HAMMING} a shared clean band is likely but not certain
+    (bits could spread 1+ per band), so above 3 the operator is
+    approximate — the planted-pair test pins the empirical recall.
 
     Rows-only check (the fingerprint rides the stubbed decode path,
     which has no SQL twin); determinism and planted-pair recovery are

@@ -353,8 +353,9 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             if done >= total:
                 break
-        out = spark.table(sink)
-        out.localCheckpoint(eager=True)  # detach from the memory sink
+        # localCheckpoint is not in-place: rebind to the checkpointed
+        # frame, or the returned df stays bound to the memory sink.
+        out = spark.table(sink).localCheckpoint(eager=True)
         return out
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)

@@ -59,18 +59,31 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nanos:
         # TIMESTAMP(NANOS) footers are rejected by the vectorized reader —
         # declare long + nanosAsLong and rebuild (same trick as tables.load).
+        # The flag is consulted at schema-conversion/plan-creation time, so
+        # scope it to the readStream...load() call and restore: a session-
+        # wide set would silently change how later raw parquet reads
+        # interpret nanos timestamps (see tables.load_events).
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = _events_stream_schema(LongType())
     else:
+        prev = None
         schema = _events_stream_schema(TimestampNTZType())
     # The file-stream source requires a directory; point it at sf_dir and
     # glob-select the events file.
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    try:
+        raw = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+    finally:
+        if nanos:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     if nanos:
         # integral `div` (see tables.load): float division would lose µs.
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
