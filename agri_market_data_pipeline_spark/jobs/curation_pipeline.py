@@ -78,6 +78,10 @@ def curate(
     )
     unique = exact.join(drop, "doc_id", "leftanti")
     n_unique = unique.count()
+    # Audit counts: every surviving cluster must keep exactly one
+    # representative, so members - clusters == docs dropped here.
+    n_near_members = surv.count()
+    n_near_clusters = rep.count()
 
     # 4. weighted sample (A-Res, md5-derived u — reproducible anywhere)
     h = F.conv(
@@ -104,6 +108,8 @@ def curate(
         "after_quality_gate": n_gated,
         "after_exact_dedup": n_exact,
         "after_near_dedup": n_unique,
+        "near_members_surviving": n_near_members,
+        "near_clusters_surviving": n_near_clusters,
         "sampled": n_out,
         "out": out_path,
     }

@@ -58,15 +58,88 @@ _N_CELLS = 16
 _N_PROBE = 4
 
 
-@query("sim_search_ivf")
+def _ivf_sql(rounds: int, k: int) -> str:
+    """DuckDB twin of the IVF search over k seed cells, optionally
+    refined by `rounds` k-means rounds UNROLLED into a CTE chain
+    (carr0 → a1/cent1/carr1 → …), then the serve stage probes the
+    final centroids. Determinism rules: integer-lattice centroid
+    means, ROUND(6) cosines before every rank boundary (NaN cosines
+    sort first under DESC on both engines)."""
+    ctes = [
+        f"carr0 AS (SELECT vec_id AS cell_id, embedding AS cvec\n"
+        f"  FROM embeddings WHERE vec_id < {k})"
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"carr{r - 1}"
+        ctes.append(
+            f"""a{r} AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN {prev} c)"""
+        )
+        ctes.append(
+            f"""cent{r} AS (
+  SELECT cell_id, idx,
+         CAST(SUM(CAST(FLOOR(v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*)
+           AS cv
+  FROM (SELECT cell_id, generate_subscripts(embedding, 1) AS idx,
+               UNNEST(embedding) AS v
+        FROM a{r} WHERE rn = 1)
+  GROUP BY cell_id, idx)"""
+        )
+        ctes.append(
+            f"carr{r} AS (SELECT cell_id, list(cv ORDER BY idx) AS cvec\n"
+            f"  FROM cent{r} GROUP BY cell_id)"
+        )
+    fin = f"carr{rounds}"
+    ctes.append(
+        f"qv AS (SELECT embedding AS qvec FROM embeddings"
+        f" WHERE vec_id = {_QUERY_VEC_ID})"
+    )
+    ctes.append(
+        f"""probe AS (
+  SELECT cell_id FROM {fin} c CROSS JOIN qv
+  ORDER BY ROUND({sql_cosine('c.cvec', 'qv.qvec')}, 6) DESC, cell_id
+  LIMIT {_N_PROBE})"""
+    )
+    ctes.append(
+        f"""af AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN {fin} c)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.vec_id, ROUND({sql_cosine('a.embedding', 'qv.qvec')}, 6) AS cos_sim
+FROM af a CROSS JOIN qv
+WHERE a.rn = 1
+  AND a.cell_id IN (SELECT cell_id FROM probe)
+  AND a.vec_id != {_QUERY_VEC_ID}
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT {_TOP_K}"""
+    )
+
+
+@query("sim_search_ivf", oracle=_ivf_sql(0, _N_CELLS))
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: partition vectors into _N_CELLS Voronoi cells
     around fixed seed centroids (vec_id < _N_CELLS — deterministic,
-    training-free; production runs a few k-means rounds), then search
-    only the _N_PROBE cells nearest the query. Scales the top-k scan by
-    nprobe/ncells at a recall cost (bounded in tests vs the brute-force
-    baseline). Rows-only check: cell assignment is an engine-internal
-    detail with no ANSI-SQL twin worth maintaining.
+    training-free; `ml_kmeans_train_ivf` is the trained variant), then
+    search only the _N_PROBE cells nearest the query. Scales the top-k
+    scan by nprobe/ncells at a recall cost (bounded in tests and in
+    `sim_search_ivf_recall` vs the brute-force baseline). The whole
+    index build + probe is oracle-checked: assignment and probe rank on
+    ROUND(6) cosines with cell_id tie-breaks, so rank boundaries are
+    engine-portable (NaN cosines sort first under DESC on both
+    engines).
 
     At 100 TB the cell id becomes a *partition column* of the stored
     table, so a query prunes to nprobe partitions at the file level."""
@@ -75,12 +148,12 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
 
-    # Assign every vector to its nearest centroid (argmax cosine).
+    # Assign every vector to its nearest centroid (argmax rounded cosine).
     scored = e.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell_id",
-        vec_cosine("embedding", "cvec").alias("c_cos"),
+        F.round(vec_cosine("embedding", "cvec"), 6).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
     assigned = (
@@ -95,7 +168,9 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cents.join(F.broadcast(q))
-        .select("cell_id", vec_cosine("cvec", "qvec").alias("c_cos"))
+        .select(
+            "cell_id", F.round(vec_cosine("cvec", "qvec"), 6).alias("c_cos")
+        )
         .orderBy(F.desc("c_cos"), F.asc("cell_id"))
         .limit(_N_PROBE)
         .select("cell_id")
@@ -109,6 +184,39 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
+    )
+
+
+@query(
+    "sim_search_ivf_recall",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       COUNT(*) / {_TOP_K} AS recall
+FROM ({_ivf_sql(0, _N_CELLS)}) ivf
+JOIN (
+  WITH q AS (SELECT embedding AS qvec FROM embeddings
+             WHERE vec_id = {_QUERY_VEC_ID})
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {_QUERY_VEC_ID}
+  ORDER BY ROUND({sql_cosine('e.embedding', 'q.qvec')}, 6) DESC, e.vec_id
+  LIMIT {_TOP_K}
+) ex USING (vec_id)
+""",
+)
+def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the IVF search measured against its own
+    brute-force twin INSIDE the query — the index's quality metric as
+    a first-class, fully oracle-checked result (both engines replicate
+    both the approximate and the exact top-k and intersect them). The
+    recall ratio is an exact integer division — bitwise identical
+    across engines, never rounded (registry.py rules). At 100 TB this
+    is the acceptance probe run on a sample after every index build."""
+    ivf = sim_search_ivf(spark, sf_dir).select("vec_id")
+    exact = sim_search_topk(spark, sf_dir).select("vec_id")
+    return ivf.join(exact, "vec_id").agg(
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(_TOP_K)).alias("recall"),
     )
 
 
@@ -194,6 +302,40 @@ def sim_search_lsh_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", cos.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
+    )
+
+
+_LSH_RECALL_BOUND_PCT = 25  # conservative floor across data regenerations
+
+
+@query(
+    "sim_search_lsh_recall",
+    oracle=f"""
+SELECT CAST({_LSH_RECALL_BOUND_PCT} AS BIGINT) AS bound_pct,
+       CAST(1 AS BIGINT) AS recall_ge_bound
+""",
+)
+def sim_search_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} bound for the random-hyperplane LSH search,
+    asserted INSIDE the query: the Spark side computes recall against
+    the brute-force twin and emits whether it clears the
+    {_LSH_RECALL_BOUND_PCT}% floor; the oracle is the constant row the
+    claim must hash-match. The bucket geometry itself (md5-lattice
+    hyperplanes) has no maintainable ANSI twin — this converts the
+    formerly rows-only operator into an oracle-checked recall
+    guarantee. The floor is deliberately conservative: recall is
+    data-dependent and the corpus is regenerated between runs
+    (observed ~0.6 at sf0.01)."""
+    approx = sim_search_lsh_rp(spark, sf_dir).select("vec_id")
+    exact = sim_search_topk(spark, sf_dir).select("vec_id")
+    hits = approx.join(exact, "vec_id")
+    return hits.agg(
+        F.lit(_LSH_RECALL_BOUND_PCT).cast("long").alias("bound_pct"),
+        (
+            (F.count("*") * 100 >= F.lit(_LSH_RECALL_BOUND_PCT * _TOP_K))
+            .cast("long")
+            .alias("recall_ge_bound")
+        ),
     )
 
 
@@ -488,4 +630,97 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_seeded",
             F.coalesce(F.col("n1"), F.lit(0)).cast("long").alias("n_refined"),
         )
+    )
+
+
+_KMI_ROUNDS = 2  # trained rounds for the end-to-end train→serve path
+
+
+def _kmeans_cells(e: DataFrame, rounds: int) -> DataFrame:
+    """Run `rounds` k-means refinement rounds over the embedding frame;
+    returns the trained (cell_id, cvec) centroid frame. Each round is
+    ml_kmeans_refine's two stages: row-local argmax assignment against
+    the broadcast centroid array (zero fact-side shuffle), then the
+    long-form integer-lattice centroid update (k × dim shuffle rows).
+    Cells that lose every member simply drop out of the next round —
+    the same semantics as the SQL twin, where an empty cell has no
+    GROUP BY row."""
+    cells = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    for _ in range(rounds):
+        arr = cells.agg(
+            F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+        )
+        assigned = e.join(F.broadcast(arr)).select(
+            "vec_id",
+            "embedding",
+            _argmax_cell("cells", "embedding").alias("cell_id"),
+        )
+        cent = (
+            assigned.select(
+                "cell_id", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cell_id", (F.col("pos") + 1).cast("long").alias("idx"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("v") * 1e9)).cast("double")
+                    / F.lit(1e9)
+                    / F.count("*")
+                ).alias("cv")
+            )
+        )
+        cells = cent.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s.cv,
+            ).alias("cvec")
+        )
+    return cells
+
+
+@query("ml_kmeans_train_ivf", oracle=_ivf_sql(_KMI_ROUNDS, _KM_K))
+def ml_kmeans_train_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN path trained→served end to end: {_KMI_ROUNDS} k-means
+    refinement rounds produce the coarse quantizer, then the IVF search
+    (sim_search_ivf's serve stage) runs against the TRAINED centroids —
+    assign every vector, probe the _N_PROBE best cells for the query,
+    brute-force only inside them. Unlike sim_search_ivf's fixed seeds,
+    this is the production shape: the same frame trains the index it is
+    served from, and the whole train+serve pipeline is oracle-checked
+    (the SQL twin unrolls the round loop into a CTE chain).
+
+    Scale: training cost is rounds × (one broadcast-fold scan + one
+    k×dim partial agg) — no per-round fact shuffle; the trained cells
+    frame is k rows, broadcast everywhere it appears. At 100 TB the
+    final assignment's cell_id becomes the stored partition column
+    (sim_search_ivf's note), and training runs on a sample."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    cells = _kmeans_cells(e, _KMI_ROUNDS)
+    arr = cells.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cells"))
+    assigned = e.join(F.broadcast(arr)).select(
+        "vec_id",
+        "embedding",
+        _argmax_cell("cells", "embedding").alias("cell_id"),
+    )
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cells.join(F.broadcast(q))
+        .select(
+            "cell_id", F.round(vec_cosine("cvec", "qvec"), 6).alias("c_cos")
+        )
+        .orderBy(F.desc("c_cos"), F.asc("cell_id"))
+        .limit(_N_PROBE)
+        .select("cell_id")
+    )
+    cos = F.round(vec_cosine("embedding", "qvec"), 6)
+    return (
+        assigned.join(F.broadcast(probe), "cell_id", "leftsemi")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
     )

@@ -238,6 +238,12 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
         >= rep["sampled"]
     )
     assert rep["sampled"] == 50
+    # Every near-dup cluster with >=1 survivor keeps exactly one
+    # representative: drops == surviving members - surviving clusters.
+    assert rep["near_clusters_surviving"] >= 1
+    assert rep["after_near_dedup"] == rep["after_exact_dedup"] - (
+        rep["near_members_surviving"] - rep["near_clusters_surviving"]
+    )
     out = spark.read.parquet(rep["out"])
     assert "lang" in out.columns
     assert out.count() == 50
