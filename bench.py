@@ -122,22 +122,24 @@ def main() -> int:
             "complete",
         )
 
-    # Two runs per query, report the warm one: the first run carries
-    # that plan shape's one-time codegen/AQE-compile cost, which on this
-    # 17-query suite is comparable to the actual execution time. Warm-run
-    # timing is what a resident engine sustains (and what scales with
-    # data volume — compile cost doesn't).
+    # One untimed warm run (that plan shape's one-time codegen/AQE
+    # compile cost — environment, not query cost), then the MEDIAN of
+    # three timed runs: medians make round-over-round comparison robust
+    # to a single GC pause or scheduler hiccup, where a min hides real
+    # regressions and a first-run mean drowns in warm-up.
     import gc
+    import statistics
 
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for i in range(4):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            if i > 0:  # run 0 is warm-up
+                runs.append(time.time() - t0)
             # drop per-invocation storage (query-internal .cache() /
             # localCheckpoint blocks) so earlier queries' residue can't
             # GC-pressure later ones — each timing starts from the same
@@ -145,7 +147,7 @@ def main() -> int:
             df = None
             spark.catalog.clearCache()
             gc.collect()
-        timings[name] = round(best, 3)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

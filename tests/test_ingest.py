@@ -179,3 +179,87 @@ def test_throttle_independent_of_pace(spark):
         num_partitions=1, pace=0.0, throttle_s=0.05,
     )
     assert _time.time() - t0 >= 0.25  # 5 pages x 50ms on one partition
+
+
+def test_paginated_api_over_live_http(spark):
+    """The last parity gap vs the reference's network path
+    (fetch_data.py:68-77): ingest through REAL sockets. An in-process
+    loopback HTTP server serves the JSON `records` envelope with
+    offset/limit paging; one page 500s on its first hit so the retry
+    ladder is exercised over HTTP, not a fake. Spark's Python workers
+    are separate processes — the fetch callable carries only
+    (host, port) and opens its own connections."""
+    import http.server
+    import json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    n_records = 137
+    flaky_offset = 40
+    seen: dict[int, int] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            offset = int(q["offset"][0])
+            limit = int(q["limit"][0])
+            with lock:
+                seen[offset] = seen.get(offset, 0) + 1
+                fail = offset == flaky_offset and seen[offset] == 1
+            if fail:
+                self.send_response(500)
+                self.end_headers()
+                return
+            records = [
+                {"id": i, "commodity": f"crop{i % 3}"}
+                for i in range(offset, min(offset + limit, n_records))
+            ]
+            body = json.dumps({"records": records}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    host, port = server.server_address
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+
+        def http_fetch(offset: int, limit: int) -> list[dict]:
+            import json as _json
+            import urllib.request
+
+            url = (
+                f"http://{host}:{port}/api/resource"
+                f"?offset={offset}&limit={limit}"
+            )
+            with urllib.request.urlopen(url, timeout=10) as resp:
+                if resp.status != 200:
+                    raise RuntimeError(f"status {resp.status}")
+                return _json.loads(resp.read())["records"]
+
+        records, dead = read_paginated_api(
+            spark,
+            http_fetch,
+            max_offset=n_records,
+            schema=SCHEMA,
+            limit=20,
+            num_partitions=4,
+            pace=0.0,
+            throttle_s=0.0,
+        )
+        assert dead.count() == 0
+        rows = records.orderBy("id").collect()
+        assert [r.id for r in rows] == list(range(n_records))
+        assert all(r.commodity == f"crop{r.id % 3}" for r in rows)
+        # the flaky page was retried over the wire, then succeeded
+        assert seen[flaky_offset] >= 2
+    finally:
+        server.shutdown()
+        server.server_close()

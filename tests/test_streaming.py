@@ -66,3 +66,40 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert (t(12, 0), 2) in out2, f"live window not updated: {out2}"
     late_updates = [o for o in out2 if o[0] == t(10, 0)]
     assert not late_updates, f"late row was not dropped: {late_updates}"
+
+
+def test_stateful_ops_identical_under_rocksdb_state_store(spark, sf_dir):
+    """State-store portability: stream_stateful (flatMapGroupsWithState
+    shape) and stream_dedup must produce IDENTICAL results under the
+    default HDFS-backed provider and RocksDBStateStoreProvider. RocksDB
+    is the 100 TB path — state spills off-heap to local SSD instead of
+    growing the JVM heap — and provider choice must be a pure deployment
+    knob, never a semantics change."""
+    from agri_market_data_pipeline_spark.streaming.ops import (
+        stream_dedup,
+        stream_stateful,
+    )
+
+    def snapshot(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    base = {
+        "stateful": snapshot(stream_stateful(spark, sf_dir)),
+        "dedup": snapshot(stream_dedup(spark, sf_dir)),
+    }
+    assert base["stateful"] and base["dedup"]
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        )
+        assert snapshot(stream_stateful(spark, sf_dir)) == base["stateful"]
+        assert snapshot(stream_dedup(spark, sf_dir)) == base["dedup"]
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
