@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     storage_layout,
     textstats,
     timeseries,
+    traindata,
     udfs,
     windows,
 )

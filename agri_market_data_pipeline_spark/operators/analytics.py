@@ -666,3 +666,69 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("d", key).alias("trough_d"),
         F.count("*").alias("n_days"),
     )
+
+
+@query(
+    "dim_scd2_build",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM seq
+  WHERE prev_type IS NULL OR event_type != prev_type
+), iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM iv
+""",
+)
+def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: collapse each user's
+    event stream into state-validity intervals — rows survive only
+    where event_type CHANGES, each carrying [valid_from, valid_to) and
+    an is_current flag. This is the dimension-history table every
+    warehouse maintains for as-of joins (join_asof_prices consumes
+    exactly this shape), built distributed: both windows and the
+    change-filter key on user_id, so the whole operator is ONE exchange
+    reused across stages — no self-join, no collect.
+
+    Window orderings carry the event_id tiebreaker: equal-ts events
+    would otherwise make LAG/LEAD nondeterministic (registry.py rule).
+    At 100 TB: user_id keys the shuffle; AQE splits skewed users, and
+    the output is a fraction of the input (changes only)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    chg = seq.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = chg.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    )

@@ -343,3 +343,50 @@ def agg_moments_higher(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(m4 / (m2 * m2) - 3.0, 4)
         ).alias("excess_kurtosis"),
     )
+
+
+_SKEW_TOPN = 5
+
+
+@query(
+    "dq_key_skew",
+    oracle=f"""
+WITH per_key AS (
+  SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+), stats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows FROM per_key
+)
+SELECT p.l_suppkey, p.n,
+       p.n * s.n_keys / s.n_rows AS skew_factor
+FROM per_key p CROSS JOIN stats s
+ORDER BY p.n DESC, p.l_suppkey
+LIMIT {_SKEW_TOPN}
+""",
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the {_SKEW_TOPN} heaviest l_suppkey values
+    with their hot-key factor (key rows ÷ mean rows per key) — the
+    diagnostic you run BEFORE a big join to decide between plain
+    shuffle, AQE skew handling, and manual salting (join_skew_salted is
+    the treatment; this is the diagnosis). The per-key histogram is one
+    partial-aggregable count; the corpus-wide mean rides a one-row
+    broadcast cross join, so the audit costs a single shuffle at any
+    scale. skew_factor is an exact integer ratio in double — bitwise
+    identical across engines, never rounded (registry.py rules)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"), F.sum("n").alias("n_rows")
+    )
+    return (
+        per_key.join(F.broadcast(stats))
+        .select(
+            "l_suppkey",
+            "n",
+            (F.col("n") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("n"), F.asc("l_suppkey"))
+        .limit(_SKEW_TOPN)
+    )

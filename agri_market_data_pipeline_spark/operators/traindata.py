@@ -1,0 +1,216 @@
+"""Training-corpus assembly operators: deterministic splits, sequence
+packing, and benchmark-contamination detection.
+
+The reference pipeline stops at "publish cleaned rows"
+(fetch_data.py:149-165); a corpus that feeds model training needs three
+more moves, each of which must be reproducible run-to-run and shard-
+parallel at 100 TB:
+
+- ``split_train_test``: hash-based train/val/test assignment — a pure
+  function of the stable doc_id, never of row order or RNG state, so
+  any re-run (or any engine) reproduces the exact split and a document
+  can never migrate between splits as the corpus grows.
+- ``pack_sequences``: fixed-capacity greedy packing of documents into
+  training sequences by running token count, sharded so packing is
+  embarrassingly parallel.
+- ``dedup_contamination``: n-gram overlap between the training corpus
+  and a held-out benchmark set — the eval-integrity audit every corpus
+  release runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_SHINGLES3, shingles3, tokens
+from ..registry import query
+from ..tables import load_parallel
+
+# 100-cell hash lattice → 90/5/5 split
+_SPLIT_TRAIN, _SPLIT_VAL = 90, 95
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS cell
+  FROM documents
+)
+SELECT CASE WHEN cell < {_SPLIT_TRAIN} THEN 'train'
+            WHEN cell < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM b GROUP BY 1
+""",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: each doc lands in the
+    cell md5(doc_id) mod 100 — a pure function of the stable id, so the
+    split survives re-runs, engine changes, and corpus growth (new docs
+    hash into cells without moving old ones; splitting on row_number or
+    rand() fails all three). Returns per-split count plus an id-sum
+    checksum so the oracle verifies the MEMBERSHIP, not just the sizes.
+
+    At 100 TB this is a row-local projection — no shuffle at all until
+    the audit's 3-group count; the split column is virtual and costs
+    nothing to carry."""
+    d = load_parallel(spark, sf_dir, "documents")
+    cell = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(cell < _SPLIT_TRAIN, "train")
+        .when(cell < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+_PACK_SHARDS = 32
+_PACK_CAPACITY = 512  # tokens per training sequence
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS tok_before
+  FROM t
+), s AS (
+  SELECT shard, doc_id, n_tok,
+         CAST(FLOOR(tok_before / {_PACK_CAPACITY}) AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM s GROUP BY shard, seq_id
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: concatenate documents in doc_id order
+    and open a new training sequence each time the running token count
+    crosses a {_PACK_CAPACITY}-token boundary (a doc belongs to the
+    sequence its FIRST token falls in — the concat-and-chop assignment
+    GPT-style loaders use). Packing runs independently inside
+    {_PACK_SHARDS} hash shards: the running sum is a window per shard,
+    so at 100 TB every shard packs in parallel and no global order is
+    ever materialized — exactly how a multi-worker tokenizer shards the
+    corpus. Output is the per-sequence manifest (doc count, token
+    count, id range) a loader would consume.
+
+    The window's ORDER BY doc_id is a unique total order per shard
+    (registry.py tiebreaker rule), making the running sum — and hence
+    every sequence boundary — bit-deterministic on both engines."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("tok_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    s = c.withColumn(
+        "seq_id",
+        F.floor(F.col("tok_before") / _PACK_CAPACITY).cast("long"),
+    )
+    return s.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+
+
+@query(
+    "dedup_contamination",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES3.format(toks='t')}) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT doc_id AS bench_id, shingle FROM sh
+  WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT DISTINCT doc_id AS train_id, shingle FROM sh
+  WHERE doc_id % {_BENCH_MOD} != 0
+)
+SELECT b.bench_id,
+       COUNT(DISTINCT b.shingle) AS n_hit_shingles,
+       COUNT(DISTINCT t.train_id) AS n_contaminating_docs
+FROM bench b JOIN train t ON b.shingle = t.shingle
+GROUP BY b.bench_id
+""",
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: which held-out eval documents
+    (stand-in: doc_id ≡ 0 mod {_BENCH_MOD}) share word-3-gram shingles
+    with the training corpus, and with how many training docs — the
+    eval-integrity check every corpus release runs before a benchmark
+    number is believed. Reports per-benchmark-doc hit counts; a clean
+    corpus returns zero rows.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    suite is thousands of docs, the corpus is billions), so its
+    distinct shingle set BROADCASTS and the training side never
+    shuffles — one scan, a broadcast-hash semi-style join, then a small
+    aggregation keyed by (bench_id, shingle). The quadratic risk of
+    joining on hot shingles is bounded the same way
+    dedup_ngram_jaccard caps stop-shingles: here the join output is at
+    most |bench shingles| × docs-per-shingle, and common-phrase noise
+    is visible in the per-doc counts rather than silently dropped."""
+    d = load_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_id"), "shingle")
+        .distinct()
+    )
+    train = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select(F.col("doc_id").alias("train_id"), "shingle")
+        .distinct()
+    )
+    return (
+        F.broadcast(bench)
+        .join(train, "shingle")
+        .groupBy("bench_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_hit_shingles"),
+            F.count_distinct("train_id").alias("n_contaminating_docs"),
+        )
+    )

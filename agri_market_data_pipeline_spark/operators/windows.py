@@ -274,3 +274,50 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(
         F.max("len").alias("max_streak"), F.count("*").alias("n_streaks")
     )
+
+
+_NTILE_N = 10
+
+
+@query(
+    "win_ntile_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT c_mktsegment AS segment,
+         c_custkey,
+         c_acctbal,
+         NTILE({_NTILE_N}) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY c_acctbal DESC, c_custkey) AS decile
+  FROM customer
+)
+SELECT segment, CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal
+FROM t GROUP BY segment, decile
+""",
+)
+def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: NTILE({_NTILE_N}) splits each market
+    segment's customers into balance deciles — the quantile-bucket
+    assignment behind tiering, A/B cohorts, and histogram
+    equi-depth binning. NTILE is deterministic only given a total
+    order, so the window carries the c_custkey tiebreaker
+    (registry.py rule); min/max per bucket are order statistics (no
+    float summation to diverge). One shuffle on segment; the window
+    and the aggregation share that partitioning."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    t = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(_NTILE_N).over(w).cast("long").alias("decile"),
+    )
+    return t.groupBy("segment", "decile").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
