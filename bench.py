@@ -56,6 +56,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "sim_search_lsh_rp",
     "sql_star_join",
+    "pack_sequences",
+    "dedup_contamination",
+    "dim_scd2_build",
 ]
 
 
