@@ -323,9 +323,11 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"pyds_stream_{next(_SINK_IDS)}_{os.getpid()}"
     total = _feed_rows(sf_dir)
     # each cron tick drains one prefetched harvest; size the harvest so
-    # ~6 ticks cover any feed (the reference's per-run ingest is likewise
-    # 'whatever accumulated', not a fixed page count)
-    pages_per_batch = max(3, -(-total // 1000) // 6 + 1)
+    # ~3 ticks cover any feed — enough to prove two RESUMES against the
+    # shared checkpoint (the exactly-once claim) without paying a
+    # streaming-query startup per extra tick (the reference's per-run
+    # ingest is likewise 'whatever accumulated', not a fixed page count)
+    pages_per_batch = max(3, -(-total // 1000) // 3 + 1)
     try:
         done = 0
         for _ in range(16):  # cron ticks; exits when the feed is drained
