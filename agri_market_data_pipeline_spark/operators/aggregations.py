@@ -653,3 +653,112 @@ def sql_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q5_SQL)
+
+
+_QH_W = 10.0  # equi-width histogram bin width for the mergeable quantile
+
+
+@query(
+    "incr_quantile_merge",
+    oracle=f"""
+WITH snap AS (
+  SELECT event_type, CAST(FLOOR(value / {_QH_W}) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE ts < TIMESTAMP '2024-03-01'
+  GROUP BY event_type, bin
+), delta AS (
+  SELECT event_type, CAST(FLOOR(value / {_QH_W}) AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM events WHERE ts >= TIMESTAMP '2024-03-01'
+  GROUP BY event_type, bin
+), merged AS (
+  SELECT event_type, bin, CAST(SUM(n) AS BIGINT) AS n
+  FROM (SELECT * FROM snap UNION ALL SELECT * FROM delta)
+  GROUP BY event_type, bin
+), c AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS tot
+  FROM merged
+), sel AS (
+  SELECT event_type, bin, n, cum - n AS cum_before, tot,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+  FROM c WHERE 2 * cum >= tot
+)
+SELECT event_type,
+       CAST(tot AS BIGINT) AS n_events,
+       bin AS median_bin,
+       bin * {_QH_W} + {_QH_W} * ((tot * 0.5 - cum_before) / n) AS approx_p50
+FROM sel WHERE rn = 1
+""",
+)
+def incr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILES under incremental maintenance: exact
+    percentiles are not a monoid (you can't merge two medians), so the
+    incremental path keeps a fixed-lattice equi-width histogram per
+    group — a sketch whose merge is just per-bin addition — and reads
+    the quantile off the merged histogram with linear interpolation.
+    Snapshot (events before the cutover) and delta histograms are built
+    separately and MERGED, the same split incr_agg_merge proves for
+    SUM/COUNT; the oracle recomputes from scratch, certifying
+    snapshot ⊕ delta ≡ full. This is the KLL/t-digest operating model
+    with a deterministic, engine-portable sketch (bin ids and counts
+    are exact integers; the interpolation is arithmetic on exactly-
+    representable BIGINTs, bitwise identical across engines).
+
+    At 100 TB: each partition emits ≤ |groups|×|bins| partial rows,
+    the merge is one tiny shuffle, and the stored sketch is a few KB
+    per group — the rollup never rescans history."""
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-03-01").cast("timestamp")
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _QH_W).cast("long").alias("bin"),
+        ).agg(F.count("*").alias("n"))
+
+    snap = hist(ev.filter(F.col("ts") < cut))
+    delta = hist(ev.filter(F.col("ts") >= cut))
+    merged = (
+        snap.unionByName(delta)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    c = merged.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+    sel = (
+        c.filter(2 * F.col("cum") >= F.col("tot"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return sel.select(
+        "event_type",
+        F.col("tot").cast("long").alias("n_events"),
+        F.col("bin").alias("median_bin"),
+        (
+            F.col("bin") * _QH_W
+            + _QH_W
+            * (
+                (F.col("tot") * 0.5 - (F.col("cum") - F.col("n")))
+                / F.col("n")
+            )
+        ).alias("approx_p50"),
+    )

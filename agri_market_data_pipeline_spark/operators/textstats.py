@@ -645,3 +645,54 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("scores_micro"),
     )
+
+
+_EMB_D = 16  # hashed-embedding dimensionality
+
+
+@query(
+    "text_embed_hash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('emb:' || tok), 1, 8)) AS BIGINT) AS hv
+  FROM tok
+)
+SELECT doc_id,
+       hv % {_EMB_D} AS dim_idx,
+       CAST(SUM(CASE WHEN (hv // {_EMB_D}) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS v
+FROM h
+GROUP BY doc_id, hv % {_EMB_D}
+""",
+)
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document embeddings via the hashing trick (feature
+    hashing): every token hashes to one of {_EMB_D} dimensions with a
+    ±1 sign drawn from the next hash bit, and the doc's vector is the
+    signed count per dimension — the classic hashing vectorizer, which
+    needs no vocabulary build, no model artifact, and no Python in the
+    hot path. Emitted LONG-FORM (doc_id, dim_idx, v): exact integers
+    the oracle reproduces bit-for-bit from the shared md5 lattice, and
+    the shape agg_vector_centroid / sim_* consume directly.
+
+    Scale: one explode + one groupBy keyed (doc_id, dim) — partial
+    aggregation collapses each doc's token stream map-side, so the
+    shuffle carries ≤ {_EMB_D} rows per document regardless of doc
+    length. This is the cheap first-pass featurization a curation
+    pipeline runs corpus-wide before any learned embedding exists."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("emb:"), F.col("tok"))), 1, 8), 16, 10
+    ).cast("long")
+    h = tok.select("doc_id", hv.alias("hv"))
+    sign = F.when(
+        (F.expr(f"hv div {_EMB_D}") % 2) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        h.groupBy("doc_id", (F.col("hv") % _EMB_D).alias("dim_idx"))
+        .agg(F.sum(sign).cast("long").alias("v"))
+    )
