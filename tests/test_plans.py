@@ -161,3 +161,23 @@ def test_bloom_runtime_filter_injected_and_scoped(spark, sf_dir):
     assert "might_contain" in txt.lower(), txt[:600]
     assert "SortMergeJoin" in txt
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_no_query_emits_non_atomic_columns(spark):
+    """Driver-canonicalizer guard: pandas-based result comparators
+    cannot hash array/map/struct cells (numpy arrays are unhashable in
+    sort_values), so NO registered query may emit one — serialized
+    strings or long form instead (tools/schema_audit.py is the ad-hoc
+    twin). Plan build only for batch queries; the streaming ops run
+    their bounded replay, so point everything at the smallest sf."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as entrymod
+
+    bad = []
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-atomic output columns: {bad}"
