@@ -252,3 +252,72 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     rep2 = curate(spark, sf_dir, str(tmp_path), sample_k=50)
     out2 = spark.read.parquet(rep2["out"])
     assert sorted(r.doc_id for r in out2.select("doc_id").collect()) == ids1
+
+
+def test_pack_sequences_conserves_tokens_and_orders(spark, sf_dir):
+    """Packing invariants an oracle can't state directly: (1) token
+    conservation — the packed manifests' token totals equal the corpus
+    total; (2) within a shard, sequences partition the doc range in
+    order (seq k's last doc < seq k+1's first doc); (3) the assignment
+    is repartition-invariant (pure function of doc_id/text, not of
+    physical layout)."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.operators.traindata import (
+        pack_sequences,
+    )
+    from agri_market_data_pipeline_spark.tables import load
+
+    packed = pack_sequences(spark, sf_dir).collect()
+    corpus_tokens = (
+        load(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.seq_tokens for r in packed) == corpus_tokens
+    by_shard: dict = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rows] == list(range(len(rows)))
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.last_doc < nxt.first_doc
+    again = pack_sequences(spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, packed))
+
+
+def test_split_train_test_is_stable_under_corpus_growth(spark, sf_dir):
+    """The hash split's defining property: membership of an existing doc
+    never changes when the corpus grows (a row_number or rand split
+    fails this). Splitting a half-corpus and the full corpus must agree
+    on every shared doc_id."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    cell = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(cell < 90, "train").when(cell < 95, "val").otherwise("test")
+    )
+    full = {
+        r.doc_id: r.split
+        for r in d.select("doc_id", split.alias("split")).collect()
+    }
+    half = {
+        r.doc_id: r.split
+        for r in d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("split"))
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+    # and the 90/5/5 shape is roughly honored
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97
