@@ -148,18 +148,19 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
 
-    # Assign every vector to its nearest centroid (argmax rounded cosine).
-    scored = e.join(F.broadcast(cents)).select(
+    # Assign every vector to its nearest centroid: row-local argmax fold
+    # over the broadcast centroid array — ZERO fact-side shuffle, vs the
+    # obvious explode-to-(vector,cell)-rows + per-vector window, which
+    # shuffles a k×-expanded fact (the oracle states that window form;
+    # the two coincide because (rounded cosine, cell_id) is a strict
+    # total order per vector — ml_kmeans_refine's argument).
+    cell_arr = cents.agg(
+        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+    )
+    assigned = e.join(F.broadcast(cell_arr)).select(
         "vec_id",
         "embedding",
-        "cell_id",
-        F.round(vec_cosine("embedding", "cvec"), 6).alias("c_cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
+        _argmax_cell("cells", "embedding").alias("cell_id"),
     )
 
     # Probe list: the _N_PROBE cells whose centroids best match the query.
