@@ -384,12 +384,18 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
         .select(
+            F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("neighbor_id"),
             cos.alias("cos_sim"),
         )
+        # window keyed (label, vec_id), not vec_id alone: vec_id implies
+        # label, so semantics are identical — but the join's existing
+        # hashpartitioning(label) already satisfies the clustering
+        # requirement, turning the rank into a partition-local sort with
+        # NO second exchange of the candidate pairs.
         .withColumn("rnk", F.row_number().over(
-            Window.partitionBy("vec_id").orderBy(
+            Window.partitionBy("label", "vec_id").orderBy(
                 F.desc("cos_sim"), F.asc("neighbor_id")
             )
         ))
