@@ -181,3 +181,28 @@ def test_no_query_emits_non_atomic_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"non-atomic output columns: {bad}"
+
+
+def test_new_family_operators_single_exchange(spark, sf_dir):
+    """Scale signatures pinned: each of these runs exactly ONE shuffle
+    exchange — pack_sequences (shard window + manifest agg share the
+    shard hash), dim_scd2_build (both windows + change filter share the
+    user_id hash), text_embed_hash (one groupBy after the explode),
+    sim_knn_join (blocked self-join's label hash reused by the reversed
+    side AND the rank window)."""
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        dim_scd2_build,
+    )
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        sim_knn_join,
+    )
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        text_embed_hash,
+    )
+    from agri_market_data_pipeline_spark.operators.traindata import (
+        pack_sequences,
+    )
+    from agri_market_data_pipeline_spark.plans.audit import exchange_count
+
+    for fn in (pack_sequences, dim_scd2_build, text_embed_hash, sim_knn_join):
+        assert exchange_count(fn(spark, sf_dir)) == 1, fn.__name__
