@@ -126,3 +126,57 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         return scanned.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(blob_dir, ignore_errors=True)
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT) AS n_with_price
+FROM (
+  SELECT o_orderpriority, NULL AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+GROUP BY o_orderpriority
+""",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across append snapshots — the drift every
+    long-lived append layout accumulates (the reference appends CSVs for
+    years; a column added upstream lands mid-history): snapshot 1 is
+    written WITHOUT o_totalprice, snapshot 2 WITH it, and one
+    mergeSchema read unions the physical schemas, nulling the column
+    where a file predates it. The round trip is hash-checked: the
+    read-back aggregate must equal the oracle's recompute from the
+    source table, proving no row lost and the missing column surfacing
+    as NULL (count(col) skips exactly the old-snapshot rows).
+
+    At 100 TB schema evolution is a METADATA property — each parquet
+    footer carries its own schema and the union is computed from
+    footers, not by rewriting data; the read stays parallel and
+    pruned. (Table formats move the union into the transaction log —
+    same semantics, cheaper footer sweep.)"""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="schema_evo_") as d:
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(d, "snap=1"))
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(d, "snap=2"))
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(d, "snap=1"), os.path.join(d, "snap=2")
+        )
+        out = merged.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+        )
+        # rebind to the materialized frame BEFORE the tempdir vanishes
+        out = out.localCheckpoint(eager=True)
+    return out
