@@ -541,3 +541,40 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(F.col("c_event_id").alias("event_id")).agg(
         F.count("*").alias("n_purchases_5m")
     )
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum("e.value")} AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the pattern every event pipeline
+    runs first: the unbounded stream joins a bounded dimension
+    (customer segment) BEFORE aggregating. Spark plans the static side
+    as a broadcast against every micro-batch, so the stream never
+    shuffles for the join and no join state accumulates (unlike
+    stream_interval_join's stream-stream state, this is stateless
+    enrichment); the complete-mode aggregate then hash-matches the
+    batch twin. At 100 TB/day the dimension refreshes by re-reading
+    the table per batch — the broadcast is per-microbatch, so a dim
+    update is picked up on the next trigger."""
+    from ..tables import load
+
+    ev = events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count("*").alias("cnt"), dsum("value").alias("sum_value")
+    )
+    return run_to_table(agg, "static_join", "complete")
