@@ -321,3 +321,45 @@ def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )
+
+
+@query(
+    "win_moving_median",
+    oracle=f"""
+WITH daily AS ({_DAILY_SQL})
+SELECT o_orderpriority, d, day_total,
+       median(day_total) OVER w AS med7
+FROM daily
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day MOVING MEDIAN of the daily totals — the robust twin of
+    win_moving_avg (one spike day drags a mean for a week; the median
+    shrugs it off — ts_anomaly_mad's argument applied to smoothing).
+    Spark refuses ordered-set aggregates over window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    collected (bounded: ≤7 values), array-sorted, and the median read
+    by position — odd count takes the middle element, even count the
+    midpoint (a+b)/2, exactly DuckDB's window-median semantics. The
+    same single IEEE ops on identical inputs on both engines, so no
+    rounding is needed. At 100 TB the frame stays 7 elements per row
+    regardless of volume; the one shuffle is the window's
+    o_orderpriority hash, shared with the daily pre-aggregation."""
+    daily = _daily_orders(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("day_total").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, (n / 2).cast("int"))
+    med = F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))).otherwise(
+        (mid_lo + mid_hi) / 2
+    )
+    return daily.select(
+        "o_orderpriority", "d", "day_total", med.alias("med7")
+    )
