@@ -762,3 +762,75 @@ def incr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("approx_p50"),
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_join", oracle=_LATERAL_SQL)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the ANSI
+    top-N-per-group idiom, same text on both engines: each customer's
+    two biggest orders. Catalyst DECORRELATES the lateral into a
+    window-ranked join (one orders shuffle keyed o_custkey, rank ≤ 2),
+    not a per-customer subquery execution — sql_subquery's argument
+    extended from scalar to table subqueries; DuckDB plans the same
+    shape. The deterministic (price, orderkey) order makes the N-row
+    cut engine-portable. At 100 TB this beats the naive join+window the
+    user would hand-write only in clarity — the PLANS are identical,
+    which is the point: the declarative form costs nothing."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "agg_filtered",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
+            FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_discounted,
+       CAST(COALESCE(MAX(l_quantity) FILTER (WHERE l_returnflag = 'R'),
+                     0) AS BIGINT) AS max_qty_returned
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (conditional) aggregation — ANSI FILTER (WHERE ...):
+    several differently-predicated aggregates in ONE pass over the
+    fact, the idiom that replaces N self-joins or N scans with one.
+    Spark expresses each as agg(when(pred, x)) — null where the
+    predicate fails, so count/sum/max skip exactly the filtered rows —
+    and keeps the whole thing a single partial-aggregable
+    HashAggregate; the DECIMAL accumulation keeps the conditional sum
+    exact (registry.py rules). At 100 TB the win is structural: one
+    scan, one shuffle, regardless of how many conditions ride along."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.when(
+        F.col("l_discount") > 0.05, F.col("l_extendedprice")
+    ).cast("decimal(30,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.sum(disc).cast("double").alias("sum_discounted"),
+        F.coalesce(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_qty_returned"),
+    )
