@@ -68,17 +68,20 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert not late_updates, f"late row was not dropped: {late_updates}"
 
 
-def test_stateful_ops_identical_under_rocksdb_state_store(spark, sf_dir):
+def test_stateful_ops_identical_under_rocksdb_state_store(spark):
     """State-store portability: stream_stateful (flatMapGroupsWithState
     shape) and stream_dedup must produce IDENTICAL results under the
     default HDFS-backed provider and RocksDBStateStoreProvider. RocksDB
     is the 100 TB path — state spills off-heap to local SSD instead of
     growing the JVM heap — and provider choice must be a pure deployment
-    knob, never a semantics change."""
+    knob, never a semantics change. Runs at sf0.1 (100× the default test
+    scale) so the state store holds the full 10× event volume."""
     from agri_market_data_pipeline_spark.streaming.ops import (
         stream_dedup,
         stream_stateful,
     )
+
+    sf_dir = "/root/testdata/sf0.1"
 
     def snapshot(df):
         return sorted(tuple(r) for r in df.collect())
