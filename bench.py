@@ -160,6 +160,9 @@ def main() -> int:
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
+                # totals grow as headline queries are added round-over-
+                # round — compare per-query medians, or total/n_queries
+                "n_queries": len(timings),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": ingest_rps,
