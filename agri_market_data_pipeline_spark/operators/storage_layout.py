@@ -255,3 +255,110 @@ def sink_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("sum_price"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+
+_Z_BITS = 8  # per-dimension quantization for the interleave
+
+
+def _sql_zvalue(qa: str, qb: str) -> str:
+    """DuckDB twin of the bit interleave (qa in odd bits, qb in even)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def _zvalue(qa: F.Column, qb: F.Column) -> F.Column:
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(qa, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(qb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@query(
+    "sink_zorder_cluster",
+    oracle=f"""
+WITH mx AS (
+  SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem
+), q AS (
+  SELECT CAST(FLOOR(l_partkey * {1 << _Z_BITS}.0 / (mp + 1)) AS BIGINT) AS qa,
+         CAST(FLOOR(l_suppkey * {1 << _Z_BITS}.0 / (ms + 1)) AS BIGINT) AS qb,
+         l_extendedprice
+  FROM lineitem CROSS JOIN mx
+), z AS (
+  SELECT ({_sql_zvalue('qa', 'qb')}) AS zval, qa, qb, l_extendedprice FROM q
+)
+SELECT zval >> {2 * _Z_BITS - 6} AS z_cell,
+       COUNT(*) AS n_rows,
+       MIN(qa) AS qa_min, MAX(qa) AS qa_max,
+       MIN(qb) AS qb_min, MAX(qb) AS qb_max,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM z GROUP BY 1
+""",
+)
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering — multi-dimensional locality for scans that
+    filter on EITHER of two keys: quantize (l_partkey, l_suppkey) to
+    {_Z_BITS} bits each, interleave the bits into a z-value, range-
+    partition + sort the write by it, and read back. Hive partitioning
+    prunes on one column; a z-curve bounds BOTH dimensions within every
+    contiguous run, so parquet row-group min/max stats prune two-sided
+    predicates — Delta/Iceberg's OPTIMIZE ZORDER, built from plain
+    column arithmetic. The physical write path runs for real; the
+    oracle recomputes per-z-cell occupancy and the min/max rectangle of
+    each top-6-bit cell from the source table, certifying the curve
+    arithmetic AND the write's losslessness (counts + DECIMAL-exact
+    price sums survive the round trip).
+
+    At 100 TB the z-sort rides the exchange the write needs anyway
+    (repartitionByRange on zval), so clustering is ~free at ingest and
+    every later two-sided scan skips most row groups."""
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    )
+    scale = float(1 << _Z_BITS)
+    q = li.join(F.broadcast(mx)).select(
+        F.floor(F.col("l_partkey") * scale / (F.col("mp") + 1))
+        .cast("long")
+        .alias("qa"),
+        F.floor(F.col("l_suppkey") * scale / (F.col("ms") + 1))
+        .cast("long")
+        .alias("qb"),
+        "l_extendedprice",
+    )
+    z = q.select(
+        _zvalue(F.col("qa"), F.col("qb")).alias("zval"),
+        "qa",
+        "qb",
+        "l_extendedprice",
+    )
+    with tempfile.TemporaryDirectory(prefix="zorder_") as d:
+        path = os.path.join(d, "lineitem_z")
+        (
+            z.repartitionByRange(8, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path)
+        out = back.groupBy(
+            F.shiftright("zval", 2 * _Z_BITS - 6).alias("z_cell")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.min("qa").alias("qa_min"),
+            F.max("qa").alias("qa_max"),
+            F.min("qb").alias("qb_min"),
+            F.max("qb").alias("qb_max"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        out = out.localCheckpoint(eager=True)
+    return out

@@ -75,3 +75,19 @@ def test_compaction_collapses_files_and_keeps_clustering(spark, sf_dir):
     spans.sort()
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next, spans
+
+
+def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
+    """The point of the z-curve: every top-6-bit z-cell fixes the top 3
+    bits of BOTH quantized keys, so each cell's (qa, qb) rectangle is
+    at most 32x32 — the two-sided row-group-pruning guarantee hive
+    partitioning on one column cannot give."""
+    from agri_market_data_pipeline_spark.operators.storage_layout import (
+        sink_zorder_cluster,
+    )
+
+    rows = sink_zorder_cluster(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.qa_max - r.qa_min <= 31, r
+        assert r.qb_max - r.qb_min <= 31, r
