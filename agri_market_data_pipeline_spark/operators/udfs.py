@@ -165,3 +165,83 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
+
+
+@query(
+    "udf_scalar_arrow",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS net_cents
+FROM lineitem
+""",
+)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (`useArrow=True`, Spark 3.5+/4): the
+    row-at-a-time `F.udf` signature with Arrow batch transfer under it
+    — the migration path for legacy per-row UDFs that can't be
+    rewritten to the pandas-Series signature but shouldn't pay pickle
+    serialization. Complements udf_scalar_pandas (which pins the
+    Series-vectorized form); the computation is again deliberately
+    built-in-expressible so the oracle verifies the machinery. In the
+    hot path both still lose to pure built-ins — registry policy
+    stands: UDFs pin the surface, built-ins do the work."""
+    @F.udf("long", useArrow=True)
+    def net_cents(price: float, discount: float) -> int:
+        import math
+
+        return int(math.floor(price * (1.0 - discount) * 100))
+
+    li = load_parallel(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_cents("l_extendedprice", "l_discount").alias("net_cents"),
+    )
+
+
+@query(
+    "udf_cogroup_pandas",
+    oracle="""
+SELECT o.o_orderpriority AS prio,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(l.l_orderkey) AS n_lines
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas transform — `groupBy(...).cogroup(...)` +
+    `applyInPandas`: both tables are shuffled ONCE on the same key and
+    each key's two pandas frames arrive together in one Python call,
+    the escape hatch for per-key logic spanning two inputs that no join
+    can express (custom reconciliation, per-key model scoring against
+    a feature table). Here each call computes per-priority order/line
+    counts — deliberately join-expressible so the oracle certifies the
+    cogroup machinery: partials re-aggregate to exactly the LEFT JOIN
+    twin, proving no key lost on either side (including orders with
+    zero lineitems). At 100 TB the cost model is one co-partitioned
+    shuffle of each side + Arrow transfer — same exchange layout a
+    shuffle join would need anyway."""
+    o = load_parallel(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"), "o_orderkey"
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(F.col("o_orderpriority").alias("prio"), "l_orderkey")
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "prio": [key[0]],
+                "n_orders": [odf["o_orderkey"].nunique()],
+                "n_lines": [len(ldf)],
+            }
+        )
+
+    return (
+        o.groupBy("prio")
+        .cogroup(li.groupBy("prio"))
+        .applyInPandas(reconcile, "prio string, n_orders long, n_lines long")
+    )
