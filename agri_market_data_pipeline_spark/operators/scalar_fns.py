@@ -345,3 +345,45 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(key, 3).cast("long").alias("shr3"),
         F.bit_count(key).cast("long").alias("popcnt"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.absent') AS INT) AS k_absent,
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END
+         AS has_k
+FROM events
+WHERE event_id % 991 = 0
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path extraction: `parse_json` builds the binary
+    semi-structured value ONCE per row, then every `variant_get` walks
+    the pre-parsed tree — unlike `get_json_object` (fn_json), which
+    re-parses the JSON text per extraction. At 100 TB with many
+    extractions per record that single-parse property is the difference
+    between one and N parse passes over the payload bytes; VARIANT is
+    also a storable column type, so the parse can move to ingest time
+    entirely. `try_variant_get` on a missing path yields NULL instead
+    of erroring — the oracle twin is DuckDB's JSON extraction, which
+    shares that semantics."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 991 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.absent", "int").alias("k_absent"),
+        F.when(
+            ~F.is_variant_null(F.try_variant_get(v, "$.k", "variant"))
+            & F.try_variant_get(v, "$.k", "variant").isNotNull(),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("has_k"),
+    )
