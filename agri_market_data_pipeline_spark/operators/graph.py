@@ -1,0 +1,257 @@
+"""Graph analytics over a trade graph aggregated from the fact tables.
+
+The graph: nodes are nations; a directed edge (supplier-nation →
+customer-nation, weight = line count) exists for every lineitem whose
+supplier and customer sit in those nations. This is the canonical
+distributed-graph shape — the EDGE LIST is built by fact-scale joins
+and aggregation (the expensive, shuffle-bearing part that Catalyst
+plans), while the iterative algorithm then runs on the aggregated
+graph, which is orders of magnitude smaller than the facts.
+
+Determinism across engines (the registry's rules, applied to iterative
+float algorithms): PageRank runs entirely on an INTEGER lattice —
+ranks are BIGINT micro-units, per-edge contributions are exact floor
+divisions, damping is integer multiply-then-divide — so every round is
+bit-identical on Spark and DuckDB regardless of join order, partition
+count, or float fold order. The float rank is recovered at the end as
+rank_u / 1e6 exactly.
+
+Reference parity: the reference (fetch_data.py) has no graph operator;
+this module is part of the §2.B capability closure's analytics family
+(SURVEY.md §2.B [NS] analytics), grounded in the standard power-
+iteration PageRank and the edge-join triangle algorithm (PAPERS.md:
+pregel-style iterative dataflow on relational engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+_PR_ROUNDS = 5
+_PR_UNIT = 1_000_000  # rank micro-units: 1.0 == 1e6
+
+
+_EDGE_SQL = """
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted edge list (src nation → dst nation, line count).
+
+    The lineitem↔orders join shuffles on orderkey; customer and supplier
+    are dimension-sized so Catalyst broadcasts them. Output is ≤ n², a
+    few hundred rows — the facts are reduced before any iteration."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def _pagerank_sql(rounds: int) -> str:
+    """DuckDB twin: the power iteration unrolled into a CTE chain
+    (r0 → r1 → … — same technique as similarity._ivf_sql). All-integer
+    arithmetic; `//` is floor division on BIGINTs (all values here are
+    non-negative, so it agrees with Spark's `div`)."""
+    ctes = [
+        f"e AS ({_EDGE_SQL})",
+        "wout AS (SELECT src, SUM(w) AS wo FROM e GROUP BY src)",
+        f"r0 AS (SELECT n_nationkey AS node, CAST({_PR_UNIT} AS BIGINT) AS ru"
+        "  FROM nation)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         CAST(150000 + (85 * COALESCE(SUM((r.ru * e.w) // w2.wo), 0)) // 100
+              AS BIGINT) AS ru
+  FROM r0 n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} r ON r.node = e.src
+  LEFT JOIN wout w2 ON w2.src = e.src
+  GROUP BY n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nat.n_name AS nation, r.ru AS rank_u
+FROM r{rounds} r JOIN nation nat ON nat.n_nationkey = r.node"""
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_sql(_PR_ROUNDS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph: {_PR_ROUNDS} damped power-
+    iteration rounds (d = 0.85) on the integer lattice. Per round, node
+    s sends floor(rank_u[s]·w/wout[s]) micro-units along each out-edge
+    and every node restarts from 150 000 µu plus 85% of its inbox —
+    exact BIGINT arithmetic end to end, so the iteration is engine- and
+    order-independent (no float fold divergence to ROUND away).
+
+    Scale shape: the fact-side work is ONE edge-list aggregation; each
+    iteration then joins rank(nodes) ⋈ edges — at web scale that join
+    shuffles on src/dst and the rank frame is re-checkpointed per round
+    to keep lineage flat (dedup_cluster's loop discipline; here the
+    graph is nation-sized, so the loop frames stay broadcast-small).
+    Dangling mass: nodes with no out-edges leak their rank (the
+    simplified formulation) — identically on both engines."""
+    e = _edges(spark, sf_dir)
+    wout = e.groupBy("src").agg(F.sum("w").alias("wo"))
+    ew = e.join(wout, "src")  # (src, dst, w, wo): static per-round factor
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    r = nodes.withColumn("ru", F.lit(_PR_UNIT).cast("long"))
+    for _ in range(_PR_ROUNDS):
+        inbox = (
+            ew.join(r, ew.src == r.node)
+            .select("dst", F.expr("(ru * w) div wo").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = nodes.join(inbox, nodes.node == inbox.dst, "left").select(
+            "node",
+            F.expr("CAST(150000 + (85 * coalesce(s, 0)) div 100 AS BIGINT)")
+            .alias("ru"),
+        )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return r.join(F.broadcast(nat), "node").select("nation", F.col("ru").alias("rank_u"))
+
+
+_TRI_SQL = f"""
+WITH d AS ({_EDGE_SQL}),
+u AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM d WHERE src != dst
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM u e1
+  JOIN u e2 ON e2.a = e1.b
+  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT nat.n_name AS nation, COUNT(*) AS n_triangles
+FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t) m
+JOIN nation nat ON nat.n_nationkey = m.node
+GROUP BY nat.n_name
+"""
+
+
+@query("graph_triangle_count", oracle=_TRI_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the undirected trade graph —
+    the standard edge-join algorithm: orient every edge low→high
+    (each triangle then exists in exactly ONE orientation x<y<z, so
+    no divide-by-six), join edges to wedges, close wedges against the
+    edge list, then explode each triangle to its three corners.
+
+    Scale shape: the two joins shuffle on node id; the classic skew
+    fix (high-degree vertex ordering — orient by degree instead of id
+    so hubs never anchor wedges) applies unchanged when the graph
+    itself is large. Here the edge list is nation-sized; the expensive
+    part, building it from the facts, is the same aggregation
+    graph_pagerank plans."""
+    d = _edges(spark, sf_dir)
+    u = (
+        d.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = u.alias("e1")
+    e2 = u.alias("e2")
+    e3 = u.alias("e3")
+    t = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    corners = (
+        t.select(F.col("x").alias("node"))
+        .unionAll(t.select(F.col("y").alias("node")))
+        .unionAll(t.select(F.col("z").alias("node")))
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return (
+        corners.join(F.broadcast(nat), "node")
+        .groupBy("nation")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+_DEG_SQL = f"""
+WITH e AS ({_EDGE_SQL})
+SELECT nat.n_name AS nation,
+       CAST(COALESCE(o.deg_out, 0) AS BIGINT) AS deg_out,
+       CAST(COALESCE(i.deg_in, 0) AS BIGINT) AS deg_in,
+       CAST(COALESCE(o.w_out, 0) AS BIGINT) AS w_out,
+       CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in
+FROM nation nat
+LEFT JOIN (SELECT src, COUNT(*) AS deg_out, SUM(w) AS w_out
+           FROM e GROUP BY src) o ON o.src = nat.n_nationkey
+LEFT JOIN (SELECT dst, COUNT(*) AS deg_in, SUM(w) AS w_in
+           FROM e GROUP BY dst) i ON i.dst = nat.n_nationkey
+"""
+
+
+@query("graph_degree_stats", oracle=_DEG_SQL)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out degree and weighted degree per nation — the graph's
+    profile card (dq_profile for edges): two aggregations of the edge
+    list outer-joined back to the node table so isolated nodes appear
+    with zeros rather than vanishing."""
+    e = _edges(spark, sf_dir)
+    o = e.groupBy("src").agg(
+        F.count("*").alias("deg_out"), F.sum("w").alias("w_out")
+    )
+    i = e.groupBy("dst").agg(
+        F.count("*").alias("deg_in"), F.sum("w").alias("w_in")
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return (
+        nat.join(o, nat.node == o.src, "left")
+        .join(i, nat.node == i.dst, "left")
+        .select(
+            "nation",
+            F.coalesce("deg_out", F.lit(0)).alias("deg_out"),
+            F.coalesce("deg_in", F.lit(0)).alias("deg_in"),
+            F.coalesce("w_out", F.lit(0)).alias("w_out"),
+            F.coalesce("w_in", F.lit(0)).alias("w_in"),
+        )
+    )
