@@ -214,3 +214,118 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("train_id").alias("n_contaminating_docs"),
         )
     )
+
+
+_VOCAB_K = 200
+
+
+@query(
+    "text_vocab_build",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+v AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+),
+r AS (
+  SELECT token, tf, df,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+  FROM v
+)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_VOCAB_K}
+""",
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: the top-{_VOCAB_K} corpus
+    tokens by term frequency, with document frequency alongside — the
+    count table a BPE/unigram tokenizer trainer starts from, and the
+    vocabulary-coverage audit every corpus release publishes.
+
+    Scale shape: explode → two-level aggregation. The token explode is
+    map-side; the (token) groupBy partial-aggregates before its one
+    shuffle, so the exchange carries |vocab| rows per partition, not
+    |corpus tokens|. df rides the same aggregation via count_distinct
+    (exact here; the sketch twin is agg_approx_count_distinct). The
+    global top-k is TakeOrderedAndProject — per-partition heaps of k,
+    never a full sort — and ranks are assigned AFTER the k-row cut, so
+    the window runs over {_VOCAB_K} rows, not the vocabulary."""
+    d = load_parallel(spark, sf_dir, "documents")
+    v = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+    )
+    top = v.orderBy(F.desc("tf"), F.asc("token")).limit(_VOCAB_K)
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# Target mixture for the training slice: weights over language domains.
+# floor(w · K) docs per language; a language short of its target simply
+# contributes all it has (identical semantics on both engines).
+_MIX_K = 200
+_MIX_WEIGHTS = {"en": 0.40, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+
+
+def _mix_targets() -> dict[str, int]:
+    return {lang: int(w * _MIX_K) for lang, w in _MIX_WEIGHTS.items()}
+
+
+_MIX_VALUES = ", ".join(
+    f"('{lang}', {n})" for lang, n in sorted(_mix_targets().items())
+)
+
+
+@query(
+    "mix_domains",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+t(lang, n) AS (VALUES {_MIX_VALUES})
+SELECT r.doc_id, r.lang, CAST(r.rn AS BIGINT) AS rn
+FROM ranked r JOIN t ON t.lang = r.lang AND r.rn <= t.n
+""",
+)
+def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: compose a {_MIX_K}-doc training slice
+    to target language proportions ({_MIX_WEIGHTS}) by taking the first
+    floor(w·K) documents per language in deterministic md5 order — the
+    dataset-composition step (weights from scaling-law or ablation
+    studies) run by every corpus release. Hash-ordering makes the
+    selection a pure function of doc_id: re-runs, engines, and corpus
+    append order all reproduce the same slice, and a document never
+    enters or leaves the mix because unrelated rows arrived
+    (split_train_test's stability argument, applied to sampling).
+
+    Scale shape: one window per language partition — the rank shuffle
+    is by lang; with few giant domains the refinement is the two-level
+    rank (per-shard heads then merge) or per-domain approx-quantile
+    cutoffs on the hash, both shuffle-free on the fact side. The target
+    table is a literal broadcast join."""
+    d = load_parallel(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+    )
+    targets = spark.createDataFrame(
+        sorted(_mix_targets().items()), "lang string, n int"
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rn") <= F.col("n"))
+        .select("doc_id", "lang", "rn")
+    )
