@@ -834,3 +834,64 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_qty_returned"),
     )
+
+
+_SPINE_MONTHS = 132  # fixed calendar 1992-01 .. 2002-12 (covers the data)
+
+_SPINE_SPARK_SQL = f"""
+WITH RECURSIVE m(n) MAX RECURSION LEVEL {_SPINE_MONTHS + 10} AS (
+  SELECT 0 UNION ALL SELECT n + 1 FROM m WHERE n < {_SPINE_MONTHS - 1}
+),
+spine AS (
+  SELECT CAST(add_months(DATE '1992-01-01', n) AS DATE) AS month_start FROM m
+),
+agg AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+       CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(a.sum_price, 0.0) AS DOUBLE) AS sum_price
+FROM spine s LEFT JOIN agg a ON a.month_start = s.month_start
+"""
+
+_SPINE_DUCK_SQL = f"""
+WITH RECURSIVE m(n) AS (
+  SELECT 0 UNION ALL SELECT n + 1 FROM m WHERE n < {_SPINE_MONTHS - 1}
+),
+spine AS (
+  SELECT CAST(DATE '1992-01-01' + n * INTERVAL 1 MONTH AS DATE) AS month_start
+  FROM m
+),
+agg AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+  FROM orders GROUP BY 1
+)
+SELECT s.month_start,
+       CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(a.sum_price, 0.0) AS DOUBLE) AS sum_price
+FROM spine s LEFT JOIN agg a ON a.month_start = s.month_start
+"""
+
+
+@query("sql_recursive_cte", oracle=_SPINE_DUCK_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate a complete
+    {_SPINE_MONTHS}-month calendar spine by recursion, then LEFT JOIN
+    the monthly order rollup onto it so empty months surface as
+    explicit zeros — the gap-free reporting spine ts_gap_fill builds
+    from observed keys, here built from pure recursion (the only way
+    when leading/trailing gaps must also appear). The recursion is
+    driver-free and bounded by the WHERE; each level is one row, and
+    Spark executes the whole chain as iterative local relations before
+    the distributed join — the fact table is still touched exactly
+    once. The oracle differs only in date arithmetic spelling
+    (add_months ↔ + n·INTERVAL 1 MONTH)."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SPINE_SPARK_SQL)

@@ -362,3 +362,44 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.localCheckpoint(eager=True)
     return out
+
+
+@query(
+    "scan_dpp_pruned",
+    oracle=f"""
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n_lines,
+       {sql_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+WHERE l_returnflag IN ('A', 'R')
+GROUP BY 1
+""",
+)
+def scan_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact filter is not a literal on
+    the partition key (scan_partition_pruned's static case) but arrives
+    through a join — the dimension is filtered on an attribute the fact
+    doesn't have, and Catalyst turns the joined dim's key set into a
+    runtime partition filter (`dynamicpruningexpression(l_returnflag IN
+    dynamicpruning#N)` — asserted in tests/test_storage_layout.py). The
+    'drop'-classed partition is never listed or read.
+
+    This is THE star-schema scan pattern at 100 TB: date-dim filtered
+    on fiscal attributes prunes the fact's date partitions at runtime,
+    no manual predicate copying. The oracle states the post-prune
+    semantics directly."""
+    fact = spark.read.parquet(partitioned_mirror(spark, sf_dir))
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "keep")], "flag string, cls string"
+    )
+    return (
+        fact.join(
+            dim.filter(F.col("cls") == "keep"),
+            fact.l_returnflag == F.col("flag"),
+        )
+        .groupBy("flag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

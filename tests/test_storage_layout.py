@@ -91,3 +91,15 @@ def test_zorder_cells_bound_both_dimensions(spark, sf_dir):
     for r in rows:
         assert r.qa_max - r.qa_min <= 31, r
         assert r.qb_max - r.qb_min <= 31, r
+
+
+def test_dynamic_partition_pruning_is_in_the_plan(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.storage_layout import (
+        scan_dpp_pruned,
+    )
+
+    df = scan_dpp_pruned(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    # The joined dim's key set becomes a runtime partition filter on the
+    # fact scan — no literal partition predicate exists in the query.
+    assert "dynamicpruning" in txt.lower(), txt[:2000]
