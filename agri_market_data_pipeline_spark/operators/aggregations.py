@@ -895,3 +895,112 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SPINE_SPARK_SQL)
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+_CMS_PROBE = 20  # estimate the top-k users by exact count
+
+
+def _cms_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_CMS_WIDTH}"
+    )
+
+
+_CMS_SQL = f"""
+WITH rows_h AS (
+  SELECT user_id, i,
+         CASE i {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'user_id')}" for i in range(_CMS_DEPTH))} END AS bucket
+  FROM events, (SELECT UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS i)
+),
+sketch AS (
+  SELECT i, bucket, COUNT(*) AS c FROM rows_h GROUP BY i, bucket
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+),
+probe AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_PROBE}
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(s.c) AS est_cnt
+  FROM probe p, (SELECT UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS i) d
+  JOIN sketch s
+    ON s.i = d.i
+   AND s.bucket = CASE d.i {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'p.user_id')}" for i in range(_CMS_DEPTH))} END
+  GROUP BY p.user_id, p.exact_cnt
+)
+SELECT user_id, exact_cnt, CAST(est_cnt AS BIGINT) AS est_cnt,
+       CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@query("agg_countmin_sketch", oracle=_CMS_SQL)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built as pure relational algebra — the
+    frequency-sketch twin of agg_hll_merge, with the sketch ITSELF
+    oracle-checked (not just its answers): each event lands in
+    {_CMS_DEPTH} md5-derived buckets of a {_CMS_WIDTH}-wide counter
+    array; a key's estimate is the MIN over its row counters, which
+    can only OVERcount (collisions add, never subtract) — the emitted
+    `overcount` column is the audit, and the ≥0 invariant is pinned in
+    tests/test_extensions.py.
+
+    Because the sketch is a (depth × width) counter TABLE built by one
+    partial-aggregated groupBy, it is mergeable across shards/days by
+    cell-wise addition — the incr_agg_merge maintenance pattern applied
+    to frequencies; at 100 TB the sketch is a few KB per partition
+    regardless of key cardinality, where the exact GROUP BY carries the
+    full key domain through its shuffle. Probing stays distributed: the
+    {_CMS_PROBE}-row probe set broadcast-joins the sketch."""
+    ev = load(spark, sf_dir, "events")
+
+    def bucket(i, key_col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % _CMS_WIDTH
+        )
+
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"),
+                         bucket(i, F.col("user_id")).alias("bucket"))
+                for i in range(_CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("user_id", "h.i", "h.bucket")
+    sketch = hashed.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    probe = exact.orderBy(F.desc("exact_cnt"), F.asc("user_id")).limit(_CMS_PROBE)
+    probe_h = probe.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"),
+                         bucket(i, F.col("user_id")).alias("bucket"))
+                for i in range(_CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("user_id", "exact_cnt", "h.i", "h.bucket")
+    est = (
+        F.broadcast(probe_h)
+        .join(sketch, ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )

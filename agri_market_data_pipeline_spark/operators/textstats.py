@@ -696,3 +696,60 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.groupBy("doc_id", (F.col("hv") % _EMB_D).alias("dim_idx"))
         .agg(F.sum(sign).cast("long").alias("v"))
     )
+
+
+_CHUNK_SIZE = 100
+_CHUNK_STRIDE = 80  # 20-char overlap between consecutive chunks
+
+
+@query(
+    "text_chunk_split",
+    oracle=f"""
+SELECT doc_id,
+       CAST(off AS BIGINT) AS off,
+       CAST(length(substring(text, off, {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+       md5(substring(text, off, {_CHUNK_SIZE})) AS chunk_md5
+FROM (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, greatest(length(text), 1),
+                                {_CHUNK_STRIDE})) AS off
+  FROM documents
+)
+""",
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({_CHUNK_SIZE}-char windows,
+    {_CHUNK_STRIDE}-char stride → {_CHUNK_SIZE - _CHUNK_STRIDE}-char
+    overlap): the context-window splitter every RAG indexer and
+    fixed-length pretraining tokenizer runs before embedding/packing.
+    Offsets come from a per-row `sequence` explode — generated
+    row-locally from the document's own length, no join, no shuffle;
+    chunk identity is carried as (offset, length, md5) so the output
+    stays scalar (driver-hashability rule) and downstream exact-dedup
+    can run per-chunk (dedup_paragraph's grain, here with overlap for
+    retrieval continuity).
+
+    Scale shape: pure map — chunking 100 TB is embarrassingly parallel,
+    and the ~{_CHUNK_SIZE // _CHUNK_STRIDE + 1}.25× row expansion happens
+    AFTER the scan, inside the same stage."""
+    d = load_parallel(spark, sf_dir, "documents")
+    chunk = F.substring(F.col("text"), F.col("off").cast("int"), _CHUNK_SIZE)
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text"), F.lit(1)),
+                    F.lit(_CHUNK_STRIDE),
+                )
+            ).alias("off"),
+        )
+        .select(
+            "doc_id",
+            F.col("off").cast("long").alias("off"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

@@ -321,3 +321,35 @@ def test_split_train_test_is_stable_under_corpus_growth(spark, sf_dir):
     n = len(full)
     frac_train = sum(1 for v in full.values() if v == "train") / n
     assert 0.8 < frac_train < 0.97
+
+
+def test_countmin_estimates_never_undercount(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.aggregations import (
+        agg_countmin_sketch,
+    )
+
+    rows = agg_countmin_sketch(spark, sf_dir).collect()
+    assert rows, "probe set must be non-empty"
+    for r in rows:
+        # CMS collisions only ever ADD — an estimate below the exact
+        # count means the sketch or the probe hashing is broken.
+        assert r.overcount >= 0, r
+        assert r.est_cnt >= r.exact_cnt, r
+
+
+def test_pagerank_mass_is_conserved_modulo_dangling(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _edges,
+        graph_pagerank,
+    )
+    from pyspark.sql import functions as F
+
+    ranks = graph_pagerank(spark, sf_dir)
+    total = ranks.agg(F.sum("rank_u")).collect()[0][0]
+    n = ranks.count()
+    # Every node holds at least the restart mass and at most everything.
+    assert total >= 150_000 * n
+    assert total <= 1_000_000 * n + n  # floor-div can only lose mass
+    # Ranks differentiate: a dense trade graph must not be uniform.
+    distinct = ranks.select("rank_u").distinct().count()
+    assert distinct > 1
