@@ -45,6 +45,37 @@ def _probe_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _densified_index(spark: SparkSession, sf_dir: str):
+    """(per-key range, forward-filled daily index) — the shared build
+    side of the densify-and-broadcast as-of strategy. The index is
+    materialized once (localCheckpoint) because it feeds three subtrees
+    (range bounds, densify left-join, clamp broadcast) that Spark would
+    otherwise recompute as three full orders-table aggregations; the
+    forward-fill window runs over the SMALL side only."""
+    idx = _daily_index(spark, sf_dir).localCheckpoint(eager=True)
+    rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dense_days = rng.select(
+        "prio", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    wff = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dense = (
+        dense_days.join(idx, ["prio", "d"], "left")
+        .select(
+            "prio",
+            "d",
+            F.last(F.when(F.col("idx_val").isNotNull(), F.col("d")), ignorenulls=True)
+            .over(wff)
+            .alias("idx_date"),
+            F.last("idx_val", ignorenulls=True).over(wff).alias("idx_val"),
+        )
+    )
+    return rng, dense
+
+
 @query(
     "join_asof_prices",
     oracle=f"""
@@ -82,31 +113,7 @@ def join_asof_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     When the build side is too large per key to densify/broadcast, use
     `asof_union_carry` below — one shuffle+sort, no size assumption."""
-    # materialize the tiny daily index once — it feeds three subtrees
-    # (range bounds, densify left-join, clamp broadcast) that Spark would
-    # otherwise recompute as three full orders-table aggregations
-    idx = _daily_index(spark, sf_dir).localCheckpoint(eager=True)
-    rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
-    dense_days = rng.select(
-        "prio", F.explode(F.sequence("d0", "d1")).alias("d")
-    )
-    wff = (
-        Window.partitionBy("prio")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    dense = (
-        dense_days.join(idx, ["prio", "d"], "left")
-        .select(
-            "prio",
-            "d",
-            F.last(F.when(F.col("idx_val").isNotNull(), F.col("d")), ignorenulls=True)
-            .over(wff)
-            .alias("idx_date"),
-            F.last("idx_val", ignorenulls=True).over(wff).alias("idx_val"),
-        )
-    )
-
+    rng, dense = _densified_index(spark, sf_dir)
     probe = _probe_shipments(spark, sf_dir)
     clamped = probe.join(F.broadcast(rng), "prio").filter(
         F.col("sd") >= F.col("d0")
@@ -318,4 +325,70 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("d", F.col("k")).alias("idx_date"),
         F.min_by("idx_val", F.col("k")).alias("idx_val"),
         F.expr("min(k) div 2").alias("day_dist"),
+    )
+
+
+_TOL_DAYS = 7
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH idx AS (
+    SELECT o_orderpriority AS prio,
+           CAST(o_orderdate AS DATE) AS d,
+           {sql_davg("o_totalprice")} AS idx_val
+    FROM orders
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority AS prio,
+           CAST(l.l_shipdate AS DATE) AS sd
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT p.l_orderkey, p.l_linenumber, p.sd,
+       CASE WHEN date_diff('day', i.d, p.sd) <= {_TOL_DAYS}
+            THEN i.d END AS idx_date,
+       CASE WHEN date_diff('day', i.d, p.sd) <= {_TOL_DAYS}
+            THEN i.idx_val END AS idx_val
+FROM probe p
+ASOF LEFT JOIN idx i ON p.prio = i.prio AND p.sd >= i.d
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT as-of join with a staleness tolerance: the latest index at
+    or before the ship date counts only if it is at most {_TOL_DAYS}
+    days old — older quotes are stale, and the row surfaces with NULL
+    index columns instead of silently joining a months-old price (the
+    market-data hygiene rule; pandas merge_asof's `tolerance=`).
+
+    Same densify-and-broadcast plan as join_asof_prices, with two LEFT
+    deviations: probe rows before the key's first index day or past its
+    densified range keep NULL join keys instead of dropping, and the
+    tolerance check is a row-local post-filter on the matched gap — the
+    join itself stays a zero-shuffle broadcast equi-join, so the
+    tolerance costs nothing at any scale."""
+    rng, dense = _densified_index(spark, sf_dir)
+    probe = _probe_shipments(spark, sf_dir)
+    clamped = probe.join(F.broadcast(rng), "prio", "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        "prio",
+        "sd",
+        F.when(F.col("sd") >= F.col("d0"), F.least("sd", "d1")).alias("join_d"),
+    )
+    dn = dense.withColumnRenamed("prio", "dprio")
+    j = clamped.join(
+        F.broadcast(dn),
+        (clamped.prio == dn.dprio) & (clamped.join_d == dn.d),
+        "left",
+    )
+    fresh = F.datediff(F.col("sd"), F.col("idx_date")) <= _TOL_DAYS
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "sd",
+        F.when(fresh, F.col("idx_date")).alias("idx_date"),
+        F.when(fresh, F.col("idx_val")).alias("idx_val"),
     )

@@ -24,6 +24,8 @@ operators:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -389,4 +391,65 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("l_suppkey"))
         .limit(_SKEW_TOPN)
+    )
+
+
+# Expected column-level drift between the two simulated snapshot
+# generations (v1 drops o_totalprice; v2 widens o_custkey to DOUBLE and
+# adds o_channel). The oracle states the expected audit verbatim.
+_DRIFT_ORACLE = """
+SELECT * FROM (VALUES
+  ('o_channel',    0, 1, CAST(NULL AS VARCHAR), 'string', 'added'),
+  ('o_custkey',    1, 1, 'bigint', 'double', 'type_changed'),
+  ('o_orderkey',   1, 1, 'bigint', 'bigint', 'same'),
+  ('o_orderpriority', 1, 1, 'string', 'string', 'same'),
+  ('o_totalprice', 1, 0, 'double', CAST(NULL AS VARCHAR), 'removed')
+) AS t(col_name, in_v1, in_v2, dtype_v1, dtype_v2, status)
+"""
+
+
+@query("dq_schema_drift", oracle=_DRIFT_ORACLE)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift audit between two snapshot generations of the same
+    feed: which columns were added, removed, or type-changed — the
+    check every long-lived ingest (the reference appends for years,
+    SURVEY.md §1.2) runs before a mergeSchema read silently NULLs or a
+    type conflict kills the job. Drift is a METADATA property: the
+    schemas come from the parquet FOOTERS of the two written
+    generations (no data scanned), and the diff itself is a tiny
+    full-outer join of the two column lists, executed as a local
+    relation. scan_schema_evolution proves the benign-drift read path;
+    this operator is the audit that tells you which path you're on.
+    The oracle states the expected audit rows verbatim — the query
+    must *derive* them from the physical footers."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory(prefix="drift_") as d:
+        v1, v2 = os.path.join(d, "v1"), os.path.join(d, "v2")
+        o.limit(100).select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").parquet(v1)
+        o.limit(100).select(
+            "o_orderkey",
+            F.col("o_custkey").cast("double").alias("o_custkey"),
+            "o_orderpriority",
+            F.lit("web").alias("o_channel"),
+        ).write.mode("overwrite").parquet(v2)
+        s1 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v1).schema}
+        s2 = {f.name: f.dataType.simpleString() for f in spark.read.parquet(v2).schema}
+    rows = []
+    for col in sorted(set(s1) | set(s2)):
+        t1, t2 = s1.get(col), s2.get(col)
+        status = (
+            "added" if t1 is None
+            else "removed" if t2 is None
+            else "same" if t1 == t2
+            else "type_changed"
+        )
+        rows.append((col, int(t1 is not None), int(t2 is not None), t1, t2, status))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, in_v1 int, in_v2 int, "
+        "dtype_v1 string, dtype_v2 string, status string",
     )
