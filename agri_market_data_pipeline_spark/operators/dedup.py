@@ -909,3 +909,72 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("rh").alias("n_raw_variants"),
         )
     )
+
+
+_LEV_PREFIX = 60
+_LEV_MAX = 40
+
+
+@query(
+    "dedup_levenshtein",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ')[1] AS w0,
+         CAST(length(text) // 20 AS BIGINT) AS lb
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
+                        substring(b.text, 1, {_LEV_PREFIX})) AS BIGINT) AS lev
+FROM k a
+JOIN k b
+  ON a.lang = b.lang AND a.w0 = b.w0 AND a.lb = b.lb
+ AND a.doc_id < b.doc_id
+WHERE levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
+                  substring(b.text, 1, {_LEV_PREFIX})) <= {_LEV_MAX}
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification — the character-level
+    complement of the token-level MinHash/Jaccard family (OCR noise,
+    typo farms, template fills that token shingles miss). The blocking
+    discipline is the family's usual one: candidate pairs must share a
+    (lang, first-token, length-bucket) block BEFORE any distance is
+    computed, so the quadratic term is bounded per block and the
+    expensive levenshtein runs on candidates only — and on a fixed
+    {_LEV_PREFIX}-char prefix, keeping the DP cost O(prefix²), not
+    O(doc²). Levenshtein is exact-integer on both engines, so the pair
+    set is oracle-checked outright (no recall bound needed). The
+    {_LEV_MAX} threshold is calibrated to the synthetic corpus (word
+    salads rarely collide below it; exact-prefix pairs sit at 0). At
+    100 TB the block key is the shuffle key; block-size caps
+    (dedup_ngram_jaccard's stop-shingle rule) apply unchanged."""
+    d = load_parallel(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.split("text", " ").getItem(0).alias("w0"),
+        F.expr("length(text) div 20").alias("lb"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    lev = F.levenshtein(
+        F.substring(F.col("a.text"), 1, _LEV_PREFIX),
+        F.substring(F.col("b.text"), 1, _LEV_PREFIX),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.w0") == F.col("b.w0"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(lev <= _LEV_MAX)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("long").alias("lev"),
+        )
+    )

@@ -261,3 +261,38 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return j
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH s1 AS (
+  SELECT NULLIF(event_type, 'click') AS k, COUNT(*) AS c1
+  FROM events GROUP BY 1
+),
+s2 AS (
+  SELECT NULLIF(event_type, 'view') AS k, COUNT(*) AS c2
+  FROM events GROUP BY 1
+)
+SELECT s1.k AS k1, s2.k AS k2, s1.c1, s2.c2
+FROM s1 JOIN s2 ON s1.k IS NOT DISTINCT FROM s2.k
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ↔ IS NOT DISTINCT FROM): the two
+    sides NULL out a different key value, and the null-safe predicate
+    matches the NULL rows with each other — where plain `=` silently
+    drops every NULL key, the classic lost-rows bug when late/unknown
+    dimension keys are encoded as NULL. Catalyst plans `<=>` as a
+    hash join (EqualNullSafe is still an equi-key), NOT a nested
+    loop — null keys hash to one bucket, so at scale heavy NULL
+    populations are a skew consideration (join_skew_salted's
+    treatment applies)."""
+    ev = load(spark, sf_dir, "events")
+    s1 = ev.groupBy(
+        F.nullif("event_type", F.lit("click")).alias("k1")
+    ).agg(F.count("*").alias("c1"))
+    s2 = ev.groupBy(
+        F.nullif("event_type", F.lit("view")).alias("k2")
+    ).agg(F.count("*").alias("c2"))
+    return s1.join(s2, s1.k1.eqNullSafe(s2.k2)).select("k1", "k2", "c1", "c2")

@@ -387,3 +387,42 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("has_k"),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+WITH mangled AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+              ELSE event_type END AS et
+  FROM events
+)
+SELECT lower(et) AS event_type_ci, COUNT(*) AS cnt
+FROM mangled GROUP BY 1
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation-aware grouping: the key is COLLATE'd
+    UNICODE_CI, so 'VIEW' and 'view' land in one group with no
+    normalization pass over the data — comparisons, joins, and sorts
+    all honor the collation at the type level (mixed-case feeds, the
+    reference's free-text commodity/state names). The emitted key is
+    re-canonicalized with lower() because a CI group's representative
+    is whichever spelling an engine sees first — correct-but-
+    nondeterministic, exactly like an unordered collect — while the
+    oracle (DuckDB) expresses the same query the pre-collation way:
+    group by lower(). Under the hood Spark hashes the collation's sort
+    key, so the exchange still partitions correctly at any scale."""
+    ev = load(spark, sf_dir, "events")
+    mangled = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et")
+    )
+    return (
+        mangled.groupBy(F.collate("et", "UNICODE_CI").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.lower(F.col("k")).cast("string").alias("event_type_ci"), "cnt"
+        )
+    )
