@@ -1004,3 +1004,128 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
     )
+
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('b{i}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH build AS (SELECT DISTINCT l_suppkey AS key FROM lineitem),
+bits AS (
+  SELECT DISTINCT
+         CASE i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql(i, 'key')}" for i in range(_BLOOM_K))} END AS pos
+  FROM build, (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS i)
+),
+probe AS (
+  SELECT s_suppkey AS key, 1 AS expected FROM supplier
+  UNION ALL
+  SELECT s_suppkey + 1000000, 0 FROM supplier
+),
+probe_pos AS (
+  SELECT p.key, p.expected,
+         CASE d.i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql(i, 'p.key')}" for i in range(_BLOOM_K))} END AS pos
+  FROM probe p, (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS i) d
+),
+checked AS (
+  SELECT pp.key, pp.expected,
+         MIN(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS maybe
+  FROM probe_pos pp
+  LEFT JOIN bits b ON b.pos = pp.pos
+  GROUP BY pp.key, pp.expected
+),
+truth AS (
+  SELECT c.key, c.expected, c.maybe,
+         CASE WHEN bld.key IS NOT NULL THEN 1 ELSE 0 END AS actual
+  FROM checked c LEFT JOIN build bld ON bld.key = c.key
+)
+SELECT COUNT(*) AS n_probes,
+       CAST(SUM(actual) AS BIGINT) AS n_members,
+       CAST(SUM(maybe) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN maybe = 1 AND actual = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN maybe = 0 AND actual = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative,
+       (SELECT COUNT(*) FROM bits) AS n_bits_set
+FROM truth
+"""
+
+
+@query("agg_bloom_filter", oracle=_BLOOM_SQL)
+def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as pure relational algebra — the membership twin of
+    agg_countmin_sketch, with the filter ITSELF oracle-checked: the
+    build side's keys set {_BLOOM_K} md5-derived bits of a
+    {_BLOOM_M}-bit space (the bit TABLE is a distinct-aggregate), and a
+    probe key is 'maybe present' iff ALL its bits are set. The audit
+    row proves the structural guarantees: n_false_negative MUST be 0
+    (membership bits can't unset), n_false_positive is the measured
+    collision cost of half the probes being absent keys.
+
+    This is join_bloom_runtime's engine-internal structure opened up as
+    dataflow: mergeable (bit tables union), broadcastable (≤ m rows),
+    and buildable in one partial-aggregated pass — at 100 TB the bit
+    table replaces a full distinct-key shuffle wherever a probabilistic
+    semi-join reduction is acceptable."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+
+    def pos(i, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"), key_col.cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % _BLOOM_M
+        )
+
+    build = li.select(F.col("l_suppkey").alias("key")).distinct()
+    bits = (
+        build.select(
+            F.explode(F.array(*[pos(i, F.col("key")) for i in range(_BLOOM_K)]))
+            .alias("pos")
+        )
+        .distinct()
+    )
+    probe = sup.select(F.col("s_suppkey").alias("key"), F.lit(1).alias("expected")).unionAll(
+        sup.select((F.col("s_suppkey") + 1_000_000).alias("key"), F.lit(0).alias("expected"))
+    )
+    probed = probe.select(
+        "key",
+        "expected",
+        F.posexplode(
+            F.array(*[pos(i, F.col("key")) for i in range(_BLOOM_K)])
+        ).alias("i", "pos"),
+    )
+    checked = (
+        probed.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key", "expected")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("maybe"))
+    )
+    truth = checked.join(
+        F.broadcast(build.withColumn("actual", F.lit(1))), "key", "left"
+    ).withColumn("actual", F.coalesce("actual", F.lit(0)))
+    summary = truth.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("actual").cast("long").alias("n_members"),
+        F.sum("maybe").cast("long").alias("n_bloom_positive"),
+        F.sum(((F.col("maybe") == 1) & (F.col("actual") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(((F.col("maybe") == 0) & (F.col("actual") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_false_negative"),
+    )
+    # fill factor rides along as a 1-row joined aggregate — no driver
+    # round-trip in the query path
+    return summary.join(
+        F.broadcast(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
+    )

@@ -17,10 +17,11 @@ count, or float fold order. The float rank is recovered at the end as
 rank_u / 1e6 exactly.
 
 Reference parity: the reference (fetch_data.py) has no graph operator;
-this module is part of the §2.B capability closure's analytics family
-(SURVEY.md §2.B [NS] analytics), grounded in the standard power-
-iteration PageRank and the edge-join triangle algorithm (PAPERS.md:
-pregel-style iterative dataflow on relational engines).
+this module extends the §2.B capability closure's analytics family with
+the textbook algorithms — damped power-iteration PageRank and the
+sorted-orientation edge-join triangle count — expressed as relational
+dataflow (the Pregel-on-relational-engines shape: per-round join of
+vertex state to the edge list + aggregate of messages).
 """
 
 from __future__ import annotations

@@ -426,3 +426,45 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("k")).cast("string").alias("event_type_ci"), "cnt"
         )
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_tax - l_discount != 0
+            THEN l_extendedprice / (l_tax - l_discount) END AS safe_ratio,
+       CASE WHEN l_quantity != 0
+            THEN CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) %
+                      CAST(FLOOR(l_quantity) AS BIGINT) AS BIGINT) END AS safe_mod,
+       CAST(NULL AS BIGINT) AS overflow_guard
+FROM lineitem
+WHERE l_orderkey % 997 = 0
+""",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: Spark 4 runs with ANSI mode ON, so /0, %0
+    and integer overflow are hard errors mid-job — at 100 TB a single
+    degenerate row kills hour-long queries. The try_* family returns
+    NULL for exactly those rows instead, keeping the pipeline total
+    while preserving ANSI semantics everywhere else. try_divide's
+    divisor here (tax − discount) genuinely hits zero in the data;
+    try_multiply guards a deliberate bigint overflow (maxvalue × key).
+    The oracle spells the same semantics the pre-ANSI way (guarding
+    CASE), which is exactly the boilerplate try_* replaces."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", F.col("l_tax") - F.col("l_discount")).alias(
+            "safe_ratio"
+        ),
+        # explicit FLOOR before the integer cast: Spark's double→long cast
+        # truncates while DuckDB's rounds — floor is the shared spelling
+        F.try_mod(
+            F.floor("l_extendedprice").cast("long"),
+            F.floor("l_quantity").cast("long"),
+        ).alias("safe_mod"),
+        F.try_multiply(F.lit(9223372036854775807), F.col("l_orderkey") + 2)
+        .alias("overflow_guard"),
+    )

@@ -59,6 +59,12 @@ HEADLINE = [
     "pack_sequences",
     "dedup_contamination",
     "dim_scd2_build",
+    "graph_pagerank",
+    "agg_countmin_sketch",
+    "text_chunk_split",
+    "scan_dpp_pruned",
+    "sql_recursive_cte",
+    "dedup_levenshtein",
 ]
 
 
