@@ -1129,3 +1129,40 @@ def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.join(
         F.broadcast(bits.agg(F.count("*").cast("long").alias("n_bits_set")))
     )
+
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_orderpriority AS priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql_shipping_priority", oracle=_Q3_SQL)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one segment, same ANSI text on both engines. The shape
+    exercises the full mid-query pipeline at once — two fact joins,
+    filters on BOTH join sides pushed to their scans, a post-join
+    aggregation, and a top-k that plans as TakeOrderedAndProject
+    (per-partition heaps, never a full sort). Revenue accumulates in
+    DECIMAL then casts (registry rule), so the rank boundary at row 10
+    is exact and the l_orderkey tiebreak makes the cut engine-portable.
+    sql_star_join (Q5) covers the snowflake reduction; this adds the
+    selective-filter + top-k pattern the reference's 'latest prices for
+    one commodity' report maps onto."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)

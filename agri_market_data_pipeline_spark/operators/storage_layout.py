@@ -403,3 +403,97 @@ def scan_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Manifest-based file skipping (table-format planning, natively)
+
+
+_MANIFEST_CACHE: dict[str, str] = {}
+_MANIFEST_FILES = 8
+_MAN_LO, _MAN_HI = 1000, 2999  # probe range: ~25% of the sf0.01 keyspace
+
+
+def manifest_dataset(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(data_dir, manifest_dir): lineitem written as {_MANIFEST_FILES}
+    range-clustered files plus a MANIFEST parquet carrying per-file
+    (path, min_key, max_key, n_rows) — the file-level statistics layer
+    every table format (Iceberg/Delta) maintains in its metadata tree,
+    built here with one post-write scan grouped by input_file_name.
+    Range clustering is what makes the stats selective: hash layout
+    would give every file the full key range and no file would ever
+    skip."""
+    if sf_dir in _MANIFEST_CACHE:
+        base = _MANIFEST_CACHE[sf_dir]
+        if _complete(os.path.join(base, "data")) and _complete(
+            os.path.join(base, "manifest")
+        ):
+            return os.path.join(base, "data"), os.path.join(base, "manifest")
+    base = os.path.join(tempfile.gettempdir(), "agri_manifest_" + _sf_tag(sf_dir))
+    data, man = os.path.join(base, "data"), os.path.join(base, "manifest")
+    if not (_complete(data) and _complete(man)):
+        (
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+            .repartitionByRange(_MANIFEST_FILES, "l_orderkey", "l_linenumber")
+            .sortWithinPartitions("l_orderkey", "l_linenumber")
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        (
+            spark.read.parquet(data)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("l_orderkey").alias("k_min"),
+                F.max("l_orderkey").alias("k_max"),
+                F.count("*").alias("n_rows"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(man)
+        )
+    _MANIFEST_CACHE[sf_dir] = base
+    return data, man
+
+
+@query(
+    "scan_manifest_skipped",
+    oracle=f"""
+SELECT COUNT(*) AS cnt,
+       {sql_dsum("l_extendedprice")} AS sum_price,
+       {sql_dsum("l_quantity")} AS sum_qty
+FROM lineitem
+WHERE l_orderkey BETWEEN {_MAN_LO} AND {_MAN_HI}
+""",
+)
+def scan_manifest_skipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven file skipping — Iceberg/Delta's planning step
+    done natively: the range predicate is first resolved against the
+    per-file min/max manifest (a few rows, read on the driver exactly
+    the way a table format's planner reads its metadata tree), and only
+    the overlapping files are handed to the scan. The data files are
+    never listed, let alone opened, for the skipped ranges —
+    tests/test_storage_layout.py asserts files_read < files_total and
+    result equality with the full-scan plan.
+
+    This is the layer above row-group stats (sink_compact_files' note):
+    at 100 TB the manifest prunes ~all of a petabyte-scale file list
+    driver-side in milliseconds, then parquet row-group stats prune
+    within the surviving files. The driver-side collect is the
+    manifest, bounded by file count — metadata, not data."""
+    data, man = manifest_dataset(spark, sf_dir)
+    m = spark.read.parquet(man).filter(
+        ~((F.col("k_max") < _MAN_LO) | (F.col("k_min") > _MAN_HI))
+    )
+    files = [r.f for r in m.select("f").collect()]
+    pred = F.col("l_orderkey").between(_MAN_LO, _MAN_HI)
+    src = (
+        spark.read.parquet(*files)
+        if files
+        else spark.read.parquet(data).filter(F.lit(False))
+    )
+    return src.filter(pred).agg(
+        F.count("*").alias("cnt"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

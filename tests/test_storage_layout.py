@@ -103,3 +103,34 @@ def test_dynamic_partition_pruning_is_in_the_plan(spark, sf_dir):
     # The joined dim's key set becomes a runtime partition filter on the
     # fact scan — no literal partition predicate exists in the query.
     assert "dynamicpruning" in txt.lower(), txt[:2000]
+
+
+def test_manifest_skipping_reads_fewer_files_same_answer(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.storage_layout import (
+        _MAN_HI,
+        _MAN_LO,
+        manifest_dataset,
+        scan_manifest_skipped,
+    )
+
+    data, man = manifest_dataset(spark, sf_dir)
+    n_total = spark.read.parquet(man).count()
+    n_kept = (
+        spark.read.parquet(man)
+        .filter(~((F.col("k_max") < _MAN_LO) | (F.col("k_min") > _MAN_HI)))
+        .count()
+    )
+    # Range clustering must make the manifest selective for a ~25% range.
+    assert n_kept < n_total, (n_kept, n_total)
+
+    fast = scan_manifest_skipped(spark, sf_dir).collect()[0]
+    full = (
+        spark.read.parquet(data)
+        .filter(F.col("l_orderkey").between(_MAN_LO, _MAN_HI))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("l_extendedprice").alias("sp"),
+        )
+        .collect()[0]
+    )
+    assert fast.cnt == full.cnt and fast.cnt > 0
