@@ -119,14 +119,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     simplified formulation) — identically on both engines."""
     e = _edges(spark, sf_dir)
     wout = e.groupBy("src").agg(F.sum("w").alias("wo"))
-    ew = e.join(wout, "src")  # (src, dst, w, wo): static per-round factor
+    # (src, dst, w, wo): static per-round factor. Materialized ONCE —
+    # without the checkpoint every round's lineage re-runs the
+    # fact-scale edge aggregation, turning {_PR_ROUNDS} rounds into
+    # {_PR_ROUNDS}+1 full fact passes; with it the facts are read once
+    # and the loop iterates over the nation-sized graph only.
+    ew = e.join(wout, "src").localCheckpoint(eager=True)
     nodes = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
     r = nodes.withColumn("ru", F.lit(_PR_UNIT).cast("long"))
     for _ in range(_PR_ROUNDS):
         inbox = (
-            ew.join(r, ew.src == r.node)
+            ew.join(F.broadcast(r), ew.src == r.node)
             .select("dst", F.expr("(ru * w) div wo").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -136,6 +141,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(150000 + (85 * coalesce(s, 0)) div 100 AS BIGINT)")
             .alias("ru"),
         )
+        # flatten lineage per round (dedup_cluster's loop discipline):
+        # without this, round k re-optimizes a k-deep join tree and
+        # Catalyst planning time — not data — dominates the query
+        r = r.localCheckpoint(eager=True)
     nat = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
     )
