@@ -193,6 +193,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        # one explicit fact pass: u feeds three join legs — without the
+        # checkpoint the fact-scale edge build appears three times in
+        # the plan (graph_pagerank's argument)
+        .localCheckpoint(eager=True)
     )
     e1 = u.alias("e1")
     e2 = u.alias("e2")
