@@ -1166,3 +1166,123 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+_HLLR_M = 64  # registers
+_HLLR_W = 42  # rank-field width: 48-bit md5 slice minus 6 bucket bits
+_HLLR_ALPHA = 0.709  # alpha_m for m=64 (0.7213 / (1 + 1.079/m))
+
+
+_HLLR_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5('h:' || CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM events
+),
+ranks AS (
+  SELECT event_type, hv % {_HLLR_M} AS reg,
+         MAX(CASE WHEN hv // {_HLLR_M} = 0 THEN {_HLLR_W + 1}
+                  ELSE {_HLLR_W + 1} - length(to_base(hv // {_HLLR_M}, 2))
+             END) AS rank
+  FROM h GROUP BY 1, 2
+),
+grid AS (
+  SELECT et.event_type, g.reg
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT UNNEST(generate_series(0, {_HLLR_M - 1})) AS reg) g
+),
+regs AS (
+  SELECT g.event_type, g.reg, COALESCE(r.rank, 0) AS rank
+  FROM grid g LEFT JOIN ranks r
+    ON r.event_type = g.event_type AND r.reg = g.reg
+),
+est AS (
+  SELECT event_type,
+         {_HLLR_ALPHA} * {_HLLR_M} * {_HLLR_M}
+             / SUM(POWER(2.0, -rank)) AS raw,
+         SUM(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM regs GROUP BY event_type
+),
+corrected AS (
+  SELECT event_type,
+         ROUND(CASE WHEN raw <= 2.5 * {_HLLR_M} AND v_zero > 0
+                    THEN {_HLLR_M} * ln(CAST({_HLLR_M} AS DOUBLE) / v_zero)
+                    ELSE raw END, 4) AS hll_estimate
+  FROM est
+)
+SELECT e.event_type, e.hll_estimate, x.exact_distinct
+FROM corrected e
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1) x USING (event_type)
+"""
+
+
+@query("agg_hll_relational", oracle=_HLLR_SQL)
+def agg_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog as pure relational algebra — completing the sketch
+    trio (count-min = frequency, Bloom = membership, HLL = cardinality)
+    with the registers themselves oracle-checked, unlike the built-in
+    `agg_hll_merge` whose DataSketches binary is engine-internal. Each
+    user hashes to one of {_HLLR_M} registers (low 6 bits of a 48-bit
+    md5 slice); the register keeps the MAX leading-zero rank of the
+    remaining {_HLLR_W} bits (bit length via the base-2 string — float
+    log2 is not correctly rounded at power-of-two boundaries and
+    differs across libms, CLAUDE.md's determinism discipline applied to
+    bit twiddling); the estimate is the harmonic-mean formula over all
+    registers, empty ones contributing rank 0. ROUND(4) absorbs the
+    64-term float fold order.
+
+    The register table is the mergeable state: MAX per (group, reg)
+    commutes with sharding/days exactly like incr_agg_merge's partial
+    sums — at 100 TB the groupBy carries ≤ {_HLLR_M} rows per group
+    through the shuffle regardless of user cardinality, and the exact
+    count rides alongside as the audit (its expand+shuffle is the cost
+    the sketch deletes)."""
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("h:"), F.col("user_id").cast("string"))), 1, 12),
+        16, 10,
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = F.expr(f"hv div {_HLLR_M}")
+    rank = F.when(w == 0, F.lit(_HLLR_W + 1)).otherwise(
+        F.lit(_HLLR_W + 1) - F.length(F.conv(w, 10, 2))
+    )
+    ranks = (
+        h.select("event_type", (F.col("hv") % _HLLR_M).alias("reg"), rank.alias("rank"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rank").alias("rank"))
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(spark.range(_HLLR_M).select(F.col("id").alias("reg")))
+    )
+    regs = grid.join(ranks, ["event_type", "reg"], "left").select(
+        "event_type", F.coalesce("rank", F.lit(0)).alias("rank")
+    )
+    raw_est = regs.groupBy("event_type").agg(
+        (
+            F.lit(_HLLR_ALPHA * _HLLR_M * _HLLR_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col("rank")))
+        ).alias("raw"),
+        F.sum((F.col("rank") == 0).cast("int")).alias("v_zero"),
+    )
+    # HLL small-range correction: with n ≪ m the harmonic estimator is
+    # biased high; when raw ≤ 2.5m and empty registers remain, linear
+    # counting over the zero-register count is the standard estimator.
+    est = raw_est.select(
+        "event_type",
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLLR_M) & (F.col("v_zero") > 0),
+                F.lit(_HLLR_M) * F.log(F.lit(float(_HLLR_M)) / F.col("v_zero")),
+            ).otherwise(F.col("raw")),
+            4,
+        ).alias("hll_estimate"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")

@@ -353,3 +353,18 @@ def test_pagerank_mass_is_conserved_modulo_dangling(spark, sf_dir):
     # Ranks differentiate: a dense trade graph must not be uniform.
     distinct = ranks.select("rank_u").distinct().count()
     assert distinct > 1
+
+
+def test_relational_hll_estimate_within_error_bound(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.aggregations import (
+        _HLLR_M,
+        agg_hll_relational,
+    )
+
+    rows = agg_hll_relational(spark, sf_dir).collect()
+    assert rows
+    # Standard HLL relative error ~1.04/sqrt(m); allow 3 sigma.
+    tol = 3 * 1.04 / (_HLLR_M ** 0.5)
+    for r in rows:
+        rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel <= tol, (r, rel, tol)
