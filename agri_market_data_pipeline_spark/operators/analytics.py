@@ -732,3 +732,160 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().cast("long").alias("is_current"),
     )
+
+
+_MB_TOPK = 30
+
+
+_MB_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+brand_n AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.brand_a, p.brand_b, p.n_ab,
+         (CAST(p.n_ab AS DOUBLE) * n.n) / (CAST(ba.nb AS DOUBLE) * bb.nb)
+           AS lift
+  FROM pairs p
+  JOIN brand_n ba ON ba.brand = p.brand_a
+  JOIN brand_n bb ON bb.brand = p.brand_b
+  CROSS JOIN n_orders n
+)
+SELECT brand_a, brand_b, n_ab, lift
+FROM scored
+ORDER BY n_ab DESC, brand_a, brand_b
+LIMIT {_MB_TOPK}
+"""
+
+
+@query("agg_market_basket", oracle=_MB_SQL)
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (association mining's counting
+    core): brand pairs that appear in the same order, with support
+    count and lift = P(ab)/(P(a)·P(b)). The pair join is BLOCKED BY
+    BASKET — the self-join key is the orderkey, so the quadratic term
+    is bounded by lines-per-order (≤7 here), never corpus-wide; that
+    is the same discipline as every dedup candidate join, and the a<b
+    orientation counts each pair once. Lift divides exact counts in
+    one double operation with identical operands on both engines, so
+    it is bitwise-identical unrounded (registry's integer-ratio rule).
+
+    At 100 TB the basket self-join shuffles on orderkey (a key with
+    bounded group size — no skew risk by construction) and the
+    support table is a partial-aggregated groupBy; the top-k is the
+    usual per-partition heap."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = ob.select("ok").distinct().agg(F.count("*").alias("n"))
+    brand_n = ob.groupBy("brand").agg(F.count("*").alias("nb"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ba = brand_n.select(F.col("brand").alias("brand_a"), F.col("nb").alias("na"))
+    bb = brand_n.select(F.col("brand").alias("brand_b"), F.col("nb").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("na").cast("double") * F.col("nb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(_MB_TOPK)
+    )
+
+
+_OLS_SQL = """
+WITH pts AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders
+),
+s AS (
+  SELECT prio,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+  FROM pts GROUP BY prio
+)
+SELECT prio, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
+@query("ts_trend_ols", oracle=_OLS_SQL)
+def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (price drift per priority class):
+    slope and intercept from the closed-form normal equations over
+    exact-DECIMAL power sums — one aggregation pass, no iteration, no
+    ML library. The four sums accumulate in DECIMAL so they are
+    order-exact (x·y products stay within DECIMAL(38,6) by
+    construction: day-index × price ≈ 1e9); the final slope/intercept
+    arithmetic runs on identical doubles both engines and ROUND(6)
+    absorbs the last-ulp of the division chain. This is anomaly_
+    zscore's exact-moments discipline applied to regression — the
+    trend audit every price feed publishes."""
+    o = load(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("double")
+    pts = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        x.alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = pts.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "prio",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )

@@ -453,3 +453,84 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, in_v1 int, in_v2 int, "
         "dtype_v1 string, dtype_v2 string, status string",
     )
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d), as exact
+# double literals shared verbatim by both engines.
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+_BENFORD_VALUES = ", ".join(f"({d}, {v!r})" for d, v in _BENFORD.items())
+
+
+@query(
+    "dq_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+),
+total AS (SELECT COUNT(*) AS n FROM digits),
+exp(digit, exp_raw) AS (VALUES {_BENFORD_VALUES})
+SELECT e.digit,
+       CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+       COALESCE(o.n_obs, 0) / t.n AS obs_freq,
+       CAST(e.exp_raw AS DOUBLE) AS exp_freq,
+       ROUND(abs(COALESCE(o.n_obs, 0) / t.n - CAST(e.exp_raw AS DOUBLE)), 6)
+         AS abs_dev
+FROM exp e
+LEFT JOIN obs o ON o.digit = e.digit
+CROSS JOIN total t
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: fabricated or truncation-damaged
+    numeric feeds drift from the log10(1+1/d) first-digit law, and the
+    per-digit deviation table is the classic forensic screen (here the
+    synthetic uniform-ish prices deviate visibly — the audit's point is
+    the measurement, not conformance). The first digit comes from the
+    INTEGER-STRING head, not floor(x/10^floor(log10 x)) — float log10
+    at power-of-ten boundaries is off-by-ulp across libms and flips
+    digits (agg_hll_relational's bit-length argument, decimal edition).
+    Observed frequency is an exact count ratio (bitwise identical
+    unrounded); expected frequencies are shared double literals.
+
+    One groupBy on a 9-value key: partial aggregation collapses
+    everything map-side; at any scale this is one scan + a 9-row
+    exchange."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = digits.agg(F.count("*").alias("n"))
+    exp = F.broadcast(
+        load(spark, sf_dir, "orders").sparkSession.createDataFrame(
+            sorted(_BENFORD.items()), "digit int, exp_freq double"
+        )
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            (F.coalesce("n_obs", F.lit(0)) / F.col("n")).alias("obs_freq"),
+            "exp_freq",
+            F.round(
+                F.abs(F.coalesce("n_obs", F.lit(0)) / F.col("n") - F.col("exp_freq")),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
