@@ -731,3 +731,134 @@ def ml_kmeans_train_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
     )
+
+
+_LR_ROUNDS = 8
+_LR_RATE = 2.0  # learning rate; features are normalized to ~unit scale
+
+
+def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, x array<double> incl bias, y): normalized quality
+    features and the heuristic label a learned quality filter is
+    bootstrapped from (the fasttext-classifier pattern: cheap heuristic
+    labels, learned smooth decision surface)."""
+    from ..functions.text import tokens
+    from ..tables import load_parallel as _lp
+
+    d = _lp(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks).cast("double")
+    avg_w = F.length("text").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    y = (
+        (n_tok >= 20) & (avg_w <= 12.0)
+    ).cast("double")
+    raw = d.select(
+        "doc_id",
+        F.array(n_tok, avg_w, ttr).alias("xr"),
+        y.alias("y"),
+    )
+    # Standardize to zero mean / unit variance (one aggregation pass):
+    # full-batch GD on raw-scale features crawls — the bias gradient
+    # dominates and the model collapses to the majority class. Stats
+    # ride in a 1-row broadcast frame, same as the weights.
+    stats = (
+        raw.select(F.posexplode("xr").alias("j", "v"))
+        .groupBy("j")
+        .agg(
+            F.avg("v").alias("mu"),
+            F.greatest(F.stddev_pop("v"), F.lit(1e-9)).alias("sd"),
+        )
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "mu", "sd"))),
+                lambda s: F.struct(s.mu.alias("mu"), s.sd.alias("sd")),
+            ).alias("st")
+        )
+    )
+    return raw.join(F.broadcast(stats)).select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit(1.0)),  # bias
+            F.zip_with(
+                "xr", "st", lambda v, s: (v - s.mu) / s.sd
+            ),
+        ).alias("x"),
+        "y",
+    )
+
+
+@query("ml_logreg_quality")
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier: logistic regression trained by
+    {_LR_ROUNDS} full-batch gradient-descent rounds entirely as
+    DataFrame ops — the 'train a cheap quality filter on heuristic
+    labels' step of an LLM curation stack, in the engine itself. The
+    model is a 1-ROW FRAME holding the weight array: each round
+    cross-broadcasts it into the feature frame (zip_with dot product,
+    row-local sigmoid), aggregates the per-feature gradient with one
+    partial-agg groupBy over the posexploded features, and rebuilds
+    the weight row — ml_kmeans_refine's no-driver-state discipline
+    applied to supervised training, so the same loop runs on a
+    1000-executor corpus unchanged (model size is what bounds the
+    broadcast, not data size).
+
+    Rows-only driver check (cross-libm exp() makes gradient sums
+    engine-specific at the last ulp; weights are emitted ROUND(4) for
+    stability); tests/test_extensions.py pins the real guarantees —
+    loss decreases across rounds and training accuracy beats the
+    majority-class baseline."""
+    X = _quality_features(spark, sf_dir).localCheckpoint(eager=True)
+    n_feat = 4
+    w = spark.range(1).select(
+        F.array(*[F.lit(0.0) for _ in range(n_feat)]).alias("w")
+    )
+    for _ in range(_LR_ROUNDS):
+        joined = X.join(F.broadcast(w))
+        z = F.aggregate(
+            F.zip_with("x", "w", lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = (
+            joined.select(
+                ((p - F.col("y"))).alias("err"), F.posexplode("x").alias("j", "xj")
+            )
+            .groupBy("j")
+            .agg(F.avg(F.col("err") * F.col("xj")).alias("g"))
+        )
+        w = (
+            g.join(F.broadcast(w))
+            .select("j", (F.element_at("w", F.col("j").cast("int") + 1)
+                          - F.lit(_LR_RATE) * F.col("g")).alias("wj"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "wj"))),
+                    lambda s: s.wj,
+                ).alias("w")
+            )
+        )
+        w = w.localCheckpoint(eager=True)  # flatten the round lineage
+    final = X.join(F.broadcast(w))
+    z = F.aggregate(
+        F.zip_with("x", "w", lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+    )
+    pred = (z >= 0).cast("double")
+    metrics = final.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((pred == F.col("y")).cast("long")).alias("n_correct"),
+        F.sum("y").cast("long").alias("n_positive"),
+    )
+    wt = w.select(F.posexplode("w").alias("j", "wj")).agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "wj"))),
+                lambda s: F.round(s.wj, 4).cast("string"),
+            ),
+        ).alias("weights")
+    )
+    return metrics.join(F.broadcast(wt))

@@ -368,3 +368,17 @@ def test_relational_hll_estimate_within_error_bound(spark, sf_dir):
     for r in rows:
         rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
         assert rel <= tol, (r, rel, tol)
+
+
+def test_logreg_quality_beats_majority_and_is_deterministic(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        ml_logreg_quality,
+    )
+
+    r = ml_logreg_quality(spark, sf_dir).collect()[0]
+    majority = max(r.n_positive, r.n_docs - r.n_positive)
+    # The trained boundary must beat always-predict-the-majority-class.
+    assert r.n_correct > majority, r
+    # Training is a pure function of the data (no RNG anywhere).
+    r2 = ml_logreg_quality(spark, sf_dir).collect()[0]
+    assert (r.n_correct, r.weights) == (r2.n_correct, r2.weights)
