@@ -753,3 +753,110 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+_BPE_MERGES = 10
+
+
+def _bpe_apply_merge(seq_col, a_col, b_col):
+    """Replace every non-overlapping adjacent (a, b) with a||b in a
+    symbol array — one left-to-right fold with a skip flag, entirely in
+    codegen'd higher-order functions (no UDF): the accumulator struct
+    carries the output array and whether the previous position was
+    consumed by a merge."""
+    n = F.size(seq_col)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
+    )
+
+    def step(acc, i):
+        cur = F.element_at(seq_col, i + 1)
+        nxt = F.element_at(seq_col, i + 2)  # NULL past the end
+        is_pair = (
+            (~acc.skip) & (i < n - 1) & (cur == a_col) & (nxt == b_col)
+        )
+        return F.struct(
+            F.when(acc.skip, acc.out)
+            .when(is_pair, F.concat(acc.out, F.array(F.concat(a_col, b_col))))
+            .otherwise(F.concat(acc.out, F.array(cur)))
+            .alias("out"),
+            F.when(acc.skip, F.lit(False)).otherwise(is_pair).alias("skip"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1), init, step, lambda acc: acc.out
+    )
+
+
+@query("text_bpe_train")
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: {_BPE_MERGES} merge rounds
+    over the corpus — the step `text_token_count_bpe` (which only
+    counts with a fixed regex) leaves to an external tool, done in the
+    engine. The classic scaling trick makes it feasible: all counting
+    runs on the WORD-FREQUENCY table (vocabulary grain — bounded by
+    distinct words, not corpus size), each word carried as its symbol
+    array. Per round: explode adjacent symbol pairs weighted by word
+    frequency, partial-agg count, pick the max pair (count DESC, then
+    lexicographic — fully deterministic), and rewrite every word's
+    symbol array with a codegen'd left-fold (no Python in the loop);
+    the winning pair rides in a 1-row broadcast frame
+    (ml_logreg_quality's model-frame discipline) and the vocab frame is
+    checkpointed per round (graph_pagerank's).
+
+    Output: the ordered merge table (rank, left, right, pair_count) —
+    the tokenizer artifact itself. Rows-only driver check (DuckDB has
+    no stateful list fold to express the rewrite); the REAL check is
+    tests/test_extensions.py pinning exact parity with an independent
+    pure-Python BPE reference."""
+    from ..tables import load_parallel as _lp
+
+    d = _lp(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(F.split("w", "").alias("seq"), "freq")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(_BPE_MERGES):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("seq", 1, F.size("seq") - 1),
+                        F.slice("seq", 2, F.size("seq") - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .withColumn("rank", F.lit(rank).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        b = best.select(
+            F.col("a").alias("ma"), F.col("b").alias("mb")
+        )
+        words = words.join(F.broadcast(b)).select(
+            _bpe_apply_merge(F.col("seq"), F.col("ma"), F.col("mb")).alias("seq"),
+            "freq",
+        ).localCheckpoint(eager=True)
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "rank",
+        F.col("a").alias("left"),
+        F.col("b").alias("right"),
+        F.col("cnt").alias("pair_count"),
+    )

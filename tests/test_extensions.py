@@ -382,3 +382,51 @@ def test_logreg_quality_beats_majority_and_is_deterministic(spark, sf_dir):
     # Training is a pure function of the data (no RNG anywhere).
     r2 = ml_logreg_quality(spark, sf_dir).collect()[0]
     assert (r.n_correct, r.weights) == (r2.n_correct, r2.weights)
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """Exact parity with an independent in-memory BPE implementation —
+    the strongest check available for an operator whose stateful list
+    fold has no SQL twin."""
+    from collections import Counter
+
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        _BPE_MERGES,
+        text_bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    freq = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if len(w) >= 2:
+                freq[w] += 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+
+    expected = []
+    for rank in range(_BPE_MERGES):
+        pairs = Counter()
+        for seq, f in vocab.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += f
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        expected.append((rank, a, b, cnt))
+        new_vocab = Counter()
+        for seq, f in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_vocab[tuple(out)] += f
+        vocab = new_vocab
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in text_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == expected
