@@ -363,3 +363,55 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "o_orderpriority", "d", "day_total", med.alias("med7")
     )
+
+
+_ROLLD_DAYS = 7
+
+
+@query(
+    "win_rolling_distinct",
+    oracle=f"""
+WITH daily AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+cal AS (SELECT DISTINCT d FROM daily),
+contrib AS (
+  SELECT d + CAST(x AS INT) AS td, user_id
+  FROM daily, (SELECT UNNEST(generate_series(0, {_ROLLD_DAYS - 1})) AS x)
+)
+SELECT c.d, COUNT(DISTINCT ct.user_id) AS users_7d
+FROM cal c JOIN contrib ct ON ct.td = c.d
+GROUP BY c.d
+""",
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_ROLLD_DAYS}-day distinct active users per day — the
+    rolling-DAU/WAU metric. COUNT(DISTINCT) over a window frame does
+    not exist in Spark (distinct state can't live in a running frame),
+    and the naive range self-join (every day × every row within 7 days)
+    shuffles the fact 7× through a join. The scalable rewrite: each
+    (day, user) observation CONTRIBUTES ITSELF to the {_ROLLD_DAYS}
+    target days it falls inside — a row-local explode — and the rolling
+    distinct collapses to one plain distinct aggregation on (target
+    day, user). The ×{_ROLLD_DAYS} expansion happens map-side inside
+    the scan stage; the only shuffle is the final groupBy, exactly as
+    wide as the answer. At 100 TB swap the exact distinct for
+    hll_union_agg over daily sketches (agg_hll_merge) — same contribute
+    shape, constant state."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    cal = daily.select("d").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_ROLLD_DAYS - 1))
+        ).alias("x"),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("x")).alias("td"), "user_id")
+    return (
+        contrib.join(F.broadcast(cal), contrib.td == cal.d, "leftsemi")
+        .groupBy(F.col("td").alias("d"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
