@@ -136,3 +136,37 @@ def test_kmeans_refine_conserves_membership(spark, sf_dir):
     assert sorted(r.cell_id for r in rows) == list(range(_KM_K))
     assert sum(r.n_seeded for r in rows) == n
     assert sum(r.n_refined for r in rows) == n
+
+
+@given(
+    seq=st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=1, max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "c"]), st.sampled_from(["a", "b", "ab", "c"])
+    ),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_fold_matches_python_reference(spark, seq, pair):
+    """The codegen'd merge fold must match the canonical left-to-right
+    non-overlapping rewrite on arbitrary sequences — including the
+    overlap trap (aaa with merge (a,a) → [aa, a], not [aa, aa])."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        _bpe_apply_merge,
+    )
+
+    a, b = pair
+    out, i = [], 0
+    while i < len(seq):
+        if i < len(seq) - 1 and seq[i] == a and seq[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(seq[i])
+            i += 1
+
+    df = spark.createDataFrame([(seq,)], "seq array<string>")
+    got = df.select(
+        _bpe_apply_merge(F.col("seq"), F.lit(a), F.lit(b)).alias("m")
+    ).collect()[0].m
+    assert got == out, (seq, pair, got, out)
