@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dsum, sql_dsum
 from ..registry import query
 from ..tables import load, load_parallel
 
@@ -370,4 +371,66 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((vx <= 0) | (vy <= 0), F.lit(None))
         .otherwise(F.round(cov / F.sqrt(vx) / F.sqrt(vy), 4))
         .alias("autocorr_lag1"),
+    )
+
+
+_FE_LAG = 12  # naive seasonal forecast: same month last year
+
+
+@query(
+    "ts_forecast_eval",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         {sql_dsum("o_totalprice")} AS actual
+  FROM orders GROUP BY 1, 2
+),
+with_fc AS (
+  SELECT prio, m, actual,
+         LAG(actual, {_FE_LAG}) OVER (PARTITION BY prio ORDER BY m) AS fc
+  FROM monthly
+)
+SELECT prio,
+       COUNT(fc) AS n_scored,
+       ROUND(CAST(SUM(CAST(abs(actual - fc) AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(abs(actual) AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS wape,
+       ROUND(CAST(SUM(CAST(actual - fc AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(fc), 6) AS mean_bias
+FROM with_fc WHERE fc IS NOT NULL
+GROUP BY prio
+""",
+)
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoring: the seasonal-naive baseline (same
+    month last year, the forecast every real model must beat) evaluated
+    with WAPE and mean bias per priority class. WAPE over MAPE
+    deliberately — MAPE explodes on near-zero actuals and weights small
+    months equally; WAPE is the volume-weighted error a revenue
+    dashboard actually wants. Numerator and denominator both accumulate
+    in DECIMAL (order-exact), the final division is one double op,
+    ROUND(6) absorbs its last ulp. The lag window runs on the
+    months×priority grain — thousands of rows at any fact scale, after
+    one partial-aggregated rollup of the facts."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(dsum("o_totalprice").alias("actual"))
+    w = Window.partitionBy("prio").orderBy("m")
+    wf = monthly.withColumn("fc", F.lag("actual", _FE_LAG).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    err = F.col("actual") - F.col("fc")
+    return wf.groupBy("prio").agg(
+        F.count("fc").alias("n_scored"),
+        F.round(
+            F.sum(F.abs(err).cast("decimal(30,6)")).cast("double")
+            / F.sum(F.abs("actual").cast("decimal(30,6)")).cast("double"),
+            6,
+        ).alias("wape"),
+        F.round(
+            F.sum(err.cast("decimal(30,6)")).cast("double") / F.count("fc"), 6
+        ).alias("mean_bias"),
     )

@@ -18,7 +18,7 @@ import tempfile
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -578,3 +578,48 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), dsum("value").alias("sum_value")
     )
     return run_to_table(agg, "static_join", "complete")
+
+
+_STK_K = 5
+
+
+@query(
+    "stream_topk",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         {sql_dsum("value")} AS sum_value
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, cnt, sum_value,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+  FROM counts
+)
+SELECT CAST(rnk AS INT) AS rnk, user_id, cnt, sum_value
+FROM ranked WHERE rnk <= {_STK_K}
+""",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained top-{_STK_K} leaderboard: complete-mode
+    streaming aggregation (running per-user counts) with the rank cut
+    applied to the materialized result after AvailableNow replay — the
+    live-dashboard pattern where each trigger emits the full refreshed
+    board. Complete mode keeps ALL group state, which is exactly why it
+    works for a leaderboard (the output IS the state) and why at 100 TB
+    the key domain must be bounded — an unbounded-key leaderboard
+    switches to update mode + incr_topk_merge's monoid maintenance (or
+    the count-min + heap sketch, agg_countmin_sketch). Exactly the
+    batch answer, per stream_source_rate's replay argument: the rank
+    boundary is deterministic (cnt DESC, user_id)."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), dsum("value").alias("sum_value")
+    )
+    out = run_to_table(agg, "topk", "complete")
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _STK_K)
+        .select("rnk", "user_id", "cnt", "sum_value")
+    )
