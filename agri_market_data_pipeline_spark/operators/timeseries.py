@@ -434,3 +434,105 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err.cast("decimal(30,6)")).cast("double") / F.count("fc"), 6
         ).alias("mean_bias"),
     )
+
+
+_DEC_W = 13  # centered 13-month trend window (±6)
+
+
+@query(
+    "ts_classical_decompose",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         {sql_dsum("o_totalprice")} AS actual
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT prio, m, actual,
+         CASE WHEN COUNT(*) OVER w = {_DEC_W} THEN
+           ROUND(CAST(SUM(CAST(actual AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / {_DEC_W}, 6)
+         END AS trend
+  FROM monthly
+  WINDOW w AS (PARTITION BY prio ORDER BY m
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+det AS (
+  SELECT prio, m, actual, trend,
+         ROUND(actual - trend, 6) AS detrended,
+         CAST(EXTRACT(MONTH FROM m) AS INT) AS moy
+  FROM tr WHERE trend IS NOT NULL
+),
+seas AS (
+  SELECT prio, moy,
+         ROUND(CAST(SUM(CAST(detrended AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(*), 6) AS seasonal
+  FROM det GROUP BY prio, moy
+)
+SELECT d.prio, d.m, d.actual, d.trend, s.seasonal,
+       ROUND(d.detrended - s.seasonal, 6) AS residual
+FROM det d JOIN seas s ON s.prio = d.prio AND s.moy = d.moy
+""",
+)
+def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the monthly revenue series:
+    trend = centered {_DEC_W}-month moving average (emitted only where
+    the window is complete — partial-edge trends are statistical
+    artifacts), seasonal = month-of-year mean of the detrended series,
+    residual = the rest. The anomaly/forecast stack's missing third
+    member: anomaly_zscore flags points, ts_forecast_eval scores a
+    baseline, this explains WHERE the structure lives.
+
+    Determinism chain (registry rules compounded): the MA sums DECIMAL
+    then rounds; detrended is exact-minus-rounded, rounded; the
+    seasonal mean re-enters DECIMAL via the already-6-decimal values
+    (cast is exact) so its fold order can't drift. Everything runs on
+    the months×priority grain — thousands of rows after one fact
+    rollup, whatever the fact scale."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(dsum("o_totalprice").alias("actual"))
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("m")
+        .rowsBetween(-6, 6)
+    )
+    tr = monthly.select(
+        "prio",
+        "m",
+        "actual",
+        F.when(
+            F.count("*").over(w) == _DEC_W,
+            F.round(
+                F.sum(F.col("actual").cast("decimal(30,6)")).over(w).cast("double")
+                / _DEC_W,
+                6,
+            ),
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        "prio",
+        "m",
+        "actual",
+        "trend",
+        F.round(F.col("actual") - F.col("trend"), 6).alias("detrended"),
+        F.month("m").cast("int").alias("moy"),
+    )
+    seas = det.groupBy("prio", "moy").agg(
+        F.round(
+            F.sum(F.col("detrended").cast("decimal(30,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("seasonal")
+    )
+    return det.join(F.broadcast(seas), ["prio", "moy"]).select(
+        "prio",
+        "m",
+        "actual",
+        "trend",
+        "seasonal",
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+    )
