@@ -1286,3 +1286,79 @@ def agg_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_distinct")
     )
     return est.join(exact, "event_type")
+
+
+_CMSM_SQL = f"""
+WITH rows_h AS (
+  SELECT CAST(ts AS DATE) AS d, user_id, i,
+         CASE i {" ".join(f"WHEN {i} THEN {_cms_bucket_sql(i, 'user_id')}" for i in range(_CMS_DEPTH))} END AS bucket
+  FROM events, (SELECT UNNEST(generate_series(0, {_CMS_DEPTH - 1})) AS i)
+),
+daily AS (
+  SELECT d, i, bucket, COUNT(*) AS c FROM rows_h GROUP BY d, i, bucket
+),
+merged AS (
+  SELECT i, bucket, CAST(SUM(c) AS BIGINT) AS c FROM daily GROUP BY i, bucket
+),
+direct AS (
+  SELECT i, bucket, COUNT(*) AS c FROM rows_h GROUP BY i, bucket
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN m.c = dc.c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_equal,
+       CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_daily_cells,
+       CAST((SELECT COUNT(DISTINCT d) FROM daily) AS BIGINT) AS n_days
+FROM merged m
+JOIN direct dc ON dc.i = m.i AND dc.bucket = m.bucket
+"""
+
+
+@query("incr_cms_merge", oracle=_CMSM_SQL)
+def incr_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min MERGE property proven in-query (incr_agg_merge's
+    rollup-maintenance argument applied to sketches): per-day sketches
+    are built independently, merged by CELL-WISE ADDITION, and the
+    merged counter table must equal the directly-built whole-corpus
+    sketch cell for cell — the audit row carries total cells, equal
+    cells (must match), daily-cell volume, and day count. This equality
+    is exactly what makes the sketch incrementally maintainable at
+    100 TB: each ingest batch contributes its own (depth × width)
+    table, the stored rollup is a SUM per cell, and no historical data
+    is ever rescanned."""
+    ev = load(spark, sf_dir, "events")
+
+    def bucket(i, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % _CMS_WIDTH
+        )
+
+    rows_h = ev.select(
+        F.col("ts").cast("date").alias("d"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("i"),
+                         bucket(i, F.col("user_id")).alias("bucket"))
+                for i in range(_CMS_DEPTH)
+            ])
+        ).alias("h"),
+    ).select("d", "h.i", "h.bucket")
+    daily = rows_h.groupBy("d", "i", "bucket").agg(F.count("*").alias("c"))
+    daily = daily.localCheckpoint(eager=True)  # feeds three aggregates
+    merged = daily.groupBy("i", "bucket").agg(F.sum("c").alias("mc"))
+    direct = rows_h.groupBy("i", "bucket").agg(F.count("*").alias("dc"))
+    cmp = merged.join(direct, ["i", "bucket"]).agg(
+        F.count("*").alias("n_cells"),
+        F.sum((F.col("mc") == F.col("dc")).cast("int"))
+        .cast("long")
+        .alias("n_cells_equal"),
+    )
+    stats = daily.agg(
+        F.count("*").alias("n_daily_cells"),
+        F.count_distinct("d").alias("n_days"),
+    )
+    return cmp.join(F.broadcast(stats))
