@@ -534,3 +534,116 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev"),
         )
     )
+
+
+_PSI_BUCKETS = 10
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=f"""
+WITH base AS (
+  SELECT o_totalprice AS v FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) < 1998
+),
+cur AS (
+  SELECT o_totalprice AS v FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998
+),
+cuts AS (
+  {" UNION ALL ".join(f"SELECT {x} AS x, ROUND(quantile_cont(v, {x / 10.0}), 4) AS cut FROM base" for x in range(1, _PSI_BUCKETS))}
+),
+bb AS (
+  SELECT b.v, CAST(COALESCE(SUM(CASE WHEN b.v > c.cut THEN 1 ELSE 0 END), 0)
+                   AS INT) AS bkt
+  FROM base b CROSS JOIN cuts c GROUP BY b.v
+),
+cb AS (
+  SELECT cu.v, CAST(COALESCE(SUM(CASE WHEN cu.v > c.cut THEN 1 ELSE 0 END), 0)
+                    AS INT) AS bkt
+  FROM cur cu CROSS JOIN cuts c GROUP BY cu.v
+),
+bp AS (SELECT bkt, COUNT(*) AS nb FROM bb GROUP BY bkt),
+cp AS (SELECT bkt, COUNT(*) AS nc FROM cb GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM base) AS tb, (SELECT COUNT(*) FROM cur) AS tc),
+g AS (SELECT UNNEST(generate_series(0, {_PSI_BUCKETS - 1})) AS bkt)
+SELECT g.bkt,
+       CAST(COALESCE(bp.nb, 0) AS BIGINT) AS n_base,
+       CAST(COALESCE(cp.nc, 0) AS BIGINT) AS n_cur,
+       COALESCE(bp.nb, 0) / t.tb AS p_base,
+       COALESCE(cp.nc, 0) / t.tc AS p_cur,
+       ROUND((COALESCE(cp.nc, 0) / t.tc - COALESCE(bp.nb, 0) / t.tb)
+             * ln(GREATEST(COALESCE(cp.nc, 0) / t.tc, 1e-6)
+                  / GREATEST(COALESCE(bp.nb, 0) / t.tb, 1e-6)), 6)
+         AS psi_term
+FROM g LEFT JOIN bp ON bp.bkt = g.bkt
+       LEFT JOIN cp ON cp.bkt = g.bkt
+       CROSS JOIN tot t
+""",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a baseline window (pre-1998
+    orders) and the current window — THE production drift alarm for any
+    feature a model consumes: bucket the current data by the BASELINE's
+    deciles and sum (p_cur − p_base)·ln(p_cur/p_base) per bucket
+    (emitted long-form; PSI ≥ 0.2 is the conventional retrain trigger).
+    Decile cuts are exact interpolated percentiles rounded to the
+    shared 1e-4 lattice (agg_percentiles' rule); bucket assignment is
+    an integer count of cuts below the value — a 9-row broadcast
+    product, not a sort; proportions are exact count ratios; only the
+    ln-weighted term is rounded. Zero-count buckets clamp at 1e-6 on
+    both sides (standard PSI practice, keeps ln finite).
+
+    At 100 TB: cuts come from the baseline once (or its sketch), the
+    two scans are filter-pushed, and the whole audit shuffles 2×10
+    count rows."""
+    o = load(spark, sf_dir, "orders")
+    base = o.filter(F.year("o_orderdate") < 1998).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cur = o.filter(F.year("o_orderdate") >= 1998).select(
+        F.col("o_totalprice").alias("v")
+    )
+    cuts = base.agg(
+        *[
+            F.round(F.percentile("v", x / 10.0), 4).alias(f"c{x}")
+            for x in range(1, _PSI_BUCKETS)
+        ]
+    )
+
+    def bucketed(df):
+        j = df.join(F.broadcast(cuts))
+        bkt = sum(
+            (F.col("v") > F.col(f"c{x}")).cast("int")
+            for x in range(1, _PSI_BUCKETS)
+        )
+        return j.select(bkt.alias("bkt")).groupBy("bkt").agg(
+            F.count("*").alias("n")
+        )
+
+    bp = bucketed(base).withColumnRenamed("n", "nb")
+    cp = bucketed(cur).withColumnRenamed("n", "nc")
+    tot = base.agg(F.count("*").alias("tb")).join(
+        cur.agg(F.count("*").alias("tc"))
+    )
+    g = o.sparkSession.range(_PSI_BUCKETS).select(F.col("id").cast("int").alias("bkt"))
+    p_base = F.coalesce("nb", F.lit(0)) / F.col("tb")
+    p_cur = F.coalesce("nc", F.lit(0)) / F.col("tc")
+    return (
+        g.join(F.broadcast(bp), "bkt", "left")
+        .join(F.broadcast(cp), "bkt", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("nc", F.lit(0)).cast("long").alias("n_cur"),
+            p_base.alias("p_base"),
+            p_cur.alias("p_cur"),
+            F.round(
+                (p_cur - p_base)
+                * F.log(
+                    F.greatest(p_cur, F.lit(1e-6))
+                    / F.greatest(p_base, F.lit(1e-6))
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+    )

@@ -415,3 +415,81 @@ def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("td").alias("d"))
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+_PATTERN = "c+p"  # one-or-more clicks immediately followed by a purchase
+
+
+@query(
+    "win_event_pattern",
+    oracle=r"""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type WHEN 'click' THEN 'c'
+                                    WHEN 'purchase' THEN 'p'
+                                    WHEN 'view' THEN 'v'
+                                    WHEN 'signup' THEN 's'
+                                    ELSE 'e' END, '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(length(s) - length(regexp_replace(s, 'cp', '', 'g')) AS BIGINT) / 2
+         AS n_click_buys,
+       CASE WHEN regexp_matches(s, 'c+p') THEN 1 ELSE 0 END AS has_pattern
+FROM seq
+""",
+)
+def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over event streams — MATCH_RECOGNIZE
+    for engines that don't ship it: each user's journey collapses to a
+    one-char-per-event STRING in strict (ts, event_id) order, and the
+    pattern 'one or more clicks immediately followed by a purchase'
+    becomes the regex /c+p/ — with occurrence counting via the
+    replace-and-measure trick (len − len(remove('cp'))). The ordered
+    string_agg ↔ concat_ws(sorted collect_list) pairing is CLAUDE.md's
+    ordered-aggregation rule; the regex stays in the RE2∩Java subset.
+
+    The journey string is the per-user session payload — bounded by
+    events-per-user, the same bound every sessionize/funnel operator
+    already carries, so the collect is safe wherever those are. Unlike
+    win_funnel_steps (which checks ORDER with arbitrary gaps), the
+    regex encodes ADJACENCY — 'immediately followed' — which no
+    join/window formulation expresses as directly; at 100 TB arbitrary
+    patterns compile to the same regex over the same strings."""
+    ev = load(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select("user_id", F.col("ts").alias("ts"), "event_id", code.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "ch"))
+                    ),
+                    lambda s: s.ch,
+                ),
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("n_events"),
+        (
+            (F.length("s") - F.length(F.regexp_replace("s", "cp", "")))
+            .cast("long")
+            / 2
+        ).alias("n_click_buys"),
+        F.when(F.col("s").rlike("c+p"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "has_pattern"
+        ),
+    )
