@@ -978,3 +978,120 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("long").alias("lev"),
         )
     )
+
+
+_MHE_SQL = _MINHASH_CTE + f""",
+sigs AS (
+    SELECT doc_id,
+           {", ".join(f"MIN(({_MH_A[s]} * hv + {_MH_B[s]}) % {_MH_P}) AS mh{s}" for s in range(_N_HASHES))}
+    FROM hv GROUP BY doc_id
+),
+shs AS (SELECT DISTINCT doc_id, shingle FROM sh),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+agree AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST({" + ".join(f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(_N_HASHES))} AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_int
+    FROM cand c
+    JOIN shs x ON x.doc_id = c.doc_a
+    JOIN shs y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shs GROUP BY doc_id)
+SELECT a.doc_a, a.doc_b, a.n_agree,
+       a.n_agree / {_N_HASHES} AS est_jaccard,
+       COALESCE(i.n_int, 0) / (za.n_sh + zb.n_sh - COALESCE(i.n_int, 0))
+         AS exact_jaccard
+FROM agree a
+LEFT JOIN inter i ON i.doc_a = a.doc_a AND i.doc_b = a.doc_b
+JOIN sizes za ON za.doc_id = a.doc_a
+JOIN sizes zb ON zb.doc_id = a.doc_b
+"""
+
+
+@query("dedup_minhash_estimate_eval", oracle=_MHE_SQL)
+def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself audited in-query (the sketch-family
+    discipline: agg_countmin_sketch emits its overcount, this emits its
+    Jaccard error): for every LSH candidate pair, the estimated Jaccard
+    (fraction of the {_N_HASHES} signature slots that agree — MinHash's
+    defining unbiased-estimator property) is laid beside the EXACT
+    shingle-set Jaccard computed by an inverted-index intersection join
+    on candidates only. Both are exact-integer count ratios, so the
+    whole evaluation hash-matches the oracle unrounded.
+
+    At 100 TB this is the calibration report that decides the
+    band/row configuration: exact Jaccard is affordable precisely
+    because it runs on the sub-quadratic candidate set, never
+    all-pairs."""
+    d = load_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
+    )
+    hv = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    sigs = hv.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_MH_A[s]) * F.col("hv") + _MH_B[s]) % _MH_P).alias(
+                f"mh{s}"
+            )
+            for s in range(_N_HASHES)
+        ]
+    )
+    shs = sh.distinct()
+    cand = dedup_near_minhash_pairs(spark, sf_dir)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(_N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(_N_HASHES)],
+    )
+    n_agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(_N_HASHES)
+    ).cast("long")
+    agree = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    x = shs.select(F.col("doc_id").alias("doc_a"), "shingle")
+    y = shs.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_int"))
+    )
+    sizes = shs.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        agree.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            (F.col("n_agree") / _N_HASHES).alias("est_jaccard"),
+            (
+                F.coalesce("n_int", F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce("n_int", F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )

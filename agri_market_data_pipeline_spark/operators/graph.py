@@ -26,7 +26,7 @@ vertex state to the edge list + aggregate of messages).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -267,5 +267,83 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("deg_in", F.lit(0)).alias("deg_in"),
             F.coalesce("w_out", F.lit(0)).alias("w_out"),
             F.coalesce("w_in", F.lit(0)).alias("w_in"),
+        )
+    )
+
+
+_CC_ROUNDS = 4
+
+
+def _cc_sql(rounds: int) -> str:
+    ctes = [
+        f"d AS ({_EDGE_SQL})",
+        """u AS (
+  SELECT src, dst FROM d WHERE src != dst
+  UNION SELECT dst, src FROM d WHERE src != dst
+  UNION SELECT n_nationkey, n_nationkey FROM nation)""",
+        "l0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS (
+  SELECT u.src AS node, MIN(l.lbl) AS lbl
+  FROM u JOIN l{i - 1} l ON l.node = u.dst
+  GROUP BY u.src)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nat.n_name AS nation,
+       CAST(r.lbl AS BIGINT) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY r.lbl) AS BIGINT) AS comp_size
+FROM l{rounds} r JOIN nation nat ON nat.n_nationkey = r.node"""
+    )
+
+
+@query("graph_connected_components", oracle=_cc_sql(_CC_ROUNDS))
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the undirected trade graph by
+    {_CC_ROUNDS}-round min-label propagation — the graph-analytics face
+    of the machinery dedup_cluster runs on document pairs, here as a
+    first-class oracle-checked query (the loop unrolled into a CTE
+    chain, graph_pagerank's technique). Each round every node takes the
+    MIN label over its closed neighborhood; labels are exact integers,
+    so every intermediate state is engine-identical. Plain propagation
+    converges in diameter rounds — right for this dense nation graph;
+    long-chain graphs need dedup_cluster's pointer-jumping variant
+    (log-diameter), which is the documented 100 TB escalation path.
+    The edge frame is checkpointed once (single fact pass); the loop
+    shuffles only nation-sized label frames."""
+    d = _edges(spark, sf_dir)
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    nd = d.filter(F.col("src") != F.col("dst"))
+    u = (
+        nd.select("src", "dst")
+        .union(nd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(nodes.select(F.col("node").alias("src"), F.col("node").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(_CC_ROUNDS):
+        lbl = (
+            u.join(F.broadcast(lbl), u.dst == lbl.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    w = Window.partitionBy("lbl")
+    return (
+        lbl.join(F.broadcast(nat), "node")
+        .select(
+            "nation",
+            F.col("lbl").cast("long").alias("component"),
+            F.count("*").over(w).cast("long").alias("comp_size"),
         )
     )
