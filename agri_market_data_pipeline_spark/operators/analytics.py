@@ -889,3 +889,182 @@ def ts_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+_ATTR_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type != 'purchase' THEN event_type END AS touch
+  FROM events
+),
+attributed AS (
+  SELECT user_id, event_id, ts, event_type,
+         FIRST_VALUE(touch IGNORE NULLS) OVER wprev AS first_touch,
+         LAST_VALUE(touch IGNORE NULLS) OVER wprev AS last_touch
+  FROM ordered
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT COALESCE(first_touch, 'none') AS first_touch,
+       COALESCE(last_touch, 'none') AS last_touch,
+       COUNT(*) AS n_purchases
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@query("win_attribution", oracle=_ATTR_SQL)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution: every purchase
+    is credited to the user's earliest and most recent preceding
+    non-purchase event — the two bookend models every attribution
+    report starts from (the full multi-touch family interpolates
+    between these same window primitives). Both credits come from ONE
+    sort of each user's history: lag(...) IGNORE NULLS walks back to
+    the nearest touch, first_value over the preceding frame finds the
+    earliest, and purchases with no prior touch land in the explicit
+    'none' bucket instead of vanishing. The (ts, event_id) ordering is
+    total (registry rule), so credit assignment is engine-identical.
+
+    At 100 TB this is one window over user-partitioned events — the
+    same shuffle win_sessionize already pays — followed by a
+    four-value-square aggregation."""
+    ev = load(spark, sf_dir, "events")
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(touch, ignorenulls=True).over(wprev).alias("first_touch_raw"),
+        F.last(touch, ignorenulls=True).over(wprev).alias("last_touch_raw"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("first_touch_raw", F.lit("none")).alias("first_touch"),
+            F.coalesce("last_touch_raw", F.lit("none")).alias("last_touch"),
+        )
+        .agg(F.count("*").alias("n_purchases"))
+    )
+
+
+_SCD2_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "incr_scd2_apply",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), chg AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM seq
+  WHERE prev_type IS NULL OR event_type != prev_type
+), iv AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM iv
+""",
+)
+def incr_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SCD2 maintenance — the production operation
+    dim_scd2_build's full rebuild stands in for: the dimension history
+    is first built from events before {_SCD2_CUTOFF}, then the new
+    batch is applied without touching closed history — each user's
+    current row closes at the user's first post-cutoff CHANGE (a state
+    repeat closes nothing), and the new change-points append as fresh
+    intervals. The ORACLE IS THE FULL REBUILD over all events: the
+    driver's hash compare is literally the
+    'incremental apply ≡ rebuild from scratch' equivalence every
+    warehouse merge job owes its users, checked cross-engine.
+
+    Scale shape: the new batch is windowed per user (the small side);
+    the only touch on existing history is a broadcast-sized join
+    against CURRENT rows of affected users — closed rows stream
+    through untouched, which is the entire point of incremental
+    maintenance at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(_SCD2_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(df: DataFrame) -> DataFrame:
+        seq = df.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        chg = seq.filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        return chg.select(
+            "user_id", "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+
+    base = intervals(ev.filter(F.col("ts") < cutoff)).localCheckpoint(
+        eager=True
+    )
+
+    nb = ev.filter(F.col("ts") >= cutoff)
+    cur = base.filter(F.col("valid_to").isNull()).select(
+        "user_id", F.col("event_type").alias("cur_type")
+    )
+    nseq = nb.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    # change relative to the new batch OR, for its first row, to the
+    # user's standing state in the existing dimension
+    nchg = (
+        nseq.join(F.broadcast(cur), "user_id", "left")
+        .filter(
+            F.when(
+                F.col("prev_type").isNotNull(),
+                F.col("event_type") != F.col("prev_type"),
+            ).otherwise(
+                F.col("cur_type").isNull()
+                | (F.col("event_type") != F.col("cur_type"))
+            )
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    new_iv = nchg.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).localCheckpoint(eager=True)
+
+    first_new = new_iv.groupBy("user_id").agg(
+        F.min("valid_from").alias("close_ts")
+    )
+    closed_kept = base.filter(F.col("valid_to").isNotNull())
+    cur_updated = (
+        base.filter(F.col("valid_to").isNull())
+        .drop("valid_to")
+        .join(F.broadcast(first_new), "user_id", "left")
+        .select(
+            "user_id", "event_type", "valid_from",
+            F.col("close_ts").alias("valid_to"),
+        )
+    )
+    dim = closed_kept.unionByName(cur_updated).unionByName(new_iv)
+    return dim.select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    )
