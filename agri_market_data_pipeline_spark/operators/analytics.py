@@ -1068,3 +1068,110 @@ def incr_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "valid_from", "valid_to",
         F.col("valid_to").isNull().cast("long").alias("is_current"),
     )
+
+
+_JK_BUCKETS = 10
+
+
+_JK_SQL = f"""
+WITH bucketed AS (
+  SELECT CAST(('0x' || substring(md5('jk:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_JK_BUCKETS} AS b,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+),
+per_b AS (
+  SELECT b, COUNT(*) AS n, CAST(SUM(is_p) AS BIGINT) AS p
+  FROM bucketed GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(p) AS BIGINT) AS tp,
+         COUNT(*) AS nb
+  FROM per_b
+),
+loo AS (
+  SELECT pb.b,
+         CAST(FLOOR(1e9 * (t.tp - pb.p) / (t.tn - pb.n)) AS BIGINT) AS r_u
+  FROM per_b pb CROSS JOIN tot t
+),
+jk AS (
+  SELECT CAST(SUM(r_u) AS BIGINT) AS s, CAST(SUM(r_u * r_u) AS BIGINT) AS sq,
+         COUNT(*) AS nb
+  FROM loo
+)
+SELECT t.tp / t.tn AS rate,
+       CAST(t.nb AS BIGINT) AS n_buckets,
+       ROUND(sqrt(GREATEST(
+         (CAST(jk.nb AS DOUBLE) - 1) / jk.nb
+           * (jk.sq - CAST(jk.s AS DOUBLE) * jk.s / jk.nb), 0)) / 1e9, 8)
+         AS se_jackknife
+FROM tot t CROSS JOIN jk
+"""
+
+
+@query("agg_jackknife_ci", oracle=_JK_SQL)
+def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a ratio metric
+    (purchase rate) — the experimentation-platform primitive: ratio
+    metrics have no closed-form variance (numerator and denominator
+    covary), the bootstrap needs RNG, but the jackknife is exact-
+    deterministic: users hash into {_JK_BUCKETS} buckets, each
+    leave-one-out rate re-divides exact integer totals, and the
+    variance of those rates is computed from INTEGER-LATTICE sums
+    (r_u = floor(1e9·R_i) — 10 doubles summed in arbitrary order would
+    drift at the last ulp; agg_vector_centroid's rule applied to
+    inference). sqrt guards the cancellation-negative (CLAUDE.md).
+
+    At 100 TB: one hash-bucket aggregation (partial map-side, 10-row
+    exchange) and driver-free scalar algebra — the whole CI costs one
+    scan, which is why jackknife-over-buckets is THE production
+    method for ratio-metric error bars."""
+    ev = load(spark, sf_dir, "events")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jk:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % _JK_BUCKETS
+    )
+    per_b = ev.select(
+        b.alias("b"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    ).groupBy("b").agg(
+        F.count("*").alias("n"), F.sum("is_p").cast("long").alias("p")
+    )
+    tot = per_b.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("p").cast("long").alias("tp"),
+        F.count("*").alias("nb"),
+    )
+    loo = per_b.join(F.broadcast(tot)).select(
+        F.floor(
+            1e9 * (F.col("tp") - F.col("p")) / (F.col("tn") - F.col("n"))
+        ).cast("long").alias("r_u")
+    )
+    jk = loo.agg(
+        F.sum("r_u").cast("long").alias("s"),
+        F.sum(F.col("r_u") * F.col("r_u")).cast("long").alias("sq"),
+        F.count("*").alias("nb_j"),
+    )
+    return tot.join(F.broadcast(jk)).select(
+        (F.col("tp") / F.col("tn")).alias("rate"),
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("nb_j").cast("double") - 1)
+                    / F.col("nb_j")
+                    * (
+                        F.col("sq")
+                        - F.col("s").cast("double") * F.col("s") / F.col("nb_j")
+                    ),
+                    F.lit(0.0),
+                )
+            )
+            / 1e9,
+            8,
+        ).alias("se_jackknife"),
+    )

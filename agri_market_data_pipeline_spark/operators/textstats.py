@@ -860,3 +860,86 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("right"),
         F.col("cnt").alias("pair_count"),
     )
+
+
+_BGLM_HOLD = 7  # doc_id % 7 == 0 plays the held-out eval set
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok, LATERAL (SELECT UNNEST(generate_series(1, len(t) - 1)) AS i)
+),
+train_bg AS (SELECT w1, w2 FROM bg WHERE doc_id % {_BGLM_HOLD} != 0),
+c2 AS (SELECT w1, w2, COUNT(*) AS c FROM train_bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n FROM train_bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS vsize FROM
+      (SELECT w1 FROM train_bg UNION ALL SELECT w2 FROM train_bg)),
+held AS (SELECT * FROM bg WHERE doc_id % {_BGLM_HOLD} = 0)
+SELECT h.doc_id,
+       ROUND(SUM(ln((COALESCE(c2.c, 0) + 1.0)
+                    / (COALESCE(c1.n, 0) + v.vsize))) / COUNT(*), 4)
+         AS avg_logprob,
+       COUNT(*) AS n_bigrams
+FROM held h
+LEFT JOIN c2 ON c2.w1 = h.w1 AND c2.w2 = h.w2
+LEFT JOIN c1 ON c1.w1 = h.w1
+CROSS JOIN v
+GROUP BY h.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram language-model scoring — text_unigram_logprob
+    upgraded to a CONDITIONAL model with a real train/eval split:
+    bigram and context counts come from the training docs only
+    (doc_id % {_BGLM_HOLD} ≠ 0 — the hash-split discipline of
+    split_train_test), held-out docs are scored with add-1 smoothing
+    ln((C(w1,w2)+1)/(C(w1)+V)), unseen contexts and pairs degrading
+    gracefully through the same formula. This is the quality filter a
+    curation stack actually deploys (score under a small LM), with the
+    model trained inside the same engine pass.
+
+    Scale: bigram explode is row-local (zip of shifted slices); the
+    count joins key on w1/(w1,w2) — Zipf-skewed, same broadcast-head
+    treatment as the unigram op; V rides a 1-row cross join. ln sums
+    ROUND(4) per the order-sensitive-float rule."""
+    d = load_parallel(spark, sf_dir, "documents")
+    t = tokens("text")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    train = bg.filter(F.col("doc_id") % _BGLM_HOLD != 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("n"))
+    v = (
+        train.select("w1")
+        .unionAll(train.select(F.col("w2").alias("w1")))
+        .agg(F.count_distinct("w1").alias("vsize"))
+    )
+    held = bg.filter(F.col("doc_id") % _BGLM_HOLD == 0)
+    lp = F.log(
+        (F.coalesce("c", F.lit(0)) + 1.0)
+        / (F.coalesce("n", F.lit(0)) + F.col("vsize"))
+    )
+    return (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(lp) / F.count("*"), 4).alias("avg_logprob"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
