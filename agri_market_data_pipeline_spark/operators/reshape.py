@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dsum, sql_dsum
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 
 @query(
@@ -251,4 +251,55 @@ def sample_reservoir_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= _RESERVOIR_K)
+    )
+
+
+@query(
+    "sample_balanced",
+    oracle="""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(n) AS m FROM per),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.lang
+FROM ranked r CROSS JOIN m
+WHERE r.rn <= m.m
+""",
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-count documents, selected in deterministic md5 order —
+    the classifier-training counterpart of mix_domains (equalize, don't
+    target weights). The target is DERIVED from the data (the minority
+    class's size rides a 1-row cross join, no collect, no literal to
+    go stale when the corpus shifts); selection stays a pure function
+    of doc_id, so the balanced set is append-stable per class.
+
+    Scale: one count aggregation + one per-class rank window — the
+    same single lang-keyed shuffle mix_domains pays; at extreme class
+    skew the rank is replaced by a hash-threshold cut at the
+    m-th-smallest hash (computed from the count table), which drops
+    the window entirely."""
+    d = load_parallel(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(F.count("*").alias("n")).agg(
+        F.min("n").alias("m")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(m))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
     )
