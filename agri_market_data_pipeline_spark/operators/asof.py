@@ -392,3 +392,70 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("idx_date")).alias("idx_date"),
         F.when(fresh, F.col("idx_val")).alias("idx_val"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle=f"""
+WITH idx AS (
+    SELECT o_orderpriority AS prio,
+           CAST(o_orderdate AS DATE) AS d,
+           {sql_davg("o_totalprice")} AS idx_val
+    FROM orders
+    GROUP BY 1, 2
+),
+probe AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           o.o_orderpriority AS prio,
+           CAST(l.l_shipdate AS DATE) AS sd
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT p.l_orderkey, p.l_linenumber, p.sd,
+       i.d AS idx_date, i.idx_val
+FROM probe p
+ASOF JOIN idx i ON p.prio = i.prio AND p.sd <= i.d
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the earliest index at or AFTER the ship
+    date (settlement/next-quote semantics: 'what price will this
+    shipment clear at'), completing the as-of family's four directions
+    (backward, nearest, tolerance, forward). Same densify-and-broadcast
+    plan as join_asof_prices with the fill reversed: the daily index is
+    BACKWARD-filled over each key's calendar (first upcoming value,
+    a window over the SMALL side with a following frame), probe dates
+    before the key's first index day clamp up to it, dates after the
+    last drop (inner-forward). Still a zero-shuffle broadcast equi-join
+    on the probe side at any scale."""
+    idx = _daily_index(spark, sf_dir).localCheckpoint(eager=True)
+    rng = idx.groupBy("prio").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dense_days = rng.select("prio", F.explode(F.sequence("d0", "d1")).alias("d"))
+    wbf = (
+        Window.partitionBy("prio")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    dense = dense_days.join(idx, ["prio", "d"], "left").select(
+        "prio",
+        "d",
+        F.first(F.when(F.col("idx_val").isNotNull(), F.col("d")), ignorenulls=True)
+        .over(wbf)
+        .alias("idx_date"),
+        F.first("idx_val", ignorenulls=True).over(wbf).alias("idx_val"),
+    )
+    probe = _probe_shipments(spark, sf_dir)
+    clamped = (
+        probe.join(F.broadcast(rng), "prio")
+        .filter(F.col("sd") <= F.col("d1"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "prio",
+            "sd",
+            F.greatest("sd", "d0").alias("join_d"),
+        )
+    )
+    return clamped.join(
+        F.broadcast(dense),
+        (clamped.prio == dense.prio) & (clamped.join_d == dense.d),
+    ).select("l_orderkey", "l_linenumber", "sd", "idx_date", "idx_val")

@@ -647,3 +647,68 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi_term"),
         )
     )
+
+
+@query(
+    "dq_anomaly_iqr",
+    oracle="""
+WITH q AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+         ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       q.q1, q.q3,
+       ROUND(q.q3 - q.q1, 4) AS iqr,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l.l_extendedprice
+                          < q.q1 - 1.5 * ROUND(q.q3 - q.q1, 4)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN l.l_extendedprice
+                          > q.q3 + 1.5 * ROUND(q.q3 - q.q1, 4)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM lineitem l JOIN q ON q.l_returnflag = l.l_returnflag
+GROUP BY l.l_returnflag, q.q1, q.q3
+""",
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (boxplot) outlier audit per group: counts beyond
+    Q1 − 1.5·IQR and Q3 + 1.5·IQR — the third member of the outlier
+    family (zscore = parametric, MAD = robust center, IQR = the
+    distribution-free boxplot standard every DQ dashboard draws).
+    Fence arithmetic runs on the SAME ROUND(4)ed quartiles on both
+    engines so the fence is a shared constant and the count comparisons
+    are exact; the quartiles themselves follow agg_percentiles'
+    interpolation-parity rule.
+
+    Two passes (quartiles, then fence counts) joined on the group key —
+    at 100 TB the quartile pass switches to approx_percentile and the
+    fence pass is unchanged; both partial-aggregate map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("q1"),
+        F.round(F.percentile("l_extendedprice", 0.75), 4).alias("q3"),
+    )
+    iqr = F.round(F.col("q3") - F.col("q1"), 4)
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr).cast("int")
+            )
+            .cast("long")
+            .alias("n_low"),
+            F.sum(
+                (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr).cast("int")
+            )
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "l_returnflag", "q1", "q3", iqr.alias("iqr"),
+            "n_rows", "n_low", "n_high",
+        )
+    )

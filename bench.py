@@ -65,6 +65,10 @@ HEADLINE = [
     "scan_dpp_pruned",
     "sql_recursive_cte",
     "dedup_levenshtein",
+    "agg_market_basket",
+    "win_rolling_distinct",
+    "incr_scd2_apply",
+    "text_bigram_logprob",
 ]
 
 
