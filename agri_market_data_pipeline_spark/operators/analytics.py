@@ -1091,7 +1091,8 @@ tot AS (
 ),
 loo AS (
   SELECT pb.b,
-         CAST(FLOOR(1e9 * (t.tp - pb.p) / (t.tn - pb.n)) AS BIGINT) AS r_u
+         CAST(FLOOR(1e9 * (t.tp - pb.p) / GREATEST(t.tn - pb.n, 1)) AS BIGINT)
+           AS r_u
   FROM per_b pb CROSS JOIN tot t
 ),
 jk AS (
@@ -1147,8 +1148,12 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("nb"),
     )
     loo = per_b.join(F.broadcast(tot)).select(
+        # GREATEST guard: a degenerate vintage where one bucket holds
+        # every event would make the leave-one-out divisor zero
         F.floor(
-            1e9 * (F.col("tp") - F.col("p")) / (F.col("tn") - F.col("n"))
+            1e9
+            * (F.col("tp") - F.col("p"))
+            / F.greatest(F.col("tn") - F.col("n"), F.lit(1))
         ).cast("long").alias("r_u")
     )
     jk = loo.agg(

@@ -563,7 +563,8 @@ cb AS (
 ),
 bp AS (SELECT bkt, COUNT(*) AS nb FROM bb GROUP BY bkt),
 cp AS (SELECT bkt, COUNT(*) AS nc FROM cb GROUP BY bkt),
-tot AS (SELECT (SELECT COUNT(*) FROM base) AS tb, (SELECT COUNT(*) FROM cur) AS tc),
+tot AS (SELECT GREATEST((SELECT COUNT(*) FROM base), 1) AS tb,
+            GREATEST((SELECT COUNT(*) FROM cur), 1) AS tc),
 g AS (SELECT UNNEST(generate_series(0, {_PSI_BUCKETS - 1})) AS bkt)
 SELECT g.bkt,
        CAST(COALESCE(bp.nb, 0) AS BIGINT) AS n_base,
@@ -621,10 +622,13 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bp = bucketed(base).withColumnRenamed("n", "nb")
     cp = bucketed(cur).withColumnRenamed("n", "nc")
-    tot = base.agg(F.count("*").alias("tb")).join(
-        cur.agg(F.count("*").alias("tc"))
+    # GREATEST(·, 1): a regenerated testdata vintage could put every
+    # order on one side of the cutoff, and ANSI division by zero is a
+    # hard error — an empty window then reports zero proportions.
+    tot = base.agg(F.greatest(F.count("*"), F.lit(1)).alias("tb")).join(
+        cur.agg(F.greatest(F.count("*"), F.lit(1)).alias("tc"))
     )
-    g = o.sparkSession.range(_PSI_BUCKETS).select(F.col("id").cast("int").alias("bkt"))
+    g = o.sparkSession.range(_PSI_BUCKETS).select(F.col("id").alias("bkt"))
     p_base = F.coalesce("nb", F.lit(0)) / F.col("tb")
     p_cur = F.coalesce("nc", F.lit(0)) / F.col("tc")
     return (
