@@ -1096,7 +1096,8 @@ loo AS (
   FROM per_b pb CROSS JOIN tot t
 ),
 jk AS (
-  SELECT CAST(SUM(r_u) AS BIGINT) AS s, CAST(SUM(r_u * r_u) AS BIGINT) AS sq,
+  SELECT CAST(SUM(r_u) AS BIGINT) AS s,
+         SUM(CAST(r_u AS DECIMAL(19,0)) * CAST(r_u AS DECIMAL(19,0))) AS sq,
          COUNT(*) AS nb
   FROM loo
 )
@@ -1104,7 +1105,8 @@ SELECT t.tp / t.tn AS rate,
        CAST(t.nb AS BIGINT) AS n_buckets,
        ROUND(sqrt(GREATEST(
          (CAST(jk.nb AS DOUBLE) - 1) / jk.nb
-           * (jk.sq - CAST(jk.s AS DOUBLE) * jk.s / jk.nb), 0)) / 1e9, 8)
+           * (CAST(jk.sq AS DOUBLE) - CAST(jk.s AS DOUBLE) * jk.s / jk.nb), 0))
+         / 1e9, 8)
          AS se_jackknife
 FROM tot t CROSS JOIN jk
 """
@@ -1156,9 +1158,15 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("tn") - F.col("n"), F.lit(1))
         ).cast("long").alias("r_u")
     )
+    # Squared lattice terms reach 1e18 each; a BIGINT sum over the
+    # buckets can overflow int64 when the ratio nears 1 — accumulate
+    # in DECIMAL ((19,0)×(19,0)→(38,0) on both engines) instead.
     jk = loo.agg(
         F.sum("r_u").cast("long").alias("s"),
-        F.sum(F.col("r_u") * F.col("r_u")).cast("long").alias("sq"),
+        F.sum(
+            F.col("r_u").cast("decimal(19,0)")
+            * F.col("r_u").cast("decimal(19,0)")
+        ).alias("sq"),
         F.count("*").alias("nb_j"),
     )
     return tot.join(F.broadcast(jk)).select(
@@ -1170,7 +1178,7 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("nb_j").cast("double") - 1)
                     / F.col("nb_j")
                     * (
-                        F.col("sq")
+                        F.col("sq").cast("double")
                         - F.col("s").cast("double") * F.col("s") / F.col("nb_j")
                     ),
                     F.lit(0.0),

@@ -552,14 +552,12 @@ cuts AS (
   {" UNION ALL ".join(f"SELECT {x} AS x, ROUND(quantile_cont(v, {x / 10.0}), 4) AS cut FROM base" for x in range(1, _PSI_BUCKETS))}
 ),
 bb AS (
-  SELECT b.v, CAST(COALESCE(SUM(CASE WHEN b.v > c.cut THEN 1 ELSE 0 END), 0)
-                   AS INT) AS bkt
-  FROM base b CROSS JOIN cuts c GROUP BY b.v
+  SELECT CAST((SELECT COUNT(*) FROM cuts c WHERE b.v > c.cut) AS INT) AS bkt
+  FROM base b
 ),
 cb AS (
-  SELECT cu.v, CAST(COALESCE(SUM(CASE WHEN cu.v > c.cut THEN 1 ELSE 0 END), 0)
-                    AS INT) AS bkt
-  FROM cur cu CROSS JOIN cuts c GROUP BY cu.v
+  SELECT CAST((SELECT COUNT(*) FROM cuts c WHERE cu.v > c.cut) AS INT) AS bkt
+  FROM cur cu
 ),
 bp AS (SELECT bkt, COUNT(*) AS nb FROM bb GROUP BY bkt),
 cp AS (SELECT bkt, COUNT(*) AS nc FROM cb GROUP BY bkt),

@@ -354,7 +354,9 @@ SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
        json_extract_string(props, '$.k') AS k_str,
        CAST(json_extract_string(props, '$.absent') AS INT) AS k_absent,
-       CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END
+       CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                 AND json_type(json_extract(props, '$.k')) != 'NULL'
+            THEN 1 ELSE 0 END
          AS has_k
 FROM events
 WHERE event_id % 991 = 0

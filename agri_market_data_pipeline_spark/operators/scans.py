@@ -195,12 +195,35 @@ def _xml_mirror(spark: SparkSession, sf_dir: str) -> str:
     def complete(d: str) -> bool:
         return os.path.isdir(d) and os.path.exists(os.path.join(d, "_SUCCESS"))
 
-    if sf_dir in _XML_CACHE and complete(_XML_CACHE[sf_dir]):
-        return _XML_CACHE[sf_dir]
+    # Key the mirror on a fingerprint of the source parquet (file
+    # names + sizes + mtimes) — a fixed path keyed only on sf_dir
+    # would silently serve a stale mirror after the testdata at that
+    # path is regenerated, while the oracle reads the fresh parquet.
+    import hashlib
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if not f.startswith("_")
+        )
+    sig = hashlib.md5(
+        "|".join(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}"
+            for p in paths
+            for st in [os.stat(p)]
+        ).encode()
+    ).hexdigest()[:12]
+
     out = os.path.join(
         tempfile.gettempdir(),
-        "agri_xml_mirror_" + sf_dir.strip("/").replace("/", "_"),
+        "agri_xml_mirror_"
+        + sf_dir.strip("/").replace("/", "_")
+        + "_"
+        + sig,
     )
+    if _XML_CACHE.get(sf_dir) == out and complete(out):
+        return out
     if not complete(out):
         o = load(spark, sf_dir, "orders").select(
             "o_orderkey",
