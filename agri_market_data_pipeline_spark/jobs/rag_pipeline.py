@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import vec_cosine
-from ..operators.similarity import _argmax_cell
+from ..operators.similarity import _argmax_cell, _cells_arr
 from ..tables import load_parallel
 
 CHUNK_SIZE = 100
@@ -122,7 +122,7 @@ def _train_cells(vecs: DataFrame, rounds: int) -> DataFrame:
     )
     cells = seeds
     for _ in range(rounds):
-        arr = cells.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cells"))
+        arr = _cells_arr(cells)
         assigned = vecs.join(F.broadcast(arr)).select(
             "chunk_id",
             "embedding",
@@ -149,7 +149,7 @@ def build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     ch = chunk_docs(spark, sf_dir)
     vecs = embed_chunks(ch).localCheckpoint(eager=True)  # reused 3×
     cells = _train_cells(vecs, KM_ROUNDS).localCheckpoint(eager=True)
-    arr = cells.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cells"))
+    arr = _cells_arr(cells)
     assigned = vecs.join(F.broadcast(arr)).select(
         "chunk_id",
         "embedding",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sql_cosine, vec_cosine
+from ..functions.vectors import sql_cosine, vec_cosine, vec_dot, vec_norm2
 from ..registry import query
 from ..tables import load, load_parallel
 
@@ -58,16 +58,16 @@ _N_CELLS = 16
 _N_PROBE = 4
 
 
-def _ivf_sql(rounds: int, k: int) -> str:
-    """DuckDB twin of the IVF search over k seed cells, optionally
-    refined by `rounds` k-means rounds UNROLLED into a CTE chain
-    (carr0 → a1/cent1/carr1 → …), then the serve stage probes the
-    final centroids. Determinism rules: integer-lattice centroid
-    means, ROUND(6) cosines before every rank boundary (NaN cosines
-    sort first under DESC on both engines)."""
+def _km_ctes(rounds: int, k_sql: str) -> list[str]:
+    """CTE chain for `rounds` k-means refinement rounds over the
+    embeddings (carr0 seeds → a{r}/cent{r}/carr{r} … ). `k_sql` is a
+    SQL expression for the seed count — a literal for the fixed-k
+    quantizers, a scalar subquery for the data-scaled one
+    (sim_knn_join's ⌈√n⌉). Shared by _ivf_sql and the kNN-join
+    oracle so train-stage semantics stay in one place."""
     ctes = [
         f"carr0 AS (SELECT vec_id AS cell_id, embedding AS cvec\n"
-        f"  FROM embeddings WHERE vec_id < {k})"
+        f"  FROM embeddings WHERE vec_id < {k_sql})"
     ]
     for r in range(1, rounds + 1):
         prev = f"carr{r - 1}"
@@ -94,6 +94,17 @@ def _ivf_sql(rounds: int, k: int) -> str:
             f"carr{r} AS (SELECT cell_id, list(cv ORDER BY idx) AS cvec\n"
             f"  FROM cent{r} GROUP BY cell_id)"
         )
+    return ctes
+
+
+def _ivf_sql(rounds: int, k: int) -> str:
+    """DuckDB twin of the IVF search over k seed cells, optionally
+    refined by `rounds` k-means rounds UNROLLED into a CTE chain
+    (carr0 → a1/cent1/carr1 → …), then the serve stage probes the
+    final centroids. Determinism rules: integer-lattice centroid
+    means, ROUND(6) cosines before every rank boundary (NaN cosines
+    sort first under DESC on both engines)."""
+    ctes = _km_ctes(rounds, str(k))
     fin = f"carr{rounds}"
     ctes.append(
         f"qv AS (SELECT embedding AS qvec FROM embeddings"
@@ -154,9 +165,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles a k×-expanded fact (the oracle states that window form;
     # the two coincide because (rounded cosine, cell_id) is a strict
     # total order per vector — ml_kmeans_refine's argument).
-    cell_arr = cents.agg(
-        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
-    )
+    cell_arr = _cells_arr(cents)
     assigned = e.join(F.broadcast(cell_arr)).select(
         "vec_id",
         "embedding",
@@ -343,66 +352,247 @@ def sim_search_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_K = 3
 
 
-@query(
-    "sim_knn_join",
-    oracle=f"""
+_KNN_PROBE = 4  # multiprobe width: each query vector probes its top-4 cells
+_KNN_ROUNDS = 1  # k-means refinement rounds for the kNN-join quantizer
+_KNN_K_SQL = "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)"
+
+
+def _top_cells(cells_col: str, vec_col: str, nrm_col: str, p: int):
+    """Row-local top-p cells over the broadcast (cell_id, cvec, cnrm)
+    array — the multiprobe generalization of _argmax_cell: sort
+    (rounded cos, -cell_id) structs descending and slice p. Reversed
+    ascending struct sort yields cos DESC then cell_id ASC, exactly the
+    oracle's ROW_NUMBER ordering; NaN cosines map to +inf (same
+    rationale as _argmax_cell). Norms are PRE-computed (`nrm_col` per
+    row, `cnrm` per centroid) so each pair costs one dot fold instead
+    of three — dot/(na·nb) is the same float expression as vec_cosine,
+    just with the sqrt factored out of the inner loop, so results are
+    bitwise identical to the oracle's full form."""
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col(cells_col),
+                lambda c: F.struct(
+                    F.nanvl(
+                        F.round(
+                            vec_dot(F.col(vec_col), c.cvec)
+                            / (F.col(nrm_col) * c.cnrm),
+                            6,
+                        ),
+                        F.lit(float("inf")),
+                    ).alias("cos"),
+                    (-c.cell_id).alias("neg_id"),
+                ),
+            )
+        )
+    )
+    return F.transform(
+        F.slice(ranked, 1, p), lambda s: (-s.neg_id).cast("long")
+    )
+
+
+def _knn_sql(where: str = "") -> str:
+    """DuckDB twin of the IVF-blocked kNN join: ⌈√n⌉-seed quantizer
+    trained _KNN_ROUNDS rounds (shared _km_ctes chain), every vector
+    ranked against the trained centroids, candidates = query-side
+    top-_KNN_PROBE probe cells × neighbor-side primary cell."""
+    fin = f"carr{_KNN_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n".join(_km_ctes(_KNN_ROUNDS, _KNN_K_SQL))
+        + f""",
+asn AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN {fin} c),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+  FROM (SELECT * FROM asn WHERE rn <= {_KNN_PROBE}) a
+  JOIN (SELECT * FROM asn WHERE rn = 1) b
+    ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id)
 SELECT vec_id, neighbor_id, cos_sim, rnk
 FROM (
-    SELECT a.vec_id,
-           b.vec_id AS neighbor_id,
-           ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+    SELECT vec_id, neighbor_id, cos_sim,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6) DESC,
-                        b.vec_id
+               PARTITION BY vec_id
+               ORDER BY cos_sim DESC, neighbor_id
            ) AS BIGINT) AS rnk
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+    FROM scored
 ) t
-WHERE rnk <= {_KNN_K}
+WHERE rnk <= {_KNN_K}{where}
+"""
+    )
+
+
+@query("sim_knn_join", oracle=_knn_sql())
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: top-{_KNN_K} approximate nearest neighbors for EVERY
+    vector (not a single probe) — the all-pairs workhorse behind
+    embedding near-dup clustering and retrieval-index build. Blocking
+    key is a TRAINED IVF cell: a ⌈√n⌉-seed coarse quantizer (k-means,
+    _KNN_ROUNDS refinement rounds — ml_kmeans_train_ivf's train stage)
+    assigns each vector a primary cell, each query vector probes its
+    top-_KNN_PROBE cells (boundary recall), and candidates are the
+    probe-cell × primary-cell equi-join — per-pair at most once, since
+    probe cells are distinct and the neighbor side carries one cell.
+    Cosine scored by codegen'd higher-order functions, per-vector
+    window rank keeps k; recall vs brute force is audited by
+    sim_knn_join_recall (~0.45 at P=4 on the synthetic near-random
+    embeddings — the adversarial case for any ANN; raise _KNN_PROBE
+    for more recall at serve cost ∝ P, candidates ∝ P·n^1.5).
+
+    Scale: K = ⌈√n⌉ grows with the corpus, so cell population ~√n and
+    candidate work is ~_KNN_PROBE·n^1.5 — sub-quadratic by
+    construction, unlike blocking on any fixed-cardinality column
+    (labels, dates) where per-cell all-pairs is (n/L)². At 100 TB
+    cell_id is the stored partition column, the train stage runs on a
+    sample, and the equi-join's shuffle is the only wide stage."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    # K = ceil(sqrt(n)): one metadata-cheap count collected as bounded
+    # scalar metadata (the rag_pipeline N_PROBE rule) — at 100 TB this
+    # comes from table stats, not a scan.
+    import math
+
+    kk = math.ceil(math.sqrt(e.count()))
+    seeds = e.filter(F.col("vec_id") < kk).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    # Materialize the trained quantizer (k rows) — both self-join sides
+    # replay their lineage, and without this the whole train stage
+    # (seed filter + assignment fold + centroid agg) runs once per
+    # side instead of once total.
+    cells = _kmeans_cells(e, _KNN_ROUNDS, seeds=seeds).localCheckpoint(
+        eager=True
+    )
+    arr = _cells_arr(cells)
+    # One broadcast-fold pass computes BOTH the primary cell and the
+    # probe list row-locally — zero fact-side shuffle for assignment.
+    # Row norms are computed once here and reused by every cell fold
+    # and every candidate pair downstream (3 folds → 1 per pair).
+    probed = (
+        e.join(F.broadcast(arr))
+        .withColumn("nrm", F.sqrt(vec_norm2("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            _top_cells("cells", "embedding", "nrm", _KNN_PROBE).alias(
+                "probe_cells"
+            ),
+        )
+    )
+    a = probed.select(
+        "vec_id", "embedding", "nrm", F.explode("probe_cells").alias("cell_id")
+    )
+    b = probed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+        F.col("probe_cells")[0].alias("cell_id"),
+    )
+    scored = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            # dot/(na·nb): vec_cosine with the sqrts hoisted — same
+            # float ops, bitwise-equal to the oracle's full expression
+            F.round(
+                vec_dot("embedding", "n_emb") / (F.col("nrm") * F.col("n_nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+    )
+    return scored.filter(F.col("rnk") <= _KNN_K).select(
+        "vec_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+_KNN_SAMPLE_MOD = 29  # recall audit samples ~1/29 of the query vectors
+
+
+@query(
+    "sim_knn_join_recall",
+    oracle=f"""
+WITH approx AS (
+  SELECT vec_id, neighbor_id
+  FROM ({_knn_sql()}) knn
+  WHERE vec_id % {_KNN_SAMPLE_MOD} = 0
+),
+exact AS (
+  SELECT vec_id, neighbor_id
+  FROM (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND({sql_cosine('a.embedding', 'b.embedding')}, 6)
+                        DESC,
+                      b.vec_id) AS rnk
+    FROM (SELECT * FROM embeddings WHERE vec_id % {_KNN_SAMPLE_MOD} = 0) a
+    JOIN embeddings b ON a.vec_id != b.vec_id
+  ) t WHERE rnk <= {_KNN_K}
+)
+SELECT CAST((SELECT COUNT(*) FROM approx JOIN exact
+             USING (vec_id, neighbor_id)) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id, neighbor_id))
+         / (SELECT COUNT(*) FROM exact) AS recall
 """,
 )
-def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN join: top-{_KNN_K} nearest neighbors for EVERY vector (not a
-    single probe) within its blocking cell — the all-pairs workhorse
-    behind embedding near-dup clustering and retrieval-index build.
-    Blocked self-join on label (≡ IVF cell / LSH bucket at scale: the
-    block bounds candidates per row), cosine scored by codegen'd
-    higher-order functions, per-vector window rank keeps k. At 100 TB
-    the block key is the stored partition column, so each cell's
-    all-pairs runs co-located, and rank uses the cell-local window —
-    no global shuffle beyond the blocked join itself."""
+def sim_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the IVF-blocked kNN join vs the brute-force
+    exact kNN on a 1/{_KNN_SAMPLE_MOD} sample of query vectors — the
+    index-quality acceptance probe, fully oracle-checked (both engines
+    replicate the approximate and the exact result and intersect
+    them). Recall is an exact integer division — never rounded
+    (registry.py rules). At 100 TB the exact side only runs over the
+    sampled queries (broadcast) × corpus, a bounded audit scan."""
+    approx = sim_knn_join(spark, sf_dir).filter(
+        F.col("vec_id") % _KNN_SAMPLE_MOD == 0
+    ).select("vec_id", "neighbor_id")
     e = load(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    # rank over the ROUNDED cosine (see sim_search_topk)
-    cos = F.round(vec_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    scored = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
-        # window keyed (label, vec_id), not vec_id alone: vec_id implies
-        # label, so semantics are identical — but the join's existing
-        # hashpartitioning(label) already satisfies the clustering
-        # requirement, turning the rank into a partition-local sort with
-        # NO second exchange of the candidate pairs.
-        .withColumn("rnk", F.row_number().over(
-            Window.partitionBy("label", "vec_id").orderBy(
-                F.desc("cos_sim"), F.asc("neighbor_id")
-            )
-        ))
+    qs = e.filter(F.col("vec_id") % _KNN_SAMPLE_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    return (
-        scored.filter(F.col("rnk") <= _KNN_K)
-        .select("vec_id", "neighbor_id", "cos_sim", F.col("rnk").cast("long").alias("rnk"))
+    exact = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(vec_cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= _KNN_K)
+        .select("vec_id", "neighbor_id")
+    )
+    hits = approx.join(exact, ["vec_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    n_ex = exact.agg(F.count("*").alias("n_exact"))
+    return hits.join(F.broadcast(n_ex)).select(
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_hits") / F.col("n_exact")).alias("recall"),
     )
 
 
@@ -500,21 +690,43 @@ def agg_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8  # coarse-quantizer cells for the k-means refinement proof
 
 
-def _argmax_cell(cells_col: str, vec_col: str):
-    """Row-local argmax over a broadcast array of (cell_id, cvec)
-    structs: best (rounded) cosine, ties to the smallest cell_id —
-    via array_max over (cos, -cell_id) structs, so each O(dim) cosine
-    is evaluated exactly once per (vector, cell) pair and struct
-    ordering supplies the tie-break. NaN cosines (zero-norm vector or
-    centroid) are mapped to +inf, matching the oracle: DuckDB sorts
-    NaN above +inf, so ROW_NUMBER ... ORDER BY cos DESC picks the
-    NaN cell with the smallest id, exactly what +inf yields here."""
+def _cells_arr(cells: DataFrame) -> DataFrame:
+    """One-row broadcastable (cell_id, cvec, cnrm) struct array from a
+    (cell_id, cvec) centroid frame — the centroid norm is computed
+    once per cell here instead of once per (vector, cell) pair in the
+    assignment fold."""
+    return cells.select(
+        "cell_id", "cvec", F.sqrt(vec_norm2("cvec")).alias("cnrm")
+    ).agg(F.collect_list(F.struct("cell_id", "cvec", "cnrm")).alias("cells"))
+
+
+def _argmax_cell(cells_col: str, vec_col: str, nrm_col: str | None = None):
+    """Row-local argmax over a broadcast array of (cell_id, cvec, cnrm)
+    structs (build with _cells_arr): best (rounded) cosine, ties to
+    the smallest cell_id — via array_max over (cos, -cell_id) structs,
+    so each O(dim) dot fold is evaluated exactly once per
+    (vector, cell) pair and struct ordering supplies the tie-break.
+    The cosine is dot/(na·nb) with both sqrts hoisted out of the fold
+    (cnrm stored per centroid; pass `nrm_col` to reuse a per-row norm
+    column) — the same float expression as vec_cosine, so bitwise-
+    equal to the oracle's full form at a third of the per-pair cost.
+    NaN cosines (zero-norm vector or centroid) are mapped to +inf,
+    matching the oracle: DuckDB sorts NaN above +inf, so ROW_NUMBER
+    ... ORDER BY cos DESC picks the NaN cell with the smallest id,
+    exactly what +inf yields here."""
+    na = (
+        F.col(nrm_col)
+        if nrm_col is not None
+        else F.sqrt(vec_norm2(F.col(vec_col)))
+    )
     best = F.array_max(
         F.transform(
             F.col(cells_col),
             lambda c: F.struct(
                 F.nanvl(
-                    F.round(vec_cosine(F.col(vec_col), c.cvec), 6),
+                    F.round(
+                        vec_dot(F.col(vec_col), c.cvec) / (na * c.cnrm), 6
+                    ),
                     F.lit(float("inf")),
                 ).alias("cos"),
                 (-c.cell_id).alias("neg_id"),
@@ -591,9 +803,7 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
-    seed_arr = seeds.agg(
-        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
-    )
+    seed_arr = _cells_arr(seeds)
     assign0 = (
         e.join(F.broadcast(seed_arr))
         .select(
@@ -618,9 +828,7 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("idx", "cv"))), lambda s: s.cv
         ).alias("cvec")
     )
-    new_arr = carr.agg(
-        F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
-    )
+    new_arr = _cells_arr(carr)
     assign1 = (
         e.join(F.broadcast(new_arr))
         .select(
@@ -643,7 +851,9 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMI_ROUNDS = 2  # trained rounds for the end-to-end train→serve path
 
 
-def _kmeans_cells(e: DataFrame, rounds: int) -> DataFrame:
+def _kmeans_cells(
+    e: DataFrame, rounds: int, seeds: DataFrame | None = None
+) -> DataFrame:
     """Run `rounds` k-means refinement rounds over the embedding frame;
     returns the trained (cell_id, cvec) centroid frame. Each round is
     ml_kmeans_refine's two stages: row-local argmax assignment against
@@ -651,14 +861,15 @@ def _kmeans_cells(e: DataFrame, rounds: int) -> DataFrame:
     long-form integer-lattice centroid update (k × dim shuffle rows).
     Cells that lose every member simply drop out of the next round —
     the same semantics as the SQL twin, where an empty cell has no
-    GROUP BY row."""
-    cells = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
-    )
-    for _ in range(rounds):
-        arr = cells.agg(
-            F.collect_list(F.struct("cell_id", "cvec")).alias("cells")
+    GROUP BY row. `seeds` overrides the default fixed-_KM_K seed
+    frame (sim_knn_join trains on ⌈√n⌉ seeds)."""
+    cells = seeds
+    if cells is None:
+        cells = e.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
         )
+    for _ in range(rounds):
+        arr = _cells_arr(cells)
         assigned = e.join(F.broadcast(arr)).select(
             "vec_id",
             "embedding",
@@ -704,7 +915,7 @@ def ml_kmeans_train_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sim_search_ivf's note), and training runs on a sample."""
     e = load_parallel(spark, sf_dir, "embeddings")
     cells = _kmeans_cells(e, _KMI_ROUNDS)
-    arr = cells.agg(F.collect_list(F.struct("cell_id", "cvec")).alias("cells"))
+    arr = _cells_arr(cells)
     assigned = e.join(F.broadcast(arr)).select(
         "vec_id",
         "embedding",

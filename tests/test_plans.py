@@ -187,14 +187,9 @@ def test_new_family_operators_single_exchange(spark, sf_dir):
     """Scale signatures pinned: each of these runs exactly ONE shuffle
     exchange — pack_sequences (shard window + manifest agg share the
     shard hash), dim_scd2_build (both windows + change filter share the
-    user_id hash), text_embed_hash (one groupBy after the explode),
-    sim_knn_join (blocked self-join's label hash reused by the reversed
-    side AND the rank window)."""
+    user_id hash), text_embed_hash (one groupBy after the explode)."""
     from agri_market_data_pipeline_spark.operators.analytics import (
         dim_scd2_build,
-    )
-    from agri_market_data_pipeline_spark.operators.similarity import (
-        sim_knn_join,
     )
     from agri_market_data_pipeline_spark.operators.textstats import (
         text_embed_hash,
@@ -204,5 +199,26 @@ def test_new_family_operators_single_exchange(spark, sf_dir):
     )
     from agri_market_data_pipeline_spark.plans.audit import exchange_count
 
-    for fn in (pack_sequences, dim_scd2_build, text_embed_hash, sim_knn_join):
+    for fn in (pack_sequences, dim_scd2_build, text_embed_hash):
         assert exchange_count(fn(spark, sf_dir)) == 1, fn.__name__
+
+
+def test_sim_knn_join_exchange_budget(spark, sf_dir):
+    """The IVF-blocked kNN join's serve stage is bounded at three
+    exchanges past the quantizer checkpoint: the candidate equi-join on
+    cell_id (≤2 — AQE may broadcast one side) and the per-vector rank
+    window's hash on vec_id. No plan node may be a cartesian/nested-loop
+    product — the blocking must stay an equi-join."""
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        sim_knn_join,
+    )
+    from agri_market_data_pipeline_spark.plans.audit import exchange_count
+
+    df = sim_knn_join(spark, sf_dir)
+    assert exchange_count(df) <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # The candidate join must be a hash equi-join on cell_id (the
+    # only BroadcastNestedLoopJoins allowed are the one-row broadcast
+    # folds that carry the quantizer array to every row).
+    assert "BroadcastHashJoin [cell_id" in plan or "SortMergeJoin [cell_id" in plan
