@@ -441,6 +441,13 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zipf head size for the routed count joins (unigram/bigram LM): the
+# top-4096 keys of a Zipf vocabulary cover the overwhelming share of
+# token occurrences, so the broadcast-head path absorbs most of the
+# fact and only the tail shuffles.
+_ZIPF_HEAD = 4096
+
+
 @query(
     "text_unigram_logprob",
     oracle="""
@@ -465,19 +472,36 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy), then score each token occurrence against it and average
     per document.
 
-    Scale: the token→count join is the only fact-sized shuffle and it
-    keys on the token — Zipf-skewed, so at 100 TB you broadcast the
-    top-V head of the vocabulary (covers ~95% of occurrences) and
-    shuffle-join only the tail (the join_skew_salted playbook); the
-    corpus total rides a 1-row cross join, not a collect. ln() sums are
-    ROUND(4)ed per registry.py's order-sensitive-float rule."""
+    Scale: the token→count join keys on the token — Zipf-skewed — so
+    the top-_ZIPF_HEAD head of the vocabulary joins BROADCAST (covers
+    ~95% of occurrences, zero fact shuffle) and only head-miss
+    occurrences reach the shuffled tail join (the join_skew_salted
+    playbook, structural rather than salted); the corpus total rides a
+    1-row cross join, not a collect. ln() sums are ROUND(4)ed per
+    registry.py's order-sensitive-float rule."""
     d = load_parallel(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # lazy-materialized: the vocabulary is consumed twice (head
+    # TakeOrdered + tail join) and is the model you'd persist anyway
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    # Zipf head/tail routing: the top-_ZIPF_HEAD tokens cover the vast
+    # majority of occurrences, so they join BROADCAST (map-side, no
+    # fact shuffle); only head-miss occurrences — the Zipf tail — reach
+    # the shuffled join. Identical per-row counts either path, so the
+    # oracle is unchanged; what changes is that the fact-sized exchange
+    # now carries the tail fraction only (the join_skew_salted
+    # playbook, made structural).
+    vhead = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_HEAD)
+    hj = tok.join(F.broadcast(vhead), "tok", "left")
+    scored = hj.filter(F.col("cnt").isNotNull()).unionByName(
+        hj.filter(F.col("cnt").isNull()).drop("cnt").join(vocab, "tok")
+    )
     return (
-        tok.join(vocab, "tok")
-        .join(F.broadcast(total))
+        scored.join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.round(
@@ -905,8 +929,13 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     model trained inside the same engine pass.
 
     Scale: bigram explode is row-local (zip of shifted slices); the
-    count joins key on w1/(w1,w2) — Zipf-skewed, same broadcast-head
-    treatment as the unigram op; V rides a 1-row cross join. ln sums
+    count joins key on w1/(w1,w2) — Zipf-skewed, so BOTH are routed
+    head/tail like the unigram op: the top-_ZIPF_HEAD bigrams and
+    contexts join broadcast (map-side, the bulk of held occurrences)
+    and only head-misses reach the shuffled tail joins; the model
+    tables (c2/c1) are lazily materialized since they feed both the
+    head TakeOrdered and the tail join — exactly the artifacts a
+    production run persists. V rides a 1-row cross join. ln sums
     ROUND(4) per the order-sensitive-float rule."""
     d = load_parallel(spark, sf_dir, "documents")
     t = tokens("text")
@@ -921,22 +950,44 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     train = bg.filter(F.col("doc_id") % _BGLM_HOLD != 0)
-    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    c1 = train.groupBy("w1").agg(F.count("*").alias("n"))
+    c2 = (
+        train.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = (
+        train.groupBy("w1").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     v = (
         train.select("w1")
         .unionAll(train.select(F.col("w2").alias("w1")))
         .agg(F.count_distinct("w1").alias("vsize"))
     )
-    held = bg.filter(F.col("doc_id") % _BGLM_HOLD == 0)
+    # held is consumed by two routed branches per join level — lazy
+    # checkpoint so the bigram explode runs once, not once per branch
+    held = bg.filter(F.col("doc_id") % _BGLM_HOLD == 0).localCheckpoint(
+        eager=False
+    )
+
+    def routed(fact: DataFrame, table: DataFrame, keys, val: str) -> DataFrame:
+        """LEFT join fact→table with Zipf head/tail routing: head-hit
+        rows take the broadcast join, head-miss rows (tail keys AND
+        truly-absent keys) fall through to the shuffled join — per-row
+        results identical to a single LEFT join against `table`."""
+        head = table.orderBy(F.desc(val), *keys).limit(_ZIPF_HEAD)
+        hj = fact.join(F.broadcast(head), keys, "left")
+        return hj.filter(F.col(val).isNotNull()).unionByName(
+            hj.filter(F.col(val).isNull()).drop(val).join(table, keys, "left")
+        )
+
+    j2 = routed(held, c2, ["w1", "w2"], "c")
+    j1 = routed(j2, c1, ["w1"], "n")
     lp = F.log(
         (F.coalesce("c", F.lit(0)) + 1.0)
         / (F.coalesce("n", F.lit(0)) + F.col("vsize"))
     )
     return (
-        held.join(c2, ["w1", "w2"], "left")
-        .join(c1, "w1", "left")
-        .join(F.broadcast(v))
+        j1.join(F.broadcast(v))
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(lp) / F.count("*"), 4).alias("avg_logprob"),

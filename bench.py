@@ -146,20 +146,29 @@ def main() -> int:
     timings: dict[str, float] = {}
     for name in names:
         fn = queries[name]
-        runs: list[float] = []
-        for i in range(4):
+
+        def one_run() -> float:
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            if i > 0:  # run 0 is warm-up
-                runs.append(time.time() - t0)
+            dt = time.time() - t0
             # drop per-invocation storage (query-internal .cache() /
             # localCheckpoint blocks) so earlier queries' residue can't
             # GC-pressure later ones — each timing starts from the same
             # clean executor state.
-            df = None
             spark.catalog.clearCache()
             gc.collect()
+            return dt
+
+        one_run()  # warm-up (plan-shape codegen/AQE compile — env cost)
+        runs = [one_run() for _ in range(3)]
+        # Contention guard: a transient GC pause / noisy neighbor can
+        # poison one or two of only three samples (r2 recorded
+        # dedup_ngram_jaccard at 4.6 s where the committed plan runs
+        # 1.2-1.7 s warm). If the spread is wide, take more samples so
+        # the median reflects the plan, not the neighborhood.
+        if min(runs) > 0 and max(runs) / min(runs) > 1.5:
+            runs += [one_run() for _ in range(2)]
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -240,10 +249,15 @@ def _ingest_throughput(spark, n_rows: int = 1_000_000, limit: int = 1000) -> flo
 
 if __name__ == "__main__":
     if "--ingest-only" in sys.argv:
+        import statistics as _st
+
         _spark = get_spark("bench-ingest")
         _spark.sparkContext.setLogLevel("ERROR")
         _spark.range(1).count()
         _ingest_throughput(_spark, n_rows=64_000)  # warm the worker pool
-        print(f"INGEST_RPS={_ingest_throughput(_spark)}")
+        # Median of 3 full passes: a single 1M-row pass is only a few
+        # seconds, short enough that one GC pause or page-cache miss
+        # swings the number 2-3× (r1 435k vs r2 74k was mostly this).
+        print(f"INGEST_RPS={_st.median(_ingest_throughput(_spark) for _ in range(3))}")
         raise SystemExit(0)
     raise SystemExit(main())
