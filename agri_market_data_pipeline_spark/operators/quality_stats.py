@@ -185,6 +185,120 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WMS_BINS = 1024
+
+
+@query(
+    "agg_weighted_median_sketch",
+    oracle=f"""
+WITH rng AS (
+  SELECT l_returnflag, MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+  FROM lineitem GROUP BY l_returnflag
+),
+binned AS (
+  SELECT l.l_returnflag,
+         CAST(LEAST(FLOOR((l.l_extendedprice - r.mn)
+                          / (CASE WHEN r.mx = r.mn THEN 1.0
+                                  ELSE (r.mx - r.mn) / {_WMS_BINS} END)),
+                    {_WMS_BINS - 1}) AS BIGINT) AS k,
+         CAST(l.l_quantity AS DECIMAL(30,6)) AS w
+  FROM lineitem l JOIN rng r ON l.l_returnflag = r.l_returnflag
+),
+hist AS (
+  SELECT l_returnflag, k, SUM(w) AS wt FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, k,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY k) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+  FROM hist
+),
+cut AS (
+  SELECT l_returnflag, MIN(k) AS k
+  FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
+),
+sk AS (
+  SELECT c.l_returnflag,
+         r.mn + CAST(c.k AS DOUBLE)
+                * (CASE WHEN r.mx = r.mn THEN 1.0
+                        ELSE (r.mx - r.mn) / {_WMS_BINS} END)
+           AS wmedian_sketch,
+         (CASE WHEN r.mx = r.mn THEN 0.0
+               ELSE (r.mx - r.mn) / {_WMS_BINS} END) AS bin_width
+  FROM cut c JOIN rng r USING (l_returnflag)
+),
+ex AS (
+  SELECT l_returnflag, MIN(price) AS wmedian_exact
+  FROM (
+    SELECT l_returnflag, price,
+           SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+    FROM (SELECT l_returnflag, l_extendedprice AS price,
+                 SUM(CAST(l_quantity AS DECIMAL(30,6))) AS wt
+          FROM lineitem GROUP BY 1, 2)
+  ) WHERE cw * 2 >= tw GROUP BY l_returnflag
+)
+SELECT s.l_returnflag, s.wmedian_sketch, s.bin_width, e.wmedian_exact
+FROM sk s JOIN ex e USING (l_returnflag)
+""",
+)
+def agg_weighted_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_weighted_median's promised 100 TB interior made real: the
+    weighted median comes from a FIXED-WIDTH {_WMS_BINS}-bin weighted
+    histogram — a mergeable quantile sketch whose per-group state is
+    ≤{_WMS_BINS} (bin, DECIMAL weight) rows regardless of fact
+    cardinality (bin sums commute with sharding exactly like
+    incr_agg_merge's partials; a KLL/GK sketch trades the fixed grid
+    for adaptive rank error, same one-pass/mergeable contract). The
+    answer is the lower edge of the first bin where cumulative weight
+    reaches half the total, so |sketch − exact| ≤ bin_width by
+    construction — the exact windowed median rides alongside as the
+    audit twin and tests pin that bound. Every arithmetic step (min/
+    max, width division, FLOOR bucketing, edge reconstruction) is the
+    identical IEEE expression on both engines, so no rounding is
+    needed anywhere."""
+    li = load(spark, sf_dir, "lineitem")
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        (F.col("mx") - F.col("mn")) / _WMS_BINS
+    )
+    binned = li.join(F.broadcast(rng), "l_returnflag").select(
+        "l_returnflag",
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+            F.lit(_WMS_BINS - 1),
+        ).cast("bigint").alias("k"),
+        F.col("l_quantity").cast(DEC).alias("w"),
+    )
+    hist = binned.groupBy("l_returnflag", "k").agg(F.sum("w").alias("wt"))
+    w_cum = Window.partitionBy("l_returnflag").orderBy("k")
+    w_all = Window.partitionBy("l_returnflag")
+    cut = (
+        hist.withColumn("cw", F.sum("wt").over(w_cum))
+        .withColumn("tw", F.sum("wt").over(w_all))
+        .filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("k").alias("k"))
+    )
+    bw = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("mx") - F.col("mn")) / _WMS_BINS
+    )
+    sk = cut.join(rng, "l_returnflag").select(
+        "l_returnflag",
+        (
+            F.col("mn") + F.col("k").cast("double") * width
+        ).alias("wmedian_sketch"),
+        bw.alias("bin_width"),
+    )
+    exact = agg_weighted_median(spark, sf_dir).withColumnRenamed(
+        "wmedian", "wmedian_exact"
+    )
+    return sk.join(exact, "l_returnflag")
+
+
 @query(
     "dq_referential",
     oracle="""

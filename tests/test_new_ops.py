@@ -177,3 +177,61 @@ def test_incr_merge_cut_invariance(spark, sf_dir):
         m = split_merge(cut)
         diff = m.exceptAll(full).count() + full.exceptAll(m).count()
         assert diff == 0, f"cut {cut} broke the merge"
+
+
+def test_sketch_quantiles_within_bin_width(spark, sf_dir):
+    """The binned-histogram quantile sketches answer with the lower
+    edge of the cut bin, so the sketch can sit at most one bin width
+    below the exact quantile (and never above it by more than the
+    interpolation gap); the HLL rolling distinct must land within the
+    standard-error envelope of the register count."""
+    rows = _q("agg_weighted_median_sketch")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wmedian_sketch <= r.wmedian_exact + 1e-9
+        assert r.wmedian_exact - r.wmedian_sketch <= r.bin_width + 1e-9
+
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        _MADS_BINS,
+    )
+
+    mrows = _q("ts_anomaly_mad_sketch")(spark, sf_dir).collect()
+    assert mrows
+    li = load(spark, sf_dir, "lineitem")
+    by_flag: dict[str, list[float]] = {}
+    for row in li.select("l_returnflag", "l_extendedprice").collect():
+        by_flag.setdefault(row.l_returnflag, []).append(row.l_extendedprice)
+
+    def lower_median(xs: list[float]) -> float:
+        """Type-1 (lower) median — the order statistic the cc*2 >= tc
+        histogram cut targets, NOT the interpolated quantile_cont the
+        audit columns report."""
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for r in mrows:
+        xs = by_flag[r.l_returnflag]
+        bw = (max(xs) - min(xs)) / _MADS_BINS
+        lm = lower_median(xs)
+        assert r.med_sketch <= lm + 1e-9
+        assert lm - r.med_sketch <= bw + 1e-6
+        # MAD sketch targets the lower median of |x - med_sketch|
+        devs = [abs(x - r.med_sketch) for x in xs]
+        bw_d = (max(devs) - min(devs)) / _MADS_BINS
+        lmd = lower_median(devs)
+        assert r.mad_sketch <= lmd + 1e-9
+        assert lmd - r.mad_sketch <= bw_d + 1e-6
+
+
+def test_rolling_distinct_hll_error_envelope(spark, sf_dir):
+    """HLL with m=64 registers has theoretical relative standard error
+    ~1.04/sqrt(64) = 13%; assert every day's estimate is within 4
+    sigma (52%) of the exact rolling distinct - loose enough to never
+    flake, tight enough to catch a broken register merge (which is off
+    by orders of magnitude)."""
+    rows = _q("win_rolling_distinct_sketch")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.users_7d_exact > 0
+        rel = abs(r.users_7d_hll - r.users_7d_exact) / r.users_7d_exact
+        assert rel <= 0.52, (r.d, r.users_7d_hll, r.users_7d_exact)
