@@ -29,7 +29,12 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import _connected_components, dedup_near_minhash_pairs
+from ..operators.dedup import (
+    CUR_MAX_WORD_LEN,
+    CUR_MIN_TOKENS,
+    _connected_components,
+    dedup_near_minhash_pairs,
+)
 from ..tables import load_parallel
 
 
@@ -38,8 +43,8 @@ def curate(
     sf_dir: str,
     out_dir: str,
     *,
-    min_tokens: int = 5,
-    max_word_len: float = 40.0,
+    min_tokens: int = CUR_MIN_TOKENS,
+    max_word_len: float = CUR_MAX_WORD_LEN,
     sample_k: int = 200,
 ) -> dict:
     """Run the curation DAG; returns the per-stage audit report."""

@@ -1095,3 +1095,108 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# Curation-DAG gate constants (jobs/curation_pipeline.py mirrors these
+# as its defaults — one source of truth for the audit query and the job)
+CUR_MIN_TOKENS = 5
+CUR_MAX_WORD_LEN = 40.0
+
+
+@query(
+    "curation_audit",
+    oracle=_MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc_id
+), comp AS (
+  SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+),
+gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) >= {CUR_MIN_TOKENS}
+    AND length(text) / GREATEST(len(string_split(text, ' ')), 1)
+        <= {CUR_MAX_WORD_LEN}
+),
+keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+),
+exact AS (
+  SELECT g.doc_id FROM gated g JOIN keep_exact k USING (doc_id)
+),
+surv AS (
+  SELECT c.doc_id, c.cluster_id FROM comp c JOIN exact e USING (doc_id)
+),
+cl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+  FROM surv
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+       CAST((SELECT COUNT(*) FROM gated) AS BIGINT) AS n_gated,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       cl.n_members AS n_near_members,
+       cl.n_clusters AS n_near_clusters,
+       CAST((SELECT COUNT(*) FROM exact) - (cl.n_members - cl.n_clusters)
+            AS BIGINT) AS n_unique
+FROM cl
+""",
+)
+def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DAG's stage counts as ONE hash-checked row — the
+    audit that turns the cluster-erasure class of bug (r2's fix: the
+    near-dup representative must be chosen among docs that SURVIVED
+    the earlier gates, else whole clusters vanish) into an oracle
+    equation: n_unique = n_exact − (near-dup members − clusters), with
+    every term independently recomputed by DuckDB, including the LSH
+    banding and the connected components (recursive-CTE twin). Uses
+    exactly the job's stage logic (jobs/curation_pipeline.py): quality
+    gate → md5 keep-lowest exact dedup → component representative
+    among survivors. At 100 TB each count is a partial-aggregable
+    byproduct of the stage that computes it — auditing is free."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    avg_word = F.length("text") / F.greatest(n_tok, F.lit(1))
+    gated = d.filter(
+        (n_tok >= CUR_MIN_TOKENS) & (avg_word <= CUR_MAX_WORD_LEN)
+    )
+    keep_exact = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = gated.join(keep_exact, "doc_id", "leftsemi").select("doc_id")
+    pairs = dedup_near_minhash_pairs(spark, sf_dir)
+    labels = _connected_components(pairs, "doc_a", "doc_b")
+    surv = labels.withColumnRenamed("node", "doc_id").join(
+        exact, "doc_id", "leftsemi"
+    )
+    cl = surv.agg(
+        F.count("*").alias("n_members"),
+        F.count_distinct("label").alias("n_clusters"),
+    )
+    counts = (
+        d.agg(F.count("*").alias("n_raw"))
+        .join(gated.agg(F.count("*").alias("n_gated")))
+        .join(exact.agg(F.count("*").alias("n_exact")))
+    )
+    return counts.join(F.broadcast(cl)).select(
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_gated").cast("long").alias("n_gated"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_members").cast("long").alias("n_near_members"),
+        F.col("n_clusters").cast("long").alias("n_near_clusters"),
+        (F.col("n_exact") - (F.col("n_members") - F.col("n_clusters")))
+        .cast("long")
+        .alias("n_unique"),
+    )
