@@ -355,7 +355,10 @@ def _spike_fn(key, pdf_iter, state):
     import math
 
     (user_id,) = key
-    cnt, total_cents = state.get() if state.exists else (0, 0)
+    # GroupState.get is a PROPERTY (returns the tuple); calling it
+    # raises on the recovery path — which only runs when a later epoch
+    # finds existing state, exactly what the kill/resume test drives.
+    cnt, total_cents = state.get if state.exists else (0, 0)
     n_spikes = 0
     n_events = 0
     for pdf in pdf_iter:
@@ -617,6 +620,92 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"), dsum("value").alias("sum_value")
     )
     out = run_to_table(agg, "topk", "complete")
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        out.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _STK_K)
+        .select("rnk", "user_id", "cnt", "sum_value")
+    )
+
+
+@query(
+    "stream_checkpoint_resume",
+    oracle=f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         {sql_dsum("value")} AS sum_value
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT user_id, cnt, sum_value,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rnk
+  FROM counts
+)
+SELECT CAST(rnk AS INT) AS rnk, user_id, cnt, sum_value
+FROM ranked WHERE rnk <= {_STK_K}
+""",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-stream RESTART proof, fully oracle-checked: the
+    leaderboard aggregation runs as TWO separate streaming query
+    lifetimes against one durable checkpoint — epoch 1 sees only half
+    the events (event_id % 2 = 0), the query TERMINATES, the other
+    half lands, and a NEW query resumes from the checkpoint. The final
+    complete-mode output hash-matches the one-shot batch answer over
+    ALL events, which is only possible if epoch 1's per-user counts
+    were recovered from the state store — the kill/resume contract
+    (chk_offset_resume's discipline applied to streaming state). The
+    pytest twin (tests/test_streaming.py) additionally pins the
+    applyInPandasWithState shape and both state-store providers.
+
+    At 100 TB this is THE operational property: executors die,
+    clusters restart, and the leaderboard must continue from state,
+    not recount history."""
+    import shutil
+
+    from ..tables import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = tempfile.mkdtemp(prefix="ckres_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckres_ckpt_")
+    n_stream = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        def epoch(name: str) -> str:
+            stream = (
+                spark.readStream.schema("event_id long, user_id long, value double")
+                .format("parquet")
+                .load(src)
+            )
+            agg = stream.groupBy("user_id").agg(
+                F.count("*").alias("cnt"), dsum("value").alias("sum_value")
+            )
+            sink = f"mem_ckres_{name}_{next(_run_counter)}_{os.getpid()}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sink
+
+        spark.conf.set("spark.sql.shuffle.partitions", n_stream)
+        ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        s1 = epoch("e1")
+        spark.catalog.dropTempView(s1)
+        # epoch boundary: the first query object is gone; only the
+        # checkpoint (offsets + state store) survives
+        ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        s2 = epoch("e2")
+        out = spark.table(s2).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(s2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
     return (
         out.withColumn("rnk", F.row_number().over(w).cast("int"))

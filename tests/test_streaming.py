@@ -106,3 +106,113 @@ def test_stateful_ops_identical_under_rocksdb_state_store(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_stateful_kill_resume_equals_uninterrupted(spark, tmp_path):
+    """Kill-after-epoch-k recovery for CUSTOM state
+    (applyInPandasWithState): run the per-user spike monitor over half
+    the feed, let the query terminate, deliver the rest, resume from
+    the same checkpoint with a NEW query object — per-user cumulative
+    (count, total) state must be recovered, so the combined output
+    equals the uninterrupted single-run output. Checked under BOTH
+    state-store providers (HDFS-backed and RocksDB): provider choice
+    is a deployment knob, and restart recovery must hold on each."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from agri_market_data_pipeline_spark.streaming.ops import (
+        _SPIKE_OUT_SCHEMA,
+        _spike_fn,
+    )
+    from agri_market_data_pipeline_spark.tables import load
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+
+    def run_epoch(src: str, ckpt: str, tag: str) -> list:
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .format("parquet")
+            .load(src)
+        )
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            _spike_fn,
+            outputStructType=_SPIKE_OUT_SCHEMA,
+            stateStructType="cnt long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        rows: list = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(tuple(r) for r in batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return rows
+
+    def totals(rows) -> dict:
+        agg: dict = {}
+        for user_id, n_events, n_spikes in rows:
+            e, s = agg.get(user_id, (0, 0))
+            agg[user_id] = (e + n_events, s + n_spikes)
+        return agg
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    providers = [
+        None,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    ]
+    try:
+        for i, provider in enumerate(providers):
+            if provider is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, provider)
+            base = str(tmp_path / f"p{i}")
+            # uninterrupted run: all events in one epoch
+            src_all = f"{base}_all_src"
+            ev.write.mode("overwrite").parquet(src_all)
+            uninterrupted = totals(
+                run_epoch(src_all, f"{base}_all_ckpt", "all")
+            )
+            # killed run: first half BY TIME, terminate, rest, resume
+            # same checkpoint. The cut must follow the (ts, event_id)
+            # processing order _spike_fn sorts by — an order-crossing
+            # split (e.g. by event_id parity) would legitimately change
+            # the running-mean sequence, which is order-dependence, not
+            # a recovery failure.
+            src = f"{base}_src"
+            ckpt = f"{base}_ckpt"
+            cut = ev.agg(
+                F.percentile_approx("ts", 0.5).alias("c")
+            ).collect()[0].c
+            ev.filter(F.col("ts") < cut).write.mode("append").parquet(src)
+            rows1 = run_epoch(src, ckpt, "e1")
+            ev.filter(F.col("ts") >= cut).write.mode("append").parquet(src)
+            rows2 = run_epoch(src, ckpt, "e2")
+            resumed = totals(rows1 + rows2)
+            assert resumed == uninterrupted, f"provider={provider}"
+            assert any(s > 0 for _, s in uninterrupted.values()) or len(
+                uninterrupted
+            ), "degenerate feed"
+            for d in (src_all, src, ckpt, f"{base}_all_ckpt"):
+                shutil.rmtree(d, ignore_errors=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
