@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sql_cosine, vec_cosine, vec_dot, vec_norm2
+from ..functions.vectors import (
+    sql_cosine,
+    sql_dot,
+    vec_cosine,
+    vec_dot,
+    vec_norm2,
+)
 from ..registry import query
 from ..tables import load, load_parallel
 
@@ -1073,3 +1079,267 @@ def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weights")
     )
     return metrics.join(F.broadcast(wt))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantization ADC search under the coarse IVF layer
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim embeddings -> 8 sub-vectors of 8 dims)
+_PQ_DSUB = 8  # dims per subspace
+_PQ_CODES = 16  # codewords per subspace codebook (4-bit codes)
+_PQ_SHORTLIST = 50  # ADC shortlist re-ranked exactly to _TOP_K
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """DuckDB squared-L2 distance between two equal-length lists, same
+    element-wise cast path as sql_dot (float->double exact)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _pq_encode(m: int) -> F.Column:
+    """Nearest codeword struct (dist, code, cw) for subspace m: rounded
+    squared-L2 over the broadcast cb{m} codeword structs, ties to the
+    lowest code — ascending struct sort, element 1. Zero-error
+    invariant (test-pinned): a vector whose subvector IS a codeword
+    encodes to that codeword with dist 0."""
+    sub = F.slice("embedding", m * _PQ_DSUB + 1, _PQ_DSUB)
+    scored = F.transform(
+        F.col(f"cb{m}"),
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        c.cw,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                ),
+                6,
+            ).alias("dist"),
+            c.code.alias("code"),
+            c.cw.alias("cw"),
+        ),
+    )
+    return F.element_at(F.array_sort(scored), 1)
+
+
+def _pq_codebooks(e: DataFrame) -> DataFrame:
+    """One broadcast row of per-subspace codebooks: cb{m} = sorted
+    (code, cw) structs from the first _PQ_CODES vectors — array_sort
+    on distinct codes is total, so codebook order is engine-free."""
+    return e.filter(F.col("vec_id") < _PQ_CODES).agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").cast("int").alias("code"),
+                        F.slice(
+                            "embedding", m * _PQ_DSUB + 1, _PQ_DSUB
+                        ).alias("cw"),
+                    )
+                )
+            ).alias(f"cb{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin of the IVF-PQ search: fixed-seed coarse cells (the
+    sim_search_ivf layer), per-subspace codebooks from the first
+    _PQ_CODES vectors, nearest-codeword encoding on ROUND(6) squared-L2
+    with code tie-breaks, ADC scoring via the (m, code) join, ADC
+    shortlist, exact-cosine re-rank."""
+    d, m_hi = _PQ_DSUB, _PQ_M - 1
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {_N_CELLS}),
+qv AS (SELECT embedding AS qvec FROM embeddings
+       WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+  SELECT cell_id FROM cents c CROSS JOIN qv
+  ORDER BY ROUND({sql_cosine('c.cvec', 'qv.qvec')}, 6) DESC, cell_id
+  LIMIT {_N_PROBE}),
+af AS (
+  SELECT e.vec_id, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+ms AS (SELECT UNNEST(generate_series(0, {m_hi})) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS code,
+         list_slice(e.embedding, ms.m * {d} + 1, (ms.m + 1) * {d}) AS cw
+  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < {_PQ_CODES}),
+sub AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.embedding, ms.m * {d} + 1, (ms.m + 1) * {d}) AS sv
+  FROM embeddings e CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, m, cw FROM (
+    SELECT s.vec_id, s.m, c.cw,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY ROUND({_sql_l2('s.sv', 'c.cw')}, 6) ASC, c.code
+           ) AS rn
+    FROM sub s JOIN cb c ON s.m = c.m) t
+  WHERE rn = 1),
+qs AS (
+  SELECT ms.m, list_slice(qv.qvec, ms.m * {d} + 1, (ms.m + 1) * {d}) AS qsub
+  FROM qv CROSS JOIN ms),
+adc AS (
+  SELECT e.vec_id,
+         SUM({sql_dot('q.qsub', 'e.cw')}) AS adot,
+         SUM({sql_dot('e.cw', 'e.cw')}) AS cn2
+  FROM enc e JOIN qs q ON e.m = q.m
+  GROUP BY e.vec_id),
+qn AS (SELECT sqrt({sql_dot('qvec', 'qvec')}) AS qn FROM qv),
+short AS (
+  SELECT a.vec_id, ROUND(a.adot / (qn.qn * sqrt(a.cn2)), 6) AS adc_cos
+  FROM adc a CROSS JOIN qn
+  JOIN af ON af.vec_id = a.vec_id AND af.rn = 1
+  WHERE af.cell_id IN (SELECT cell_id FROM probe)
+    AND a.vec_id != {_QUERY_VEC_ID}
+  ORDER BY adc_cos DESC, a.vec_id
+  LIMIT {_PQ_SHORTLIST})
+SELECT s.vec_id, ROUND({sql_cosine('e.embedding', 'qv.qvec')}, 6) AS cos_sim
+FROM short s JOIN embeddings e USING (vec_id) CROSS JOIN qv
+ORDER BY cos_sim DESC, s.vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("sim_search_ivfpq", oracle=_ivfpq_sql())
+def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the canonical billion-scale index (FAISS's
+    IVFADC layout): the {_N_CELLS}-cell coarse IVF layer prunes the
+    scan to _N_PROBE cells, then candidates are scored NOT against
+    their raw vectors but against their product-quantization codes —
+    each 64-dim float32 vector compressed to {_PQ_M} 4-bit codes
+    ({_PQ_M} subspaces x {_PQ_CODES}-codeword codebooks = 4 bytes/row,
+    a 64x memory compression), asymmetric-distance (ADC) scored
+    against the uncompressed query, and only the top-{_PQ_SHORTLIST}
+    ADC shortlist touches raw vectors for the exact re-rank.
+
+    Every stage is row-local until the final k-row merges: codebooks
+    ride one broadcast row; encoding is an argmin fold over each
+    subspace's codeword structs (ROUND(6) squared-L2, code
+    tie-break — array_sort struct ordering, the _argmax_cell
+    pattern); ADC sums the {_PQ_M} per-subspace dots in a fixed
+    left-to-right fold. Fully oracle-checked including the codebook
+    build and encoding (the DuckDB twin replays them via the
+    (m, code) join).
+
+    Scale: at 100 TB the codes table (4 B/vector + cell_id) IS the
+    index — it fits executor memory when raw vectors cannot; the
+    probe reads nprobe/ncells of the codes, one LUT of
+    {_PQ_M}x{_PQ_CODES} dots scores everything, and only
+    _PQ_SHORTLIST raw vectors are fetched (point lookups against the
+    cell-partitioned store). Train-free deterministic codebooks here;
+    ml_kmeans_train_ivf is the trained-coarse-layer variant and its
+    per-subspace k-means extension is the same fold."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
+    )
+    cell_arr = _cells_arr(cents)
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    probe = (
+        cents.join(F.broadcast(q))
+        .select(
+            "cell_id", F.round(vec_cosine("cvec", "qvec"), 6).alias("c_cos")
+        )
+        .orderBy(F.desc("c_cos"), F.asc("cell_id"))
+        .limit(_N_PROBE)
+        .select("cell_id")
+    )
+
+    cbrow = _pq_codebooks(e)
+
+    enc = (
+        e.join(F.broadcast(cell_arr))
+        .join(F.broadcast(cbrow))
+        .select(
+            "vec_id",
+            "embedding",
+            _argmax_cell("cells", "embedding").alias("cell_id"),
+            *[_pq_encode(m).alias(f"w{m}") for m in range(_PQ_M)],
+        )
+    )
+
+    cand = enc.join(F.broadcast(probe), "cell_id", "leftsemi").filter(
+        F.col("vec_id") != _QUERY_VEC_ID
+    )
+
+    # ADC: fixed left-to-right fold over the M per-subspace terms (the
+    # oracle's SUM over 8 doubles agrees within the ROUND(6) guard).
+    scored = cand.join(F.broadcast(q))
+    adot = F.lit(0.0)
+    cn2 = F.lit(0.0)
+    for m in range(_PQ_M):
+        qsub = F.slice("qvec", m * _PQ_DSUB + 1, _PQ_DSUB)
+        adot = adot + vec_dot(qsub, F.col(f"w{m}").cw)
+        cn2 = cn2 + vec_dot(F.col(f"w{m}").cw, F.col(f"w{m}").cw)
+    adc_cos = F.round(
+        adot / (F.sqrt(vec_norm2("qvec")) * F.sqrt(cn2)), 6
+    )
+    short = (
+        scored.select("vec_id", "embedding", "qvec", adc_cos.alias("adc_cos"))
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(_PQ_SHORTLIST)
+    )
+    return (
+        short.select(
+            "vec_id",
+            F.round(vec_cosine("embedding", "qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+@query(
+    "sim_search_ivfpq_recall",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       COUNT(*) / {_TOP_K} AS recall
+FROM ({_ivfpq_sql()}) pq
+JOIN (
+  WITH q AS (SELECT embedding AS qvec FROM embeddings
+             WHERE vec_id = {_QUERY_VEC_ID})
+  SELECT e.vec_id
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {_QUERY_VEC_ID}
+  ORDER BY ROUND({sql_cosine('e.embedding', 'q.qvec')}, 6) DESC, e.vec_id
+  LIMIT {_TOP_K}
+) ex USING (vec_id)
+""",
+)
+def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the IVF-PQ search vs the brute-force exact
+    top-k, computed INSIDE the query and fully oracle-checked (both
+    engines replay the coarse layer, the codebooks, the encoding, the
+    ADC shortlist, the re-rank, AND the exact baseline, then intersect
+    them). Quantifies what the 64x compression costs: losses come only
+    from (a) coarse-cell pruning (shared with sim_search_ivf) and
+    (b) true neighbors pushed below the ADC shortlist boundary by
+    quantization error. Recall is an exact integer division — never
+    rounded (registry.py rules)."""
+    pq = sim_search_ivfpq(spark, sf_dir).select("vec_id")
+    exact = sim_search_topk(spark, sf_dir).select("vec_id")
+    return pq.join(exact, "vec_id").agg(
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(_TOP_K)).alias("recall"),
+    )

@@ -235,3 +235,41 @@ def test_rolling_distinct_hll_error_envelope(spark, sf_dir):
         assert r.users_7d_exact > 0
         rel = abs(r.users_7d_hll - r.users_7d_exact) / r.users_7d_exact
         assert rel <= 0.52, (r.d, r.users_7d_hll, r.users_7d_exact)
+
+
+def test_pq_encode_zero_error_on_codebook_members(spark, sf_dir):
+    """PQ encode correctness independent of the oracle: a vector whose
+    subvectors ARE codewords (the codebook source vectors themselves,
+    vec_id < _PQ_CODES) must encode to its OWN code in every subspace
+    with quantization error exactly 0."""
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        _PQ_CODES,
+        _PQ_M,
+        _pq_codebooks,
+        _pq_encode,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    members = e.filter(F.col("vec_id") < _PQ_CODES).join(
+        F.broadcast(_pq_codebooks(e))
+    )
+    enc = members.select(
+        "vec_id", *[_pq_encode(m).alias(f"w{m}") for m in range(_PQ_M)]
+    )
+    bad = enc.filter(
+        " OR ".join(
+            f"(w{m}.code != vec_id OR w{m}.dist != 0.0)"
+            for m in range(_PQ_M)
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """The compressed index must stay useful: recall@20 of IVF-PQ vs
+    brute force clears a conservative floor (observed 0.85 at sf0.01;
+    floor 0.4 tolerates data regeneration)."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    row = all_queries()["sim_search_ivfpq_recall"](spark, sf_dir).head()
+    assert row.recall >= 0.4, row
