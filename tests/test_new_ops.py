@@ -273,3 +273,20 @@ def test_ivfpq_recall_floor(spark, sf_dir):
 
     row = all_queries()["sim_search_ivfpq_recall"](spark, sf_dir).head()
     assert row.recall >= 0.4, row
+
+
+def test_zorder_beats_linear_beats_unclustered(spark, sf_dir):
+    """The layout audit must demonstrate the ordering it exists to
+    show: for every 2-d box, zorder scans no more files than the 1-d
+    sort, which scans no more than the unclustered layout — and
+    strictly fewer in total."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["layout_zorder_skipping"](spark, sf_dir).collect()
+    by = {(r.layout, r.qid): r.files_scanned for r in rows}
+    qids = sorted({q for (_, q) in by})
+    for q in qids:
+        assert by[("zorder", q)] <= by[("linear", q)] <= by[("unclustered", q)]
+    assert sum(by[("zorder", q)] for q in qids) < sum(
+        by[("linear", q)] for q in qids
+    )
