@@ -1200,3 +1200,112 @@ def curation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against the already-indexed corpus
+
+_INC_MOD = 7  # batch = doc_id % _INC_MOD == _INC_REM (~14% "new arrivals")
+_INC_REM = 3
+
+
+@query(
+    "dedup_incremental",
+    oracle=_MINHASH_CTE
+    + f"""
+, hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+batch AS (SELECT doc_id FROM documents WHERE doc_id % {_INC_MOD} = {_INC_REM}),
+corpus_h AS (SELECT DISTINCT h FROM hx WHERE doc_id % {_INC_MOD} != {_INC_REM}),
+batch_first AS (
+  SELECT h, MIN(doc_id) AS first_id FROM hx
+  WHERE doc_id % {_INC_MOD} = {_INC_REM} GROUP BY h),
+near_c AS (
+  SELECT DISTINCT a.doc_id FROM bands a
+  JOIN bands c ON a.band = c.band AND a.band_key = c.band_key
+              AND c.doc_id % {_INC_MOD} != {_INC_REM}
+  WHERE a.doc_id % {_INC_MOD} = {_INC_REM}),
+near_b AS (
+  SELECT DISTINCT a.doc_id FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND b.doc_id < a.doc_id
+              AND b.doc_id % {_INC_MOD} = {_INC_REM}
+  WHERE a.doc_id % {_INC_MOD} = {_INC_REM})
+SELECT x.doc_id,
+       CAST(CASE WHEN ch.h IS NOT NULL OR x.doc_id > bf.first_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS exact_dup,
+       CAST(CASE WHEN nc.doc_id IS NOT NULL OR nb.doc_id IS NOT NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+       CAST(CASE WHEN ch.h IS NULL AND x.doc_id = bf.first_id
+                  AND nc.doc_id IS NULL AND nb.doc_id IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM hx x
+JOIN batch USING (doc_id)
+JOIN batch_first bf ON x.h = bf.h
+LEFT JOIN corpus_h ch ON x.h = ch.h
+LEFT JOIN near_c nc ON x.doc_id = nc.doc_id
+LEFT JOIN near_b nb ON x.doc_id = nb.doc_id
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the pattern that makes dedup
+    affordable at 100 TB: a NEW batch of arrivals (doc_id %
+    {_INC_MOD} == {_INC_REM} here) is checked against the
+    already-indexed corpus WITHOUT re-deduping the corpus. Per new
+    doc: exact_dup (md5 matches a corpus doc, or a smaller-id batch
+    doc — the batch self-dedupes in arrival order), near_dup (shares
+    an LSH band bucket with the corpus or an earlier batch doc), kept
+    (survives both). Fully oracle-checked including the band index.
+
+    Scale shape: every join is batch-side-small — batch hashes and
+    batch bands probe the corpus's stored hash/band index (computed
+    here for the audit; persisted as sorted/bucketed tables in
+    production, so the probes are shuffle-free index lookups). Cost
+    per ingest round ∝ |delta|, never ∝ |corpus|² — re-running
+    dedup_near_minhash over corpus+delta each round would be ∝
+    |corpus| per round and quadratic cumulatively."""
+    d = load_parallel(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _INC_MOD == _INC_REM
+    hx = d.select("doc_id", F.md5("text").alias("h"))
+    batch_h = hx.filter(is_batch)
+    corpus_h = hx.filter(~is_batch).select("h").distinct()
+    first = (
+        batch_h.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    )
+    bands = _minhash_bands(spark, sf_dir)
+    b_bands = bands.filter(is_batch)
+    c_bands = bands.filter(~is_batch)
+    near_c = (
+        b_bands.join(c_bands, ["band", "band_key"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("nc", F.lit(1))
+    )
+    a = b_bands.alias("a")
+    b = b_bands.alias("b")
+    near_b = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "leftsemi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("nb", F.lit(1))
+    )
+    ex_c = corpus_h.withColumn("ec", F.lit(1))
+    out = (
+        batch_h.join(first, "h")
+        .join(ex_c, "h", "left")
+        .join(near_c, "doc_id", "left")
+        .join(near_b, "doc_id", "left")
+    )
+    exact = (F.col("ec").isNotNull()) | (F.col("doc_id") > F.col("first_id"))
+    near = F.col("nc").isNotNull() | F.col("nb").isNotNull()
+    return out.select(
+        "doc_id",
+        exact.cast("long").alias("exact_dup"),
+        near.cast("long").alias("near_dup"),
+        (~exact & ~near).cast("long").alias("kept"),
+    )
