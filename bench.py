@@ -69,6 +69,9 @@ HEADLINE = [
     "win_rolling_distinct",
     "incr_scd2_apply",
     "text_bigram_logprob",
+    "sim_search_ivfpq",
+    "dedup_incremental",
+    "layout_zorder_skipping",
 ]
 
 
