@@ -222,3 +222,39 @@ def test_sim_knn_join_exchange_budget(spark, sf_dir):
     # only BroadcastNestedLoopJoins allowed are the one-row broadcast
     # folds that carry the quantizer array to every row).
     assert "BroadcastHashJoin [cell_id" in plan or "SortMergeJoin [cell_id" in plan
+
+
+def test_round3_operators_plan_shapes(spark, sf_dir):
+    """Round-3 families' scale signatures: IVF-PQ is broadcast-only
+    (2 exchanges — the two 1-row build aggs; candidates never
+    sort-merge; top-k via per-partition heaps), the z-order audit is
+    agg-only (no joins beyond 1-row broadcasts, bounded exchanges),
+    incremental dedup never degenerates to a cartesian product."""
+    from agri_market_data_pipeline_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        sim_search_ivfpq,
+    )
+    from agri_market_data_pipeline_spark.operators.storage_layout import (
+        layout_zorder_skipping,
+    )
+    from agri_market_data_pipeline_spark.plans.audit import exchange_count
+
+    df = sim_search_ivfpq(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(df) <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    df = layout_zorder_skipping(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(df) <= 4
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+    df = dedup_incremental(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert exchange_count(df) <= 8
+    assert "CartesianProduct" not in plan
