@@ -1309,3 +1309,108 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.cast("long").alias("near_dup"),
         (~exact & ~near).cast("long").alias("kept"),
     )
+
+
+@query(
+    "curation_lineage",
+    oracle=_MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.doc_id
+), comp AS (
+  SELECT doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY doc_id
+),
+gated AS (
+  SELECT doc_id FROM documents
+  WHERE len(string_split(text, ' ')) >= {CUR_MIN_TOKENS}
+    AND length(text) / GREATEST(len(string_split(text, ' ')), 1)
+        <= {CUR_MAX_WORD_LEN}
+),
+keep_exact AS (
+  SELECT MIN(d.doc_id) AS doc_id FROM documents d
+  JOIN gated g ON d.doc_id = g.doc_id GROUP BY md5(d.text)
+),
+surv AS (
+  SELECT c.doc_id, c.cluster_id FROM comp c
+  JOIN keep_exact e ON c.doc_id = e.doc_id),
+rep AS (
+  SELECT cluster_id, MIN(doc_id) AS rep_id FROM surv GROUP BY cluster_id),
+nearf AS (
+  SELECT s.doc_id FROM surv s
+  JOIN rep r ON s.cluster_id = r.cluster_id AND s.doc_id != r.rep_id)
+SELECT d.doc_id,
+       CASE WHEN g.doc_id IS NULL THEN 'gate'
+            WHEN e.doc_id IS NULL THEN 'exact'
+            WHEN nf.doc_id IS NOT NULL THEN 'near'
+            ELSE 'kept' END AS stage
+FROM documents d
+LEFT JOIN gated g ON d.doc_id = g.doc_id
+LEFT JOIN keep_exact e ON d.doc_id = e.doc_id
+LEFT JOIN nearf nf ON d.doc_id = nf.doc_id
+""",
+)
+def curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance — WHY each raw doc did or did
+    not reach the training set: 'gate' (failed the quality gate),
+    'exact' (lost the md5 keep-lowest dedup), 'near' (non-representative
+    member of a near-dup cluster, representative chosen among
+    survivors — the r2 cluster-erasure fix made row-visible), 'kept'.
+    The debugging view every data-pipeline owner asks for first
+    ("where did my document go?"); curation_audit is its GROUP BY.
+    Fully oracle-checked per row, including the LSH banding and the
+    connected components.
+
+    Scale: the lineage is a byproduct of stages the DAG already runs —
+    three leftsemi/leftanti probes against stage outputs keyed by
+    doc_id. At 100 TB each stage persists its verdict column instead
+    of re-deriving it; nothing here adds a shuffle the DAG lacks."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    avg_word = F.length("text") / F.greatest(n_tok, F.lit(1))
+    gated = d.filter(
+        (n_tok >= CUR_MIN_TOKENS) & (avg_word <= CUR_MAX_WORD_LEN)
+    )
+    keep_exact = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    exact = gated.join(keep_exact, "doc_id", "leftsemi").select("doc_id")
+    pairs = dedup_near_minhash_pairs(spark, sf_dir)
+    labels = _connected_components(pairs, "doc_a", "doc_b")
+    surv = labels.withColumnRenamed("node", "doc_id").join(
+        exact, "doc_id", "leftsemi"
+    )
+    rep = surv.groupBy("label").agg(F.min("doc_id").alias("rep_id"))
+    nearf = (
+        surv.join(rep, "label")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id")
+        .withColumn("nf", F.lit(1))
+    )
+    g = gated.select("doc_id").withColumn("g", F.lit(1))
+    e = exact.withColumn("e", F.lit(1))
+    return (
+        d.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(nearf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("g").isNull(), "gate")
+            .when(F.col("e").isNull(), "exact")
+            .when(F.col("nf").isNotNull(), "near")
+            .otherwise("kept")
+            .alias("stage"),
+        )
+    )

@@ -290,3 +290,22 @@ def test_zorder_beats_linear_beats_unclustered(spark, sf_dir):
     assert sum(by[("zorder", q)] for q in qids) < sum(
         by[("linear", q)] for q in qids
     )
+
+
+def test_curation_lineage_matches_audit_counts(spark, sf_dir):
+    """The per-doc lineage must GROUP BY into exactly the audit's
+    stage equation: kept == n_unique, gate-dropped == n_raw - n_gated,
+    exact-dropped == n_gated - n_exact, near-dropped == members -
+    clusters."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    lin = all_queries()["curation_lineage"](spark, sf_dir)
+    counts = {r.stage: r.n for r in lin.groupBy("stage").agg(
+        F.count("*").alias("n")).collect()}
+    audit = all_queries()["curation_audit"](spark, sf_dir).head()
+    assert counts.get("kept", 0) == audit.n_unique
+    assert counts.get("gate", 0) == audit.n_raw - audit.n_gated
+    assert counts.get("exact", 0) == audit.n_gated - audit.n_exact
+    assert counts.get("near", 0) == (
+        audit.n_near_members - audit.n_near_clusters
+    )
