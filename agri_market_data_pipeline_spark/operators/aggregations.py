@@ -1362,3 +1362,186 @@ def incr_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("d").alias("n_days"),
     )
     return cmp.join(F.broadcast(stats))
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: union by register merge, intersection by
+# inclusion-exclusion
+
+_HLLI_Y1, _HLLI_Y2 = 1995, 1996
+
+
+def _hlli_est_sql(src: str) -> str:
+    """Estimator over a (s, reg, rank) register table named `src` —
+    harmonic mean + linear-counting small-range correction, the
+    _HLLR_SQL formula parameterized by source."""
+    return f"""
+  SELECT s,
+         CASE WHEN raw <= 2.5 * {_HLLR_M} AND v_zero > 0
+              THEN {_HLLR_M} * ln(CAST({_HLLR_M} AS DOUBLE) / v_zero)
+              ELSE raw END AS est
+  FROM (
+    SELECT s, {_HLLR_ALPHA} * {_HLLR_M} * {_HLLR_M}
+               / SUM(POWER(2.0, -rank)) AS raw,
+           SUM(CASE WHEN rank = 0 THEN 1 ELSE 0 END) AS v_zero
+    FROM {src} GROUP BY s)
+"""
+
+
+@query(
+    "agg_hll_intersect",
+    oracle=f"""
+WITH tagged AS (
+  SELECT CASE WHEN year(o_orderdate) = {_HLLI_Y1} THEN 'a' ELSE 'b' END AS s,
+         o_custkey
+  FROM orders
+  WHERE year(o_orderdate) IN ({_HLLI_Y1}, {_HLLI_Y2})),
+h AS (
+  SELECT DISTINCT s,
+         CAST(('0x' || substring(md5('h:' || CAST(o_custkey AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM tagged),
+ranks AS (
+  SELECT s, hv % {_HLLR_M} AS reg,
+         MAX(CASE WHEN hv // {_HLLR_M} = 0 THEN {_HLLR_W + 1}
+                  ELSE {_HLLR_W + 1} - length(to_base(hv // {_HLLR_M}, 2))
+             END) AS rank
+  FROM h GROUP BY 1, 2),
+uranks AS (
+  SELECT 'u' AS s, reg, MAX(rank) AS rank FROM ranks GROUP BY 2),
+grid AS (
+  SELECT sv.s, g.reg
+  FROM (SELECT UNNEST(['a', 'b', 'u']) AS s) sv,
+       (SELECT UNNEST(generate_series(0, {_HLLR_M - 1})) AS reg) g),
+regs AS (
+  SELECT g.s, g.reg, COALESCE(r.rank, 0) AS rank
+  FROM grid g
+  LEFT JOIN (SELECT * FROM ranks UNION ALL SELECT * FROM uranks) r
+    ON r.s = g.s AND r.reg = g.reg),
+est AS ({_hlli_est_sql('regs')}),
+lat AS (
+  SELECT s, CAST(ROUND(est * 1e4) AS BIGINT) AS el FROM est),
+flags AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS fa,
+         MAX(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS fb
+  FROM tagged GROUP BY 1),
+ex AS (
+  SELECT CAST(SUM(fa) AS BIGINT) AS exact_a,
+         CAST(SUM(fb) AS BIGINT) AS exact_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(fa * fb) AS BIGINT) AS exact_intersect
+  FROM flags)
+SELECT CAST(a.el AS DOUBLE) / 1e4 AS est_a,
+       CAST(b.el AS DOUBLE) / 1e4 AS est_b,
+       CAST(u.el AS DOUBLE) / 1e4 AS est_union,
+       CAST(a.el + b.el - u.el AS DOUBLE) / 1e4 AS est_intersect,
+       ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_intersect
+FROM (SELECT el FROM lat WHERE s = 'a') a,
+     (SELECT el FROM lat WHERE s = 'b') b,
+     (SELECT el FROM lat WHERE s = 'u') u, ex
+""",
+)
+def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA — the operations that make sketches composable
+    at 100 TB: the UNION of two sets' sketches is the register-wise
+    MAX of their register tables (never re-hashing the data — exactly
+    how per-shard/per-day sketches roll up), and the INTERSECTION is
+    estimated by inclusion-exclusion est(A)+est(B)−est(A∪B) (sketches
+    cannot intersect directly; this is the standard estimator and its
+    error grows as the intersection shrinks — the exact audit
+    quantifies it). Sets: repeat customers across two order years.
+    All three estimates ride one {_HLLR_M}-register table per set on
+    an integer lattice (ROUND(est·1e4) BIGINT) so the
+    inclusion-exclusion arithmetic is exact integer math on both
+    engines.
+
+    Scale: per-set state is ≤ {_HLLR_M} rows regardless of customer
+    cardinality; the exact flags audit pays the full distinct shuffle
+    the sketch path deletes."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    tagged = o.filter(yr.isin(_HLLI_Y1, _HLLI_Y2)).select(
+        F.when(yr == _HLLI_Y1, "a").otherwise("b").alias("s"),
+        "o_custkey",
+    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("h:"), F.col("o_custkey").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = tagged.select("s", hv.alias("hv")).distinct()
+    w = F.expr(f"hv div {_HLLR_M}")
+    rank = F.when(w == 0, F.lit(_HLLR_W + 1)).otherwise(
+        F.lit(_HLLR_W + 1) - F.length(F.conv(w, 10, 2))
+    )
+    ranks = (
+        h.select("s", (F.col("hv") % _HLLR_M).alias("reg"), rank.alias("rank"))
+        .groupBy("s", "reg")
+        .agg(F.max("rank").alias("rank"))
+    )
+    uranks = ranks.groupBy("reg").agg(F.max("rank").alias("rank")).select(
+        F.lit("u").alias("s"), "reg", "rank"
+    )
+    allranks = ranks.unionByName(uranks)
+    grid = (
+        spark.range(_HLLR_M)
+        .select(F.col("id").alias("reg"))
+        .join(
+            spark.createDataFrame([("a",), ("b",), ("u",)], ["s"]),
+        )
+    )
+    regs = grid.join(allranks, ["s", "reg"], "left").select(
+        "s", F.coalesce("rank", F.lit(0)).alias("rank")
+    )
+    raw_est = regs.groupBy("s").agg(
+        (
+            F.lit(_HLLR_ALPHA * _HLLR_M * _HLLR_M)
+            / F.sum(F.pow(F.lit(2.0), -F.col("rank")))
+        ).alias("raw"),
+        F.sum((F.col("rank") == 0).cast("int")).alias("v_zero"),
+    )
+    est = raw_est.select(
+        "s",
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLLR_M) & (F.col("v_zero") > 0),
+                F.lit(_HLLR_M)
+                * F.log(F.lit(float(_HLLR_M)) / F.col("v_zero")),
+            ).otherwise(F.col("raw"))
+            * 1e4
+        )
+        .cast("long")
+        .alias("el"),
+    )
+    lat = est.groupBy().agg(
+        F.max(F.when(F.col("s") == "a", F.col("el"))).alias("la"),
+        F.max(F.when(F.col("s") == "b", F.col("el"))).alias("lb"),
+        F.max(F.when(F.col("s") == "u", F.col("el"))).alias("lu"),
+    )
+    flags = tagged.groupBy("o_custkey").agg(
+        F.max((F.col("s") == "a").cast("int")).alias("fa"),
+        F.max((F.col("s") == "b").cast("int")).alias("fb"),
+    )
+    ex = flags.agg(
+        F.sum("fa").cast("long").alias("exact_a"),
+        F.sum("fb").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("exact_intersect"),
+    )
+    return lat.join(F.broadcast(ex)).select(
+        (F.col("la").cast("double") / 1e4).alias("est_a"),
+        (F.col("lb").cast("double") / 1e4).alias("est_b"),
+        (F.col("lu").cast("double") / 1e4).alias("est_union"),
+        ((F.col("la") + F.col("lb") - F.col("lu")).cast("double") / 1e4).alias(
+            "est_intersect"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersect",
+    )

@@ -309,3 +309,18 @@ def test_curation_lineage_matches_audit_counts(spark, sf_dir):
     assert counts.get("near", 0) == (
         audit.n_near_members - audit.n_near_clusters
     )
+
+
+def test_hll_intersect_error_bounds(spark, sf_dir):
+    """Sketch-algebra sanity: with m=64 registers (sigma ~ 13%), the
+    union estimate must land within 40% of exact and the
+    inclusion-exclusion intersection within 60% — loose 3-sigma-ish
+    floors that survive data regeneration while still catching a
+    broken register merge (which typically errs by >2x)."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    r = all_queries()["agg_hll_intersect"](spark, sf_dir).head()
+    assert abs(r.est_union - r.exact_union) <= 0.40 * r.exact_union, r
+    assert abs(r.est_intersect - r.exact_intersect) <= max(
+        0.60 * r.exact_intersect, 0.2 * r.exact_union
+    ), r
