@@ -550,10 +550,10 @@ SELECT f.layout, CAST(b.qid AS BIGINT) AS qid,
        CAST(COUNT(*) FILTER (WHERE b.lo_p <= f.max_p AND b.hi_p >= f.min_p
                                AND b.lo_s <= f.max_s AND b.hi_s >= f.min_s)
             AS BIGINT) AS files_scanned,
-       CAST(SUM(f.n_rows) FILTER (WHERE b.lo_p <= f.max_p
+       CAST(COALESCE(SUM(f.n_rows) FILTER (WHERE b.lo_p <= f.max_p
                                AND b.hi_p >= f.min_p
-                               AND b.lo_s <= f.max_s AND b.hi_s >= f.min_s)
-            AS BIGINT) AS rows_scanned,
+                               AND b.lo_s <= f.max_s AND b.hi_s >= f.min_s),
+                     0) AS BIGINT) AS rows_scanned,
        CAST(COUNT(*) AS BIGINT) AS n_files
 FROM files f CROSS JOIN boxes b
 GROUP BY f.layout, b.qid
