@@ -1268,19 +1268,22 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cbrow = _pq_codebooks(e)
 
-    enc = (
-        e.join(F.broadcast(cell_arr))
+    # Assign cells first, PRUNE to the probe cells, THEN encode: codes
+    # are only folded for the nprobe/ncells fraction the query reads —
+    # the serve-time order of a stored index (codes precomputed at
+    # write; the probe decides which cells' codes are even fetched).
+    assigned = e.join(F.broadcast(cell_arr)).select(
+        "vec_id", "embedding", _argmax_cell("cells", "embedding").alias("cell_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probe), "cell_id", "leftsemi")
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
         .join(F.broadcast(cbrow))
         .select(
             "vec_id",
             "embedding",
-            _argmax_cell("cells", "embedding").alias("cell_id"),
             *[_pq_encode(m).alias(f"w{m}") for m in range(_PQ_M)],
         )
-    )
-
-    cand = enc.join(F.broadcast(probe), "cell_id", "leftsemi").filter(
-        F.col("vec_id") != _QUERY_VEC_ID
     )
 
     # ADC: fixed left-to-right fold over the M per-subspace terms (the
