@@ -1349,3 +1349,131 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("se_jackknife"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Welch t-test (A/B experiment readout)
+
+_AB_LAT = 1e4  # value lattice: events.value < 1e3, 1e4 keeps cents-of-cents
+
+
+@query(
+    "agg_ttest_ab",
+    oracle=f"""
+WITH assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(FLOOR(value * {_AB_LAT}) AS BIGINT) AS lv
+  FROM events),
+g AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(lv) AS BIGINT) AS sv,
+         SUM(CAST(lv AS DECIMAL(19,0)) * CAST(lv AS DECIMAL(19,0))) AS sq
+  FROM assigned GROUP BY variant),
+stats AS (
+  SELECT variant, n,
+         CAST(sv AS DOUBLE) / {_AB_LAT} / n AS mean,
+         GREATEST((CAST(sq AS DOUBLE) / {_AB_LAT} / {_AB_LAT}
+                   - (CAST(sv AS DOUBLE) / {_AB_LAT})
+                     * (CAST(sv AS DOUBLE) / {_AB_LAT}) / n)
+                  / (n - 1), 0) AS var
+  FROM g),
+w AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+         a.var / a.n + b.var / b.n AS vsum,
+         a.var / a.n AS va, b.var / b.n AS vb
+  FROM (SELECT * FROM stats WHERE variant = 'A') a,
+       (SELECT * FROM stats WHERE variant = 'B') b)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
+       ROUND((mean_a - mean_b) / sqrt(vsum), 4) AS t_stat,
+       ROUND(vsum * vsum / (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 4)
+         AS df_welch
+FROM w
+""",
+)
+def agg_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test — the A/B experiment readout computed
+    in one scan: users hash-assign to variants (md5, the same
+    deterministic randomization an experimentation platform persists),
+    per-variant mean and sample variance come from INTEGER-LATTICE
+    power sums (floor(value·1e4) BIGINT, squares accumulated in
+    DECIMAL(19,0)² → DECIMAL(38,0) — the jackknife overflow rule), so
+    both engines compute t and the Welch–Satterthwaite df from
+    identical integers; GREATEST(var, 0) guards cancellation
+    (CLAUDE.md sqrt rule). Complements agg_jackknife_ci: closed-form
+    variance for mean metrics here, resampling for ratio metrics
+    there.
+
+    At 100 TB: one hash-bucket partial aggregation, a 2-row exchange,
+    scalar algebra — experiment readouts are scan-bound, never a
+    second pass."""
+    ev = load(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    lv = F.floor(F.col("value") * _AB_LAT).cast("long")
+    g = (
+        ev.select(variant.alias("variant"), lv.alias("lv"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lv").cast("long").alias("sv"),
+            F.sum(
+                F.col("lv").cast("decimal(19,0)")
+                * F.col("lv").cast("decimal(19,0)")
+            ).alias("sq"),
+        )
+    )
+    mean = F.col("sv").cast("double") / _AB_LAT / F.col("n")
+    var = F.greatest(
+        (
+            F.col("sq").cast("double") / _AB_LAT / _AB_LAT
+            - (F.col("sv").cast("double") / _AB_LAT)
+            * (F.col("sv").cast("double") / _AB_LAT)
+            / F.col("n")
+        )
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    stats = g.select("variant", "n", mean.alias("mean"), var.alias("var"))
+    a = stats.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        (F.col("var") / F.col("n")).alias("va"),
+    )
+    b = stats.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        (F.col("var") / F.col("n")).alias("vb"),
+    )
+    vsum = F.col("va") + F.col("vb")
+    return a.join(F.broadcast(b)).select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round((F.col("mean_a") - F.col("mean_b")) / F.sqrt(vsum), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            vsum
+            * vsum
+            / (
+                F.col("va") * F.col("va") / (F.col("n_a") - 1)
+                + F.col("vb") * F.col("vb") / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )
