@@ -828,3 +828,127 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows", "n_low", "n_high",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative rule suite (Deequ-style constraint verification)
+
+
+@query(
+    "dq_rules",
+    oracle="""
+WITH ck AS (SELECT DISTINCT c_custkey FROM customer),
+base AS (
+  SELECT o.*, ck.c_custkey AS ref_ok
+  FROM orders o LEFT JOIN ck ON o.o_custkey = ck.c_custkey),
+metrics AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+         SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice >= 1000000
+                  THEN 1 ELSE 0 END) AS price_oob,
+         SUM(CASE WHEN o_orderdate IS NULL
+                    OR o_orderdate < DATE '1992-01-01'
+                    OR o_orderdate > DATE '1998-12-31'
+                  THEN 1 ELSE 0 END) AS date_oob,
+         SUM(CASE WHEN ref_ok IS NULL THEN 1 ELSE 0 END) AS orphan_cust,
+         SUM(CASE WHEN o_orderpriority IS NULL OR o_orderpriority = ''
+                  THEN 1 ELSE 0 END) AS prio_missing
+  FROM base)
+SELECT rule, n_violations,
+       CAST(CASE WHEN n_violations <= allowed THEN 1 ELSE 0 END AS BIGINT)
+         AS passed
+FROM (
+  SELECT 'orderkey_unique' AS rule, CAST(dup_keys AS BIGINT)
+           AS n_violations, CAST(0 AS BIGINT) AS allowed FROM metrics
+  UNION ALL
+  SELECT 'price_in_range', CAST(price_oob AS BIGINT), 0 FROM metrics
+  UNION ALL
+  SELECT 'orderdate_in_window', CAST(date_oob AS BIGINT), 0 FROM metrics
+  UNION ALL
+  SELECT 'custkey_referential', CAST(orphan_cust AS BIGINT), 0 FROM metrics
+  UNION ALL
+  SELECT 'priority_complete_99pct', CAST(prio_missing AS BIGINT),
+         CAST(n // 100 AS BIGINT) FROM metrics) t
+""",
+)
+def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality RULE SUITE (the Deequ/Great-
+    Expectations pattern): five constraints — key uniqueness, value
+    range, date window, referential integrity, 99% completeness —
+    verified in ONE scan plus one broadcast semi-probe, emitted as
+    assertion rows (rule, n_violations, passed). dq_profile answers
+    "what does the data look like"; this answers "is the contract
+    met", with thresholds in the output so a scheduler can gate a
+    pipeline on `passed`.
+
+    Scale: every rule is a conditional partial aggregate over the
+    same scan (COUNT DISTINCT rides the same exchange); the dimension
+    key set broadcasts. Adding a rule adds a counter, never a pass —
+    the whole contract costs what one aggregate costs."""
+    o = load(spark, sf_dir, "orders")
+    ck = load(spark, sf_dir, "customer").select("c_custkey").distinct()
+    base = o.join(
+        F.broadcast(ck.withColumnRenamed("c_custkey", "ref_ok")),
+        o.o_custkey == F.col("ref_ok"),
+        "left",
+    )
+    m = base.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("dup_keys"),
+        F.sum(
+            (
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") >= 1000000)
+            ).cast("long")
+        ).alias("price_oob"),
+        F.sum(
+            (
+                F.col("o_orderdate").isNull()
+                | (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+            ).cast("long")
+        ).alias("date_oob"),
+        F.sum(F.col("ref_ok").isNull().cast("long")).alias("orphan_cust"),
+        F.sum(
+            (
+                F.col("o_orderpriority").isNull()
+                | (F.col("o_orderpriority") == "")
+            ).cast("long")
+        ).alias("prio_missing"),
+    )
+    rules = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orderkey_unique").alias("rule"),
+                    F.col("dup_keys").cast("long").alias("n_violations"),
+                    F.lit(0).cast("long").alias("allowed"),
+                ),
+                F.struct(
+                    F.lit("price_in_range").alias("rule"),
+                    F.col("price_oob").cast("long").alias("n_violations"),
+                    F.lit(0).cast("long").alias("allowed"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_window").alias("rule"),
+                    F.col("date_oob").cast("long").alias("n_violations"),
+                    F.lit(0).cast("long").alias("allowed"),
+                ),
+                F.struct(
+                    F.lit("custkey_referential").alias("rule"),
+                    F.col("orphan_cust").cast("long").alias("n_violations"),
+                    F.lit(0).cast("long").alias("allowed"),
+                ),
+                F.struct(
+                    F.lit("priority_complete_99pct").alias("rule"),
+                    F.col("prio_missing").cast("long").alias("n_violations"),
+                    F.expr("n div 100").cast("long").alias("allowed"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rules.select(
+        "rule",
+        "n_violations",
+        (F.col("n_violations") <= F.col("allowed")).cast("long").alias("passed"),
+    )
