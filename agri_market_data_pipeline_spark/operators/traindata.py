@@ -329,3 +329,106 @@ def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("n"))
         .select("doc_id", "lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct feature join (the feature-store anti-leakage rule)
+
+_PIT_7D_US = 7 * 86_400_000_000  # 7 days in integral microseconds
+
+
+@query(
+    "ml_pit_features",
+    oracle=f"""
+WITH perts AS (
+  SELECT user_id, epoch_us(ts) AS tus, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(value * 1e4) AS BIGINT)) AS BIGINT) AS sv
+  FROM events GROUP BY 1, 2),
+feat AS (
+  SELECT user_id, tus,
+         CAST(COALESCE(SUM(n) OVER wprior, 0) AS BIGINT) AS n_prior,
+         CAST(COALESCE(SUM(sv) OVER wprior, 0) AS BIGINT) AS sv_prior,
+         CAST(COALESCE(SUM(n) OVER w7, 0) AS BIGINT) AS n_7d,
+         MIN(tus) OVER (PARTITION BY user_id) AS t0
+  FROM perts
+  WINDOW wprior AS (PARTITION BY user_id ORDER BY tus
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         w7 AS (PARTITION BY user_id ORDER BY tus
+                RANGE BETWEEN {_PIT_7D_US} PRECEDING AND 1 PRECEDING)),
+labels AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+  WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, f.n_prior,
+       CAST(f.sv_prior AS DOUBLE) / 1e4 AS sum_prior,
+       f.n_7d,
+       CAST((l.tus - f.t0) // 86400000000 AS BIGINT) AS day_idx
+FROM labels l
+JOIN feat f ON l.user_id = f.user_id AND l.tus = f.tus
+""",
+)
+def ml_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct feature join — the feature-store rule
+    that prevents label leakage: for every label event (a purchase),
+    the features are computed ONLY from the user's history STRICTLY
+    BEFORE the label's timestamp (lifetime count/spend, 7-day count,
+    account age in days). Strictly-before is made exact by
+    pre-aggregating per (user, µs-timestamp) — distinct-ts rows turn
+    the ROWS ... 1 PRECEDING frame into exactly 'ts < label.ts', with
+    no same-instant ambiguity; the 7-day window is an integral-µs
+    RANGE frame (unix_micros ↔ epoch_us, win_sessionize's rule —
+    float seconds would mis-order near-tie gaps). A purchase at the
+    user's first-ever event gets all-zero features, not a peek at
+    itself. Fully oracle-checked per label row.
+
+    Scale: one shuffle on user_id shared by the per-ts pre-agg, both
+    window frames and the label join (co-partitioned); per-user
+    history is bounded, so no skew. At 100 TB this materializes the
+    training matrix straight out of the event log — the alternative
+    (joining a separately-maintained feature snapshot) is where
+    leakage bugs live."""
+    ev = load_parallel(spark, sf_dir, "events")
+    perts = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("tus"),
+            F.floor(F.col("value") * 1e4).cast("long").alias("lv"),
+        )
+        .groupBy("user_id", "tus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("lv").cast("long").alias("sv"),
+        )
+    )
+    wprior = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_PIT_7D_US, -1)
+    )
+    feat = perts.select(
+        "user_id",
+        "tus",
+        F.coalesce(F.sum("n").over(wprior), F.lit(0))
+        .cast("long")
+        .alias("n_prior"),
+        F.coalesce(F.sum("sv").over(wprior), F.lit(0))
+        .cast("long")
+        .alias("sv_prior"),
+        F.coalesce(F.sum("n").over(w7), F.lit(0)).cast("long").alias("n_7d"),
+        F.min("tus").over(Window.partitionBy("user_id")).alias("t0"),
+    )
+    labels = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tus")
+    )
+    return labels.join(feat, ["user_id", "tus"]).select(
+        "event_id",
+        "user_id",
+        "n_prior",
+        (F.col("sv_prior").cast("double") / 1e4).alias("sum_prior"),
+        "n_7d",
+        F.expr("(tus - t0) div 86400000000").cast("long").alias("day_idx"),
+    )
