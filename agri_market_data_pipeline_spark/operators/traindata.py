@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.text import SQL_SHINGLES3, shingles3, tokens
 from ..registry import query
 from ..tables import load_parallel
+from .dedup import _MINHASH_CTE
 
 # 100-cell hash lattice → 90/5/5 split
 _SPLIT_TRAIN, _SPLIT_VAL = 90, 95
@@ -431,4 +432,96 @@ def ml_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sv_prior").cast("double") / 1e4).alias("sum_prior"),
         "n_7d",
         F.expr("(tus - t0) div 86400000000").cast("long").alias("day_idx"),
+    )
+
+
+@query(
+    "sample_contrastive_pairs",
+    oracle=_MINHASH_CTE
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+neg0 AS (
+  SELECT p.doc_a,
+         CAST(('0x' || substring(md5('neg:' || CAST(p.doc_a AS VARCHAR)
+                 || ':' || CAST(p.doc_b AS VARCHAR)), 1, 8)) AS BIGINT)
+           % nd.n AS doc_b
+  FROM pairs p CROSS JOIN nd
+),
+neg AS (
+  SELECT n.doc_a, n.doc_b FROM neg0 n
+  WHERE n.doc_b != n.doc_a
+    AND NOT EXISTS (
+      SELECT 1 FROM pairs p
+      WHERE p.doc_a = LEAST(n.doc_a, n.doc_b)
+        AND p.doc_b = GREATEST(n.doc_a, n.doc_b))
+)
+SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label FROM pairs
+UNION ALL
+SELECT doc_a, doc_b, CAST(0 AS BIGINT) AS label FROM neg
+""",
+)
+def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs for embedding-model training:
+    positives are the LSH near-dup candidate pairs (documents that
+    share a MinHash band — the same signal dedup uses, reused as a
+    similarity label), negatives are md5-derived pseudo-random
+    partners (one per positive, so classes stay ~balanced) with
+    accidental positives removed by an anti-join against the pair
+    set. Fully deterministic — no RNG state — and fully
+    oracle-checked including the signature pipeline.
+
+    Scale: positives come from the banded equi-join (sub-quadratic,
+    dedup_near_minhash's shape); negative generation is row-local
+    hashing plus one more band-key-sized anti-join. The 1-row corpus
+    count broadcasts."""
+    from .dedup import dedup_near_minhash_pairs
+
+    d = load_parallel(spark, sf_dir, "documents")
+    pairs = dedup_near_minhash_pairs(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    nd = d.agg(F.count("*").alias("n"))
+    neg0 = pairs.join(F.broadcast(nd)).select(
+        "doc_a",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("doc_a").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+        ).alias("doc_b"),
+    )
+    pk = pairs.select(
+        F.col("doc_a").alias("ka"), F.col("doc_b").alias("kb")
+    )
+    neg = (
+        neg0.filter(F.col("doc_b") != F.col("doc_a"))
+        .join(
+            pk,
+            (F.least("doc_a", "doc_b") == F.col("ka"))
+            & (F.greatest("doc_a", "doc_b") == F.col("kb")),
+            "leftanti",
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", F.lit(1).cast("long").alias("label")
+    ).unionByName(
+        neg.select("doc_a", "doc_b", F.lit(0).cast("long").alias("label"))
     )
