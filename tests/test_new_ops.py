@@ -324,3 +324,20 @@ def test_hll_intersect_error_bounds(spark, sf_dir):
     assert abs(r.est_intersect - r.exact_intersect) <= max(
         0.60 * r.exact_intersect, 0.2 * r.exact_union
     ), r
+
+
+def test_contrastive_pairs_invariants(spark, sf_dir):
+    """Label soundness: no sampled negative may also appear as a
+    positive pair (orientation-insensitive), no self-pairs, and the
+    negative class stays within 25% of the positive class (one derived
+    negative per positive, minus collisions)."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    rows = all_queries()["sample_contrastive_pairs"](spark, sf_dir).collect()
+    pos = {(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+           for r in rows if r.label == 1}
+    neg = [(min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+           for r in rows if r.label == 0]
+    assert all(a != b for a, b in neg + list(pos))
+    assert not (set(neg) & pos)
+    assert len(neg) >= 0.75 * len(pos), (len(neg), len(pos))
