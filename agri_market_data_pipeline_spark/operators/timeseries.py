@@ -536,97 +536,3 @@ def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
     )
-
-
-# ---------------------------------------------------------------------------
-# CUSUM changepoint detection
-
-
-@query(
-    "ts_changepoint_cusum",
-    oracle="""
-WITH monthly AS (
-  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-           AS cents
-  FROM orders GROUP BY 1),
-tot AS (
-  SELECT CAST(SUM(cents) AS BIGINT) AS t, COUNT(*) AS n FROM monthly),
-cum AS (
-  SELECT m.m,
-         CAST(SUM(m.cents) OVER (ORDER BY m.m
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-           AS cx,
-         CAST(ROW_NUMBER() OVER (ORDER BY m.m) AS BIGINT) AS k
-  FROM monthly m),
-s AS (
-  SELECT c.m, c.k, tot.n, tot.t,
-         c.cx * tot.n - tot.t * c.k AS s_scaled
-  FROM cum c CROSS JOIN tot)
-SELECT m AS cp_month,
-       CAST(k AS BIGINT) AS cp_k,
-       CAST(n AS BIGINT) AS n_months,
-       CAST(ABS(s_scaled) AS DOUBLE) / n / 100.0 AS cusum_peak,
-       CAST(CASE WHEN s_scaled < 0 THEN 1 ELSE -1 END AS BIGINT)
-         AS shift_sign
-FROM s
-ORDER BY ABS(s_scaled) DESC, m
-LIMIT 1
-""",
-)
-def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint detection over the monthly revenue series —
-    where did the level shift? S_k = Σ_{i≤k}(x_i − mean) peaks (in
-    absolute value) at the most likely change point; the peak month,
-    its magnitude and the shift direction (S dipping negative ⇒ the
-    later regime is HIGHER) are the audit row. Everything stays on an
-    integer lattice: revenue in cents, and the mean subtraction is
-    cleared of division by scaling S by n (S'_k = n·cumsum_k − k·T),
-    so the argmax ranks BIGINTs — no float boundary can flip the
-    reported month between engines; the one double division happens
-    after selection.
-
-    Scale: the cumulative window runs over the AGGREGATED month
-    series (~84 rows), not the fact table — the single-partition
-    window is bounded by the calendar, the orders scan is the usual
-    partial-agg shuffle."""
-    o = load(spark, sf_dir, "orders")
-    monthly = (
-        o.select(
-            F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
-            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("m")
-        .agg(F.sum("cents").cast("long").alias("cents"))
-    )
-    tot = monthly.agg(
-        F.sum("cents").cast("long").alias("t"), F.count("*").alias("n")
-    )
-    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
-    cum = monthly.select(
-        "m",
-        F.sum("cents").over(w).cast("long").alias("cx"),
-        F.row_number().over(Window.orderBy("m")).cast("long").alias("k"),
-    )
-    s = cum.join(F.broadcast(tot)).select(
-        "m",
-        "k",
-        "n",
-        (F.col("cx") * F.col("n") - F.col("t") * F.col("k")).alias("s_scaled"),
-    )
-    return (
-        s.orderBy(F.abs(F.col("s_scaled")).desc(), F.asc("m"))
-        .limit(1)
-        .select(
-            F.col("m").alias("cp_month"),
-            F.col("k").cast("long").alias("cp_k"),
-            F.col("n").cast("long").alias("n_months"),
-            (F.abs(F.col("s_scaled")).cast("double") / F.col("n") / 100.0).alias(
-                "cusum_peak"
-            ),
-            F.when(F.col("s_scaled") < 0, 1)
-            .otherwise(-1)
-            .cast("long")
-            .alias("shift_sign"),
-        )
-    )
