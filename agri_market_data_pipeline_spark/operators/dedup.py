@@ -1249,7 +1249,7 @@ LEFT JOIN near_b nb ON x.doc_id = nb.doc_id
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (delta) dedup — the pattern that makes dedup
     affordable at 100 TB: a NEW batch of arrivals (doc_id %
-    {_INC_MOD} == {_INC_REM} here) is checked against the
+    _INC_MOD == _INC_REM, i.e. 7/3 here) is checked against the
     already-indexed corpus WITHOUT re-deduping the corpus. Per new
     doc: exact_dup (md5 matches a corpus doc, or a smaller-id batch
     doc — the batch self-dedupes in arrival order), near_dup (shares

@@ -233,6 +233,16 @@ def _xml_mirror(spark: SparkSession, sf_dir: str) -> str:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         )
         o.write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
+        # Drop mirrors of prior testdata vintages for this sf_dir — a
+        # regenerated source changes the fingerprint suffix, and the
+        # orphaned trees would otherwise accumulate in tmp forever.
+        import glob
+        import shutil
+
+        prefix = out.rsplit("_", 1)[0]
+        for stale in glob.glob(prefix + "_*"):
+            if stale != out:
+                shutil.rmtree(stale, ignore_errors=True)
     _XML_CACHE[sf_dir] = out
     return out
 

@@ -178,7 +178,12 @@ def _coerce_to_schema(out, schema: StructType):
         t = f.dataType.typeName()
         col = out[f.name]
         if t in ("long", "integer", "short", "byte"):
-            out[f.name] = pd.to_numeric(col, errors="coerce").astype("Int64")
+            # Fractional values in an integer field must null out, not
+            # raise: astype('Int64') hard-errors on e.g. 12.5 ("cannot
+            # safely cast"), which would fail the whole ingest task on
+            # one malformed record — exactly the path this helper guards.
+            n = pd.to_numeric(col, errors="coerce")
+            out[f.name] = n.where(n % 1 == 0).astype("Int64")
         elif t in ("double", "float"):
             out[f.name] = pd.to_numeric(col, errors="coerce").astype("float64")
         elif t == "string":

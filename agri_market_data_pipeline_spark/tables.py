@@ -42,6 +42,27 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
     return str(field.type) == "timestamp[ns]"
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer metadata — the table-stats path.
+
+    No Spark job, no data scan: the count is a footer field pyarrow
+    reads in O(files). This is what replaces driver-side ``df.count()``
+    actions that exist only to size an index parameter (e.g.
+    sim_knn_join's K = ⌈√n⌉); at 100 TB the same number comes from the
+    metastore's table statistics."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    paths = [path]
+    if os.path.isdir(path):
+        paths = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan, normalized so downstream always sees ts: TIMESTAMP
     (session-zone, UTC). Handles both physical layouts the driver has

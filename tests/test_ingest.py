@@ -263,3 +263,36 @@ def test_paginated_api_over_live_http(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_coerce_to_schema_nulls_fractional_in_integer_field():
+    """A feed delivering 12.5 in a long-typed field must null the value,
+    not raise 'cannot safely cast' and fail the whole page (ADVICE r3)."""
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType
+    from agri_market_data_pipeline_spark.sources.paginated_api import (
+        _coerce_to_schema,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("price", DoubleType()),
+        ]
+    )
+    page = pd.DataFrame(
+        {
+            "id": [1, 12.5, "oops", None, 7.0],
+            "name": [1, "ok", 2.5, None, True],
+            "price": ["3.5", "bad", None, 2, 1],
+        }
+    )
+    out = _coerce_to_schema(page, schema)
+    ids = out["id"].tolist()
+    assert ids[0] == 1 and ids[4] == 7
+    assert pd.isna(ids[1]) and pd.isna(ids[2]) and pd.isna(ids[3])
+    assert str(out["id"].dtype) == "Int64"
+    assert out["name"].tolist()[0] == "1" and out["name"].tolist()[4] == "True"
+    assert out["price"].tolist()[0] == 3.5
