@@ -45,6 +45,47 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
     return out
 
 
+# Logical nodes that bound the row count flowing into a global window:
+# a limit caps it outright; an aggregate reduces to |group keys| (every
+# engine site ranks a post-agg leaderboard or a top-K cut, never a fact
+# table). Local/OneRow relations are driver-literal leaves.
+_BOUNDING = {"GlobalLimit", "LocalLimit", "Aggregate"}
+_BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation"}
+
+
+def _subtree_bounded(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDING:
+        return True
+    n = node.children().size()
+    if n == 0:
+        return name in _BOUNDED_LEAVES
+    return all(_subtree_bounded(node.children().apply(i)) for i in range(n))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Zero-partition Window nodes whose input is NOT provably bounded
+    by a limit/aggregate on every path to a leaf — the one window shape
+    that silently becomes a single-task global sort over a fact table
+    at 100 TB. The engine's rule: an empty-partition window may only
+    rank an already-bounded frame (top-K after limit, post-agg
+    leaderboard); this walker pins that invariant on the optimized
+    logical plan (VERDICT r3 item 3)."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().size() == 0:
+            child = node.children().apply(0)
+            if not _subtree_bounded(child):
+                out.append(node.simpleString(25))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange nodes (broadcast exchanges excluded) —
     the scale-cost signature of a plan."""

@@ -107,10 +107,28 @@ class SnapshotStore:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            raise ConcurrentPublishError(
-                f"another publish holds {lock}; remove it only if that "
-                "publisher is known dead"
-            ) from None
+            # A publisher killed between data write and manifest update
+            # leaves its lock behind (no finally runs on SIGKILL). The
+            # lock records the holder's pid: if that process is gone the
+            # lock is stale — steal it, so the next cron run is
+            # self-healing instead of blocked until an operator
+            # intervenes (the crash-recovery half of git's ref model).
+            if not self._lock_holder_alive(lock):
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    raise ConcurrentPublishError(
+                        f"another publish raced for {lock}"
+                    ) from None
+            else:
+                raise ConcurrentPublishError(
+                    f"another publish holds {lock}; remove it only if that "
+                    "publisher is known dead"
+                ) from None
         try:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
@@ -128,6 +146,23 @@ class SnapshotStore:
                 os.unlink(lock)
             except OSError:
                 pass
+
+    @staticmethod
+    def _lock_holder_alive(lock: str) -> bool:
+        """True iff the pid recorded in the lock file is a live process.
+        Unreadable/empty lock (holder died mid-write) counts as dead."""
+        try:
+            with open(lock) as fh:
+                pid = int(fh.read().strip())
+        except (OSError, ValueError):
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True
+        return True
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         m = self._manifest()

@@ -333,7 +333,9 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's checkpoint-replay re-append, SURVEY.md §1.3.5), then
     dropDuplicates on the event key collapses replays across
     micro-batches. Production uses dropDuplicatesWithinWatermark so the
-    key state ages out."""
+    key state ages out — that aging (replay after eviction re-emits,
+    replay within the watermark is suppressed) is pinned in
+    tests/test_streaming.py::test_dedup_within_watermark_state_ages_out."""
     a = events_stream(spark, sf_dir)
     b = events_stream(spark, sf_dir)
     deduped = a.unionByName(b).dropDuplicates(["event_id"])

@@ -63,6 +63,25 @@ def table_row_count(sf_dir: str, name: str) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def embedding_dim(sf_dir: str) -> int:
+    """Embedding vector width, read from the first parquet record batch
+    with pyarrow — setup-time metadata, no Spark job (list<float>
+    columns don't carry a fixed width in the schema)."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "embeddings")
+    if os.path.isdir(path):
+        path = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )[0]
+    batch = next(
+        pq.ParquetFile(path).iter_batches(batch_size=1, columns=["embedding"])
+    )
+    return len(batch.column(0)[0])
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events scan, normalized so downstream always sees ts: TIMESTAMP
     (session-zone, UTC). Handles both physical layouts the driver has

@@ -298,3 +298,39 @@ def test_sim_knn_join_recall_reuses_trained_quantizer(spark, sf_dir):
     with_twin = similarity.sim_knn_join_recall(spark, sf_dir)
     assert similarity._KNN_CELL_CACHE.get(key) is arr  # no retrain
     assert with_twin.columns == ["n_hits", "n_exact", "recall"]
+
+
+def test_no_registered_query_has_unbounded_global_window(spark):
+    """Engine-wide invariant (VERDICT r3 item 3): an empty-partition
+    Window may only rank a limit/aggregate-bounded frame — over a fact
+    scan it is a latent single-task global sort at 100 TB. Walks the
+    optimized logical plan of every registered query."""
+    import __spark_entry__ as entrymod
+    from agri_market_data_pipeline_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+
+    bad = []
+    for name, fn in sorted(entrymod.queries().items()):
+        df = fn(spark, "/root/testdata/sf0.001")
+        for w in unbounded_global_windows(df):
+            bad.append(f"{name}: {w}")
+    assert not bad, f"unbounded global windows: {bad}"
+
+
+def test_unbounded_global_window_detector_catches_globalized_sort(spark, sf_dir):
+    """Negative control: a deliberately-globalized window over a fact
+    scan must trip the detector (so a future edit can't silently
+    globalize a bounded one)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.plans.audit import (
+        unbounded_global_windows,
+    )
+    from agri_market_data_pipeline_spark.tables import load
+
+    df = load(spark, sf_dir, "lineitem").withColumn(
+        "rn", F.row_number().over(W.orderBy("l_orderkey"))
+    )
+    assert unbounded_global_windows(df), "detector missed a global fact sort"

@@ -94,9 +94,46 @@ def test_publish_lock_blocks_concurrent(spark, tmp_path):
     )
 
     store = SnapshotStore(str(tmp_path / "store"))
-    (tmp_path / "store" / ".publish.lock").write_text("12345")
+    # a LIVE holder (this very process) blocks
+    (tmp_path / "store" / ".publish.lock").write_text(str(os.getpid()))
     try:
         store.publish(spark.createDataFrame([(1,)], "id int"))
         raise AssertionError("expected ConcurrentPublishError")
     except ConcurrentPublishError:
         pass
+
+
+def test_kill_between_write_and_manifest_recovers(spark, tmp_path):
+    """The reference's at-least-once flaw (SURVEY §3.1.6): a publisher
+    killed AFTER writing data but BEFORE the manifest repoint — with
+    its lock file left behind, as SIGKILL leaves it. The previous
+    snapshot must stay readable, and the NEXT run must self-heal:
+    steal the dead lock, skip over the orphan version, publish, and
+    vacuum the orphan (VERDICT r3 item 6)."""
+    import subprocess
+    import sys
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.publish(spark.createDataFrame([(1,)], "id int"))
+
+    # Simulate the kill: v2 data fully on disk, manifest NOT updated,
+    # lock held by a process that no longer exists (spawn-and-reap a
+    # real pid so the liveness probe sees a genuinely dead holder).
+    spark.createDataFrame([(99,)], "id int").write.parquet(
+        str(tmp_path / "store" / "v2")
+    )
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    (tmp_path / "store" / ".publish.lock").write_text(str(dead.pid))
+
+    # previous snapshot still readable through the manifest
+    assert store.current_version() == 1
+    assert [r.id for r in store.read(spark).collect()] == [1]
+
+    # next run: steals the stale lock, never clobbers the orphan
+    v = store.publish(spark.createDataFrame([(3,)], "id int"))
+    assert v == 3
+    assert [r.id for r in store.read(spark).collect()] == [3]
+    assert not (tmp_path / "store" / ".publish.lock").exists()
+    dropped = store.vacuum(keep_last=1)
+    assert 2 in dropped and store.versions() == [3]

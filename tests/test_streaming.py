@@ -216,3 +216,56 @@ def test_stateful_kill_resume_equals_uninterrupted(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_dedup_within_watermark_state_ages_out(spark, tmp_path):
+    """dropDuplicatesWithinWatermark aging (VERDICT r3 item 5): a key
+    replayed while its dedup state is alive is suppressed; once the
+    watermark passes the key's event time + delay, the state is evicted
+    and a later replay of the SAME key is emitted again. stream_dedup's
+    bounded replay can't observe this — controlled batches can."""
+    src = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    t = lambda h, m: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    emitted: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .format("parquet")
+            .load(src)
+        )
+        deduped = stream.withWatermark(
+            "ts", "30 minutes"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+
+        def sink(batch_df, batch_id):
+            emitted.extend((batch_id, r.event_id) for r in batch_df.collect())
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: key 1 at 10:00, key 3 at 12:00 → watermark advances to
+    # 11:30; key 1's state (expires 10:30) is evicted, key 3's (12:30)
+    # survives.
+    _write_events(spark, src, [(1, t(10, 0), 1.0), (3, t(12, 0), 1.0)])
+    run_once()
+    ids1 = sorted(e for _, e in emitted)
+    assert ids1 == [1, 3]
+
+    # batch 2 (resumed): both keys replayed at fresh timestamps (the
+    # retransmission case). Key 3 is within its watermark → deduped.
+    # Key 1's state aged out → emitted AGAIN.
+    emitted.clear()
+    _write_events(spark, src, [(1, t(12, 5), 1.0), (3, t(12, 1), 1.0)])
+    run_once()
+    ids2 = sorted(e for _, e in emitted)
+    assert 1 in ids2, f"aged-out key was still deduped: {emitted}"
+    assert 3 not in ids2, f"live-state key was not deduped: {emitted}"
