@@ -1477,3 +1477,267 @@ def agg_ttest_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("df_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov test (distribution drift, nonparametric)
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH pts AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT value, CAST(SUM(a) AS BIGINT) AS ca, CAST(SUM(b) AS BIGINT) AS cb
+  FROM pts GROUP BY value
+),
+cum AS (
+  SELECT SUM(ca) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY value
+                       ROWS UNBOUNDED PRECEDING) AS cum_b,
+         SUM(ca) OVER () AS n_a,
+         SUM(cb) OVER () AS n_b
+  FROM g
+),
+d AS (
+  SELECT n_a, n_b,
+         ABS(CAST(cum_a AS DOUBLE) / n_a
+             - CAST(cum_b AS DOUBLE) / n_b) AS dd
+  FROM cum
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       MAX(dd) AS ks_d
+FROM d
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two event cohorts — the nonparametric
+    complement of agg_ttest_ab (detects ANY distributional change,
+    not just a mean shift) and the standard drift gate between a
+    training corpus snapshot and a refresh. D = max over the pooled
+    support of |ECDF_a − ECDF_b|.
+
+    Determinism: counts are exact BIGINTs; each ECDF value is an exact
+    integer ratio and D a max of |differences| of such ratios —
+    identical IEEE expression trees on identical inputs, so NOT
+    rounded (registry.py rules). Scale shape: groupBy value first
+    (partial-aggregable; collapses the fact table to its distinct
+    support) — the ordered cumulative walk then runs over the
+    aggregated support, not the raw events; at 100 TB the support is
+    binned (the dq_distribution_drift histogram) and the same walk
+    runs over the bins."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = g.select(
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            )
+        ).alias("ks_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: materialize a keyed change stream into its final state
+
+
+@query(
+    "incr_cdc_apply",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, CAST(n_changes AS BIGINT) AS n_changes,
+       cents AS value_cents
+FROM chg
+WHERE rn = 1 AND op = 'U'
+""",
+)
+def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply — materialize a keyed change stream
+    (upserts + delete tombstones) into its final table state: the
+    MERGE that keeps a serving copy in sync with an OLTP feed, and the
+    incremental-ingest twin of incr_scd2_apply (which keeps history;
+    this keeps only the head). 'error' events are delete tombstones;
+    everything else upserts the value (exact integer cents). Last
+    writer per key wins, ordered by (ts, event_id) — the unique
+    tiebreaker keeps rank boundaries engine-identical; a key whose
+    last op is a delete is ABSENT from the output.
+
+    Scale shape: one hash shuffle by key, per-key rank, head filter —
+    partial-agg-free but partition-local; at 100 TB the stream is
+    log-compacted per micro-batch (this same query over the delta)
+    and merged into the bucketed serving table, so each apply touches
+    |delta| rows, never the full table."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    chg = ev.select(
+        "user_id",
+        "op",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_changes"),
+    )
+    return chg.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        F.col("cents").alias("value_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (categorical association)
+
+_CHI_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _chi2_sql() -> str:
+    """DuckDB twin: the same 10 named cell counts in one row, then the
+    same fixed-order expression tree — identical IEEE ops on identical
+    integers are bitwise-equal, so chi2 ships UNROUNDED."""
+    cells = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' AND v = {v} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c_{t}_{v}"
+        for t in _CHI_TYPES
+        for v in (0, 1)
+    )
+    rows = " + ".join(f"c_{t}_0 + c_{t}_1" for t in _CHI_TYPES)
+    terms = []
+    for t in _CHI_TYPES:
+        for v in (0, 1):
+            col = " + ".join(f"c_{tt}_{v}" for tt in _CHI_TYPES)
+            row = f"(c_{t}_0 + c_{t}_1)"
+            e = f"({row} * CAST(({col}) AS DOUBLE) / n)"
+            terms.append(f"(c_{t}_{v} - {e}) * (c_{t}_{v} - {e}) / {e}")
+    chi = " + ".join(terms)
+    return f"""
+WITH assigned AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5('chi:' || CAST(user_id AS VARCHAR)),
+               1, 8)) AS BIGINT) % 2 AS v
+  FROM events
+),
+cells AS (
+  SELECT {cells}
+  FROM assigned
+),
+w AS (SELECT *, CAST(({rows}) AS BIGINT) AS n FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST({(len(_CHI_TYPES) - 1)} AS BIGINT) AS df,
+       {chi} AS chi2
+FROM w
+"""
+
+
+@query("agg_chi2_independence", oracle=_chi2_sql())
+def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a
+    hash-assigned experiment variant — the categorical member of the
+    inference family (agg_ttest_ab: means; agg_ks_test: whole
+    distributions; this: contingency tables, e.g. 'did the variant
+    change the action MIX'). 5×2 contingency → df = 4.
+
+    Determinism without rounding: the 10 cell counts are exact
+    BIGINTs computed as named columns of ONE aggregation row, and chi²
+    is a literal fixed-order expression tree over them — identical
+    IEEE operations on identical integers are bitwise-equal across
+    engines, so no ROUND is needed (registry.py: the named-column
+    expression-tree rule). Scale shape: one partial-aggregable scan,
+    10 conditional counts, scalar algebra — the cheapest possible
+    test at any SF."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("chi:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    a = ev.select("event_type", v.alias("v"))
+    cells = a.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("event_type") == t) & (F.col("v") == vv), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c_{t}_{vv}")
+            for t in _CHI_TYPES
+            for vv in (0, 1)
+        ]
+    )
+    n = None
+    for t in _CHI_TYPES:
+        term = F.col(f"c_{t}_0") + F.col(f"c_{t}_1")
+        n = term if n is None else n + term
+    w = cells.withColumn("n", n.cast("long"))
+    chi = None
+    for t in _CHI_TYPES:
+        row = F.col(f"c_{t}_0") + F.col(f"c_{t}_1")
+        for vv in (0, 1):
+            colsum = None
+            for tt in _CHI_TYPES:
+                c = F.col(f"c_{tt}_{vv}")
+                colsum = c if colsum is None else colsum + c
+            e = row * colsum.cast("double") / F.col("n")
+            term = (F.col(f"c_{t}_{vv}") - e) * (F.col(f"c_{t}_{vv}") - e) / e
+            chi = term if chi is None else chi + term
+    return w.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(len(_CHI_TYPES) - 1).cast("long").alias("df"),
+        chi.alias("chi2"),
+    )

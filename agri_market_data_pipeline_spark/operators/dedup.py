@@ -1448,3 +1448,104 @@ def curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication (the train-data "memorized span" signal)
+
+_SUB_K = 8  # span length in tokens — the exact-substring dedup window
+
+
+def _kgrams(tok_col, k: int):
+    """Word k-gram strings from a token array via the zipped-slice
+    trick (shingles3 generalized): k parallel slices zipped so the
+    token array is evaluated once; short docs yield zero grams."""
+    t = tok_col
+    n = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(t, i + 1, n).alias(f"w{i}") for i in range(k)]
+    )
+    return F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)])
+    )
+
+
+_SQL_KGRAMS = """
+CASE WHEN len({toks}) >= {k}
+     THEN list_transform(generate_series(1, len({toks}) - {km1}),
+                         i -> {parts})
+     ELSE [] END
+""".format(
+    toks="t",
+    k=_SUB_K,
+    km1=_SUB_K - 1,
+    parts=" || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(_SUB_K)),
+)
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_SQL_KGRAMS}) AS gram FROM toks
+  )
+),
+shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN s.gram IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_shared,
+       SUM(CASE WHEN s.gram IS NULL THEN 0 ELSE 1 END) / COUNT(*)
+         AS dup_fraction
+FROM grams g LEFT JOIN shared s USING (gram)
+GROUP BY g.doc_id
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report — the passage-level signal
+    behind substring dedup of training corpora (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better': exact
+    repeated spans, not whole-doc hashes, are what LMs memorize). Per
+    doc: distinct 8-token spans, how many also occur verbatim in at
+    least one OTHER doc, and the duplicated fraction (exact integer
+    ratio, never rounded).
+
+    Scale shape: NO pairwise join anywhere — explode k-grams (one pass,
+    map-side), per-gram doc count (partial-aggregable groupBy on the
+    gram, uniform keys), then one probe join back. Cost ∝ corpus token
+    count, never ∝ docs²; at 100 TB the gram→count table is the stored
+    suffix index, and the production form hashes grams to 8-byte ids
+    before the shuffle to cut the exchange width."""
+    d = load_parallel(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_kgrams(tokens("text"), _SUB_K)).alias("gram")
+    ).distinct()
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+        .withColumn("s", F.lit(1))
+    )
+    return (
+        grams.join(shared, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("s").isNull(), 0).otherwise(1))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_grams")).alias("dup_fraction"),
+        )
+    )

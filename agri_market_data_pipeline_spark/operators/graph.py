@@ -347,3 +347,68 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").over(w).cast("long").alias("comp_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection (co-occurrence graph from a two-mode relation)
+
+_BP_TOP = 50  # projected edges reported (top by weight, deterministic)
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle=f"""
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS weight
+  FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, CAST(weight AS BIGINT) AS weight
+FROM pairs
+ORDER BY weight DESC, part_a, part_b
+LIMIT {_BP_TOP}
+""",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the customer–part purchase bipartite
+    graph: parts are linked with weight = number of distinct customers
+    who bought both (the co-occurrence/'bought-together' graph that
+    feeds item-item recommenders and basket analytics; the projection
+    twin of agg_market_basket's order-blocked pairs). Top-50 edges by
+    weight, fully tiebroken.
+
+    Scale shape: the self-join is BLOCKED BY CUSTOMER, and a
+    customer's distinct-part degree is bounded by orders-per-customer
+    × lines-per-order (both fixed per the schema's generator, NOT
+    growing with SF) — so candidate pairs grow linearly in customers,
+    never all-parts². The degree-bound argument is exactly
+    agg_market_basket's; hub customers beyond the bound would be
+    degree-capped or salted. Top-k via TakeOrderedAndProject — no
+    global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = cp.alias("a")
+    b = cp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    return pairs.orderBy(
+        F.desc("weight"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BP_TOP)

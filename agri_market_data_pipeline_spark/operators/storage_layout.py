@@ -650,3 +650,69 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_files"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-column advisor (layout planning from one profiling scan)
+
+_ADV_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey", "o_orderkey")
+_ADV_MIN_PARTS = 4  # fewer values than this → partitioning buys no pruning
+_ADV_MAX_PARTS = 1000  # more than this → small-file explosion; bucket instead
+
+
+def _advisor_sql() -> str:
+    sels = []
+    for c in _ADV_COLS:
+        sels.append(f"""
+SELECT '{c}' AS col,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) / CAST(COUNT(DISTINCT {c}) AS BIGINT)
+         AS rows_per_value,
+       CASE WHEN COUNT(DISTINCT {c}) < {_ADV_MIN_PARTS} THEN 'no-benefit'
+            WHEN COUNT(DISTINCT {c}) <= {_ADV_MAX_PARTS} THEN 'partition'
+            ELSE 'bucket' END AS verdict
+FROM orders""")
+    return "\nUNION ALL\n".join(sels)
+
+
+@query("layout_partition_advisor", oracle=_advisor_sql())
+def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: per candidate column, its distinct-value
+    count, table rows, average rows-per-value, and a verdict from the
+    standard lakehouse rule — too few values prune nothing
+    ('no-benefit'), a bounded value set becomes the hive partition
+    column ('partition': every value a directory, partition pruning at
+    plan time — scan_dpp_pruned's precondition), an unbounded/high-
+    cardinality key would explode into small files and should be
+    BUCKETED instead (shuffle-free joins — the bucketing tests'
+    precondition). The profiling that layout_zorder_skipping assumes
+    already happened.
+
+    Scale shape: one scan, five partial-aggregable count-distincts
+    (exact here; at 100 TB the same advisor runs on approx_count_
+    distinct within ±2% and the verdict thresholds absorb the
+    error)."""
+    o = load(spark, sf_dir, "orders")
+    outs = []
+    for c in _ADV_COLS:
+        outs.append(
+            o.agg(
+                F.lit(c).alias("col"),
+                F.count_distinct(F.col(c)).cast("long").alias("n_distinct"),
+                F.count("*").cast("long").alias("n_rows"),
+            ).select(
+                "col",
+                "n_distinct",
+                "n_rows",
+                (F.col("n_rows") / F.col("n_distinct")).alias("rows_per_value"),
+                F.when(F.col("n_distinct") < _ADV_MIN_PARTS, "no-benefit")
+                .when(F.col("n_distinct") <= _ADV_MAX_PARTS, "partition")
+                .otherwise("bucket")
+                .alias("verdict"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out

@@ -536,3 +536,148 @@ def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test (multi-lag whiteness of the daily series)
+
+_LB_MAX_LAG = 7
+
+
+def _lb_sql() -> str:
+    """DuckDB twin: exact HUGEINT aggregates, the identical double
+    expression tree for each r_k (ROUND 6), then the Q statistic
+    accumulated from those ROUNDED r_k — identical inputs → identical
+    doubles (registry.py rules)."""
+    leads = ",\n         ".join(
+        f"LEAD(x, {k}) OVER (ORDER BY day) AS y{k}"
+        for k in range(1, _LB_MAX_LAG + 1)
+    )
+    aggs = ",\n         ".join(
+        f"COUNT(y{k}) AS nk{k},"
+        f" CAST(SUM(CAST(x AS HUGEINT) * CAST(y{k} AS HUGEINT)) AS DOUBLE)"
+        f" AS sxy{k},"
+        f" CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS DOUBLE) AS sx{k},"
+        f" CAST(SUM(y{k}) AS DOUBLE) AS sy{k}"
+        for k in range(1, _LB_MAX_LAG + 1)
+    )
+    rs = ",\n         ".join(
+        f"ROUND((sxy{k} - (s / n) * (sx{k} + sy{k}) + nk{k} * (s / n) * (s / n))"
+        f" / (ss - s * s / n), 6) AS r{k}"
+        for k in range(1, _LB_MAX_LAG + 1)
+    )
+    rows = []
+    for k in range(1, _LB_MAX_LAG + 1):
+        qsum = " + ".join(f"r{j} * r{j} / (n - {j})" for j in range(1, k + 1))
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS lag,"
+            f" CAST(nk{k} AS BIGINT) AS n_pairs, r{k} AS acf,"
+            f" ROUND(n * (n + 2) * ({qsum}), 4) AS q_stat FROM r"
+        )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+led AS (
+  SELECT x,
+         {leads}
+  FROM daily
+),
+a AS (
+  SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS ss,
+         {aggs}
+  FROM led
+),
+r AS (
+  SELECT n,
+         {rs},
+         {", ".join(f"nk{k}" for k in range(1, _LB_MAX_LAG + 1))}
+  FROM a
+)
+{chr(10).join("UNION ALL" + chr(10) + row if i else row for i, row in enumerate(rows))}
+"""
+
+
+@query("ts_ljung_box", oracle=_lb_sql())
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test of the daily event-value
+    series: the sample ACF at lags 1..7 (full-series mean/variance —
+    the correlogram) plus the cumulative test statistic Q(h) =
+    n(n+2)·Σ_{k≤h} r_k²/(n−k), the standard 'is there ANY serial
+    structure up to lag h' gate run on forecast residuals
+    (ts_forecast_eval) and before trusting ts_ewma smoothing. The
+    lag-1-only persistence coefficient lives in ts_autocorr; this is
+    the multi-lag test built on the whole correlogram, emitted
+    long-form (lag, n_pairs, acf, q_stat).
+
+    Determinism: the daily series is an exact integer-cents lattice;
+    Σx, Σx², Σx·x₊ₖ are exact integer/decimal aggregates; each r_k is
+    one identical IEEE double expression ROUNDed at 6, and Q
+    accumulates the ROUNDED r_k (identical inputs → identical
+    doubles), ROUNDed at 4. Scale shape: the fact scan collapses to
+    |days| rows in one partial-aggregable groupBy; lag windows and
+    algebra run over that aggregate (bounded-window rule), and
+    inline() emits all lags from ONE row — the scan runs once, not
+    per lag."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    wl = Window.orderBy("day")
+    led = daily.select(
+        "x",
+        *[
+            F.lead("x", k).over(wl).alias(f"y{k}")
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg_cols = [
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("ss"),
+    ]
+    for k in range(1, _LB_MAX_LAG + 1):
+        agg_cols += [
+            F.count(f"y{k}").alias(f"nk{k}"),
+            F.sum(dec("x") * dec(f"y{k}")).cast("double").alias(f"sxy{k}"),
+            F.sum(F.when(F.col(f"y{k}").isNotNull(), F.col("x")))
+            .cast("double")
+            .alias(f"sx{k}"),
+            F.sum(f"y{k}").cast("double").alias(f"sy{k}"),
+        ]
+    a = led.agg(*agg_cols)
+    mean = F.col("s") / F.col("n")
+    den = F.col("ss") - F.col("s") * F.col("s") / F.col("n")
+    r = [
+        F.round(
+            (
+                F.col(f"sxy{k}")
+                - mean * (F.col(f"sx{k}") + F.col(f"sy{k}"))
+                + F.col(f"nk{k}") * mean * mean
+            )
+            / den,
+            6,
+        )
+        for k in range(1, _LB_MAX_LAG + 1)
+    ]
+    structs = []
+    qsum = F.lit(0.0)
+    for k in range(1, _LB_MAX_LAG + 1):
+        rk = r[k - 1]
+        qsum = qsum + rk * rk / (F.col("n") - F.lit(k))
+        structs.append(
+            F.struct(
+                F.lit(k).cast("long").alias("lag"),
+                F.col(f"nk{k}").cast("long").alias("n_pairs"),
+                rk.alias("acf"),
+                F.round(F.col("n") * (F.col("n") + 2) * qsum, 4).alias(
+                    "q_stat"
+                ),
+            )
+        )
+    return a.select(F.inline(F.array(*structs)))

@@ -525,3 +525,124 @@ def sample_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         neg.select("doc_a", "doc_b", F.lit(0).cast("long").alias("label"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (the multilingual/LLM sampling rule)
+
+_TEMP_TAU = 0.7  # the canonical multilingual-sampling temperature
+_TEMP_K = 100_000  # budget (docs) the weights are materialized against
+
+
+@query(
+    "mix_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+powed AS (
+  SELECT lang, n_docs, POWER(n_docs, {_TEMP_TAU}) AS p FROM counts
+),
+tot AS (SELECT SUM(p) AS sp FROM powed)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(p / sp, 6) AS weight,
+       CAST(FLOOR({_TEMP_K} * ROUND(p / sp, 6)) AS BIGINT) AS target_docs
+FROM powed, tot
+""",
+)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the standard
+    multilingual/LLM corpus-mixing rule (p_i ∝ n_i^τ, τ=0.7):
+    upsamples low-resource domains relative to their natural share
+    without flattening to uniform. Emits per domain its natural count,
+    the temperature weight, and the materialized doc budget at
+    K=100,000. mix_domains consumes weights like these; this
+    operator is where they come from.
+
+    Parity: POWER/libm differs in the last ulp across engines, so the
+    weight is ROUNDed to 6 on both sides BEFORE the budget floor —
+    identical rounded doubles make FLOOR(K·w) identical (registry.py
+    rules). Scale shape: one partial-aggregable count per domain; the
+    power/normalize step runs over |domains| rows."""
+    d = load_parallel(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn("p", F.pow("n_docs", F.lit(_TEMP_TAU)))
+    tot = powed.agg(F.sum("p").alias("sp"))
+    w = F.round(F.col("p") / F.col("sp"), 6)
+    return powed.join(F.broadcast(tot)).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        w.alias("weight"),
+        F.floor(F.lit(_TEMP_K) * w).cast("long").alias("target_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty of an incoming batch vs the corpus index
+
+_NOV_MOD = 10  # batch = doc_id % _NOV_MOD == _NOV_REM (~10% "new arrivals")
+_NOV_REM = 7
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({{SQL_SHINGLES3}}) AS shingle FROM toks
+  )
+),
+b AS (SELECT * FROM sh WHERE doc_id % {_NOV_MOD} = {_NOV_REM}),
+c AS (SELECT DISTINCT shingle FROM sh
+      WHERE doc_id % {_NOV_MOD} != {_NOV_REM})
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       SUM(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) / COUNT(*)
+         AS novelty
+FROM b LEFT JOIN c USING (shingle)
+GROUP BY b.doc_id
+""".replace("{SQL_SHINGLES3}", SQL_SHINGLES3.format(toks="t")),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch novelty scoring — how much of an incoming batch's content
+    is NEW versus the already-indexed corpus, per document: the
+    data-valuation/dedup-triage metric a training pipeline uses to
+    decide whether a crawl refresh is worth keeping. Per batch doc
+    (doc_id % 10 == 7, ~10% 'new arrivals'): distinct word-3-grams,
+    how many never occur in any corpus doc, and their ratio (exact
+    integer division — never rounded, registry.py rules).
+
+    Scale shape: same as dedup_incremental — the corpus side is a
+    stored distinct-shingle index; the batch probes it with one
+    anti-join-shaped LEFT JOIN keyed by shingle (uniform md5-ish keys,
+    skew-free). Cost ∝ |batch shingles| + one index lookup each; the
+    corpus is never rescanned per batch in production."""
+    d = load_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
+    ).distinct()
+    is_batch = F.col("doc_id") % _NOV_MOD == _NOV_REM
+    b = sh.filter(is_batch)
+    c = sh.filter(~is_batch).select("shingle").distinct()
+    cf = c.withColumn("seen", F.lit(1))
+    return (
+        b.join(cf, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )

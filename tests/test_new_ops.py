@@ -341,3 +341,104 @@ def test_contrastive_pairs_invariants(spark, sf_dir):
     assert all(a != b for a, b in neg + list(pos))
     assert not (set(neg) & pos)
     assert len(neg) >= 0.75 * len(pos), (len(neg), len(pos))
+
+
+def test_mix_temperature_flattens_toward_uniform(spark, sf_dir):
+    """τ<1 must compress the domain distribution: every weight sums to
+    ~1, the dominant language's temperature weight is BELOW its natural
+    share, and every low-resource language's is ABOVE it (the whole
+    point of temperature sampling)."""
+    rows = all_queries()["mix_temperature"](spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        natural = r.n_docs / total
+        if natural == max(x.n_docs / total for x in rows):
+            assert r.weight < natural + 1e-9
+        else:
+            assert r.weight > natural - 1e-9
+        assert 0 <= r.target_docs <= 100_000
+
+
+def test_exact_substring_short_docs_yield_no_grams(spark):
+    """_kgrams must yield zero 8-grams for docs under 8 tokens (the
+    slice-length guard), and exactly n-7 for longer docs."""
+    from agri_market_data_pipeline_spark.operators.dedup import _kgrams
+    from agri_market_data_pipeline_spark.functions.text import tokens
+
+    df = spark.createDataFrame(
+        [("a b c",), ("w1 w2 w3 w4 w5 w6 w7 w8 w9",)], "text string"
+    )
+    out = df.select(F.size(_kgrams(tokens("text"), 8)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 2]
+
+
+def test_ks_test_zero_on_identical_cohorts(spark, sf_dir):
+    """Sanity anchor: the KS construction applied to one cohort vs
+    itself must give D == 0 exactly — pins the ECDF algebra (a sign or
+    normalization bug shows up as a nonzero floor)."""
+    from agri_market_data_pipeline_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("cb"),
+    )
+    from pyspark.sql import Window as W
+
+    wcum = W.orderBy("value").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    cum = g.select(
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+    d = cum.agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            )
+        ).alias("d")
+    ).collect()[0].d
+    assert d == 0.0
+
+
+def test_cdc_apply_tombstoned_keys_absent(spark, sf_dir):
+    """Every user whose LAST change (by ts, event_id) is an 'error'
+    tombstone must be absent from the applied state; every other user
+    present exactly once with their last value."""
+    from agri_market_data_pipeline_spark.tables import load as _load
+
+    out = {r.user_id: r for r in
+           all_queries()["incr_cdc_apply"](spark, sf_dir).collect()}
+    ev = _load(spark, sf_dir, "events").collect()
+    last = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        last[r.user_id] = r
+    for uid, r in last.items():
+        if r.event_type == "error":
+            assert uid not in out
+        else:
+            assert out[uid].value_cents == int(
+                __import__("math").floor(r.value * 100 + 0.5)
+            )
+
+
+def test_bipartite_projection_weights_are_cocounts(spark, sf_dir):
+    """Spot-verify the top projected edge: its weight must equal the
+    exact number of distinct customers who bought both parts."""
+    top = all_queries()["graph_bipartite_projection"](spark, sf_dir).first()
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a = {r.cust for r in cp.filter(F.col("part") == top.part_a).collect()}
+    b = {r.cust for r in cp.filter(F.col("part") == top.part_b).collect()}
+    assert top.weight == len(a & b)
