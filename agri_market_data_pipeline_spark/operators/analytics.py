@@ -1741,3 +1741,136 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(_CHI_TYPES) - 1).cast("long").alias("df"),
         chi.alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap standard error (deterministic, hash-derived)
+
+_BS_B = 20  # bootstrap replicates
+# Poisson(1) CDF on a 1e6 integer lattice — identical literal
+# thresholds on both engines; a hash-uniform u in [0, 1e6) maps
+# through them to the replicate's resample weight (0..7).
+_BS_CDF = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
+
+
+def _bs_weight_sql(r: int) -> str:
+    u = (
+        f"CAST(('0x' || substring(md5('bs:{r}:' || CAST(event_id AS VARCHAR)),"
+        f" 1, 8)) AS BIGINT) % 1000000"
+    )
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BS_CDF)
+    )
+    return f"(CASE {cases} ELSE 8 END)"
+
+
+def _bootstrap_sql() -> str:
+    aggs = ",\n       ".join(
+        f"CAST(SUM({_bs_weight_sql(r)} * cents) AS BIGINT) AS s{r},"
+        f" CAST(SUM({_bs_weight_sql(r)}) AS BIGINT) AS w{r}"
+        for r in range(1, _BS_B + 1)
+    )
+    means = ", ".join(
+        f"CAST(s{r} AS DOUBLE) / w{r} AS m{r}" for r in range(1, _BS_B + 1)
+    )
+    mbar = "(" + " + ".join(f"m{r}" for r in range(1, _BS_B + 1)) + f") / {_BS_B}"
+    var = " + ".join(
+        f"(m{r} - mb) * (m{r} - mb)" for r in range(1, _BS_B + 1)
+    )
+    return f"""
+WITH src AS (
+  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sc,
+       {aggs}
+  FROM src
+),
+m AS (SELECT n, sc, {means} FROM agg),
+mb AS (SELECT *, {mbar} AS mb FROM m)
+SELECT n, CAST(sc AS DOUBLE) / n AS mean_cents,
+       CAST({_BS_B} AS BIGINT) AS n_replicates,
+       sqrt(({var}) / {_BS_B - 1}) AS se_cents
+FROM mb
+""".replace("{B}", str(_BS_B))
+
+
+@query("agg_bootstrap_se", oracle=_bootstrap_sql())
+def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of the mean event value — the
+    resampling-based error bar for statistics with no closed form,
+    done the only way that works on a distributed engine AND stays
+    reproducible: each of the 20 replicates weights every row by a
+    deterministic md5-derived Poisson(1) draw (the streaming-bootstrap
+    trick — multinomial resampling needs global coordination, Poisson
+    weights are row-local), so replicate r is ONE conditional
+    weighted sum, all 40 aggregates computed in a single scan.
+    Complements agg_jackknife_ci (delete-one buckets): the bootstrap
+    also covers non-smooth statistics.
+
+    Determinism without rounding: weights are integer CASE lookups on
+    a hash lattice against literal Poisson-CDF thresholds; replicate
+    means are exact-integer ratios; the variance across the 20 named
+    replicate columns is a fixed-order expression tree — bitwise-equal
+    across engines (the agg_chi2_independence rule). Scale: one
+    partial-aggregable scan regardless of B."""
+    def w(r: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bs:{r}:"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        expr = F.lit(8)
+        for k in reversed(range(len(_BS_CDF))):
+            expr = F.when(u < _BS_CDF[k], F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sc"),
+    ]
+    for r in range(1, _BS_B + 1):
+        wr = w(r)
+        aggs += [
+            F.sum(wr * F.col("cents")).cast("long").alias(f"s{r}"),
+            F.sum(wr).cast("long").alias(f"w{r}"),
+        ]
+    a = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    ).agg(*aggs)
+    m = a.select(
+        "n",
+        "sc",
+        *[
+            (F.col(f"s{r}").cast("double") / F.col(f"w{r}")).alias(f"m{r}")
+            for r in range(1, _BS_B + 1)
+        ],
+    )
+    mbar = None
+    for r in range(1, _BS_B + 1):
+        c = F.col(f"m{r}")
+        mbar = c if mbar is None else mbar + c
+    mb = m.withColumn("mb", mbar / F.lit(_BS_B))
+    var = None
+    for r in range(1, _BS_B + 1):
+        t = (F.col(f"m{r}") - F.col("mb")) * (F.col(f"m{r}") - F.col("mb"))
+        var = t if var is None else var + t
+    return mb.select(
+        F.col("n").cast("long").alias("n"),
+        (F.col("sc").cast("double") / F.col("n")).alias("mean_cents"),
+        F.lit(_BS_B).cast("long").alias("n_replicates"),
+        F.sqrt(var / F.lit(_BS_B - 1)).alias("se_cents"),
+    )

@@ -88,3 +88,57 @@ def filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quality")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "obs_observe_metrics",
+    oracle="""
+SELECT 'rows_in' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+FROM lineitem
+UNION ALL
+SELECT 'rows_kept', CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                         AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'qty_kept_sum',
+       CAST(SUM(CASE WHEN l_quantity >= 25
+                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+FROM lineitem
+""",
+)
+def obs_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's Observation API
+    (`df.observe`): named accumulator-style metrics (rows in, rows
+    surviving the filter, kept quantity) collected AS A BYPRODUCT of
+    running the pipeline — zero extra scans, the metrics ride the
+    action's execution. This is how a production job reports its own
+    row-count reconciliation (the audit a warehouse load publishes
+    with each run); the oracle recomputes the same metrics
+    relationally, proving the observed values are exact, not sampled.
+
+    Scale note: observe() metrics are merged on the driver from
+    per-task updates like any accumulator — constant driver cost, no
+    extra shuffle; the observed frame here is drained through the
+    noop sink (distributed, no collect of data rows)."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs_in = Observation("in")
+    obs_kept = Observation("kept")
+    staged = (
+        li.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        .filter(F.col("l_quantity") >= 25)
+        .observe(
+            obs_kept,
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("qty_kept_sum"),
+        )
+    )
+    # one action drives the pipeline and populates both observations
+    staged.write.format("noop").mode("overwrite").save()
+    rows = [
+        ("rows_in", int(obs_in.get["rows_in"])),
+        ("rows_kept", int(obs_kept.get["rows_kept"])),
+        ("qty_kept_sum", int(obs_kept.get["qty_kept_sum"])),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
