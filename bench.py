@@ -72,6 +72,10 @@ HEADLINE = [
     "sim_search_ivfpq",
     "dedup_incremental",
     "layout_zorder_skipping",
+    "dedup_exact_substring",
+    "text_ngram_novelty",
+    "graph_bipartite_projection",
+    "agg_bootstrap_se",
 ]
 
 

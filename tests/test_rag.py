@@ -63,3 +63,47 @@ def test_rag_serve_prunes_partitions_and_is_deterministic(spark, sf_dir, tmp_pat
         for r in rp.serve_query(spark, out, qtext).collect()
     ]
     assert a == b and len(a) == rp.TOP_K
+
+
+def test_corpus_refresh_cycle(spark, sf_dir, tmp_path):
+    """One refresh cycle: counts reconcile monotonically
+    (batch >= fresh >= deduped >= accepted), the published snapshot
+    holds exactly the accepted rows, a second cycle publishes a new
+    version without disturbing the first (time travel), and no
+    accepted doc duplicates a corpus doc's content (the dedup
+    guarantee end-to-end)."""
+    from agri_market_data_pipeline_spark.jobs.corpus_refresh import (
+        _MOD,
+        _REM,
+        refresh,
+    )
+    from agri_market_data_pipeline_spark.sources.snapshots import SnapshotStore
+    from agri_market_data_pipeline_spark.tables import load
+
+    store_dir = str(tmp_path / "store")
+    r1 = refresh(spark, sf_dir, store_dir)
+    assert r1["n_batch"] >= r1["n_fresh"] >= r1["n_deduped"] >= r1["n_accepted"]
+    assert r1["n_accepted"] > 0
+
+    store = SnapshotStore(store_dir)
+    snap = store.read(spark)
+    assert snap.count() == r1["n_accepted"]
+
+    # end-to-end dedup guarantee: accepted content never collides with
+    # the corpus partition's content hashes
+    d = load(spark, sf_dir, "documents")
+    corpus_h = {
+        r.h
+        for r in d.filter(F.col("doc_id") % _MOD != _REM)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .collect()
+    }
+    acc_h = [r.h for r in snap.select(F.md5("text").alias("h")).collect()]
+    assert not (set(acc_h) & corpus_h)
+
+    r2 = refresh(spark, sf_dir, store_dir)
+    assert r2["snapshot_version"] == r1["snapshot_version"] + 1
+    assert store.read(spark, version=r1["snapshot_version"]).count() == r1[
+        "n_accepted"
+    ]
