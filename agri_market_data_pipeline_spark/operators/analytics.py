@@ -1753,21 +1753,37 @@ _BS_B = 20  # bootstrap replicates
 _BS_CDF = (367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989)
 
 
-def _bs_weight_sql(r: int) -> str:
-    u = (
-        f"CAST(('0x' || substring(md5('bs:{r}:' || CAST(event_id AS VARCHAR)),"
-        f" 1, 8)) AS BIGINT) % 1000000"
+# One md5 per row yields 128 bits = four 32-bit uniforms → four
+# replicates; B=20 costs 5 md5s per row, not 40. chunk(r) slices the
+# hex at 1 + 8·((r-1) % 4), hash group (r-1) // 4 salts the input.
+def _bs_u_sql(r: int) -> str:
+    grp, chunk = divmod(r - 1, 4)
+    return (
+        f"CAST(('0x' || substring(h{grp}, {1 + 8 * chunk}, 8)) AS BIGINT)"
+        f" % 1000000"
     )
+
+
+def _bs_weight_sql(r: int) -> str:
     cases = " ".join(
-        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BS_CDF)
+        f"WHEN u{r} < {t} THEN {k}" for k, t in enumerate(_BS_CDF)
     )
     return f"(CASE {cases} ELSE 8 END)"
 
 
 def _bootstrap_sql() -> str:
+    n_h = (_BS_B + 3) // 4
+    hashes = ", ".join(
+        f"md5('bs:{g}:' || CAST(event_id AS VARCHAR)) AS h{g}"
+        for g in range(n_h)
+    )
+    us = ", ".join(f"{_bs_u_sql(r)} AS u{r}" for r in range(1, _BS_B + 1))
+    ws = ", ".join(
+        f"{_bs_weight_sql(r)} AS wt{r}" for r in range(1, _BS_B + 1)
+    )
     aggs = ",\n       ".join(
-        f"CAST(SUM({_bs_weight_sql(r)} * cents) AS BIGINT) AS s{r},"
-        f" CAST(SUM({_bs_weight_sql(r)}) AS BIGINT) AS w{r}"
+        f"CAST(SUM(wt{r} * cents) AS BIGINT) AS s{r},"
+        f" CAST(SUM(wt{r}) AS BIGINT) AS w{r}"
         for r in range(1, _BS_B + 1)
     )
     means = ", ".join(
@@ -1779,13 +1795,15 @@ def _bootstrap_sql() -> str:
     )
     return f"""
 WITH src AS (
-  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, {hashes}
   FROM events
 ),
+u AS (SELECT cents, {us} FROM src),
+wt AS (SELECT cents, {ws} FROM u),
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sc,
        {aggs}
-  FROM src
+  FROM wt
 ),
 m AS (SELECT n, sc, {means} FROM agg),
 mb AS (SELECT *, {mbar} AS mb FROM m)
@@ -1793,7 +1811,7 @@ SELECT n, CAST(sc AS DOUBLE) / n AS mean_cents,
        CAST({_BS_B} AS BIGINT) AS n_replicates,
        sqrt(({var}) / {_BS_B - 1}) AS se_cents
 FROM mb
-""".replace("{B}", str(_BS_B))
+"""
 
 
 @query("agg_bootstrap_se", oracle=_bootstrap_sql())
@@ -1805,7 +1823,11 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5-derived Poisson(1) draw (the streaming-bootstrap
     trick — multinomial resampling needs global coordination, Poisson
     weights are row-local), so replicate r is ONE conditional
-    weighted sum, all 40 aggregates computed in a single scan.
+    weighted sum, all 40 aggregates computed in a single scan. One
+    md5 seeds FOUR replicates (128 bits = 4×32-bit uniforms) and the
+    hash→uniform→weight derivation runs as three narrow column stages
+    over a load_parallel scan — B=20 costs 5 md5s per row on every
+    core, and codegen never sees a 40-branch mega-expression.
     Complements agg_jackknife_ci (delete-one buckets): the bootstrap
     also covers non-smooth statistics.
 
@@ -1815,42 +1837,56 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate columns is a fixed-order expression tree — bitwise-equal
     across engines (the agg_chi2_independence rule). Scale: one
     partial-aggregable scan regardless of B."""
-    def w(r: int):
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"bs:{r}:"), F.col("event_id").cast("string")
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1000000
+    from ..tables import load_parallel as _lp
+
+    n_h = (_BS_B + 3) // 4
+    # stage 1: one md5 per 4 replicates (128 bits = 4×32-bit uniforms),
+    # over a load_parallel scan — the md5 work is the operator's cost
+    # and must use every core, not the single source file's one task.
+    src = _lp(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        *[
+            F.md5(
+                F.concat(F.lit(f"bs:{g}:"), F.col("event_id").cast("string"))
+            ).alias(f"h{g}")
+            for g in range(n_h)
+        ],
+    )
+    # stage 2: slice uniforms, stage 3: CDF-lookup weights — as narrow
+    # column pipelines so codegen stays within method limits instead of
+    # one 40-branch mega-aggregate.
+    u_cols = []
+    for r in range(1, _BS_B + 1):
+        g, chunk = divmod(r - 1, 4)
+        u_cols.append(
+            (
+                F.conv(
+                    F.substring(F.col(f"h{g}"), 1 + 8 * chunk, 8), 16, 10
+                ).cast("long")
+                % 1000000
+            ).alias(f"u{r}")
         )
+    u = src.select("cents", *u_cols)
+
+    def w(r: int):
         expr = F.lit(8)
         for k in reversed(range(len(_BS_CDF))):
-            expr = F.when(u < _BS_CDF[k], F.lit(k)).otherwise(expr)
+            expr = F.when(F.col(f"u{r}") < _BS_CDF[k], F.lit(k)).otherwise(expr)
         return expr
 
+    wt = u.select(
+        "cents", *[w(r).alias(f"wt{r}") for r in range(1, _BS_B + 1)]
+    )
     aggs = [
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sc"),
     ]
     for r in range(1, _BS_B + 1):
-        wr = w(r)
         aggs += [
-            F.sum(wr * F.col("cents")).cast("long").alias(f"s{r}"),
-            F.sum(wr).cast("long").alias(f"w{r}"),
+            F.sum(F.col(f"wt{r}") * F.col("cents")).cast("long").alias(f"s{r}"),
+            F.sum(f"wt{r}").cast("long").alias(f"w{r}"),
         ]
-    a = load(spark, sf_dir, "events").select(
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
-    ).agg(*aggs)
+    a = wt.agg(*aggs)
     m = a.select(
         "n",
         "sc",

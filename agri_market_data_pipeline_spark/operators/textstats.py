@@ -743,7 +743,7 @@ FROM (
 )
 def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking ({_CHUNK_SIZE}-char windows,
-    {_CHUNK_STRIDE}-char stride → {_CHUNK_SIZE - _CHUNK_STRIDE}-char
+    {_CHUNK_STRIDE}-char stride → 20-char
     overlap): the context-window splitter every RAG indexer and
     fixed-length pretraining tokenizer runs before embedding/packing.
     Offsets come from a per-row `sequence` explode — generated
@@ -754,7 +754,7 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval continuity).
 
     Scale shape: pure map — chunking 100 TB is embarrassingly parallel,
-    and the ~{_CHUNK_SIZE // _CHUNK_STRIDE + 1}.25× row expansion happens
+    and the ~2.25× row expansion happens
     AFTER the scan, inside the same stage."""
     d = load_parallel(spark, sf_dir, "documents")
     chunk = F.substring(F.col("text"), F.col("off").cast("int"), _CHUNK_SIZE)

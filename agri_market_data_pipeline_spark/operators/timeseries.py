@@ -681,3 +681,134 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return a.select(F.inline(F.array(*structs)))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival (user lifetime with right-censoring)
+
+_KM_CENSOR_DAYS = 2  # last-active within the window tail → censored
+
+
+@query(
+    "ts_survival_km",
+    oracle=f"""
+WITH span AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+),
+g AS (SELECT MAX(d1) AS gmax FROM span),
+lt AS (
+  SELECT date_diff('day', d0, d1) AS lt,
+         CASE WHEN date_diff('day', d1, gmax) <= {_KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS cen
+  FROM span, g
+),
+grp AS (
+  SELECT lt,
+         CAST(SUM(1 - cen) AS BIGINT) AS d,
+         CAST(SUM(cen) AS BIGINT) AS c
+  FROM lt GROUP BY lt
+),
+cum AS (
+  SELECT lt, d, c,
+         SUM(d + c) OVER () - SUM(d + c) OVER (ORDER BY lt
+                                               ROWS UNBOUNDED PRECEDING)
+           + d + c AS n_risk,
+         SUM(d + c) OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS _rm
+  FROM grp
+),
+f AS (
+  SELECT lt, d, c, n_risk,
+         1.0 - CAST(d AS DOUBLE) / n_risk AS factor
+  FROM cum
+),
+s AS (
+  SELECT lt, d, c, n_risk,
+         MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS dead_end,
+         SUM(CASE WHEN factor > 0 THEN ln(factor) ELSE 0 END)
+           OVER (ORDER BY lt ROWS UNBOUNDED PRECEDING) AS lnsum
+  FROM f
+)
+SELECT CAST(lt AS BIGINT) AS lifetime_days,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       d AS n_deaths, c AS n_censored,
+       CASE WHEN dead_end = 1 THEN 0.0 ELSE ROUND(EXP(lnsum), 6) END
+         AS survival
+FROM s
+""",
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime (first→last activity
+    span, days), with right-censoring: users still active in the
+    window's final 3 days may churn later, so they
+    leave the at-risk set WITHOUT counting as churn — the estimator
+    cohort retention (win_retention_cohort) cannot express, and the
+    backbone of churn/LTV analytics. S(t) = Π over death times t_i ≤ t of (1 − d_i/n_i)
+    with censored users thinning n_i only.
+
+    Determinism: d_i/n_i are exact integer ratios; the product is
+    EXP(Σ ln(factor)) — libm ln/exp, so ROUND 6 (registry.py), with
+    the n=d dead-end guarded to exact 0 on both engines (DuckDB's ln
+    hard-errors at 0, Spark yields NULL — neither reaches it). Scale
+    shape: the fact scan collapses to per-user spans (one
+    partial-aggable groupBy), then |lifetimes| rows; windows run over
+    that aggregate (bounded-window rule)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    g = span.agg(F.max("d1").alias("gmax"))
+    lt = span.join(F.broadcast(g)).select(
+        F.datediff("d1", "d0").alias("lt"),
+        F.when(
+            F.datediff("gmax", "d1") <= _KM_CENSOR_DAYS, F.lit(1)
+        ).otherwise(F.lit(0)).alias("cen"),
+    )
+    grp = lt.groupBy("lt").agg(
+        F.sum(1 - F.col("cen")).cast("long").alias("d"),
+        F.sum("cen").cast("long").alias("c"),
+    )
+    wcum = Window.orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = grp.select(
+        "lt",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(wall)
+            - F.sum(F.col("d") + F.col("c")).over(wcum)
+            + F.col("d")
+            + F.col("c")
+        ).alias("n_risk"),
+    )
+    f = cum.withColumn(
+        "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    )
+    s = f.select(
+        "lt",
+        "d",
+        "c",
+        "n_risk",
+        F.max(F.when(F.col("factor") <= 0, 1).otherwise(0))
+        .over(wcum)
+        .alias("dead_end"),
+        F.sum(
+            F.when(F.col("factor") > 0, F.log(F.col("factor"))).otherwise(0.0)
+        )
+        .over(wcum)
+        .alias("lnsum"),
+    )
+    return s.select(
+        F.col("lt").cast("long").alias("lifetime_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("dead_end") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    )

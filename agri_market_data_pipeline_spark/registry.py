@@ -33,10 +33,33 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _render_doc(fn: QueryFn) -> None:
+    """Substitute `{_CONSTANT}` tokens in a docstring with the value of
+    that module-level constant (f-strings can't BE docstrings, so the
+    operator docs reference their tuning constants as tokens; this
+    renders them once at registration). Only `{_UPPER_CASE}` tokens are
+    touched — regex quantifiers `{m,n}` and set notation pass through —
+    and unknown names are left as-is (e.g. a constant defined below its
+    user)."""
+    import re
+    import sys
+
+    doc = fn.__doc__
+    if not doc or "{_" not in doc:
+        return
+    g = sys.modules[fn.__module__].__dict__
+    fn.__doc__ = re.sub(
+        r"\{(_[A-Z][A-Z0-9_]*)\}",
+        lambda m: str(g[m.group(1)]) if m.group(1) in g else m.group(0),
+        doc,
+    )
+
+
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query id {name!r}")
+        _render_doc(fn)
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle.strip()
