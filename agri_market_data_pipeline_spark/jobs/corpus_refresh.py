@@ -34,7 +34,7 @@ import json
 import os
 import sys
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles3, tokens

@@ -442,3 +442,36 @@ def test_bipartite_projection_weights_are_cocounts(spark, sf_dir):
     a = {r.cust for r in cp.filter(F.col("part") == top.part_a).collect()}
     b = {r.cust for r in cp.filter(F.col("part") == top.part_b).collect()}
     assert top.weight == len(a & b)
+
+
+def test_km_survival_curve_invariants(spark, sf_dir):
+    """KM curve: survival starts ≤ 1, is non-increasing in lifetime,
+    stays in [0, 1]; the at-risk count strictly decreases; deaths +
+    censored reconcile to the user count."""
+    rows = sorted(
+        all_queries()["ts_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r.lifetime_days,
+    )
+    s = [r.survival for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in s)
+    assert all(a >= b - 1e-9 for a, b in zip(s, s[1:]))
+    n = [r.n_at_risk for r in rows]
+    assert all(a > b for a, b in zip(n, n[1:]))
+    total = sum(r.n_deaths + r.n_censored for r in rows)
+    from agri_market_data_pipeline_spark.tables import load as _load
+
+    assert total == _load(spark, sf_dir, "events").select("user_id").distinct().count()
+
+
+def test_ljung_box_invariants(spark, sf_dir):
+    """Correlogram values live in [-1, 1]; Q is non-negative and
+    non-decreasing in the lag (it accumulates squares)."""
+    rows = sorted(
+        all_queries()["ts_ljung_box"](spark, sf_dir).collect(),
+        key=lambda r: r.lag,
+    )
+    assert [r.lag for r in rows] == list(range(1, 8))
+    assert all(-1.0 <= r.acf <= 1.0 for r in rows)
+    q = [r.q_stat for r in rows]
+    assert all(x >= 0 for x in q)
+    assert all(a <= b + 1e-9 for a, b in zip(q, q[1:]))
