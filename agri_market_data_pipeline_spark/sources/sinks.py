@@ -11,6 +11,8 @@ Delta, so the fallback is the tested path)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -79,18 +81,18 @@ def merge_upsert(
         )
         return
 
-    try:
+    # First-write probe via the filesystem, not a failed read: a thrown
+    # AnalysisException fires a failed-query event that every registered
+    # ExecutionListener (e.g. an Observation's) logs as an ERROR while
+    # re-resolving the vanished path — pure log noise on a normal path.
+    # Local paths suffice here; a remote object store would probe via
+    # the Hadoop FileSystem API the same way.
+    probe = target_path[7:] if target_path.startswith("file:") else target_path
+    if os.path.exists(probe):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)
-    except Exception as exc:
-        # First write ONLY when the path genuinely doesn't exist; any
-        # other read failure (corrupt footer, storage error) must raise —
-        # treating it as first-write would overwrite the whole table.
-        msg = str(exc)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-            merged = updates
-        else:
-            raise
+    else:
+        merged = updates
     w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
     latest = (
         merged.withColumn("_rn", F.row_number().over(w))
