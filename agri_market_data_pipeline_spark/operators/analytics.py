@@ -1910,3 +1910,108 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_BS_B).cast("long").alias("n_replicates"),
         F.sqrt(var / F.lit(_BS_B - 1)).alias("se_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U test (rank-based, the ordinal member of the test family)
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle="""
+WITH pts AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+g AS (
+  SELECT value,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pts GROUP BY value
+),
+rk AS (
+  SELECT ca, c,
+         SUM(c) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) - c AS prev
+  FROM g
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+         CAST(SUM(c - ca) AS BIGINT) AS n2,
+         SUM(ca * (prev + (c + 1) / 2.0)) AS r1,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+  FROM rk
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       r1 - n1 * (n1 + 1) / 2.0 AS u_stat,
+       (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+         / sqrt(n1 * n2 / 12.0
+                * ((n1 + n2 + 1)
+                   - CAST(ties AS DOUBLE)
+                     / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_score
+FROM s
+""",
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two event cohorts —
+    the rank-based member of the inference family (agg_ttest_ab:
+    parametric means; agg_ks_test: whole distributions;
+    agg_chi2_independence: categorical mixes; this: 'does one cohort
+    stochastically dominate', robust to outliers and any monotone
+    transform). Tie-handling is the textbook midrank + tie-corrected
+    variance.
+
+    Determinism without rounding: midranks are half-integers built
+    from exact cumulative counts (exact in doubles far past this
+    scale), U is integer arithmetic, and the z-score is one identical
+    IEEE expression over exact sums — sqrt/div are correctly rounded,
+    so both engines are bitwise-equal with NO rounding anywhere.
+    Scale shape: groupBy value collapses the facts to their distinct
+    support (partial-aggable); the rank walk and the U algebra run
+    over that aggregate (bounded-window rule), exactly agg_ks_test's
+    scan profile."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).cast("long").alias("ca"),
+        F.count("*").cast("long").alias("c"),
+    )
+    wcum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rk = g.select(
+        "ca",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("prev"),
+    )
+    s = rk.agg(
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n2"),
+        F.sum(
+            F.col("ca") * (F.col("prev") + (F.col("c") + 1) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("ties"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / F.lit(12.0)
+        * (
+            (n + 1)
+            - F.col("ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        u.alias("u_stat"),
+        ((u - F.col("n1") * F.col("n2") / F.lit(2.0)) / sigma).alias("z_score"),
+    )

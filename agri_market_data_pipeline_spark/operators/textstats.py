@@ -994,3 +994,82 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_bigrams"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition metrics (the Gopher "repetitious text" rules)
+
+_REP_DUP_MAX = 0.20  # keep: ≤20% of 3-gram occurrences are repeats
+_REP_TOP_MAX = 0.10  # keep: the single most frequent 3-gram ≤10% of all
+
+
+@query(
+    "text_repetition_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({{SH}}) AS shingle FROM toks
+),
+cnt AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM g GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS top_count
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct, top_count,
+       CAST(n_grams - n_distinct AS DOUBLE) / n_grams AS dup_ratio,
+       CAST(top_count AS DOUBLE) / n_grams AS top_frac,
+       CASE WHEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+                   <= {_REP_DUP_MAX}
+             AND CAST(top_count AS DOUBLE) / n_grams <= {_REP_TOP_MAX}
+            THEN 1 ELSE 0 END AS keep
+FROM per
+""".replace("{SH}", SQL_SHINGLES3.format(toks="t")),
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics — the Gopher-rule family
+    text_quality_score does NOT cover (Rae et al. 2021 §A1.1: drop
+    docs whose content is dominated by repeated n-grams; boilerplate,
+    keyword stuffing, and degenerate generations all trip it, while
+    length/stopword gates pass them). Per doc over word 3-grams:
+    duplicated-occurrence fraction (1 − distinct/total) and the top
+    single 3-gram's share, with the keep flag at the classic ≤20%/≤10%
+    thresholds. Complements dedup_exact_substring (CROSS-doc repeats);
+    this is WITHIN-doc.
+
+    Determinism: both metrics are exact-integer ratios — never rounded
+    (registry.py rules); the keep compare is against shared literals.
+    Scale shape: explode → (doc, gram) partial-aggable count → per-doc
+    rollup; both shuffles are keyed by doc-dominated keys (uniform),
+    and nothing is cross-document — cost ∝ corpus tokens."""
+    d = load_parallel(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")
+    )
+    cnt = g.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    dup = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_grams"
+    )
+    top = F.col("top_count").cast("double") / F.col("n_grams")
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "top_count",
+        dup.alias("dup_ratio"),
+        top.alias("top_frac"),
+        ((dup <= _REP_DUP_MAX) & (top <= _REP_TOP_MAX))
+        .cast("int")
+        .alias("keep"),
+    )
