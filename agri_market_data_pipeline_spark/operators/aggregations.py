@@ -1545,3 +1545,66 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_union",
         "exact_intersect",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join algebra)
+
+_IJM_MOD = 10  # delta = key % _IJM_MOD == _IJM_REM (~10% "new arrivals")
+_IJM_REM = 7
+
+
+@query(
+    "incr_join_maintain",
+    oracle=f"""
+SELECT o.o_orderpriority AS prio,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS sum_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def incr_join_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized JOIN view — the delta
+    algebra Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, which is how a
+    1000-executor warehouse keeps an orders⋈lineitem view current
+    without re-joining 100 TB per refresh (incr_agg_merge's
+    snapshot⊕delta≡full certificate, extended from aggregates to
+    joins). Both tables split into old/Δ on key % 10 == 7; the
+    maintained result = stored view + the three delta terms, and the
+    oracle is the FULL re-join — any double-count or dropped term in
+    the decomposition hash-mismatches, so the algebra itself is what
+    the gate certifies.
+
+    Scale shape: each delta term joins a ~10% slice against a full
+    side (or slice×slice); with both tables bucketed on the join key
+    the three terms are shuffle-free probes, and the stored view is
+    read, not recomputed — per-refresh cost ∝ |Δ|, never ∝ |view|.
+    The aggregate on top is partial-aggable and merges with the stored
+    rollup per incr_agg_merge."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    is_do = F.col("o_orderkey") % _IJM_MOD == _IJM_REM
+    is_dl = F.col("l_orderkey") % _IJM_MOD == _IJM_REM
+    o_old, o_new = o.filter(~is_do), o.filter(is_do)
+    l_old, l_new = li.filter(~is_dl), li.filter(is_dl)
+
+    def term(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+
+    # stored view (recomputed here — read from the store in prod) plus
+    # the three delta terms; disjoint by construction of the split
+    maintained = (
+        term(o_old, l_old)
+        .unionByName(term(o_new, l_old))
+        .unionByName(term(o_old, l_new))
+        .unionByName(term(o_new, l_new))
+    )
+    return maintained.groupBy(
+        F.col("o_orderpriority").alias("prio")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )
