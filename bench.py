@@ -225,15 +225,25 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query detail goes to a FILE — the driver captures only a
+    # ~2,000-char stdout tail, and r4's 54-query `queries` +
+    # `calibration_samples` + `queries_normalized` payload overflowed it
+    # (BENCH_r04.json → parsed: null). The stdout contract is ONE compact
+    # line (< 1,500 chars, pinned by tests/test_bench_contract.py),
+    # printed LAST.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                # totals grow as headline queries are added round-over-
-                # round — compare per-query medians, or total/n_queries
                 "n_queries": len(timings),
+                # per-query medians (sec) — compare per-query, not totals:
+                # totals grow as headline queries are added round-over-round
                 "queries": timings,
                 # machine-drift-proof view: per-query medians divided by
                 # the same-run calibration probe's median (sec). Compare
@@ -243,8 +253,24 @@ def main() -> int:
                 "calibration_samples": [round(c, 3) for c in calib_samples],
                 "queries_normalized": normalized,
                 "normalized_total": round(total / calib, 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "ingest_rows_per_sec": ingest_rps,
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "calibration_sec": round(calib, 3),
+                "normalized_total": round(total / calib, 3),
+                "sf": sf_val,
+                "ingest_rows_per_sec": ingest_rps,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
