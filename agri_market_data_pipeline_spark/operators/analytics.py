@@ -1637,6 +1637,13 @@ def incr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Chi-square test of independence (categorical association)
 
 _CHI_TYPES = ("click", "error", "purchase", "signup", "view")
+# Contingency table is r × c with r = |_CHI_TYPES| and c = the hash
+# variant's cardinality (binary: v ∈ {0, 1}); df = (r-1)(c-1). Named
+# explicitly so the formula survives a future non-binary variant —
+# the shorthand len(_CHI_TYPES) - 1 only coincides with (r-1)(c-1)
+# while c == 2.
+_CHI_N_VARIANTS = 2
+_CHI_DF = (len(_CHI_TYPES) - 1) * (_CHI_N_VARIANTS - 1)
 
 
 def _chi2_sql() -> str:
@@ -1671,7 +1678,7 @@ cells AS (
 ),
 w AS (SELECT *, CAST(({rows}) AS BIGINT) AS n FROM cells)
 SELECT CAST(n AS BIGINT) AS n,
-       CAST({(len(_CHI_TYPES) - 1)} AS BIGINT) AS df,
+       CAST({_CHI_DF} AS BIGINT) AS df,
        {chi} AS chi2
 FROM w
 """
@@ -1738,7 +1745,7 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             chi = term if chi is None else chi + term
     return w.select(
         F.col("n").cast("long").alias("n"),
-        F.lit(len(_CHI_TYPES) - 1).cast("long").alias("df"),
+        F.lit(_CHI_DF).cast("long").alias("df"),
         chi.alias("chi2"),
     )
 

@@ -286,7 +286,13 @@ def _curation_stage_frames(spark: SparkSession, sf_dir: str):
     curation_lineage (which are the GROUP BY and the row view of the
     SAME DAG) compute them once per evaluation. At 100 TB each stage's
     output is a persisted table; this is that read path."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..tables import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "documents"),
+    )
     hit = _CUR_STAGE_CACHE.get(key)
     if hit is None:
         d = load_parallel(spark, sf_dir, "documents")
@@ -320,7 +326,13 @@ def _minhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive subtree into a metadata hit (VERDICT r3 item 7). At
     100 TB this is the persisted cluster-assignment table every
     curation stage reads."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..tables import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "documents"),
+    )
     hit = _CC_LABEL_CACHE.get(key)
     if hit is None:
         pairs = dedup_near_minhash_pairs(spark, sf_dir)

@@ -236,12 +236,27 @@ def _xml_mirror(spark: SparkSession, sf_dir: str) -> str:
         # Drop mirrors of prior testdata vintages for this sf_dir — a
         # regenerated source changes the fingerprint suffix, and the
         # orphaned trees would otherwise accumulate in tmp forever.
+        # Match ONLY the 12-hex fingerprint slot: a bare `prefix + '_*'`
+        # glob also catches a sibling dir whose flattened name extends
+        # this one's (…_sf0.01 matches …_sf0.01_v2_<sig>) and would
+        # rmtree its LIVE mirror. Skip trees younger than a grace window
+        # so a concurrent run against a regenerated source isn't deleted
+        # mid-read.
         import glob
+        import re
         import shutil
+        import time as _time
 
         prefix = out.rsplit("_", 1)[0]
+        slot = re.compile(re.escape(prefix) + r"_[0-9a-f]{12}$")
         for stale in glob.glob(prefix + "_*"):
-            if stale != out:
+            if stale == out or not slot.match(stale):
+                continue
+            try:
+                age = _time.time() - os.stat(stale).st_mtime
+            except OSError:
+                continue
+            if age > 3600:  # 1 h grace for concurrent readers
                 shutil.rmtree(stale, ignore_errors=True)
     _XML_CACHE[sf_dir] = out
     return out

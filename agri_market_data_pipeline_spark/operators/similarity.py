@@ -527,7 +527,13 @@ def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFram
 
     from ..tables import table_row_count
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..tables import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "embeddings"),
+    )
     hit = _KNN_CELL_CACHE.get(key)
     if hit is not None:
         return hit

@@ -87,7 +87,16 @@ def merge_upsert(
     # re-resolving the vanished path — pure log noise on a normal path.
     # Local paths suffice here; a remote object store would probe via
     # the Hadoop FileSystem API the same way.
-    probe = target_path[7:] if target_path.startswith("file:") else target_path
+    # Spark normalizes file URIs to BOTH 'file:///x' and 'file:/x' forms;
+    # a fixed-width prefix slice mangles the short form ('file:/tmp/x' →
+    # 'mp/x'), making an existing table look like a first write and the
+    # overwrite silently drop it. Parse the URI properly.
+    if "://" in target_path or target_path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        probe = urlparse(target_path).path or target_path
+    else:
+        probe = target_path
     if os.path.exists(probe):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)

@@ -104,34 +104,8 @@ class SnapshotStore:
         directories on disk, so a crashed half-publish can never be
         overwritten. A lock file serializes concurrent publishers."""
         lock = os.path.join(self.root, ".publish.lock")
+        self._acquire_lock(lock)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # A publisher killed between data write and manifest update
-            # leaves its lock behind (no finally runs on SIGKILL). The
-            # lock records the holder's pid: if that process is gone the
-            # lock is stale — steal it, so the next cron run is
-            # self-healing instead of blocked until an operator
-            # intervenes (the crash-recovery half of git's ref model).
-            if not self._lock_holder_alive(lock):
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    raise ConcurrentPublishError(
-                        f"another publish raced for {lock}"
-                    ) from None
-            else:
-                raise ConcurrentPublishError(
-                    f"another publish holds {lock}; remove it only if that "
-                    "publisher is known dead"
-                ) from None
-        try:
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
             m = self._manifest()
             disk = self._disk_versions()
             version = max([m["current"] or 0, *disk, 0]) + 1
@@ -144,6 +118,65 @@ class SnapshotStore:
         finally:
             try:
                 os.unlink(lock)
+            except OSError:
+                pass
+
+    def _acquire_lock(self, lock: str) -> None:
+        """Acquire the publish lock race-free.
+
+        The pid is written to a private temp file FIRST and hard-linked
+        into place — link(2) is atomic and fails if the target exists
+        (O_EXCL semantics), but unlike create-then-write the lock file is
+        never observable in an empty state, so a concurrent publisher can
+        never misread a live holder as dead. After any acquisition
+        attempt (including a steal of a dead holder's lock) we verify by
+        inode that OUR link is the one that landed: two stealers that
+        both passed the liveness check can each unlink the other's
+        freshly re-linked lock, and only the inode check detects losing
+        that race — the overlapping-cron scenario the lock serializes.
+        """
+        import uuid
+
+        tmp = f"{lock}.{os.getpid()}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            for attempt in range(2):  # fresh try, then one steal try
+                try:
+                    os.link(tmp, lock)
+                except FileExistsError:
+                    if attempt == 0 and not self._lock_holder_alive(lock):
+                        # Holder died between data write and manifest
+                        # update (SIGKILL runs no finally) — steal, so
+                        # the next cron run self-heals instead of
+                        # blocking on an operator (the crash-recovery
+                        # half of git's ref model).
+                        try:
+                            os.unlink(lock)
+                        except OSError:
+                            pass
+                        continue
+                    raise ConcurrentPublishError(
+                        f"another publish holds {lock}; remove it only if "
+                        "that publisher is known dead"
+                    ) from None
+                # link succeeded — but a racing stealer may have unlinked
+                # the path between our link and now. Holding the lock
+                # means the PATH resolves to OUR inode.
+                try:
+                    if os.stat(lock).st_ino == os.stat(tmp).st_ino:
+                        return
+                except OSError:
+                    pass
+                raise ConcurrentPublishError(
+                    f"another publish raced for {lock}"
+                )
+            raise ConcurrentPublishError(f"another publish raced for {lock}")
+        finally:
+            try:
+                os.unlink(tmp)
             except OSError:
                 pass
 

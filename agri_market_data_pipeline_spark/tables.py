@@ -21,6 +21,34 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def source_fingerprint(sf_dir: str, *names: str) -> str:
+    """12-hex fingerprint of one or more tables' on-disk parquet
+    (file names + sizes + mtimes). Memo caches that key on
+    (applicationId, sf_dir) fold this in so a regenerated testdata dir
+    within one Spark application invalidates them instead of serving
+    stale checkpointed frames — same contract the XML mirror uses."""
+    import hashlib
+
+    parts: list[str] = []
+    for name in names:
+        src = table_path(sf_dir, name)
+        paths = [src]
+        if os.path.isdir(src):
+            paths = sorted(
+                os.path.join(src, f)
+                for f in os.listdir(src)
+                if not f.startswith("_")
+            )
+        for p in paths:
+            try:
+                st = os.stat(p)
+            except OSError:
+                parts.append(f"{p}:absent")
+                continue
+            parts.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table (projection/predicate pushdown
     applies to whatever the caller selects/filters downstream)."""
