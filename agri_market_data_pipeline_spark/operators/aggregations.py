@@ -107,17 +107,41 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_count_distinct")
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS exact_n_suppliers,
+       1 AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — at 100 TB this replaces exact
     countDistinct wherever a ~2% error is acceptable: single pass, fixed
-    memory, no expand. Rows-only check (sketch values differ across
-    engines by construction); tests/test_aggregations.py bounds the
-    estimate against the exact count."""
+    memory, no expand. The raw estimate is engine-internal (DuckDB's HLL
+    would differ by construction), so the oracle checks what IS
+    cross-engine expressible: the exact count, and the sketch's accuracy
+    CONTRACT as a computed flag — |approx − exact| / exact ≤ 5%
+    (rsd 0.02 ⇒ 5% is 2.5σ) must hold on the Spark side, asserted as a
+    constant 1 in the SQL. A drifting estimate flips the flag and the
+    hash goes red. tests/test_extensions.py additionally bounds the
+    estimate values themselves."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_n_suppliers"),
+    agged = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx"),
         F.countDistinct("l_suppkey").alias("exact_n_suppliers"),
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_n_suppliers"))
+        / F.col("exact_n_suppliers")
+        <= 0.05
+    )
+    return agged.select(
+        "l_returnflag",
+        "exact_n_suppliers",
+        within.cast("int").alias("approx_within_5pct"),
     )
 
 
@@ -507,7 +531,17 @@ def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SUBQ_SQL)
 
 
-@query("agg_hll_merge")
+@query(
+    "agg_hll_merge",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       1 AS merge_equals_direct,
+       1 AS merged_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, built
     into Spark): per event_type, daily user sketches are built once,
@@ -518,10 +552,14 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     store sketches and merge; this operator IS that path, with the
     exact count carried alongside as its audit.
 
-    Rows-only driver check (the estimate is engine-internal);
-    tests/test_extensions.py pins the real guarantees: the merged
-    estimate equals the directly-built estimate bit-for-bit
-    (merge associativity) and sits within HLL error of exact."""
+    The DataSketches binary is engine-internal, so the oracle checks the
+    sketch's cross-engine-expressible CONTRACT as computed flags,
+    asserted constant-1 in the SQL: (a) merge associativity — the
+    daily-sketches-UNIONed estimate equals the directly-built whole-
+    period estimate exactly, and (b) the merged estimate sits within 5%
+    of exact (lgConfigK=12 ⇒ ~1.6% RSE; 5% is ~3σ). Either property
+    breaking flips a flag and the hash goes red. tests/test_extensions.py
+    additionally pins the estimate values."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
@@ -529,12 +567,26 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("hll_merged")
     )
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_distinct")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("hll_direct"),
+        F.count_distinct("user_id").alias("exact_distinct"),
     )
     return (
-        merged.join(exact, "event_type")
-        .select("event_type", "hll_merged", "exact_distinct")
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (F.col("hll_merged") == F.col("hll_direct"))
+            .cast("int")
+            .alias("merge_equals_direct"),
+            (
+                F.abs(F.col("hll_merged") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            )
+            .cast("int")
+            .alias("merged_within_5pct"),
+        )
     )
 
 

@@ -180,6 +180,8 @@ def test_hll_merge_consistent_and_bounded(spark, sf_dir):
     from agri_market_data_pipeline_spark.tables import load
 
     rows = {r.event_type: r for r in agg_hll_merge(spark, sf_dir).collect()}
+    # independent estimate check (the operator now emits contract FLAGS,
+    # oracle-checked; here we pin the underlying estimate values too)
     direct = {
         r.event_type: r.est
         for r in load(spark, sf_dir, "events")
@@ -189,10 +191,36 @@ def test_hll_merge_consistent_and_bounded(spark, sf_dir):
     }
     assert rows, "no event types"
     for et, r in rows.items():
-        assert r.hll_merged == direct[et], (et, r.hll_merged, direct[et])
-        assert abs(r.hll_merged - r.exact_distinct) <= max(
+        assert r.merge_equals_direct == 1, (et, r)
+        assert r.merged_within_5pct == 1, (et, r)
+        assert abs(direct[et] - r.exact_distinct) <= max(
             3, 0.05 * r.exact_distinct
-        ), (et, r.hll_merged, r.exact_distinct)
+        ), (et, direct[et], r.exact_distinct)
+
+
+def test_approx_count_distinct_estimate_bounded(spark, sf_dir):
+    """The HLL++ estimate underlying agg_approx_count_distinct's
+    contract flag must actually sit within the rsd's 2.5σ of exact."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.operators.aggregations import (
+        agg_approx_count_distinct,
+    )
+    from agri_market_data_pipeline_spark.tables import load
+
+    flags = agg_approx_count_distinct(spark, sf_dir).collect()
+    assert flags and all(r.approx_within_5pct == 1 for r in flags), flags
+    est = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", 0.02).alias("approx"),
+            F.countDistinct("l_suppkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in est:
+        assert abs(r.approx - r.exact) <= max(3, 0.05 * r.exact), r
 
 
 def test_phash_recovers_planted_near_dup_media(spark, tmp_path):

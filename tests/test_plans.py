@@ -334,3 +334,22 @@ def test_unbounded_global_window_detector_catches_globalized_sort(spark, sf_dir)
         "rn", F.row_number().over(W.orderBy("l_orderkey"))
     )
     assert unbounded_global_windows(df), "detector missed a global fact sort"
+
+
+def test_coverage_check_green_and_readme_counts_in_sync():
+    """tools/coverage_check.py must exit 0: every SURVEY §2 id covered
+    AND the README's registry/oracle counts match the live registry
+    (VERDICT r4 item 5 — counts drifted silently; now they can't)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "coverage_check.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "README counts in sync" in out.stdout, out.stdout

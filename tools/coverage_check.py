@@ -64,7 +64,24 @@ def main() -> int:
     if missing:
         print(f"MISSING: {missing}")
         return 1
-    print("coverage complete")
+    # README drift guard (VERDICT r4 item 5): the README's headline
+    # "<N> registry queries total; <M> are DuckDB-hash-verified" must
+    # match the live registry.
+    with open(os.path.join(repo, "README.md")) as fh:
+        m = re.search(
+            r"(\d+) registry queries total; (\d+) are DuckDB-hash-verified",
+            fh.read(),
+        )
+    if m is None:
+        print("README drift: headline count sentence not found")
+        return 1
+    if (int(m.group(1)), int(m.group(2))) != (len(queries), len(oracles)):
+        print(
+            f"README drift: says {m.group(1)}/{m.group(2)}, registry has "
+            f"{len(queries)}/{len(oracles)}"
+        )
+        return 1
+    print("coverage complete (README counts in sync)")
     return 0
 
 
