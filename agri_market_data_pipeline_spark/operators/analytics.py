@@ -896,12 +896,27 @@ def dim_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MB_TOPK = 30
+# Hub guard (graph_bipartite_projection's _BP_DEGREE_CAP, applied to
+# baskets): one hub order carrying thousands of distinct brands would
+# make the basket self-join quadratic in that order's size. Cap each
+# basket to its _MB_DEGREE_CAP first brands (deterministic ordering,
+# same cap in the oracle SQL). The testdata's baskets are ≤7 lines, so
+# the cap is a no-op at the gate — it exists for the hub basket the
+# generator can't produce but real data does.
+_MB_DEGREE_CAP = 64
 
 
 _MB_SQL = f"""
-WITH ob AS (
+WITH ob0 AS (
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+ob AS (
+  SELECT ok, brand FROM (
+    SELECT ok, brand,
+           ROW_NUMBER() OVER (PARTITION BY ok ORDER BY brand) AS rn
+    FROM ob0
+  ) WHERE rn <= {_MB_DEGREE_CAP}
 ),
 n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
 brand_n AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
@@ -934,20 +949,29 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASKET — the self-join key is the orderkey, so the quadratic term
     is bounded by lines-per-order (≤7 here), never corpus-wide; that
     is the same discipline as every dedup candidate join, and the a<b
-    orientation counts each pair once. Lift divides exact counts in
+    orientation counts each pair once. On top of the generator's
+    bound, each basket is HARD degree-capped at {_MB_DEGREE_CAP}
+    brands (deterministic first-by-brand selection, same cap in the
+    oracle SQL) so one hub basket on real data can never turn the
+    self-join quadratic — tests/test_new_ops.py plants one and pins
+    the bound. Lift divides exact counts in
     one double operation with identical operands on both engines, so
     it is bitwise-identical unrounded (registry's integer-ratio rule).
 
     At 100 TB the basket self-join shuffles on orderkey (a key with
-    bounded group size — no skew risk by construction) and the
+    capped group size — no skew risk) and the
     support table is a partial-aggregated groupBy; the top-k is the
     usual per-partition heap."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wcap = Window.partitionBy("ok").orderBy("brand")
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
+        .withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _MB_DEGREE_CAP)
+        .drop("_rn")
     )
     n_orders = ob.select("ok").distinct().agg(F.count("*").alias("n"))
     brand_n = ob.groupBy("brand").agg(F.count("*").alias("nb"))

@@ -353,14 +353,48 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bipartite projection (co-occurrence graph from a two-mode relation)
 
 _BP_TOP = 50  # projected edges reported (top by weight, deterministic)
+# Hub guard: a customer's candidate pairs grow quadratically in their
+# distinct-part degree, so one hub key (a marketplace account, a bot)
+# can dominate the whole self-join. Degree-cap each customer to their
+# _BP_DEGREE_CAP smallest part ids (deterministic selection) BEFORE the
+# pair join: candidate pairs per customer ≤ C(cap, 2) regardless of
+# data. The cap is far above this generator's bound (orders-per-customer
+# × lines-per-order), so at the gate's data the capped plan is
+# bit-identical to the uncapped one — the SAME cap is in the oracle SQL,
+# so the semantics match cross-engine at ANY data.
+# tests/test_new_ops.py plants a hub customer and pins the bound.
+_BP_DEGREE_CAP = 256
+
+
+def _bp_capped_cust_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (cust, part) with per-customer degree capped to the
+    _BP_DEGREE_CAP smallest part ids."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("cust").orderBy("part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _BP_DEGREE_CAP)
+        .drop("_rn")
+    )
 
 
 @query(
     "graph_bipartite_projection",
     oracle=f"""
-WITH cp AS (
+WITH cp0 AS (
   SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+cp AS (
+  SELECT cust, part FROM (
+    SELECT cust, part,
+           ROW_NUMBER() OVER (PARTITION BY cust ORDER BY part) AS rn
+    FROM cp0
+  ) WHERE rn <= {_BP_DEGREE_CAP}
 ),
 pairs AS (
   SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS weight
@@ -381,21 +415,16 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of agg_market_basket's order-blocked pairs). Top-50 edges by
     weight, fully tiebroken.
 
-    Scale shape: the self-join is BLOCKED BY CUSTOMER, and a
-    customer's distinct-part degree is bounded by orders-per-customer
-    × lines-per-order (both fixed per the schema's generator, NOT
-    growing with SF) — so candidate pairs grow linearly in customers,
-    never all-parts². The degree-bound argument is exactly
-    agg_market_basket's; hub customers beyond the bound would be
-    degree-capped or salted. Top-k via TakeOrderedAndProject — no
-    global sort."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
-        .distinct()
-    )
+    Scale shape: the self-join is BLOCKED BY CUSTOMER, and each
+    customer's degree is HARD-CAPPED at {_BP_DEGREE_CAP} (deterministic
+    smallest-part selection, same cap in the oracle SQL) — so candidate
+    pairs grow linearly in customers with a C(cap,2) per-key ceiling,
+    never all-parts², even when one hub key owns a chunk of the corpus.
+    At this generator's data the cap is slack (degree ≤ orders-per-
+    customer × lines-per-order ≪ cap), so it costs nothing; the window
+    shares the pair join's cust shuffle. Top-k via
+    TakeOrderedAndProject — no global sort."""
+    cp = _bp_capped_cust_parts(spark, sf_dir)
     a = cp.alias("a")
     b = cp.alias("b")
     pairs = (

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -273,6 +273,7 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_GRID = 8  # 8×8 mean-threshold grid → 64-bit fingerprint
 _PHASH_BAND_BITS = 16  # 4 bands of 16 bits for the LSH pair join
 _PHASH_MAX_HAMMING = 12
+_PHASH_BUCKET_CAP = 1024  # per-(band,band_key) membership bound — see pair join
 
 
 def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -344,6 +345,21 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "phash", F.col("p.band"), F.col("p.band_key"))
+    # Degenerate-bucket guard (the band-join twin of
+    # graph_bipartite_projection's _BP_DEGREE_CAP): a constant-ish
+    # payload class (all-black frames, a boilerplate header image) puts
+    # thousands of docs in ONE (band, band_key) bucket and the pair join
+    # goes quadratic in that bucket. Cap membership at the
+    # _PHASH_BUCKET_CAP smallest doc_ids per bucket — pairs within the
+    # retained set still surface (and near-identical payloads collide in
+    # EVERY band, so eviction from one bucket rarely loses the pair);
+    # candidate pairs per bucket are ≤ C(cap, 2) at any data size.
+    wb = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    bands = (
+        bands.withColumn("_rn", F.row_number().over(wb))
+        .filter(F.col("_rn") <= _PHASH_BUCKET_CAP)
+        .drop("_rn")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
     return (

@@ -475,3 +475,83 @@ def test_ljung_box_invariants(spark, sf_dir):
     q = [r.q_stat for r in rows]
     assert all(x >= 0 for x in q)
     assert all(a <= b + 1e-9 for a, b in zip(q, q[1:]))
+
+
+def test_pair_generators_degree_cap_planted_hub(spark, tmp_path):
+    """Plant a hub key (one customer with 2,000 distinct parts; one
+    order with 500 distinct brands) and pin the degree caps: candidate
+    pairs per key must be C(cap, 2), not C(degree, 2) — the uncapped
+    self-join would be ~2M pairs for the hub customer alone."""
+    import pandas as pd
+
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        _MB_DEGREE_CAP,
+        agg_market_basket,
+    )
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _BP_DEGREE_CAP,
+        _bp_capped_cust_parts,
+        graph_bipartite_projection,
+    )
+
+    hub_parts = 2000
+    # hub customer 1: one order (ok=1) holding 2,000 distinct parts;
+    # normal customers 2..21: one order of 3 parts each
+    li = [{"l_orderkey": 1, "l_partkey": p} for p in range(1, hub_parts + 1)]
+    orders = [{"o_orderkey": 1, "o_custkey": 1}]
+    for c in range(2, 22):
+        orders.append({"o_orderkey": c, "o_custkey": c})
+        li += [{"l_orderkey": c, "l_partkey": p} for p in (1, 2, 3)]
+    part = [
+        {"p_partkey": p, "p_brand": f"B{p % 500:03d}"}
+        for p in range(1, hub_parts + 1)
+    ]
+    pd.DataFrame(li).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame(orders).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(part).to_parquet(tmp_path / "part.parquet")
+    sf = str(tmp_path)
+
+    # bipartite projection: hub degree capped at _BP_DEGREE_CAP
+    deg = (
+        _bp_capped_cust_parts(spark, sf)
+        .groupBy("cust")
+        .count()
+        .collect()
+    )
+    by_cust = {r.cust: r["count"] for r in deg}
+    assert by_cust[1] == _BP_DEGREE_CAP, by_cust[1]
+    assert all(v <= _BP_DEGREE_CAP for v in by_cust.values())
+    # capped pairs: hub contributes C(cap,2)=32,640 candidates, and the
+    # operator still completes and reports the shared parts (1,2,3 pairs
+    # seen by 20 normal customers + the hub, whose capped smallest-256
+    # selection retains parts 1..256) at the top
+    top = graph_bipartite_projection(spark, sf).collect()
+    assert top[0].weight == 21 and {top[0].part_a, top[0].part_b} <= {1, 2, 3}
+
+    # market basket: the hub ORDER (500 distinct brands) capped at
+    # _MB_DEGREE_CAP brands per basket
+    rows = agg_market_basket(spark, sf).collect()
+    assert rows, "basket mining returned nothing"
+    # the hub basket alone would pair C(500,2)=124,750 uncapped; with
+    # the cap its contribution is C(64,2)=2,016. Verify via the same
+    # capped-ob construction the operator uses.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.tables import load as _load
+
+    p_df = _load(spark, sf, "part").select("p_partkey", "p_brand")
+    li_df = _load(spark, sf, "lineitem")
+    ob = (
+        li_df.join(p_df, li_df.l_partkey == p_df.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("ok").orderBy("brand")),
+        )
+        .filter(F.col("_rn") <= _MB_DEGREE_CAP)
+    )
+    sizes = {r.ok: r["count"] for r in ob.groupBy("ok").count().collect()}
+    assert sizes[1] == _MB_DEGREE_CAP, sizes[1]
+    assert all(v <= _MB_DEGREE_CAP for v in sizes.values())
