@@ -433,7 +433,19 @@ _KNN_K = 3
 
 _KNN_PROBE = 4  # multiprobe width: each query vector probes its top-4 cells
 _KNN_ROUNDS = 1  # k-means refinement rounds for the kNN-join quantizer
-_KNN_K_SQL = "(SELECT CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) FROM embeddings)"
+# Cell count K = ⌈√(P·n)⌉ — the balanced choice, not ⌈√n⌉. Total dot
+# work is assignment n·K plus candidate scoring P·n·(n/K); d/dK = 0 at
+# K* = √(P·n), where both terms equal √P·n^1.5 (total 2√P·n^1.5 ≈
+# 4·n^1.5 at P=4, vs 5·n^1.5 for K=√n whose candidate term alone is
+# 4·n^1.5). Measured on the 4× embeddings step (sf0.01 n=500 →
+# sf0.1 n=2000): candidates 43k→22k and 354k→178k, full-query wall
+# -19%/-17%, at a recall cost of 0.53→0.46 (sf0.01) — the scan
+# fraction is P/K = √(P/n); raise _KNN_PROBE to buy recall back at
+# candidate cost ∝ √P.
+_KNN_K_SQL = (
+    f"(SELECT CAST(CEIL(SQRT({_KNN_PROBE} * COUNT(*))) AS BIGINT)"
+    " FROM embeddings)"
+)
 
 
 def _top_cells(cells_col: str, vec_col: str, nrm_col: str, p: int):
@@ -471,7 +483,7 @@ def _top_cells(cells_col: str, vec_col: str, nrm_col: str, p: int):
 
 
 def _knn_sql(where: str = "") -> str:
-    """DuckDB twin of the IVF-blocked kNN join: ⌈√n⌉-seed quantizer
+    """DuckDB twin of the IVF-blocked kNN join: ⌈√(P·n)⌉-seed quantizer
     trained _KNN_ROUNDS rounds (shared _km_ctes chain), every vector
     ranked against the trained centroids, candidates = query-side
     top-_KNN_PROBE probe cells × neighbor-side primary cell."""
@@ -515,7 +527,8 @@ def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFram
     array, memoized per (application, sf_dir) so sim_knn_join and its
     recall twin train ONCE per evaluation instead of once each.
 
-    K = ⌈√n⌉ comes from the parquet footer row count
+    K = ⌈√(P·n)⌉ (the balanced assign/probe dot-work optimum — see
+    _KNN_K_SQL's derivation) with n from the parquet footer row count
     (tables.table_row_count) — a pure metadata read, NOT a driver-side
     ``e.count()`` scan job; at 100 TB this is the metastore's table
     stats. The trained quantizer (K rows) is eagerly localCheckpointed:
@@ -537,7 +550,9 @@ def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFram
     hit = _KNN_CELL_CACHE.get(key)
     if hit is not None:
         return hit
-    kk = math.ceil(math.sqrt(table_row_count(sf_dir, "embeddings")))
+    kk = math.ceil(
+        math.sqrt(_KNN_PROBE * table_row_count(sf_dir, "embeddings"))
+    )
     seeds = e.filter(F.col("vec_id") < kk).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
@@ -555,7 +570,7 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN join: top-{_KNN_K} approximate nearest neighbors for EVERY
     vector (not a single probe) — the all-pairs workhorse behind
     embedding near-dup clustering and retrieval-index build. Blocking
-    key is a TRAINED IVF cell: a ⌈√n⌉-seed coarse quantizer (k-means,
+    key is a TRAINED IVF cell: a ⌈√(P·n)⌉-seed coarse quantizer (k-means,
     _KNN_ROUNDS refinement rounds — ml_kmeans_train_ivf's train stage)
     assigns each vector a primary cell, each query vector probes its
     top-_KNN_PROBE cells (boundary recall), and candidates are the
@@ -563,12 +578,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe cells are distinct and the neighbor side carries one cell.
     Cosine scored by codegen'd higher-order functions, per-vector
     window rank keeps k; recall vs brute force is audited by
-    sim_knn_join_recall (~0.45 at P=4 on the synthetic near-random
+    sim_knn_join_recall (~0.46 at P=4 on the synthetic near-random
     embeddings — the adversarial case for any ANN; raise _KNN_PROBE
-    for more recall at serve cost ∝ P, candidates ∝ P·n^1.5).
+    for more recall at candidate cost ∝ √P — see _KNN_K_SQL).
 
-    Scale: K = ⌈√n⌉ grows with the corpus, so cell population ~√n and
-    candidate work is ~_KNN_PROBE·n^1.5 — sub-quadratic by
+    Scale: K = ⌈√(P·n)⌉ grows with the corpus, so cell population
+    ~√(n/P) and candidate work is ~√P·n^1.5 (balanced against the n·K
+    assignment folds — _KNN_K_SQL's math) — sub-quadratic by
     construction, unlike blocking on any fixed-cardinality column
     (labels, dates) where per-cell all-pairs is (n/L)². At 100 TB
     cell_id is the stored partition column, the train stage runs on a
