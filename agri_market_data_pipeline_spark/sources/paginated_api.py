@@ -166,6 +166,68 @@ def read_paginated_api(
     return records, dead_letters
 
 
+def http_fetcher(
+    base_url: str,
+    *,
+    params: dict | None = None,
+    api_key_env: str = "DATA_GOV_API_KEY",
+    record_path: str = "records",
+    timeout_s: float = 20.0,
+    response_format: str = "json",
+) -> FetchFn:
+    """Production FetchFn: an HTTP GET client matching the reference's
+    request contract (fetch_data.py:68-81) — querystring paging
+    (`offset`/`limit`), `api-key` from the environment, `format=json`,
+    non-200 raises (so fetch_page_with_resilience's ladder engages),
+    records under `record_path` in the response JSON, 20 s timeout.
+
+    Returned as a zero-state closure so it pickles into executor tasks:
+    each Spark partition builds its own connection pool lazily on first
+    call (urllib3 pools are not picklable; a `requests.Session` is
+    created per-worker, not per-page). The api key is re-read from the
+    env ON THE EXECUTOR, never captured into the closure — it stays out
+    of the serialized task binary and the Spark UI.
+
+    Usage:
+        fetch = http_fetcher(
+            "https://api.data.gov.in/resource/<resource-id>")
+        records, dead = read_paginated_api(spark, fetch,
+            max_offset=3_500_000, schema=..., limit=1000)
+    """
+    import os
+
+    fixed = dict(params or {})
+
+    # mutable per-process session slot (lazy; survives pickling as None)
+    state: dict = {}
+
+    def fetch(offset: int, limit: int) -> list[dict]:
+        try:
+            import requests
+        except ImportError as exc:  # pragma: no cover - requests is baked in
+            raise RuntimeError(
+                "http_fetcher needs the `requests` package on executors"
+            ) from exc
+        sess = state.get("sess")
+        if sess is None:
+            sess = state["sess"] = requests.Session()
+        q = dict(fixed)
+        key = os.environ.get(api_key_env)
+        if key:
+            q.setdefault("api-key", key)
+        q.setdefault("format", response_format)
+        q["offset"] = offset
+        q["limit"] = limit
+        r = sess.get(base_url, params=q, timeout=timeout_s)
+        if r.status_code != 200:
+            raise OSError(f"HTTP {r.status_code}")
+        body = r.json()
+        recs = body.get(record_path, []) if isinstance(body, dict) else body
+        return recs if isinstance(recs, list) else []
+
+    return fetch
+
+
 def _coerce_to_schema(out, schema: StructType):
     """Best-effort column coercion before the Arrow handoff, preserving
     the old JSON wire's null-on-mismatch robustness (a feed value that

@@ -265,6 +265,90 @@ def test_paginated_api_over_live_http(spark):
         server.server_close()
 
 
+def test_http_fetcher_factory_over_live_http(spark, monkeypatch):
+    """The shipped production client (http_fetcher) end-to-end over real
+    sockets: api-key read from the env on the worker, format=json in
+    the querystring, records envelope unwrapped, non-200 raising into
+    the retry ladder (one page 401s until the 2nd attempt)."""
+    import http.server
+    import json
+    import threading
+    from urllib.parse import parse_qs, urlparse
+
+    from agri_market_data_pipeline_spark.sources.paginated_api import (
+        http_fetcher,
+    )
+
+    n_records = 57
+    flaky_offset = 20
+    seen: dict[int, int] = {}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            offset = int(q["offset"][0])
+            limit = int(q["limit"][0])
+            if q.get("api-key") != ["sekrit"] or q.get("format") != ["json"]:
+                self.send_response(403)
+                self.end_headers()
+                return
+            with lock:
+                seen[offset] = seen.get(offset, 0) + 1
+                fail = offset == flaky_offset and seen[offset] == 1
+            if fail:
+                self.send_response(401)
+                self.end_headers()
+                return
+            records = [
+                {"id": i, "commodity": f"c{i % 2}"}
+                for i in range(offset, min(offset + limit, n_records))
+            ]
+            body = json.dumps({"records": records}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    host, port = server.server_address
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    monkeypatch.setenv("DATA_GOV_API_KEY", "sekrit")
+    try:
+        # env-sourced api key: exercised with a direct (driver-side)
+        # call — Spark's local-mode Python workers inherit the JVM's
+        # env from session startup, so a monkeypatched var can't reach
+        # them; the distributed run below passes the key via params.
+        env_fetch = http_fetcher(f"http://{host}:{port}/api/resource")
+        assert [r["id"] for r in env_fetch(0, 10)] == list(range(10))
+
+        fetch = http_fetcher(
+            f"http://{host}:{port}/api/resource",
+            params={"api-key": "sekrit"},
+        )
+        records, dead = read_paginated_api(
+            spark,
+            fetch,
+            max_offset=n_records,
+            schema=SCHEMA,
+            limit=10,
+            num_partitions=2,
+            pace=0.0,
+            throttle_s=0.0,
+        )
+        assert dead.count() == 0
+        rows = records.orderBy("id").collect()
+        assert [r.id for r in rows] == list(range(n_records))
+        assert seen[flaky_offset] >= 2  # 401 retried through the ladder
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_coerce_to_schema_nulls_fractional_in_integer_field():
     """A feed delivering 12.5 in a long-typed field must null the value,
     not raise 'cannot safely cast' and fail the whole page (ADVICE r3)."""

@@ -308,6 +308,13 @@ def main() -> int:
     print(f"partition layout: {n_parts} safe_name'd commodity partitions "
           f"(reference ships 292 files)")
     print(f"total wall time {time.time()-t0:.1f}s on local[*]")
+    print(
+        "live ingest path: sources.paginated_api.http_fetcher("
+        "'https://api.data.gov.in/resource/<resource-id>') + "
+        "read_paginated_api(...) streams the same feed this corpus came "
+        "from, api key via $DATA_GOV_API_KEY (reference fetch_data.py "
+        "parity; loopback-HTTP-tested in tests/test_ingest.py)"
+    )
     return 0
 
 
