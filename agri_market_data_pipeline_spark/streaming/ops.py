@@ -409,10 +409,10 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity monitor over the reference's feed (price spikes per
     market×commodity).
 
-    Note: Spark 4's successor API (transformWithStateInPandas +
-    StatefulProcessor) requires the python `protobuf` package for its
-    driver-side runner, which this container does not ship — probed and
-    gated; the applyInPandasWithState form is the supported path here."""
+    Spark 4's successor API has a registered twin —
+    stream_stateful_tws (transformWithStateInPandas +
+    StatefulProcessor, runtime-gated on the python `protobuf` package
+    its driver runner needs) — hash-checked against this same oracle."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = events_stream(spark, sf_dir)
@@ -428,6 +428,129 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(result, "stateful", "update")
+
+
+def _tws_available(spark: SparkSession) -> bool:
+    """True iff the Spark 4 transformWithStateInPandas path can actually
+    run here: the API exists on GroupedData AND the python `protobuf`
+    package its driver-side state-server runner imports is installed.
+    Version-probe, not version-parse — forward-compatible."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return False
+    from pyspark.sql.group import GroupedData
+
+    return hasattr(GroupedData, "transformWithStateInPandas")
+
+
+def _make_spike_processor():
+    """Build the StatefulProcessor twin of _spike_fn (deferred import:
+    the stateful_processor module only exists on Spark ≥ 4.0). The
+    arithmetic is IDENTICAL — integer-cents running totals, half-up
+    rounding, (ts, event_id) ordering — so both engines' paths and the
+    SQL oracle compute the same integers; the pure-Python parity is
+    pinned by tests/test_streaming.py::test_tws_processor_matches_
+    apply_in_pandas_fn."""
+    import math
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpikeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "spike", "cnt long, total long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            cnt, total_cents = (
+                self._state.get() if self._state.exists() else (0, 0)
+            )
+            n_spikes = 0
+            n_events = 0
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    cents = int(math.floor(v * 100 + 0.5))
+                    if cnt > 0 and cents * cnt > 2 * total_cents:
+                        n_spikes += 1
+                    cnt += 1
+                    total_cents += cents
+                    n_events += 1
+            self._state.update((cnt, total_cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n_events],
+                    "n_spikes": [n_spikes],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SpikeProcessor()
+
+
+@query(
+    "stream_stateful_tws",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           COUNT(*) OVER w AS prior_cnt,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS prior_total
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN prior_cnt > 0 AND cents * prior_cnt > 2 * prior_total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes
+FROM ordered
+GROUP BY user_id
+""",
+)
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_stateful on Spark 4's successor stateful API:
+    transformWithStateInPandas + StatefulProcessor (named value state
+    via handle.getValueState, explicit timeMode, composable timers) —
+    the API applyInPandasWithState is deprecated in favor of. Same
+    spike-alert semantics, same integer-cents state, SAME oracle SQL as
+    stream_stateful: whichever path executes must hash-match it.
+
+    Gated at runtime (_tws_available): the TWS driver runner needs the
+    python `protobuf` package, which this container does not ship — in
+    that case this falls back to the applyInPandasWithState plan
+    (result-identical by the parity test on the processor body), so the
+    query is green everywhere and exercises the new API wherever it
+    can actually run."""
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    if _tws_available(spark):  # pragma: no cover - container lacks protobuf
+        result = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_spike_processor(),
+            outputStructType=_SPIKE_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        result = ev.groupBy("user_id").applyInPandasWithState(
+            _spike_fn,
+            outputStructType=_SPIKE_OUT_SCHEMA,
+            stateStructType="cnt long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return run_to_table(result, "stateful_tws", "update")
 
 
 @query(

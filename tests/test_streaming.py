@@ -269,3 +269,72 @@ def test_dedup_within_watermark_state_ages_out(spark, tmp_path):
     ids2 = sorted(e for _, e in emitted)
     assert 1 in ids2, f"aged-out key was still deduped: {emitted}"
     assert 3 not in ids2, f"live-state key was not deduped: {emitted}"
+
+
+def test_tws_processor_matches_apply_in_pandas_fn():
+    """The StatefulProcessor body (stream_stateful_tws) and _spike_fn
+    (stream_stateful) must compute identical outputs over identical
+    batches and carried state — this parity is what makes the runtime
+    gate's fallback result-equivalent, and it verifies the TWS body in
+    a container whose protobuf-less runtime can't host the real API."""
+    import pandas as pd
+
+    from agri_market_data_pipeline_spark.streaming.ops import (
+        _make_spike_processor,
+        _spike_fn,
+    )
+
+    batches = [
+        pd.DataFrame(
+            {
+                "ts": [3, 1, 2, 4],
+                "event_id": [30, 10, 20, 40],
+                "value": [1.0, 5.0, 0.005, 100.0],
+            }
+        ),
+        pd.DataFrame(
+            {"ts": [5, 6], "event_id": [50, 60], "value": [500.0, 0.004]}
+        ),
+    ]
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v, self.exists = None, False
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            return FakeValueState()
+
+    proc = _make_spike_processor()
+    proc.init(FakeHandle())
+    gs = FakeGroupState()
+
+    for batch in batches:  # state carries across micro-batches
+        out_apply = pd.concat(list(_spike_fn((7,), iter([batch]), gs)))
+        out_tws = pd.concat(
+            list(proc.handleInputRows((7,), iter([batch]), None))
+        )
+        pd.testing.assert_frame_equal(
+            out_apply.reset_index(drop=True), out_tws.reset_index(drop=True)
+        )
+    assert gs.get == proc._state.get()  # identical carried state
