@@ -97,6 +97,12 @@ def merge_upsert(
         probe = urlparse(target_path).path or target_path
     else:
         probe = target_path
+    local_fs = probe == target_path or target_path.startswith("file:")
+    old_dir = probe + ".old"
+    if local_fs and not os.path.exists(probe) and os.path.exists(old_dir):
+        # a prior swap crashed between its two renames — the data is
+        # intact under .old; finish that swap before merging
+        os.rename(old_dir, probe)
     if os.path.exists(probe):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)
@@ -108,8 +114,34 @@ def merge_upsert(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    # Rewrite via a staging dir then swap would be the crash-safe form;
-    # for the in-engine fallback we localize+overwrite, which Spark can't
-    # do reading and writing the same path — so materialize first.
-    latest = latest.localCheckpoint(eager=True)
-    latest.write.mode("overwrite").parquet(target_path)
+    if not local_fs:  # pragma: no cover - no object store in tests
+        # Object stores have no atomic directory rename: there the
+        # transactional answer is a real table format (the Delta path
+        # above) or SnapshotStore's manifest swap. Keep the simple
+        # rewrite, materialized first because Spark cannot read and
+        # overwrite the same path in one job.
+        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+        return
+    # Crash-safe rewrite: stage the new table beside the target, then
+    # swap via two renames. No window exists where the data is only
+    # half-written at the visible path (the in-place overwrite's
+    # failure mode — delete-then-die loses the table); a crash between
+    # the renames leaves .old intact and the recovery branch above
+    # completes the swap on the next call. Staging also removes the
+    # localCheckpoint copy the in-place form needed: source and
+    # destination differ, so Spark streams the merge directly to disk.
+    import shutil
+    import uuid
+
+    stage = f"{probe}.stage-{uuid.uuid4().hex[:8]}"
+    try:
+        latest.write.mode("overwrite").parquet(stage)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if os.path.exists(probe):
+            os.rename(probe, old_dir)
+        os.rename(stage, probe)
+        shutil.rmtree(old_dir, ignore_errors=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -151,6 +151,37 @@ def test_merge_upsert_keeps_latest(spark, tmp_path):
     assert got == {1: ("a", 1), 2: ("B2", 2), 3: ("c", 2)}
 
 
+def test_merge_upsert_swap_is_crash_safe(spark, tmp_path):
+    """The parquet fallback must never expose a half-written table:
+    (a) a normal merge leaves no .old/.stage residue; (b) a swap that
+    died between its two renames (target gone, .old intact) is healed
+    by the next merge_upsert call with zero data loss; (c) the
+    'file:' URI form probes the same directory (r4 advice: the fixed
+    7-char slice silently emptied existing tables)."""
+    import os
+
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, val string, ver int"
+    )
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    assert not os.path.exists(target + ".old")
+    assert not [p for p in os.listdir(tmp_path) if ".stage-" in p]
+
+    # simulate the crash window: target renamed away, .old left behind
+    os.rename(target, target + ".old")
+    v2 = spark.createDataFrame([(3, "c", 2)], "k int, val string, ver int")
+    merge_upsert(spark, target, v2, keys=["k"], order_col="ver")
+    got = {r.k: (r.val, r.ver) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1), 2: ("b", 1), 3: ("c", 2)}  # v1 recovered
+
+    # file:-scheme form must see the same existing table, not restart it
+    v3 = spark.createDataFrame([(4, "d", 3)], "k int, val string, ver int")
+    merge_upsert(spark, "file:" + target, v3, keys=["k"], order_col="ver")
+    got = {r.k: r.val for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
+
+
 def test_last_page_clamped_to_max_offset(spark):
     """Non-limit-aligned ranges must not overshoot [start, max_offset)."""
     asked = []
