@@ -521,10 +521,13 @@ def test_pair_generators_degree_cap_planted_hub(spark, tmp_path):
     by_cust = {r.cust: r["count"] for r in deg}
     assert by_cust[1] == _BP_DEGREE_CAP, by_cust[1]
     assert all(v <= _BP_DEGREE_CAP for v in by_cust.values())
-    # capped pairs: hub contributes C(cap,2)=32,640 candidates, and the
-    # operator still completes and reports the shared parts (1,2,3 pairs
-    # seen by 20 normal customers + the hub, whose capped smallest-256
-    # selection retains parts 1..256) at the top
+    # capped pairs: hub contributes C(cap,2) candidates (~524k at
+    # cap=1024), not C(2000,2)≈2M, and the operator still completes and
+    # reports the shared parts (1,2,3 pairs seen by 20 normal customers
+    # + the hub, whose capped smallest-cap selection retains parts
+    # 1..cap ⊇ {1,2,3}) at the top. The hub also exercises the
+    # conditional branch: its 2000-line order fails the cheap
+    # orders×lines upper bound, so the rank pass IS applied here.
     top = graph_bipartite_projection(spark, sf).collect()
     assert top[0].weight == 21 and {top[0].part_a, top[0].part_b} <= {1, 2, 3}
 
