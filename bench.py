@@ -232,7 +232,11 @@ def main() -> int:
     # (BENCH_r04.json → parsed: null). The stdout contract is ONE compact
     # line (< 1,500 chars, pinned by tests/test_bench_contract.py),
     # printed LAST.
-    detail_path = os.path.join(
+    # Tests (and ad-hoc runs) point this at a tmp path via
+    # SPARK_GRAFT_BENCH_DETAIL so a subset run can never clobber the
+    # committed full-run artifact (ADVICE r5: the 3-query test subset
+    # overwrote the tracked BENCH_DETAIL.json).
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:

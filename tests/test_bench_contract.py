@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import sys
 
 
@@ -17,6 +16,9 @@ def test_bench_emits_driver_contract_json(monkeypatch, tmp_path):
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # subset run must never clobber the committed full-run artifact
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", detail_path)
     monkeypatch.setattr(
         bench, "HEADLINE", ["scan_parquet", "agg_price_stats", "dedup_exact"]
     )
@@ -52,8 +54,7 @@ def test_bench_emits_driver_contract_json(monkeypatch, tmp_path):
     # headline count can creep back in
     assert all(not isinstance(v, (dict, list)) for v in d.values())
 
-    # … it lives in BENCH_DETAIL.json instead
-    detail_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    # … it lives in the detail file instead (routed to tmp_path here)
     with open(detail_path) as f:
         detail = json.load(f)
     assert set(detail["queries"]) == {
@@ -70,3 +71,45 @@ def test_bench_emits_driver_contract_json(monkeypatch, tmp_path):
     )
     assert detail["value"] == d["value"]
     assert detail["calibration_sec"] == d["calibration_sec"]
+
+
+def test_benchguard_flags_regressions(tmp_path):
+    """tools/benchguard.py: >1.5x a pinned normalized median fails, a
+    dropped headline query fails, within-budget and new queries pass
+    (VERDICT r5 item 3 — the guard that catches silent inflation)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import benchguard
+    finally:
+        sys.path.pop(0)
+
+    base = tmp_path / "base.json"
+    det = tmp_path / "det.json"
+
+    def write(path, queries, total):
+        path.write_text(
+            json.dumps({"queries_normalized": queries, "normalized_total": total})
+        )
+
+    write(base, {"q1": 1.0, "q2": 2.0}, 3.0)
+    # within budget + a new query: green
+    write(det, {"q1": 1.4, "q2": 2.1, "q3": 9.0}, 12.5)
+    assert benchguard.check(str(det), str(base)) == 0
+    # one query beyond 1.5x: fail
+    write(det, {"q1": 1.6, "q2": 2.0}, 3.6)
+    assert benchguard.check(str(det), str(base)) == 1
+    # a baselined query silently dropped: fail
+    write(det, {"q1": 1.0}, 1.0)
+    assert benchguard.check(str(det), str(base)) == 1
+
+    # the committed artifacts themselves parse and are the full-run
+    # shape (not a test-subset stub — ADVICE r5 medium)
+    with open("/root/repo/BENCH_BASELINE.json") as f:
+        b = json.load(f)
+    assert len(b["queries_normalized"]) >= 50
+    with open("/root/repo/BENCH_DETAIL.json") as f:
+        d = json.load(f)
+    assert d["n_queries"] >= 50

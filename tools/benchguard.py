@@ -1,0 +1,76 @@
+"""Per-query bench regression guard (VERDICT r5 item 3).
+
+Compares a bench detail file (BENCH_DETAIL.json, written by bench.py)
+against the committed per-query baseline BENCH_BASELINE.json. Both
+sides are CALIBRATION-NORMALIZED medians (seconds divided by the same
+run's synthetic-probe median), so machine drift between the runs is
+already divided out — a ratio > THRESHOLD is plan regression, not
+neighborhood noise. This is the guard that would have caught r5's
+silent +16% inflation automatically.
+
+Usage:
+    python tools/benchguard.py [detail.json] [baseline.json]
+
+Exit 0: every baselined query within THRESHOLD× its pinned median.
+Exit 1: regressions listed on stdout.
+Queries present in the detail but not the baseline are reported as
+"new" (not failures); queries in the baseline but missing from the
+detail are reported as "gone" (failure — a silently dropped headline
+query is itself a regression).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+THRESHOLD = 1.5
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def check(detail_path: str, baseline_path: str) -> int:
+    with open(detail_path) as f:
+        detail = json.load(f)
+    with open(baseline_path) as f:
+        baseline = json.load(f)
+    base: dict[str, float] = baseline["queries_normalized"]
+    cur: dict[str, float] = detail["queries_normalized"]
+
+    regressed: list[str] = []
+    gone = sorted(set(base) - set(cur))
+    new = sorted(set(cur) - set(base))
+    for name in sorted(set(base) & set(cur)):
+        ratio = cur[name] / base[name] if base[name] > 0 else float("inf")
+        flag = ""
+        if ratio > THRESHOLD:
+            regressed.append(name)
+            flag = f"  REGRESSED (> {THRESHOLD}x)"
+        print(f"{name:40s} {base[name]:8.3f} -> {cur[name]:8.3f}  {ratio:5.2f}x{flag}")
+    for name in new:
+        print(f"{name:40s} {'(new)':>8s} -> {cur[name]:8.3f}")
+    for name in gone:
+        print(f"{name:40s} {base[name]:8.3f} -> GONE  (dropped from headline set)")
+
+    tot_b = baseline.get("normalized_total")
+    tot_c = detail.get("normalized_total")
+    if tot_b and tot_c:
+        print(f"\nnormalized_total {tot_b:.1f} -> {tot_c:.1f} ({tot_c / tot_b:.2f}x)")
+    if regressed or gone:
+        print(f"\nFAIL: {len(regressed)} regressed, {len(gone)} gone")
+        return 1
+    print("\nall queries within budget")
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    detail = argv[1] if len(argv) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
+    baseline = (
+        argv[2] if len(argv) > 2 else os.path.join(REPO, "BENCH_BASELINE.json")
+    )
+    return check(detail, baseline)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

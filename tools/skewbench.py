@@ -15,6 +15,14 @@ Prints one markdown table row per variant: wall seconds (median of 3),
 plus a hash-equality check of salted vs plain results. Run:
 
     python tools/skewbench.py [n_rows] [skew_frac]
+
+A second mode measures the DEGREE-CAP guard on the blocked pair
+self-join (the pattern behind graph_bipartite_projection,
+agg_market_basket, multimodal_phash_pairs): plant one hub key whose
+degree makes the per-key quadratic term dominate, and time the capped
+vs uncapped join. Run:
+
+    python tools/skewbench.py hub [n_normal_keys] [hub_degree]
 """
 
 from __future__ import annotations
@@ -125,5 +133,85 @@ def main() -> int:
     return 0
 
 
+def hub_main() -> int:
+    """Planted-hub degree-cap measurement: one key with `hub_degree`
+    distinct values (C(d,2) candidate pairs), `n_normal` keys with 3
+    each. Times the blocked pair self-join uncapped vs rank-capped at
+    the bipartite generator's cap — the measured artifact behind the
+    conditional cap decision (VERDICT r5 item 8)."""
+    from pyspark.sql import Window
+
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _BP_DEGREE_CAP,
+    )
+
+    n_normal = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    hub_degree = int(sys.argv[3]) if len(sys.argv) > 3 else 6_000
+
+    spark = get_spark("skewbench-hub")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    hub = spark.range(hub_degree).select(
+        F.lit(0).cast("long").alias("cust"), F.col("id").alias("part")
+    )
+    normal = spark.range(n_normal).select(
+        (F.col("id") + 1).alias("cust"),
+        F.explode(
+            F.array(
+                (F.col("id") % 97), (F.col("id") % 89 + 100), (F.col("id") % 83 + 200)
+            )
+        ).alias("part"),
+    )
+    cp = hub.union(normal).repartition(32).localCheckpoint(eager=True)
+
+    def pairs(frame):
+        a, b = frame.alias("a"), frame.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.cust") == F.col("b.cust"))
+                & (F.col("a.part") < F.col("b.part")),
+            )
+            .groupBy(F.col("a.part").alias("pa"), F.col("b.part").alias("pb"))
+            .agg(F.count("*").alias("w"))
+        )
+
+    def uncapped():
+        return pairs(cp)
+
+    def capped():
+        w = Window.partitionBy("cust").orderBy("part")
+        return pairs(
+            cp.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _BP_DEGREE_CAP)
+            .drop("_rn")
+        )
+
+    def timed(mk) -> float:
+        mk().write.format("noop").mode("overwrite").save()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            mk().write.format("noop").mode("overwrite").save()
+            ts.append(time.time() - t0)
+        return statistics.median(ts)
+
+    t_un = timed(uncapped)
+    t_cap = timed(capped)
+    print(
+        f"planted hub: 1 key x degree {hub_degree:,} "
+        f"(C(d,2)={hub_degree * (hub_degree - 1) // 2:,} pairs) + "
+        f"{n_normal:,} keys x degree 3; cap={_BP_DEGREE_CAP}"
+    )
+    print("| variant | median wall s |")
+    print("|---------|--------------:|")
+    print(f"| uncapped pair self-join | {t_un:.3f} |")
+    print(f"| degree-capped (rank<=cap) | {t_cap:.3f} |")
+    print(f"cap speedup at this hub: {t_un / t_cap:.2f}x")
+    return 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "hub":
+        raise SystemExit(hub_main())
     raise SystemExit(main())
