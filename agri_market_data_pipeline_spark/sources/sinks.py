@@ -33,6 +33,38 @@ def sink_partitioned_append(
     )
 
 
+def delta_merge_conditions(keys: list[str], order_col: str) -> tuple[str, str]:
+    """Build the MERGE INTO condition strings: (join condition over the
+    composite key, matched-update guard that keeps the newest row).
+    Pure string construction so the logic is unit-testable without a
+    Delta classpath; identifiers are backtick-quoted so keys with
+    spaces/reserved words survive."""
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
+
+    def q(c: str) -> str:
+        return "`" + c.replace("`", "``") + "`"
+
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    when_matched = f"s.{q(order_col)} >= t.{q(order_col)}"
+    return on, when_matched
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — the correct
+    check for non-local schemes (s3a://, hdfs://, …) where the URI's
+    path component means nothing to the local filesystem. Unresolvable
+    scheme/credentials degrade to False, i.e. the safe first-write
+    branch (the pre-r5 behavior for remote URIs)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:
+        return False
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -47,6 +79,8 @@ def merge_upsert(
     available; falls back to read-union-dedup-rewrite on plain parquet —
     correct but O(table); the fallback exists so the semantics are
     testable anywhere."""
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
     # Delta path: ONLY the import and is-this-a-delta-table detection are
     # guarded — a real MERGE failure (concurrency, duplicate source keys)
     # must propagate, never fall through to a parquet rewrite that would
@@ -71,11 +105,11 @@ def merge_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        cond, when_matched = delta_merge_conditions(keys, order_col)
         (
             delta_table.alias("t")
             .merge(latest_updates.alias("s"), cond)
-            .whenMatchedUpdateAll(condition=f"s.{order_col} >= t.{order_col}")
+            .whenMatchedUpdateAll(condition=when_matched)
             .whenNotMatchedInsertAll()
             .execute()
         )
@@ -85,25 +119,28 @@ def merge_upsert(
     # AnalysisException fires a failed-query event that every registered
     # ExecutionListener (e.g. an Observation's) logs as an ERROR while
     # re-resolving the vanished path — pure log noise on a normal path.
-    # Local paths suffice here; a remote object store would probe via
-    # the Hadoop FileSystem API the same way.
     # Spark normalizes file URIs to BOTH 'file:///x' and 'file:/x' forms;
     # a fixed-width prefix slice mangles the short form ('file:/tmp/x' →
     # 'mp/x'), making an existing table look like a first write and the
-    # overwrite silently drop it. Parse the URI properly.
-    if "://" in target_path or target_path.startswith("file:"):
-        from urllib.parse import urlparse
+    # overwrite silently drop it. Parse the URI properly — and derive a
+    # LOCAL probe path only for file:-scheme/plain paths: for s3:// etc.
+    # the URI path ('/t') is a local-filesystem coincidence, so probe
+    # those through the Hadoop FileSystem API instead (ADVICE r5).
+    from urllib.parse import urlparse
 
-        probe = urlparse(target_path).path or target_path
+    parsed = urlparse(target_path)
+    local_fs = parsed.scheme in ("", "file")
+    if local_fs:
+        probe = parsed.path if parsed.scheme == "file" else target_path
+        old_dir = probe + ".old"
+        if not os.path.exists(probe) and os.path.exists(old_dir):
+            # a prior swap crashed between its two renames — the data is
+            # intact under .old; finish that swap before merging
+            os.rename(old_dir, probe)
+        exists = os.path.exists(probe)
     else:
-        probe = target_path
-    local_fs = probe == target_path or target_path.startswith("file:")
-    old_dir = probe + ".old"
-    if local_fs and not os.path.exists(probe) and os.path.exists(old_dir):
-        # a prior swap crashed between its two renames — the data is
-        # intact under .old; finish that swap before merging
-        os.rename(old_dir, probe)
-    if os.path.exists(probe):
+        exists = _hadoop_path_exists(spark, target_path)
+    if exists:
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates, allowMissingColumns=True)
     else:
@@ -132,8 +169,31 @@ def merge_upsert(
     # completes the swap on the next call. Staging also removes the
     # localCheckpoint copy the in-place form needed: source and
     # destination differ, so Spark streams the merge directly to disk.
+    # Known limitation: between the two renames a concurrent READER sees
+    # no table at the visible path for a few µs — writers that must
+    # serve readers mid-publish use SnapshotStore's manifest swap.
+    import glob
+    import re
     import shutil
+    import time
     import uuid
+
+    # A SIGKILL after the staging write runs no finally, leaking its
+    # .stage-<uuid> dir forever. Sweep stale siblings here — matching
+    # ONLY this table's 8-hex stage slot so a sibling table whose name
+    # extends this one's is never touched, and skipping dirs younger
+    # than a grace window so a concurrent upsert's live staging dir
+    # isn't deleted mid-write (same pattern as scans._xml_mirror).
+    slot = re.compile(re.escape(probe) + r"\.stage-[0-9a-f]{8}$")
+    for stale in glob.glob(probe + ".stage-*"):
+        if not slot.match(stale):
+            continue
+        try:
+            age = time.time() - os.stat(stale).st_mtime
+        except OSError:
+            continue
+        if age > 3600:  # 1 h grace for a concurrent writer
+            shutil.rmtree(stale, ignore_errors=True)
 
     stage = f"{probe}.stage-{uuid.uuid4().hex[:8]}"
     try:

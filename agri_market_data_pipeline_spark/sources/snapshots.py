@@ -128,12 +128,16 @@ class SnapshotStore:
         into place — link(2) is atomic and fails if the target exists
         (O_EXCL semantics), but unlike create-then-write the lock file is
         never observable in an empty state, so a concurrent publisher can
-        never misread a live holder as dead. After any acquisition
-        attempt (including a steal of a dead holder's lock) we verify by
-        inode that OUR link is the one that landed: two stealers that
-        both passed the liveness check can each unlink the other's
-        freshly re-linked lock, and only the inode check detects losing
-        that race — the overlapping-cron scenario the lock serializes.
+        never misread a live holder as dead. Stealing a dead holder's
+        lock is serialized through an flock(2)'d sidecar
+        (_steal_dead_lock): liveness is RE-verified inside that critical
+        section, so a stealer can never unlink a lock another stealer
+        just re-linked with a live pid — the double-acquisition
+        interleaving ADVICE r5 found in the unguarded unlink. After a
+        successful link we additionally verify by inode that OUR link is
+        the one the path resolves to (belt-and-braces against any
+        unlinker that bypasses the sidecar, e.g. an operator's manual
+        `rm`).
         """
         import uuid
 
@@ -147,16 +151,12 @@ class SnapshotStore:
                 try:
                     os.link(tmp, lock)
                 except FileExistsError:
-                    if attempt == 0 and not self._lock_holder_alive(lock):
+                    if attempt == 0 and self._steal_dead_lock(lock):
                         # Holder died between data write and manifest
                         # update (SIGKILL runs no finally) — steal, so
                         # the next cron run self-heals instead of
                         # blocking on an operator (the crash-recovery
                         # half of git's ref model).
-                        try:
-                            os.unlink(lock)
-                        except OSError:
-                            pass
                         continue
                     raise ConcurrentPublishError(
                         f"another publish holds {lock}; remove it only if "
@@ -179,6 +179,35 @@ class SnapshotStore:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+    @classmethod
+    def _steal_dead_lock(cls, lock: str) -> bool:
+        """Remove `lock` iff its recorded holder is dead — atomically
+        with respect to other stealers. Stealers serialize on an
+        flock(2)'d sidecar (kernel-released on crash, so the guard can
+        never itself dangle); liveness is re-checked INSIDE the critical
+        section, so the interleaving where stealer A unlinks-and-relinks
+        a live lock between stealer B's check and B's unlink is
+        impossible: by the time B holds the guard, the lock records A's
+        live pid and B backs off. Returns True iff the caller may retry
+        its link."""
+        import fcntl
+
+        guard = lock + ".steal"
+        with open(guard, "w") as g:
+            fcntl.flock(g, fcntl.LOCK_EX)
+            try:
+                if cls._lock_holder_alive(lock):
+                    return False  # re-linked by a faster stealer — back off
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass  # already gone — our link retry settles it
+                except OSError:
+                    return False
+                return True
+            finally:
+                fcntl.flock(g, fcntl.LOCK_UN)
 
     @staticmethod
     def _lock_holder_alive(lock: str) -> bool:

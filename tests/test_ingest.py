@@ -182,6 +182,86 @@ def test_merge_upsert_swap_is_crash_safe(spark, tmp_path):
     assert got == {1: "a", 2: "b", 3: "c", 4: "d"}
 
 
+def test_merge_upsert_sweeps_stale_stage_dirs(spark, tmp_path):
+    """A SIGKILL after the staging write runs no finally and leaks its
+    .stage-<uuid> dir (ADVICE r5). The next merge_upsert must sweep
+    stage dirs older than the grace window, keep young ones (a
+    concurrent writer's live staging), and never touch a dir that
+    doesn't match the 8-hex stage slot exactly."""
+    import os
+    import time
+
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 1)], "k int, val string, ver int")
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+
+    stale = target + ".stage-deadbeef"
+    young = target + ".stage-cafebabe"
+    nonslot = target + ".stage-deadbeefX"  # extends past the 8-hex slot
+    for d in (stale, young, nonslot):
+        os.makedirs(d)
+    past = time.time() - 7200  # beyond the 1 h grace window
+    os.utime(stale, (past, past))
+    os.utime(nonslot, (past, past))
+
+    v2 = spark.createDataFrame([(2, "b", 2)], "k int, val string, ver int")
+    merge_upsert(spark, target, v2, keys=["k"], order_col="ver")
+
+    assert not os.path.exists(stale), "stale stage dir not swept"
+    assert os.path.exists(young), "live (young) stage dir was deleted"
+    assert os.path.exists(nonslot), "non-slot-matching sibling was deleted"
+    got = {r.k: r.val for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_delta_merge_conditions_strings():
+    """The MERGE INTO condition builder is pure string construction —
+    unit-testable without a Delta classpath (VERDICT r5 item 5)."""
+    import pytest
+
+    from agri_market_data_pipeline_spark.sources.sinks import (
+        delta_merge_conditions,
+    )
+
+    on, when = delta_merge_conditions(["k"], "ver")
+    assert on == "t.`k` = s.`k`"
+    assert when == "s.`ver` >= t.`ver`"
+
+    on2, _ = delta_merge_conditions(["region", "market id"], "fetched_at")
+    assert on2 == "t.`region` = s.`region` AND t.`market id` = s.`market id`"
+
+    # embedded backticks are doubled, not truncated
+    on3, _ = delta_merge_conditions(["we`ird"], "v")
+    assert on3 == "t.`we``ird` = s.`we``ird`"
+
+    with pytest.raises(ValueError):
+        delta_merge_conditions([], "ver")
+
+
+def test_merge_upsert_rejects_empty_keys(spark, tmp_path):
+    import pytest
+
+    v = spark.createDataFrame([(1, 1)], "k int, ver int")
+    with pytest.raises(ValueError):
+        merge_upsert(spark, str(tmp_path / "t"), v, keys=[], order_col="ver")
+
+
+def test_hadoop_path_exists_probe(spark, tmp_path):
+    """The remote-scheme existence probe goes through the Hadoop
+    FileSystem API (ADVICE r5: urlparse().path sent s3://bucket/t to the
+    LOCAL filesystem). file: URIs exercise the same API locally; an
+    unresolvable scheme degrades to False (safe first-write branch)."""
+    from agri_market_data_pipeline_spark.sources.sinks import (
+        _hadoop_path_exists,
+    )
+
+    d = tmp_path / "x"
+    d.mkdir()
+    assert _hadoop_path_exists(spark, "file://" + str(d)) is True
+    assert _hadoop_path_exists(spark, "file://" + str(tmp_path / "no")) is False
+    assert _hadoop_path_exists(spark, "nosuchscheme://bucket/t") is False
+
+
 def test_last_page_clamped_to_max_offset(spark):
     """Non-limit-aligned ranges must not overshoot [start, max_offset)."""
     asked = []

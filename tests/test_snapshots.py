@@ -137,3 +137,40 @@ def test_kill_between_write_and_manifest_recovers(spark, tmp_path):
     assert not (tmp_path / "store" / ".publish.lock").exists()
     dropped = store.vacuum(keep_last=1)
     assert 2 in dropped and store.versions() == [3]
+
+
+def test_steal_guard_refuses_live_lock(tmp_path):
+    """ADVICE r5 interleaving: stealer B saw a dead lock, but by the
+    time B reaches the unlink, stealer A has already stolen and
+    re-linked a LIVE lock. Liveness is re-verified INSIDE the flock'd
+    steal guard, so B backs off and A's lock is never unlinked."""
+    from agri_market_data_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    lock = str(tmp_path / ".publish.lock")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # a live holder (this process)
+    ino = os.stat(lock).st_ino
+    assert SnapshotStore._steal_dead_lock(lock) is False
+    assert os.stat(lock).st_ino == ino  # untouched
+
+
+def test_steal_guard_removes_dead_lock(tmp_path):
+    import subprocess
+    import sys
+
+    from agri_market_data_pipeline_spark.sources.snapshots import (
+        SnapshotStore,
+    )
+
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    lock = str(tmp_path / ".publish.lock")
+    with open(lock, "w") as f:
+        f.write(str(dead.pid))
+    assert SnapshotStore._steal_dead_lock(lock) is True
+    assert not os.path.exists(lock)
+    # already-gone lock (a faster stealer finished first): still True —
+    # the caller's link retry settles who acquires
+    assert SnapshotStore._steal_dead_lock(lock) is True
