@@ -1660,3 +1660,123 @@ def incr_join_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_lines"),
         dsum("l_extendedprice").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation via sketch inner product (the optimizer statistic)
+
+_JSZ_DEPTH = 4
+_JSZ_WIDTH = 1024
+
+
+def _jsz_bucket_sql(i: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_JSZ_WIDTH}"
+    )
+
+
+_JSZ_SQL = f"""
+WITH ah AS (
+  SELECT i,
+         CASE i {" ".join(f"WHEN {i} THEN {_jsz_bucket_sql(i, 'user_id')}" for i in range(_JSZ_DEPTH))} END AS bucket,
+         COUNT(*) AS c
+  FROM events, (SELECT UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS i)
+  GROUP BY 1, 2),
+bh AS (
+  SELECT i,
+         CASE i {" ".join(f"WHEN {i} THEN {_jsz_bucket_sql(i, 'o_custkey')}" for i in range(_JSZ_DEPTH))} END AS bucket,
+         COUNT(*) AS c
+  FROM orders, (SELECT UNNEST(generate_series(0, {_JSZ_DEPTH - 1})) AS i)
+  GROUP BY 1, 2),
+dots AS (
+  SELECT ah.i, SUM(ah.c * bh.c) AS dot
+  FROM ah JOIN bh ON ah.i = bh.i AND ah.bucket = bh.bucket
+  GROUP BY ah.i),
+est AS (SELECT MIN(dot) AS est_size FROM dots),
+ex AS (SELECT COUNT(*) AS exact_size
+       FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+SELECT CAST(exact_size AS BIGINT) AS exact_size,
+       CAST(est_size AS BIGINT) AS est_size,
+       CAST(est_size - exact_size AS BIGINT) AS overcount
+FROM ex, est
+"""
+
+
+@query("agg_join_size_sketch", oracle=_JSZ_SQL)
+def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A ⋈ B| WITHOUT running the join: count-min sketch each side's
+    join key, estimate the output cardinality as the min over rows of
+    the sketch inner product  Σ_b cmsA[i][b]·cmsB[i][b]  (the AMS/CMS
+    join-size estimator query optimizers use to pick join order and
+    strategy before touching the data). Distinct from
+    agg_countmin_sketch, which probes ONE sketch for per-key
+    frequencies — here two sketches multiply cell-wise, and the answer
+    is a single cardinality. The estimate can only OVERcount (each
+    inner product contains every true f_A(k)·f_B(k) term plus
+    non-negative collision cross-terms), so `overcount ≥ 0` is the
+    audit invariant; the exact join count rides along as the
+    oracle-checkable truth column (in production you emit est only —
+    computing the exact size is the very cost the sketch avoids).
+
+    Scale: each sketch is ONE partial-aggregated scan reduced to
+    {_JSZ_DEPTH}×{_JSZ_WIDTH} counters (KBs regardless of row count or
+    key cardinality), mergeable across shards/days by cell-wise add
+    like every CMS; the inner product is a broadcast join of two
+    KB-sized tables. Estimating a 100 TB join costs two column scans
+    and no shuffle of the data itself."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+
+    def bucket(i, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), key_col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _JSZ_WIDTH
+        )
+
+    def sketch(df, key: str):
+        return (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("i"),
+                                bucket(i, F.col(key)).alias("bucket"),
+                            )
+                            for i in range(_JSZ_DEPTH)
+                        ]
+                    )
+                ).alias("h")
+            )
+            .groupBy(F.col("h.i").alias("i"), F.col("h.bucket").alias("bucket"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    a = sketch(ev, "user_id")
+    b = sketch(o, "o_custkey").select(
+        F.col("i").alias("bi"), F.col("bucket").alias("bb"), F.col("c").alias("bc")
+    )
+    est = (
+        a.join(
+            F.broadcast(b),
+            (F.col("i") == F.col("bi")) & (F.col("bucket") == F.col("bb")),
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("bc")).alias("dot"))
+        .agg(F.min("dot").alias("est_size"))
+    )
+    exact = ev.join(o, ev.user_id == o.o_custkey).agg(
+        F.count("*").alias("exact_size")
+    )
+    return exact.join(F.broadcast(est)).select(
+        F.col("exact_size").cast("long").alias("exact_size"),
+        F.col("est_size").cast("long").alias("est_size"),
+        (F.col("est_size") - F.col("exact_size")).cast("long").alias("overcount"),
+    )

@@ -952,3 +952,60 @@ def dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") <= F.col("allowed")).cast("long").alias("passed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy gate for data releases / training corpora)
+
+_KANON_K = 8
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS class_size,
+       CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS violates_k
+FROM customer
+GROUP BY 1, 2
+ORDER BY class_size, nation, segment
+""",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier set (nation ×
+    market segment): every equivalence class's size, flagged when it
+    falls below k={_KANON_K}. A record in a class of size < k is
+    re-identifiable by joining the quasi-identifiers against any public
+    roster — the standard privacy gate a dataset must pass before
+    release, and (for this engine's LLM-pipeline role) before user-
+    derived text enters a training corpus. Complements dq_rules
+    (contract assertions) and text_pii_scrub (direct identifiers):
+    this one catches the INDIRECT identification risk that survives
+    PII scrubbing.
+
+    Emits every class (not just violators) so the result is a stable
+    release-review artifact at any scale; the downstream suppression /
+    generalization step filters `violates_k = 1`.
+
+    Scale: ONE partial-aggregated hash groupBy over the quasi-
+    identifier columns — cost is the scan; the class count is bounded
+    by the QI domain product (125 here), so the shuffle is trivial at
+    any row count. Adding a QI column multiplies classes, never rows.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("class_size"))
+        .select(
+            "nation",
+            "segment",
+            F.col("class_size").cast("long").alias("class_size"),
+            (F.col("class_size") < _KANON_K).cast("long").alias("violates_k"),
+        )
+        .orderBy("class_size", "nation", "segment")
+    )

@@ -365,6 +365,21 @@ def test_countmin_estimates_never_undercount(spark, sf_dir):
         assert r.est_cnt >= r.exact_cnt, r
 
 
+def test_join_size_sketch_overcounts_only_and_is_tight(spark, sf_dir):
+    from agri_market_data_pipeline_spark.operators.aggregations import (
+        agg_join_size_sketch,
+    )
+
+    r = agg_join_size_sketch(spark, sf_dir).collect()[0]
+    # AMS/CMS inner product contains every true f_A·f_B term plus
+    # non-negative collision cross-terms — never an undercount.
+    assert r.overcount >= 0, r
+    assert r.est_size >= r.exact_size > 0, r
+    # and at this width/key-cardinality the estimate is a usable
+    # planner statistic, not a degenerate upper bound
+    assert r.est_size <= 2 * r.exact_size, r
+
+
 def test_pagerank_mass_is_conserved_modulo_dangling(spark, sf_dir):
     from agri_market_data_pipeline_spark.operators.graph import (
         _edges,
