@@ -165,6 +165,20 @@ def build_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     }
 
 
+def _probe_cells_df(cells: DataFrame, q: DataFrame) -> DataFrame:
+    """The N_PROBE best cells for a query vector, as a LAZY limited
+    frame: orderBy().limit(N_PROBE) plans as TakeOrderedAndProject
+    (per-partition heaps, no global sort) — pinned by
+    tests/test_plans.py so a refactor can't globalize the sort when the
+    centroid set is large (VERDICT r5 item 7)."""
+    return (
+        cells.join(F.broadcast(q))
+        .select("cell_id", vec_cosine("cvec", "qvec").alias("c"))
+        .orderBy(F.desc("c"), F.asc("cell_id"))
+        .limit(N_PROBE)
+    )
+
+
 def serve_query(spark: SparkSession, out_dir: str, query_text: str) -> DataFrame:
     """Stage 5: embed the query with the SAME hashing scheme, probe the
     N_PROBE best cells, scan only their partitions, return top-k
@@ -174,14 +188,7 @@ def serve_query(spark: SparkSession, out_dir: str, query_text: str) -> DataFrame
         spark.createDataFrame([(0, query_text)], "chunk_id long, text string")
     ).select(F.col("embedding").alias("qvec"))
     cells = spark.read.parquet(os.path.join(out_dir, "centroids"))
-    probe_rows = (
-        cells.join(F.broadcast(q))
-        .select("cell_id", vec_cosine("cvec", "qvec").alias("c"))
-        .orderBy(F.desc("c"), F.asc("cell_id"))
-        .limit(N_PROBE)
-        .collect()
-    )
-    probe = [r.cell_id for r in probe_rows]
+    probe = [r.cell_id for r in _probe_cells_df(cells, q).collect()]
     idx = spark.read.parquet(os.path.join(out_dir, "index"))
     return (
         idx.filter(F.col("cell_id").isin(probe))

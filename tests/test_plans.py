@@ -336,6 +336,26 @@ def test_unbounded_global_window_detector_catches_globalized_sort(spark, sf_dir)
     assert unbounded_global_windows(df), "detector missed a global fact sort"
 
 
+def test_rag_probe_selection_uses_takeordered(spark):
+    """The RAG serve path's probe-cell selection must plan as
+    TakeOrderedAndProject (per-partition heaps), never a global sort —
+    at a large centroid count a globalized orderBy().collect() would
+    pull every cell score through one partition (VERDICT r5 item 7)."""
+    from agri_market_data_pipeline_spark.jobs.rag_pipeline import (
+        _probe_cells_df,
+    )
+
+    cells = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(64)],
+        "cell_id long, cvec array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.5],)], "qvec array<double>")
+    df = _probe_cells_df(cells, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Exchange rangepartitioning" not in plan, plan[:800]
+
+
 def test_coverage_check_green_and_readme_counts_in_sync():
     """tools/coverage_check.py must exit 0: every SURVEY §2 id covered
     AND the README's registry/oracle counts match the live registry

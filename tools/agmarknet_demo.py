@@ -6,6 +6,13 @@ data model exists for — the queries a reference user gains by switching.
     python tools/agmarknet_demo.py [crops_glob]
 
 Read-only on the reference data; prints a compact report.
+
+Live-API path: the same corpus can be ingested directly from the
+data.gov.in endpoint the reference polls, using the production fetcher
+(`sources/paginated_api.py::http_fetcher` — env-keyed, per-worker
+session pool, records-envelope parsing) fed to `read_paginated_api`
+with the reference's retry ladder; this demo reads the shipped CSVs so
+it runs offline.
 """
 
 from __future__ import annotations
