@@ -477,6 +477,46 @@ def test_ljung_box_invariants(spark, sf_dir):
     assert all(a <= b + 1e-9 for a, b in zip(q, q[1:]))
 
 
+def test_max_group_count_memoizes_on_source_fingerprint(spark, tmp_path):
+    """The degree-cap pre-check scalar must be computed once per
+    (app, sf_dir, table, key, fingerprint) — repeated bench/selfcheck
+    invocations hit the memo — and recomputed when the source parquet
+    changes (regenerated testdata must not serve a stale bound)."""
+    import pandas as pd
+
+    from agri_market_data_pipeline_spark import tables
+
+    pd.DataFrame(
+        [{"l_orderkey": 1, "l_partkey": p} for p in range(5)]
+        + [{"l_orderkey": 2, "l_partkey": 0}]
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    sf = str(tmp_path)
+
+    assert tables.max_group_count(spark, sf, "lineitem", "l_orderkey") == 5
+
+    # second call must be served from the memo: no table read at all
+    orig = tables.load
+    calls = {"n": 0}
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    tables.load = counting
+    try:
+        assert tables.max_group_count(spark, sf, "lineitem", "l_orderkey") == 5
+        assert calls["n"] == 0, "memoized call recomputed"
+
+        # regenerating the source flips the fingerprint -> recompute
+        pd.DataFrame(
+            [{"l_orderkey": 7, "l_partkey": p} for p in range(3)]
+        ).to_parquet(tmp_path / "lineitem.parquet")
+        assert tables.max_group_count(spark, sf, "lineitem", "l_orderkey") == 3
+        assert calls["n"] == 1
+    finally:
+        tables.load = orig
+
+
 def test_pair_generators_degree_cap_planted_hub(spark, tmp_path):
     """Plant a hub key (one customer with 2,000 distinct parts; one
     order with 500 distinct brands) and pin the degree caps: candidate
