@@ -536,7 +536,7 @@ def sql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(DISTINCT user_id) AS exact_distinct,
-       1 AS merge_equals_direct,
+       1 AS merge_consistent,
        1 AS merged_within_5pct
 FROM events
 GROUP BY event_type
@@ -554,12 +554,18 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The DataSketches binary is engine-internal, so the oracle checks the
     sketch's cross-engine-expressible CONTRACT as computed flags,
-    asserted constant-1 in the SQL: (a) merge associativity — the
-    daily-sketches-UNIONed estimate equals the directly-built whole-
-    period estimate exactly, and (b) the merged estimate sits within 5%
+    asserted constant-1 in the SQL: (a) merge consistency — the
+    daily-sketches-UNIONed estimate is within 1% of the directly-built
+    whole-period estimate, and (b) the merged estimate sits within 5%
     of exact (lgConfigK=12 ⇒ ~1.6% RSE; 5% is ~3σ). Either property
-    breaking flips a flag and the hash goes red. tests/test_extensions.py
-    additionally pins the estimate values."""
+    breaking flips a flag and the hash goes red. Consistency is a tight
+    TOLERANCE, not exact equality: register-wise the union is lossless
+    for same-lgK dense sketches, but the union gadget and the direct
+    build promote coupon→HLL mode at different thresholds, so around
+    the promotion cardinality (~1.5k at lgK=12) the two estimates drift
+    a few per mille (measured 1494 vs 1488 at sf0.1 — caught by the r6
+    cross-SF sweep; both were coupon-exact at the sf0.01 gate).
+    tests/test_extensions.py additionally pins the estimate values."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("d")
@@ -576,9 +582,13 @@ def agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_distinct",
-            (F.col("hll_merged") == F.col("hll_direct"))
+            (
+                F.abs(F.col("hll_merged") - F.col("hll_direct"))
+                / F.col("hll_direct")
+                <= 0.01
+            )
             .cast("int")
-            .alias("merge_equals_direct"),
+            .alias("merge_consistent"),
             (
                 F.abs(F.col("hll_merged") - F.col("exact_distinct"))
                 / F.col("exact_distinct")

@@ -83,6 +83,8 @@ def max_group_count(
     )
     hit = _MAX_GROUP_CACHE.get(memo_key)
     if hit is None:
+        if len(_MAX_GROUP_CACHE) > 64:
+            _MAX_GROUP_CACHE.clear()  # scalars are cheap to recompute
         row = (
             load(spark, sf_dir, name)
             .groupBy(key)

@@ -191,7 +191,7 @@ def test_hll_merge_consistent_and_bounded(spark, sf_dir):
     }
     assert rows, "no event types"
     for et, r in rows.items():
-        assert r.merge_equals_direct == 1, (et, r)
+        assert r.merge_consistent == 1, (et, r)
         assert r.merged_within_5pct == 1, (et, r)
         assert abs(direct[et] - r.exact_distinct) <= max(
             3, 0.05 * r.exact_distinct
