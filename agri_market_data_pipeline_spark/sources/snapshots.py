@@ -189,8 +189,12 @@ class SnapshotStore:
         section, so the interleaving where stealer A unlinks-and-relinks
         a live lock between stealer B's check and B's unlink is
         impossible: by the time B holds the guard, the lock records A's
-        live pid and B backs off. Returns True iff the caller may retry
-        its link."""
+        live pid and B backs off. The sidecar is deliberately NEVER
+        unlinked: removing it would let a later stealer open (create) a
+        NEW inode at the same path and flock that instead — two holders,
+        no mutual exclusion. One empty file per store is the price of
+        the guarantee. Returns True iff the caller may retry its
+        link."""
         import fcntl
 
         guard = lock + ".steal"
