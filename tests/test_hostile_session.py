@@ -23,6 +23,11 @@ PROBES = [
     "win_retention_cohort",
     "win_streak",
     "stream_python_datasource",
+    # r6 additions: conv()/modulo hash-lattice arithmetic and the
+    # HLL tolerance contract must hold under ANSI mode too
+    "agg_join_size_sketch",
+    "dq_k_anonymity",
+    "agg_hll_merge",
 ]
 
 
