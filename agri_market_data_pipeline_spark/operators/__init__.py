@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     analytics,
     asof,
     dedup,
+    geo,
     graph,
     ingest_parity,
     joins,

@@ -373,3 +373,21 @@ def test_coverage_check_green_and_readme_counts_in_sync():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "README counts in sync" in out.stdout, out.stdout
+
+
+def test_join_geo_radius_is_cell_blocked_equi_join(spark, sf_dir):
+    """The radius join must stay a hash equi-join on the grid-cell keys
+    with the haversine as a residual condition — never a cartesian or
+    nested-loop product (the oracle brute-forces all pairs; the Spark
+    plan must not). One exchange for the final per-customer aggregate,
+    which must have a map-side partial."""
+    from agri_market_data_pipeline_spark.operators.geo import join_geo_radius
+    from agri_market_data_pipeline_spark.plans.audit import exchange_count
+
+    df = join_geo_radius(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert has_partial_agg(df)
+    assert exchange_count(df) <= 2
