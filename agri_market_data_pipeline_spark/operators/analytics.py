@@ -2055,3 +2055,72 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         u.alias("u_stat"),
         ((u - F.col("n1") * F.col("n2") / F.lit(2.0)) / sigma).alias("z_score"),
     )
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle="""
+SELECT t.p_brand,
+       t.p_partkey,
+       t.p_retailprice,
+       CAST(t.p_size AS BIGINT) AS p_size
+FROM part t
+WHERE NOT EXISTS (
+  SELECT 1 FROM part u
+  WHERE u.p_brand = t.p_brand
+    AND u.p_retailprice <= t.p_retailprice
+    AND u.p_size >= t.p_size
+    AND (u.p_retailprice < t.p_retailprice OR u.p_size > t.p_size)
+)
+""",
+)
+def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pareto skyline: per brand, the parts not dominated by any
+    other part of the same brand on (price low, size high) — the classic
+    multi-criteria shortlist operator ("cheapest-for-its-size" frontier;
+    the reference's min/modal/max price triple is the 1-D shadow of this,
+    reference fetch_data.py:24-38). Coordinate-equal points never
+    dominate each other (no strict inequality), so exact ties all stay
+    on the frontier.
+
+    The Spark plan never forms the quadratic NOT-EXISTS product the
+    oracle brute-forces. 2-D skyline factorizes into two linear window
+    passes, both partitioned by brand (never an unbounded global
+    window): (1) within each (brand, price), only max-size rows can
+    survive (any same-price row with smaller size is strictly
+    dominated); (2) collapsing to one (price, max_size) row per price —
+    making the window ordering unique without a tiebreaker — a price
+    point survives iff the running max of size over strictly-cheaper
+    prices stays below its own size. A left-semi join fans the
+    surviving (brand, price) pairs back out to part rows (coordinate
+    duplicates included). At 100 TB both windows and the semi join
+    shuffle on the same brand-led keys; per-brand sort is the only
+    super-linear term and sorts only that brand's rows."""
+    p = load(spark, sf_dir, "part")
+    w_price = Window.partitionBy("p_brand", "p_retailprice")
+    best_at_price = p.withColumn(
+        "mx", F.max("p_size").over(w_price)
+    ).filter(F.col("p_size") == F.col("mx"))
+    price_points = best_at_price.select(
+        "p_brand", "p_retailprice", "mx"
+    ).distinct()
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = price_points.withColumn(
+        "cheaper_mx", F.max("mx").over(w_cheaper)
+    ).filter(
+        F.col("cheaper_mx").isNull() | (F.col("cheaper_mx") < F.col("mx"))
+    )
+    return best_at_price.join(
+        frontier.select("p_brand", "p_retailprice"),
+        ["p_brand", "p_retailprice"],
+        "left_semi",
+    ).select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.col("p_size").cast("long").alias("p_size"),
+    )

@@ -646,3 +646,177 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
         )
     )
+
+
+# Naive-Bayes split: train on cells < _SPLIT_TRAIN, score cells >= _SPLIT_VAL
+# (the same 100-cell md5 lattice as split_train_test — the classifier's
+# held-out set IS the corpus's test split).
+_NB_LATTICE = 1_000_000  # 1e-6 log-prob lattice (registry ROUND-for-ln rule)
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 100 AS cell
+  FROM documents
+),
+tr AS (SELECT * FROM d WHERE cell < {_SPLIT_TRAIN}),
+te AS (SELECT * FROM d WHERE cell >= {_SPLIT_VAL}),
+trtok AS (
+  SELECT lang, UNNEST(toks) AS token FROM tr
+),
+cnt AS (
+  SELECT lang, token, COUNT(*) AS c FROM trtok WHERE token <> '' GROUP BY 1, 2
+),
+tot AS (
+  SELECT lang, COUNT(*) AS t FROM trtok WHERE token <> '' GROUP BY 1
+),
+vocab AS (SELECT DISTINCT token FROM trtok WHERE token <> ''),
+vsz AS (SELECT COUNT(*) AS v FROM vocab),
+prior AS (
+  SELECT lang,
+         CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM tr)) * {_NB_LATTICE})
+              AS BIGINT) AS prior6
+  FROM tr GROUP BY 1
+),
+lp AS (
+  SELECT w.token, t.lang,
+         CAST(ROUND(LN((COALESCE(c.c, 0) + 1)
+                       / CAST(t.t + s.v AS DOUBLE)) * {_NB_LATTICE})
+              AS BIGINT) AS lp6
+  FROM vocab w CROSS JOIN tot t CROSS JOIN vsz s
+  LEFT JOIN cnt c ON c.token = w.token AND c.lang = t.lang
+),
+tetok AS (
+  SELECT doc_id, lang AS actual, UNNEST(toks) AS token FROM te
+),
+score AS (
+  SELECT k.doc_id, k.actual, l.lang AS cls, SUM(l.lp6) AS s6
+  FROM tetok k JOIN lp l ON l.token = k.token
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT sc.doc_id, sc.actual, sc.cls,
+         ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                            ORDER BY sc.s6 + p.prior6 DESC, sc.cls ASC) AS rn
+  FROM score sc JOIN prior p ON p.lang = sc.cls
+)
+SELECT actual AS actual_lang, cls AS predicted_lang, COUNT(*) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+""",
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and scored
+    in one DAG: Laplace-smoothed token likelihoods are fit on the
+    deterministic train split (same md5 cell lattice as
+    `split_train_test`), held-out docs get argmax_c [ln P(c) + sum_t
+    ln P(t|c)], and the result is the confusion matrix
+    (actual x predicted doc counts). The generative-counts complement to
+    `ml_logreg_quality`'s iterative discriminative fit — NB is pure
+    relational algebra (two grouped counts + one join + one argmax), so
+    unlike gradient descent it IS oracle-checkable end to end. (On the
+    driver testdata the lang column is statistically independent of the
+    text, so the matrix here is near-chance by construction; that the
+    classifier learns when signal exists is pinned by the
+    planted-corpus test in tests/test_new_ops.py.)
+
+    Cross-engine determinism: every ln is evaluated on an exact integer
+    ratio, scaled to the 1e-6 lattice and ROUNDed to a BIGINT on both
+    engines (registry ROUND-for-ln rule); per-doc scores then sum
+    INTEGERS, so addition order cannot perturb the argmax, and the
+    argmax itself tiebreaks on class name via row_number. Out-of-vocab
+    test tokens drop on both sides (inner join to the trained table);
+    docs with zero in-vocab tokens are unscorable and excluded by the
+    same inner join.
+
+    Scale shape: training is one shuffle keyed (lang, token) with
+    map-side partial counts; the dense likelihood table is
+    |vocab| x |classes| — broadcast here, and at real-corpus vocab it is
+    top-V capped (standard NB practice) to stay broadcastable; scoring
+    is a broadcast join + partial-agg groupBy(doc, class); the argmax
+    window partitions by doc_id (never global). Nothing quadratic,
+    nothing iterative, no Python UDF."""
+    d = load_parallel(spark, sf_dir, "documents")
+    cell = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    d = d.withColumn("cell", cell)
+    tr = d.filter(F.col("cell") < _SPLIT_TRAIN)
+    te = d.filter(F.col("cell") >= _SPLIT_VAL)
+
+    trtok = tr.select(
+        "lang", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    cnt = trtok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    tot = trtok.groupBy("lang").agg(F.count("*").alias("t"))
+    vocab = trtok.select("token").distinct()
+    vsz = vocab.agg(F.count("*").alias("v"))
+    n_train = tr.agg(F.count("*").alias("n_tr"))
+    prior = (
+        tr.groupBy("lang")
+        .agg(F.count("*").alias("nc"))
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            "lang",
+            F.round(
+                F.log(F.col("nc").cast("double") / F.col("n_tr"))
+                * _NB_LATTICE
+            )
+            .cast("long")
+            .alias("prior6"),
+        )
+    )
+    lp = (
+        vocab.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vsz))
+        .join(F.broadcast(cnt), ["token", "lang"], "left")
+        .select(
+            "token",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("t") + F.col("v")).cast("double")
+                )
+                * _NB_LATTICE
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+
+    tetok = te.select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    score = (
+        tetok.join(F.broadcast(lp), "token")
+        .groupBy("doc_id", "actual", F.col("lang").alias("cls"))
+        .agg(F.sum("lp6").alias("s6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score6").desc(), F.col("cls").asc()
+    )
+    pred = (
+        score.join(F.broadcast(prior), score.cls == prior.lang)
+        .select(
+            "doc_id",
+            "actual",
+            "cls",
+            (F.col("s6") + F.col("prior6")).alias("score6"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return pred.groupBy(
+        F.col("actual").alias("actual_lang"),
+        F.col("cls").alias("predicted_lang"),
+    ).agg(F.count("*").alias("n_docs"))

@@ -598,3 +598,52 @@ def test_pair_generators_degree_cap_planted_hub(spark, tmp_path):
     sizes = {r.ok: r["count"] for r in ob.groupBy("ok").count().collect()}
     assert sizes[1] == _MB_DEGREE_CAP, sizes[1]
     assert all(v <= _MB_DEGREE_CAP for v in sizes.values())
+
+
+def test_naive_bayes_learns_planted_signal(spark, tmp_path):
+    """Plant a corpus where tokens DO carry the label (each language has
+    a signature word; the driver testdata's lang column is independent
+    of its text, so learnability must be tested on a planted fixture)
+    and assert the classifier lands (nearly) all held-out mass on the
+    confusion-matrix diagonal — the one property the replay-oracle
+    can't express (it would be green for a classifier that predicts the
+    majority class for everything)."""
+    import pandas as pd
+
+    langs = ["de", "en", "es", "fr", "zh"]
+    sig = {c: f"sig{c}" for c in langs}
+    docs = []
+    for i in range(500):
+        c = langs[i % 5]
+        text = f"{sig[c]} data table {sig[c]} row key {sig[c]} join"
+        docs.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": c,
+                "source": "s0",
+                "n_chars": len(text),
+            }
+        )
+    pd.DataFrame(docs).to_parquet(tmp_path / "documents.parquet")
+
+    rows = _q("ml_naive_bayes")(spark, str(tmp_path)).collect()
+    total = sum(r.n_docs for r in rows)
+    diag = sum(r.n_docs for r in rows if r.actual_lang == r.predicted_lang)
+    assert total > 0
+    assert diag == total, rows
+
+
+def test_skyline_rows_are_mutually_nondominated(spark, sf_dir):
+    """Within each brand no output row may dominate another output row
+    (frontier internal consistency — holds under any tie layout)."""
+    import pandas as pd  # noqa: F401
+
+    out = _q("agg_skyline_pareto")(spark, sf_dir).toPandas()
+    for brand, g in out.groupby("p_brand"):
+        pts = list(zip(g.p_retailprice, g.p_size))
+        for px, sx in pts:
+            assert not any(
+                (qx <= px and qy >= sx and (qx < px or qy > sx))
+                for qx, qy in pts
+            ), (brand, px, sx)
