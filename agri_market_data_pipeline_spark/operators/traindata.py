@@ -20,7 +20,7 @@ parallel at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_SHINGLES3, shingles3, tokens
@@ -820,3 +820,205 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("actual").alias("actual_lang"),
         F.col("cls").alias("predicted_lang"),
     ).agg(F.count("*").alias("n_docs"))
+
+
+_STUMP_BUCKETS = 32
+
+
+@query(
+    "ml_dt_stump",
+    oracle=f"""
+WITH m AS (
+  SELECT 'disc' AS feature, l_discount AS v,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem
+  UNION ALL
+  SELECT 'price', l_extendedprice,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+  UNION ALL
+  SELECT 'qty', l_quantity,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+),
+rng AS (SELECT feature, MIN(v) AS lo, MAX(v) AS hi FROM m GROUP BY 1),
+b AS (
+  SELECT m.feature,
+         LEAST(CAST(FLOOR((m.v - r.lo)
+                          / ((r.hi - r.lo) / {_STUMP_BUCKETS}.0)) AS BIGINT),
+               {_STUMP_BUCKETS - 1}) AS bucket,
+         m.y, r.lo, r.hi
+  FROM m JOIN rng r USING (feature)
+),
+g AS (
+  SELECT feature, bucket, lo, hi,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM b GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT feature, bucket, lo, hi,
+         CAST(SUM(n) OVER w AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER w AS BIGINT) AS posl,
+         CAST(SUM(n) OVER p AS BIGINT) AS nt,
+         CAST(SUM(pos) OVER p AS BIGINT) AS post
+  FROM g
+  WINDOW w AS (PARTITION BY feature ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY feature)
+),
+gain AS (
+  SELECT feature, bucket, lo, hi, nl, posl,
+         nt - nl AS nr, post - posl AS posr,
+         (1.0 - (CAST(post AS DOUBLE) / nt) * (CAST(post AS DOUBLE) / nt)
+              - (CAST(nt - post AS DOUBLE) / nt) * (CAST(nt - post AS DOUBLE) / nt))
+         - ((CAST(nl AS DOUBLE) / nt)
+            * (1.0 - (CAST(posl AS DOUBLE) / nl) * (CAST(posl AS DOUBLE) / nl)
+                   - (CAST(nl - posl AS DOUBLE) / nl) * (CAST(nl - posl AS DOUBLE) / nl))
+            + (CAST(nt - nl AS DOUBLE) / nt)
+            * (1.0 - (CAST(post - posl AS DOUBLE) / (nt - nl)) * (CAST(post - posl AS DOUBLE) / (nt - nl))
+                   - (CAST((nt - nl) - (post - posl) AS DOUBLE) / (nt - nl))
+                     * (CAST((nt - nl) - (post - posl) AS DOUBLE) / (nt - nl))))
+           AS gain
+  FROM cum WHERE nl < nt
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gain DESC, feature ASC, bucket ASC) AS rn
+  FROM gain
+)
+SELECT feature, bucket AS split_bucket,
+       lo + (bucket + 1) * ((hi - lo) / {_STUMP_BUCKETS}.0) AS threshold,
+       gain, nl AS n_left, posl AS pos_left, nr AS n_right, posr AS pos_right
+FROM best WHERE rn = 1
+""",
+)
+def ml_dt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump trainer: the best single (feature, threshold)
+    split of lineitem rows on the returned-flag label by Gini impurity
+    reduction — the missing tree member of the engine's ML corner
+    (k-means, logreg, NB) and the base learner every boosted-ensemble
+    pipeline starts from.
+
+    Split search is the classic histogram method (the same move
+    LightGBM/XGBoost 'hist' makes to scale): each feature is quantized
+    onto a {_STUMP_BUCKETS}-bucket min/max lattice, so candidate
+    thresholds come from ONE pass of exact (n, n_pos) bucket counts —
+    cumulative sums over a feature-partitioned window then price every
+    left/right split in closed form. Cost is one melt scan + one
+    (feature, bucket) shuffle with map-side partials, independent of row
+    count beyond the scan; the final argmax window ranks the
+    3 x {_STUMP_BUCKETS}-row post-aggregate candidate table (bounded, so
+    the zero-partition window is legal under the plan walker).
+
+    Cross-engine determinism: bucket ids come from one IEEE divide/floor
+    chain on exact min/max (no transcendentals), counts are exact
+    BIGINTs, and the Gini gain is a FIXED expression tree over exact
+    integer ratios — correctly-rounded IEEE ops only (x*x, never pow),
+    hence bitwise-equal on both engines and shipped unrounded; ties
+    break on (feature, bucket)."""
+    li = load_parallel(spark, sf_dir, "lineitem")
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y")
+    m = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("disc").alias("feature"),
+                    F.col("l_discount").alias("v"),
+                ),
+                F.struct(
+                    F.lit("price").alias("feature"),
+                    F.col("l_extendedprice").alias("v"),
+                ),
+                F.struct(
+                    F.lit("qty").alias("feature"),
+                    F.col("l_quantity").alias("v"),
+                ),
+            )
+        ).alias("fv"),
+        y,
+    ).select("fv.feature", "fv.v", "y")
+    rng = m.groupBy("feature").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    nb = F.lit(float(_STUMP_BUCKETS))
+    b = m.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "lo",
+        "hi",
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nb)
+            ).cast("long"),
+            F.lit(_STUMP_BUCKETS - 1).cast("long"),
+        ).alias("bucket"),
+        "y",
+    )
+    g = b.groupBy("feature", "bucket", "lo", "hi").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("feature")
+    cum = g.select(
+        "feature",
+        "bucket",
+        "lo",
+        "hi",
+        F.sum("n").over(w_cum).alias("nl"),
+        F.sum("pos").over(w_cum).alias("posl"),
+        F.sum("n").over(w_tot).alias("nt"),
+        F.sum("pos").over(w_tot).alias("post"),
+    ).filter(F.col("nl") < F.col("nt"))
+
+    def _gini(p: Column, q: Column) -> Column:
+        return F.lit(1.0) - p * p - q * q
+
+    nt_d = F.col("nt").cast("double")
+    nl_d = F.col("nl").cast("double")
+    nr = F.col("nt") - F.col("nl")
+    posr = F.col("post") - F.col("posl")
+    gini_p = _gini(
+        F.col("post").cast("double") / F.col("nt"),
+        (F.col("nt") - F.col("post")).cast("double") / F.col("nt"),
+    )
+    gini_l = _gini(
+        F.col("posl").cast("double") / F.col("nl"),
+        (F.col("nl") - F.col("posl")).cast("double") / F.col("nl"),
+    )
+    gini_r = _gini(
+        posr.cast("double") / nr,
+        (nr - posr).cast("double") / nr,
+    )
+    gain = gini_p - (
+        nl_d / F.col("nt") * gini_l + nr.cast("double") / F.col("nt") * gini_r
+    )
+    scored = cum.select(
+        "feature",
+        "bucket",
+        "lo",
+        "hi",
+        "nl",
+        "posl",
+        nr.alias("nr"),
+        posr.alias("posr"),
+        gain.alias("gain"),
+    )
+    w_best = Window.orderBy(
+        F.col("gain").desc(), F.col("feature").asc(), F.col("bucket").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("bucket").alias("split_bucket"),
+            (
+                F.col("lo")
+                + (F.col("bucket") + 1) * ((F.col("hi") - F.col("lo")) / nb)
+            ).alias("threshold"),
+            "gain",
+            F.col("nl").alias("n_left"),
+            F.col("posl").alias("pos_left"),
+            F.col("nr").alias("n_right"),
+            F.col("posr").alias("pos_right"),
+        )
+    )

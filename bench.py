@@ -76,6 +76,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "graph_bipartite_projection",
     "agg_bootstrap_se",
+    "join_geo_radius",
 ]
 
 

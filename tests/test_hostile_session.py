@@ -28,6 +28,10 @@ PROBES = [
     "agg_join_size_sketch",
     "dq_k_anonymity",
     "agg_hll_merge",
+    # trig + md5-lattice coordinates and the ln score lattice must be
+    # timezone/ANSI-insensitive too
+    "fn_geo_haversine",
+    "ml_naive_bayes",
 ]
 
 

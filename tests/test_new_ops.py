@@ -647,3 +647,29 @@ def test_skyline_rows_are_mutually_nondominated(spark, sf_dir):
                 (qx <= px and qy >= sx and (qx < px or qy > sx))
                 for qx, qy in pts
             ), (brand, px, sx)
+
+
+def test_dt_stump_finds_planted_split(spark, tmp_path):
+    """Plant a perfectly separable feature (label R iff discount >=
+    0.05; qty/price pure noise) and assert the stump picks it with a
+    clean split — the learnability property the replay-oracle can't
+    express."""
+    import pandas as pd
+
+    rows = [
+        {
+            "l_quantity": float(i % 7),
+            "l_extendedprice": 1000.0 + (i % 13),
+            "l_discount": (i % 10) / 100.0,
+            "l_returnflag": "R" if (i % 10) / 100.0 >= 0.05 else "N",
+        }
+        for i in range(1000)
+    ]
+    pd.DataFrame(rows).to_parquet(tmp_path / "lineitem.parquet")
+
+    out = _q("ml_dt_stump")(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.feature == "disc", r
+    assert r.pos_left == 0 and r.pos_right == r.n_right, r
+    assert r.n_left + r.n_right == 1000, r
