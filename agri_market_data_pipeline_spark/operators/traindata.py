@@ -841,9 +841,10 @@ WITH m AS (
 rng AS (SELECT feature, MIN(v) AS lo, MAX(v) AS hi FROM m GROUP BY 1),
 b AS (
   SELECT m.feature,
-         LEAST(CAST(FLOOR((m.v - r.lo)
-                          / ((r.hi - r.lo) / {_STUMP_BUCKETS}.0)) AS BIGINT),
-               {_STUMP_BUCKETS - 1}) AS bucket,
+         CASE WHEN r.hi = r.lo THEN 0
+              ELSE LEAST(CAST(FLOOR((m.v - r.lo)
+                              / ((r.hi - r.lo) / {_STUMP_BUCKETS}.0)) AS BIGINT),
+                         {_STUMP_BUCKETS - 1}) END AS bucket,
          m.y, r.lo, r.hi
   FROM m JOIN rng r USING (feature)
 ),
@@ -941,12 +942,20 @@ def ml_dt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         "lo",
         "hi",
-        F.least(
-            F.floor(
-                (F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / nb)
-            ).cast("long"),
-            F.lit(_STUMP_BUCKETS - 1).cast("long"),
-        ).alias("bucket"),
+        # constant feature → single bucket 0 (nl == nt, so it can never
+        # be picked as a split; without the guard 0/0 = NaN buckets
+        # diverge between engines)
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / nb)
+                ).cast("long"),
+                F.lit(_STUMP_BUCKETS - 1).cast("long"),
+            )
+        )
+        .alias("bucket"),
         "y",
     )
     g = b.groupBy("feature", "bucket", "lo", "hi").agg(

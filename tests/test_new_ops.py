@@ -651,7 +651,8 @@ def test_skyline_rows_are_mutually_nondominated(spark, sf_dir):
 
 def test_dt_stump_finds_planted_split(spark, tmp_path):
     """Plant a perfectly separable feature (label R iff discount >=
-    0.05; qty/price pure noise) and assert the stump picks it with a
+    0.05; qty pure noise, price CONSTANT — exercising the hi==lo
+    single-bucket guard) and assert the stump picks the signal with a
     clean split — the learnability property the replay-oracle can't
     express."""
     import pandas as pd
@@ -659,7 +660,7 @@ def test_dt_stump_finds_planted_split(spark, tmp_path):
     rows = [
         {
             "l_quantity": float(i % 7),
-            "l_extendedprice": 1000.0 + (i % 13),
+            "l_extendedprice": 1000.0,
             "l_discount": (i % 10) / 100.0,
             "l_returnflag": "R" if (i % 10) / 100.0 >= 0.05 else "N",
         }
