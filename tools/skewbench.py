@@ -211,7 +211,165 @@ def hub_main() -> int:
     return 0
 
 
+def geo_main() -> int:
+    """Planted hot-city-cell measurement for join_geo_radius's skew
+    story: pin `hot_frac` of both customers and suppliers into ONE grid
+    cell (a megacity), so roughly half the candidate-pair work of the
+    cell-blocked equi-join lands on a single shuffle key, and time the
+    join with AQE skew-join splitting ON vs OFF. The quadratic hot-cell
+    pair count is inherent to radius semantics (dense-city pairs really
+    are all within R); what the plan controls is whether one task eats
+    it — the measured artifact behind geo.py's 'AQE's skew-join split
+    handles a hot city cell' claim. Run:
+
+        python tools/skewbench.py geo [n_cust] [n_supp] [hot_frac]
+    """
+    from agri_market_data_pipeline_spark.operators.geo import (
+        _LAT_BASE,
+        _LAT_SPAN,
+        _LON_BASE,
+        _LON_SPAN,
+        _R_KM,
+        _cell_cols,
+        _hash_coord,
+        _haversine_km,
+    )
+
+    n_cust = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    n_supp = int(sys.argv[3]) if len(sys.argv) > 3 else 15_000
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
+
+    spark = get_spark("skewbench-geo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # hot city ~ Delhi; pinned points jitter on a ~0.2-degree lattice so
+    # they stay inside one cell but are not literally identical
+    def frame(n: int, salt: str, n_hot: int):
+        d = spark.range(n, numPartitions=32).select(
+            F.col("id"),
+            _hash_coord(F.col("id"), salt + "lat", _LAT_BASE, _LAT_SPAN).alias(
+                "lat"
+            ),
+            _hash_coord(F.col("id"), salt + "lon", _LON_BASE, _LON_SPAN).alias(
+                "lon"
+            ),
+        )
+        hot = F.col("id") < n_hot
+        d = d.select(
+            "id",
+            F.when(hot, F.lit(28.6) + (F.col("id") % 2000) / 10000.0)
+            .otherwise(F.col("lat"))
+            .alias("lat"),
+            F.when(hot, F.lit(77.2) + (F.col("id") % 2000) / 10000.0)
+            .otherwise(F.col("lon"))
+            .alias("lon"),
+        )
+        cy, cx = _cell_cols(F.col("lat"), F.col("lon"))
+        return d.select(
+            "id", "lat", "lon", cy.alias("cy"), cx.alias("cx")
+        ).localCheckpoint(eager=True)
+
+    cust = frame(n_cust, "gc", int(n_cust * hot_frac))
+    supp = frame(n_supp, "gs", int(n_supp * hot_frac))
+
+    def radius_join():
+        off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        probe = (
+            cust.select(
+                F.col("id").alias("cid"),
+                F.col("lat").alias("c_lat"),
+                F.col("lon").alias("c_lon"),
+                "cy",
+                "cx",
+            )
+            .select("*", off.alias("dy"))
+            .select("*", off.alias("dx"))
+        )
+        s = supp.select(
+            F.col("id").alias("sid"),
+            F.col("lat").alias("s_lat"),
+            F.col("lon").alias("s_lon"),
+            F.col("cy").alias("scy"),
+            F.col("cx").alias("scx"),
+        )
+        d = _haversine_km(
+            F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+        )
+        return (
+            probe.join(
+                s,
+                (probe.cy + probe.dy == s.scy) & (probe.cx + probe.dx == s.scx),
+            )
+            .withColumn("d", d)
+            .filter(F.col("d") <= F.lit(_R_KM))
+            .groupBy("cid")
+            .agg(F.count("*").alias("n_within"), F.min("d").alias("nearest"))
+        )
+
+    # The hot cell is COMPUTE-skewed, not byte-skewed: its quadratic
+    # pair output comes from a few MB of shuffle input, far below AQE's
+    # default 256 MB skewedPartitionThresholdInBytes — so stock AQE
+    # never splits it (measured: 0.98x, i.e. no effect). The fix is
+    # scaling the byte thresholds to the join's compute density; the
+    # 'tuned' variant is what a geo-join job config must ship.
+    _SKEW_CONFS = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256k",
+    }
+
+    def timed(skew_on: bool, tuned: bool) -> float:
+        old = {
+            k: spark.conf.get(k, None)
+            for k in list(_SKEW_CONFS)
+            + [
+                "spark.sql.adaptive.skewJoin.enabled",
+                "spark.sql.autoBroadcastJoinThreshold",
+            ]
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        # force shuffle joins so the skewed exchange actually exists
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        if tuned:
+            for k, v in _SKEW_CONFS.items():
+                spark.conf.set(k, v)
+        try:
+            radius_join().write.format("noop").mode("overwrite").save()  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                radius_join().write.format("noop").mode("overwrite").save()
+                ts.append(time.time() - t0)
+            return statistics.median(ts)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    t_off = timed(False, False)
+    t_stock = timed(True, False)
+    t_tuned = timed(True, True)
+    hot_pairs = int(n_cust * hot_frac) * int(n_supp * hot_frac)
+    print(
+        f"planted hot cell: {hot_frac:.0%} of {n_cust:,} customers and "
+        f"{n_supp:,} suppliers in one city cell "
+        f"(~{hot_pairs:,} hot candidate pairs on one shuffle key)"
+    )
+    print("| variant | median wall s |")
+    print("|---------|--------------:|")
+    print(f"| skew split OFF | {t_off:.3f} |")
+    print(f"| skew split ON, stock 256 MB byte threshold | {t_stock:.3f} |")
+    print(f"| skew split ON, thresholds scaled to compute density | {t_tuned:.3f} |")
+    print(f"stock-AQE speedup: {t_off / t_stock:.2f}x (byte heuristic misses compute skew)")
+    print(f"tuned-threshold speedup: {t_off / t_tuned:.2f}x")
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hub":
         raise SystemExit(hub_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "geo":
+        raise SystemExit(geo_main())
     raise SystemExit(main())
