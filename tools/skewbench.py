@@ -23,6 +23,13 @@ degree makes the per-key quadratic term dominate, and time the capped
 vs uncapped join. Run:
 
     python tools/skewbench.py hub [n_normal_keys] [hub_degree]
+
+A third mode measures join_geo_radius's hot-city-cell story: a dense
+cell is compute-skewed from tiny input, which stock AQE's byte-based
+skew detector misses — the measurement behind the density-scaled
+threshold guidance in operators/geo.py and SCALE.md. Run:
+
+    python tools/skewbench.py geo [n_cust] [n_supp] [hot_frac]
 """
 
 from __future__ import annotations
