@@ -170,3 +170,54 @@ def test_bpe_fold_matches_python_reference(spark, seq, pair):
         _bpe_apply_merge(F.col("seq"), F.lit(a), F.lit(b)).alias("m")
     ).collect()[0].m
     assert got == out, (seq, pair, got, out)
+
+
+@given(
+    lat1=st.floats(min_value=8.0, max_value=35.9999),
+    lon1=st.floats(min_value=68.0, max_value=96.9999),
+    # second point drawn as a DELTA so nearly every example lands in the
+    # near-R regime where the lemma could actually fail (uniform pairs
+    # over the box are >300 km apart ~97% of the time)
+    dlat=st.floats(min_value=-3.6, max_value=3.6),
+    dlon=st.floats(min_value=-4.2, max_value=4.2),
+)
+@settings(max_examples=3000, deadline=None)
+def test_geo_cell_containment_lemma(lat1, lon1, dlat, dlon):
+    lat2 = min(max(lat1 + dlat, 8.0), 35.9999)
+    lon2 = min(max(lon1 + dlon, 68.0), 96.9999)
+    return _geo_lemma_body(lat1, lon1, lat2, lon2)
+
+
+def _geo_lemma_body(lat1, lon1, lat2, lon2):
+    """The radius join's correctness rests on a geometric lemma, not on
+    testdata: any two points of the subcontinent box within R km must
+    land in the same or ADJACENT grid cells (|Δcell| <= 1 on each
+    axis) — otherwise the 3x3 probe would silently miss true
+    neighbors. hypothesis attacks the lemma directly over the
+    continuous box (the DuckDB oracle can only test it on the md5
+    lattice)."""
+    import math
+
+    from agri_market_data_pipeline_spark.operators.geo import (
+        _CELL_LAT_DEG,
+        _CELL_LON_DEG,
+        _EARTH_2R,
+        _LAT_BASE,
+        _LON_BASE,
+        _R_KM,
+    )
+
+    sdphi = math.sin(math.radians(lat2 - lat1) / 2)
+    sdlam = math.sin(math.radians(lon2 - lon1) / 2)
+    a = sdphi * sdphi + math.cos(math.radians(lat1)) * math.cos(
+        math.radians(lat2)
+    ) * sdlam * sdlam
+    d = _EARTH_2R * math.asin(math.sqrt(min(1.0, a)))
+    if d > _R_KM:
+        return  # lemma only constrains true neighbors
+    cy1 = math.floor((lat1 - _LAT_BASE) / _CELL_LAT_DEG)
+    cy2 = math.floor((lat2 - _LAT_BASE) / _CELL_LAT_DEG)
+    cx1 = math.floor((lon1 - _LON_BASE) / _CELL_LON_DEG)
+    cx2 = math.floor((lon2 - _LON_BASE) / _CELL_LON_DEG)
+    assert abs(cy1 - cy2) <= 1, (lat1, lat2, d)
+    assert abs(cx1 - cx2) <= 1, (lon1, lon2, d)
