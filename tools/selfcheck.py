@@ -58,6 +58,9 @@ def main() -> int:
         return 1
 
     spark = get_spark("selfcheck")
+    hostile = bool(os.environ.get("SPARK_GRAFT_HOSTILE"))
+    if hostile:
+        print("HOSTILE session: Asia/Kolkata + ANSI re-set before EVERY query")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(
@@ -69,6 +72,15 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        if hostile:
+            # full-registry robustness sweep: every query must stay
+            # oracle-green when handed a session with determinism-
+            # hostile conf, which the __spark_entry__ wrappers'
+            # ensure_runtime_conf is supposed to own. The wrapper RESETS
+            # the conf, so re-poison before each query (exactly what
+            # tests/test_hostile_session.py does for its probe subset).
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+            spark.conf.set("spark.sql.ansi.enabled", "true")
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
