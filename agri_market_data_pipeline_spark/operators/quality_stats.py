@@ -1009,3 +1009,112 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size", "nation", "segment")
     )
+
+
+# Differential-privacy release: epsilon and the clamp bound (sensitivity
+# of the clamped sum). Deterministic md5-lattice uniforms stand in for
+# the CSPRNG draws so the mechanism is oracle-checkable; see docstring.
+_DP_EPS = 1.0
+_DP_CLAMP = 10000.0
+
+
+def _dp_lap_sql(salt: str, b: str) -> str:
+    u = (
+        f"((CAST(('0x' || substring(md5('{salt}|' || CAST(c_nationkey AS VARCHAR)"
+        f" || '|' || c_mktsegment), 1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0"
+    )
+    return (
+        f"(-({b}) * SIGN({u} - 0.5) * LN(1.0 - 2.0 * ABS({u} - 0.5)))"
+    )
+
+
+@query(
+    "dq_dp_counts",
+    oracle=f"""
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       c_mktsegment AS segment,
+       {_DP_EPS} AS epsilon,
+       ROUND(COUNT(*) + {_dp_lap_sql("dpc", f"1.0 / {_DP_EPS}")}, 4) AS n_noisy,
+       ROUND(CAST(SUM(CAST(LEAST(GREATEST(c_acctbal, 0.0), {_DP_CLAMP})
+                           AS DECIMAL(30,6))) AS DOUBLE)
+             + {_dp_lap_sql("dps", f"{_DP_CLAMP} / {_DP_EPS}")}, 4) AS acctbal_sum_noisy
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+""",
+)
+def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the (nation x segment) customer
+    histogram: Laplace mechanism on the count (sensitivity 1) and on the
+    [0, {_DP_CLAMP}]-clamped account-balance sum (sensitivity =
+    {_DP_CLAMP}, the contribution bound), both at epsilon = {_DP_EPS}
+    per statistic — the perturbation-side privacy primitive
+    (dq_k_anonymity is the suppression side) that a corpus-stats
+    publication pipeline runs before numbers leave the enclave.
+
+    HONESTY NOTE: the uniform draws here are md5-lattice values of the
+    group key — DETERMINISTIC, hence reproducible and oracle-checkable,
+    hence NOT private (a seeded mechanism gives no DP guarantee; an
+    adversary who knows the seed subtracts the noise). The operator
+    demonstrates calibration and plumbing — clamp -> exact DECIMAL sum
+    -> scale-b Laplace via inverse CDF -> single release per statistic —
+    and production swaps the lattice uniform for a CSPRNG draw, changing
+    no other line. Inverse-CDF ln outputs are ROUNDed to 4 decimals on
+    both engines (registry ln rule); the clamped sum accumulates in
+    DECIMAL so the noise is added to a bitwise-identical base.
+
+    Scale shape: one partial-agg pass over the fact (count + clamped
+    DECIMAL sum are both map-side combinable); the noise is a row-local
+    expression over the K-row aggregate. Nothing about the mechanism
+    costs more than the aggregate it protects."""
+    c = load(spark, sf_dir, "customer")
+
+    def lap(salt: str, b: float) -> F.Column:
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(salt + "|"),
+                            F.col("c_nationkey").cast("string"),
+                            F.lit("|"),
+                            F.col("c_mktsegment"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        u = (h + F.lit(0.5)) / F.lit(1000000.0)
+        return (
+            -F.lit(b)
+            * F.signum(u - F.lit(0.5))
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+        )
+
+    clamped = F.least(
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)), F.lit(_DP_CLAMP)
+    )
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.round(F.count("*") + lap("dpc", 1.0 / _DP_EPS), 4).alias(
+                "n_noisy"
+            ),
+            F.round(
+                F.sum(clamped.cast("decimal(30,6)")).cast("double")
+                + lap("dps", _DP_CLAMP / _DP_EPS),
+                4,
+            ).alias("acctbal_sum_noisy"),
+        )
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(_DP_EPS).alias("epsilon"),
+            "n_noisy",
+            "acctbal_sum_noisy",
+        )
+    )

@@ -674,3 +674,56 @@ def test_dt_stump_finds_planted_split(spark, tmp_path):
     assert r.feature == "disc", r
     assert r.pos_left == 0 and r.pos_right == r.n_right, r
     assert r.n_left + r.n_right == 1000, r
+
+
+def test_dp_counts_noise_is_calibrated(spark, sf_dir):
+    """The Laplace release must stay within the mechanism's hard noise
+    envelope (|noise| <= b * ln(1e6) ~= 13.82 b on the 1e-6 lattice) of
+    the true statistics, and must never release the true value of a
+    clamped sum whose clamp actually bound (the noise column is the
+    only difference) — properties the replay-oracle can't distinguish
+    from a broken mechanism that adds zero noise everywhere."""
+    from agri_market_data_pipeline_spark.operators.quality_stats import (
+        _DP_CLAMP,
+        _DP_EPS,
+    )
+
+    out = {
+        (r.nation, r.segment): r
+        for r in _q("dq_dp_counts")(spark, sf_dir).collect()
+    }
+    truth = {
+        (r.nation, r.segment): r
+        for r in load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.least(
+                    F.greatest(F.col("c_acctbal"), F.lit(0.0)),
+                    F.lit(_DP_CLAMP),
+                ).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert set(out) == set(truth)
+    import math
+
+    env = math.log(1e6)  # max |lap| on the (h+0.5)/1e6 lattice
+    n_nonzero = 0
+    for k, r in out.items():
+        t = truth[k]
+        assert abs(r.n_noisy - t.n) <= env / _DP_EPS + 1e-6, (k, r, t)
+        assert (
+            abs(r.acctbal_sum_noisy - t.s) <= _DP_CLAMP / _DP_EPS * env + 1e-4
+        ), (k, r, t)
+        if abs(r.n_noisy - t.n) > 1e-9:
+            n_nonzero += 1
+    # the mechanism actually perturbs (not the identity release)
+    assert n_nonzero > len(out) * 0.9, n_nonzero
