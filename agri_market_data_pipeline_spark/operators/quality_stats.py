@@ -1118,3 +1118,87 @@ def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal_sum_noisy",
         )
     )
+
+
+# Randomized response: report truth with prob 1-p, flip with prob p.
+_RR_FLIP_PCT = 25  # p = 0.25 on the 100-cell lattice
+
+
+@query(
+    "dq_rr_frequency",
+    oracle=f"""
+WITH r AS (
+  SELECT c_mktsegment AS segment,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS truth,
+         CASE WHEN CAST(('0x' || substring(md5('rr|' || CAST(c_custkey AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 100 < {_RR_FLIP_PCT} THEN 1 ELSE 0 END AS flip
+  FROM customer
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN truth != flip THEN 1 ELSE 0 END) AS BIGINT) AS reported_yes,
+       (CAST(SUM(CASE WHEN truth != flip THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        - {_RR_FLIP_PCT / 100.0}) / {1.0 - 2 * _RR_FLIP_PCT / 100.0} AS est_rate,
+       CAST(SUM(truth) AS DOUBLE) / COUNT(*) AS true_rate
+FROM r GROUP BY segment
+""",
+)
+def dq_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response frequency estimation — the LOCAL-DP member of
+    the privacy family (dq_k_anonymity suppresses, dq_dp_counts
+    perturbs centrally, this perturbs AT THE SOURCE): each row reports
+    its sensitive bit (account in debt) truthfully with probability
+    1-p and flipped with probability p = {_RR_FLIP_PCT}/100, and the
+    aggregate debiases with the classic Warner estimator
+    pi_hat = (observed_rate - p) / (1 - 2p). true_rate rides along so
+    the estimator's calibration is visible (and oracle-checked); in a
+    real deployment the truth column never exists server-side.
+
+    HONESTY NOTE (same as dq_dp_counts): the flip draws are md5-lattice
+    values of the row key — deterministic, hence verifiable, hence not
+    actually private; production swaps the lattice for client-side
+    randomness, changing nothing else.
+
+    Every output is exact integer-count arithmetic or a fixed tree of
+    IEEE ops over exact ratios — NO rounding anywhere (registry
+    integer-ratio rule), so the comparison is bitwise. One partial-agg
+    pass; the flip is a row-local expression."""
+    c = load(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+    flip = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rr|"), F.col("c_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+        < _RR_FLIP_PCT,
+        1,
+    ).otherwise(0)
+    p = _RR_FLIP_PCT / 100.0
+    r = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        truth.alias("truth"),
+        flip.alias("flip"),
+    )
+    return r.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("truth") != F.col("flip"), 1).otherwise(0))
+        .cast("long")
+        .alias("reported_yes"),
+        (
+            (
+                F.sum(F.when(F.col("truth") != F.col("flip"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*")
+                - F.lit(p)
+            )
+            / F.lit(1.0 - 2 * p)
+        ).alias("est_rate"),
+        (F.sum("truth").cast("double") / F.count("*")).alias("true_rate"),
+    )

@@ -727,3 +727,24 @@ def test_dp_counts_noise_is_calibrated(spark, sf_dir):
             n_nonzero += 1
     # the mechanism actually perturbs (not the identity release)
     assert n_nonzero > len(out) * 0.9, n_nonzero
+
+
+def test_rr_frequency_warner_identity_and_calibration(spark):
+    """Two properties the replay-oracle can't distinguish from a broken
+    estimator: (1) the Warner debias identity holds EXACTLY
+    (est = (obs/n - p)/(1-2p), recomputed independently), and (2) at
+    n ~= 300 per segment (sf0.01) the debiased estimate lands within
+    0.08 of the true rate (measured max 0.033; local-DP variance at
+    the sf0.001 fixture's n ~= 30 is legitimately ~0.4, which is why
+    this test pins the larger SF)."""
+    from agri_market_data_pipeline_spark.operators.quality_stats import (
+        _RR_FLIP_PCT,
+    )
+
+    p = _RR_FLIP_PCT / 100.0
+    rows = _q("dq_rr_frequency")(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 5
+    for r in rows:
+        expect = (r.reported_yes / r.n - p) / (1.0 - 2 * p)
+        assert r.est_rate == expect, (r, expect)
+        assert abs(r.est_rate - r.true_rate) <= 0.08, r
