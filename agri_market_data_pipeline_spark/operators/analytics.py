@@ -2124,3 +2124,127 @@ def agg_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.col("p_size").cast("long").alias("p_size"),
     )
+
+
+def _sql_pi_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+@query(
+    "ts_price_index",
+    oracle=f"""
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+         {_sql_pi_dsum("l.l_extendedprice")} / {_sql_pi_dsum("l.l_quantity")} AS p,
+         {_sql_pi_dsum("l.l_quantity")} AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT brand, p AS p0, q AS q0 FROM bm
+  WHERE month = (SELECT MIN(month) FROM bm)
+),
+terms AS (
+  SELECT t.month,
+         CAST(FLOOR(t.p * b.q0 * 1000000.0 + 0.5) AS BIGINT) AS lnum,
+         CAST(FLOOR(b.p0 * b.q0 * 1000000.0 + 0.5) AS BIGINT) AS lden,
+         CAST(FLOOR(t.p * t.q * 1000000.0 + 0.5) AS BIGINT) AS pnum,
+         CAST(FLOOR(b.p0 * t.q * 1000000.0 + 0.5) AS BIGINT) AS pden
+  FROM bm t JOIN base b USING (brand)
+),
+idx AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_items,
+         100.0 * (CAST(SUM(lnum) AS DOUBLE) / CAST(SUM(lden) AS DOUBLE)) AS laspeyres,
+         100.0 * (CAST(SUM(pnum) AS DOUBLE) / CAST(SUM(pden) AS DOUBLE)) AS paasche
+  FROM terms GROUP BY month
+)
+SELECT month, n_items, laspeyres, paasche,
+       SQRT(laspeyres * paasche) AS fisher
+FROM idx
+""",
+)
+def ts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite price index per month — Laspeyres (base-period basket),
+    Paasche (current basket), and their Fisher geometric mean — the
+    canonical downstream product of a market-price feed (the reference
+    collects mandi quotations; a published index IS what such feeds
+    exist to produce, and no other operator here does index-number
+    math). Brand unit prices p = Σ value / Σ quantity per (brand,
+    month); the base period is the corpus's first month, and each
+    month's basket is the matched sample (brands present in both base
+    and that month — the standard matched-model index), so the base
+    month itself reads exactly 100 on all three indices (test-pinned).
+
+    Determinism: unit prices are ratios of DECIMAL-exact sums (bitwise);
+    the per-brand index terms p·q are single IEEE products snapped to a
+    1e-6 INTEGER lattice via FLOOR(x·1e6 + 0.5) — pure IEEE ops, so
+    even an exact half-tie resolves identically on both engines where
+    engine ROUND() would not (see lat6) — and the integer terms sum
+    exactly, so the index ratios and Fisher's correctly-rounded sqrt
+    are bitwise identical with no final rounding. (The lattice needs
+    p·q·1e6 < 2^53; at magnitudes beyond that, coarsen the lattice or
+    move the terms to DECIMAL.)
+
+    Scale shape: one partial-agg pass to (brand, month) grain — grain
+    cardinality, not fact size, bounds everything after; the base
+    basket is a broadcast; the month aggregation is K=months rows. The
+    same plan serves a daily index at 100 TB unchanged."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("month", F.col("l_shipdate"))
+            .cast("date")
+            .alias("month"),
+        )
+        .agg(
+            (
+                dsum("l_extendedprice") / dsum("l_quantity")
+            ).alias("p"),
+            dsum("l_quantity").alias("q"),
+        )
+    )
+    base_month = bm.agg(F.min("month").alias("m0"))
+    base = (
+        bm.join(F.broadcast(base_month), bm.month == F.col("m0"))
+        .select("brand", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    def lat6(x: Column) -> Column:
+        # bit-identical half-up on the 1e-6 lattice: FLOOR(x*1e6 + 0.5)
+        # is pure IEEE ops, so a product landing EXACTLY on a half-tie
+        # resolves the same way on both engines — engine ROUND() does
+        # not (Spark rounds the shortest decimal string, DuckDB the
+        # scaled binary double; a 1996-03 Laspeyres term tied and they
+        # disagreed). Integer lattice terms then sum exactly.
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+    terms = bm.join(F.broadcast(base), "brand").select(
+        "month",
+        lat6(F.col("p") * F.col("q0")).alias("lnum"),
+        lat6(F.col("p0") * F.col("q0")).alias("lden"),
+        lat6(F.col("p") * F.col("q")).alias("pnum"),
+        lat6(F.col("p0") * F.col("q")).alias("pden"),
+    )
+    idx = terms.groupBy("month").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.lit(100.0)
+            * (F.sum("lnum").cast("double") / F.sum("lden").cast("double"))
+        ).alias("laspeyres"),
+        (
+            F.lit(100.0)
+            * (F.sum("pnum").cast("double") / F.sum("pden").cast("double"))
+        ).alias("paasche"),
+    )
+    return idx.select(
+        "month",
+        "n_items",
+        "laspeyres",
+        "paasche",
+        F.sqrt(F.col("laspeyres") * F.col("paasche")).alias("fisher"),
+    )

@@ -748,3 +748,19 @@ def test_rr_frequency_warner_identity_and_calibration(spark):
         expect = (r.reported_yes / r.n - p) / (1.0 - 2 * p)
         assert r.est_rate == expect, (r, expect)
         assert abs(r.est_rate - r.true_rate) <= 0.08, r
+
+
+def test_price_index_base_month_is_exactly_100(spark, sf_dir):
+    """Index-number identity the replay-oracle can't distinguish from a
+    miscomputed basket: the base month must read EXACTLY 100.0 on all
+    three indices (its lnum/lden terms are the identical expression, so
+    the ratio is exactly 1), and every index must be strictly positive
+    with the matched basket never exceeding the brand count."""
+    rows = _q("ts_price_index")(spark, sf_dir).collect()
+    assert rows
+    base = min(r.month for r in rows)
+    b = next(r for r in rows if r.month == base)
+    assert b.laspeyres == 100.0 and b.paasche == 100.0 and b.fisher == 100.0
+    for r in rows:
+        assert r.laspeyres > 0 and r.paasche > 0 and r.fisher > 0
+        assert 1 <= r.n_items <= 25
