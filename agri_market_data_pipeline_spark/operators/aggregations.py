@@ -650,7 +650,7 @@ GROUP BY l_returnflag
 """,
 )
 def agg_topk_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOPF_K} most frequent values per group, as rank-ordered
+    """Top-3 most frequent values per group, as rank-ordered
     arrays — agg_mode generalized from the argmax to the head of the
     frequency table (the heavy-hitters report each curation run
     publishes per column). Count per (group, value), rank inside the
@@ -943,7 +943,7 @@ FROM spine s LEFT JOIN agg a ON a.month_start = s.month_start
 @query("sql_recursive_cte", oracle=_SPINE_DUCK_SQL)
 def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (Spark 4's WITH RECURSIVE): generate a complete
-    {_SPINE_MONTHS}-month calendar spine by recursion, then LEFT JOIN
+    132-month calendar spine by recursion, then LEFT JOIN
     the monthly order rollup onto it so empty months surface as
     explicit zeros — the gap-free reporting spine ts_gap_fill builds
     from observed keys, here built from pure recursion (the only way
@@ -1006,7 +1006,7 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch built as pure relational algebra — the
     frequency-sketch twin of agg_hll_merge, with the sketch ITSELF
     oracle-checked (not just its answers): each event lands in
-    {_CMS_DEPTH} md5-derived buckets of a {_CMS_WIDTH}-wide counter
+    4 md5-derived buckets of a 64-wide counter
     array; a key's estimate is the MIN over its row counters, which
     can only OVERcount (collisions add, never subtract) — the emitted
     `overcount` column is the audit, and the ≥0 invariant is pinned in
@@ -1018,7 +1018,7 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     to frequencies; at 100 TB the sketch is a few KB per partition
     regardless of key cardinality, where the exact GROUP BY carries the
     full key domain through its shuffle. Probing stays distributed: the
-    {_CMS_PROBE}-row probe set broadcast-joins the sketch."""
+    20-row probe set broadcast-joins the sketch."""
     ev = load(spark, sf_dir, "events")
 
     def bucket(i, key_col):
@@ -1124,8 +1124,8 @@ FROM truth
 def agg_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter as pure relational algebra — the membership twin of
     agg_countmin_sketch, with the filter ITSELF oracle-checked: the
-    build side's keys set {_BLOOM_K} md5-derived bits of a
-    {_BLOOM_M}-bit space (the bit TABLE is a distinct-aggregate), and a
+    build side's keys set 3 md5-derived bits of a
+    1024-bit space (the bit TABLE is a distinct-aggregate), and a
     probe key is 'maybe present' iff ALL its bits are set. The audit
     row proves the structural guarantees: n_false_negative MUST be 0
     (membership bits can't unset), n_false_positive is the measured
@@ -1286,9 +1286,9 @@ def agg_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     trio (count-min = frequency, Bloom = membership, HLL = cardinality)
     with the registers themselves oracle-checked, unlike the built-in
     `agg_hll_merge` whose DataSketches binary is engine-internal. Each
-    user hashes to one of {_HLLR_M} registers (low 6 bits of a 48-bit
+    user hashes to one of 64 registers (low 6 bits of a 48-bit
     md5 slice); the register keeps the MAX leading-zero rank of the
-    remaining {_HLLR_W} bits (bit length via the base-2 string — float
+    remaining 42 bits (bit length via the base-2 string — float
     log2 is not correctly rounded at power-of-two boundaries and
     differs across libms, CLAUDE.md's determinism discipline applied to
     bit twiddling); the estimate is the harmonic-mean formula over all
@@ -1297,7 +1297,7 @@ def agg_hll_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The register table is the mergeable state: MAX per (group, reg)
     commutes with sharding/days exactly like incr_agg_merge's partial
-    sums — at 100 TB the groupBy carries ≤ {_HLLR_M} rows per group
+    sums — at 100 TB the groupBy carries ≤ 64 rows per group
     through the shuffle regardless of user cardinality, and the exact
     count rides alongside as the audit (its expand+shuffle is the cost
     the sketch deletes)."""
@@ -1513,12 +1513,12 @@ def agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot intersect directly; this is the standard estimator and its
     error grows as the intersection shrinks — the exact audit
     quantifies it). Sets: repeat customers across two order years.
-    All three estimates ride one {_HLLR_M}-register table per set on
+    All three estimates ride one 64-register table per set on
     an integer lattice (ROUND(est·1e4) BIGINT) so the
     inclusion-exclusion arithmetic is exact integer math on both
     engines.
 
-    Scale: per-set state is ≤ {_HLLR_M} rows regardless of customer
+    Scale: per-set state is ≤ 64 rows regardless of customer
     cardinality; the exact flags audit pays the full distinct shuffle
     the sketch path deletes."""
     o = load(spark, sf_dir, "orders")
@@ -1730,7 +1730,7 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing the exact size is the very cost the sketch avoids).
 
     Scale: each sketch is ONE partial-aggregated scan reduced to
-    {_JSZ_DEPTH}×{_JSZ_WIDTH} counters (KBs regardless of row count or
+    4×1024 counters (KBs regardless of row count or
     key cardinality), mergeable across shards/days by cell-wise add
     like every CMS; the inner product is a broadcast join of two
     KB-sized tables. Estimating a 100 TB join costs two column scans

@@ -610,7 +610,7 @@ _MADS_BINS = 1024
 
 
 def _mads_hist_sql(src: str, val: str, out: str) -> str:
-    """One binned-median pass in SQL: fixed {_MADS_BINS}-width histogram
+    """One binned-median pass in SQL: fixed 1024-width histogram
     of `val` over `src` (grouped by l_returnflag), answer = lower edge
     of the first bin whose cumulative count reaches half."""
     return f"""
@@ -686,15 +686,15 @@ JOIN ex_mad d USING (l_returnflag)
 )
 def ts_anomaly_mad_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ts_anomaly_mad's promised 100 TB interior made real: both the
-    median and the MAD come from fixed-width {_MADS_BINS}-bin COUNT
+    median and the MAD come from fixed-width 1024-bin COUNT
     histograms (agg_weighted_median_sketch's mergeable-quantile trick,
-    unweighted) — per-group state is ≤{_MADS_BINS} (bin, count) rows
+    unweighted) — per-group state is ≤1024 (bin, count) rows
     per pass instead of a full-column exact percentile, and bin counts
     merge across shards/days by addition (the KLL/GK contract on a
     fixed grid). Two sketch passes (median of x, then median of
     |x − med̃|), one scoring pass with the sketch boundary, and the
     exact ROUND(4) percentile med/MAD ride alongside as the audit twin
-    — tests pin |med̃ − med| ≤ range/{_MADS_BINS} and the MAD
+    — tests pin |med̃ − med| ≤ range/1024 and the MAD
     equivalent. All bucketing arithmetic is the identical IEEE
     expression on both engines; no rounding anywhere in the sketch
     path."""
@@ -950,7 +950,7 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by lines-per-order (≤7 here), never corpus-wide; that
     is the same discipline as every dedup candidate join, and the a<b
     orientation counts each pair once. On top of the generator's
-    bound, each basket is HARD degree-capped at {_MB_DEGREE_CAP}
+    bound, each basket is HARD degree-capped at 64
     brands (deterministic first-by-brand selection, same cap in the
     oracle SQL) so one hub basket on real data can never turn the
     self-join quadratic — tests/test_new_ops.py plants one and pins
@@ -1178,7 +1178,7 @@ FROM iv
 def incr_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL SCD2 maintenance — the production operation
     dim_scd2_build's full rebuild stands in for: the dimension history
-    is first built from events before {_SCD2_CUTOFF}, then the new
+    is first built from events before '2024-01-16 00:00:00', then the new
     batch is applied without touching closed history — each user's
     current row closes at the user's first post-cutoff CHANGE (a state
     repeat closes nothing), and the new change-points append as fresh
@@ -1312,7 +1312,7 @@ def agg_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (purchase rate) — the experimentation-platform primitive: ratio
     metrics have no closed-form variance (numerator and denominator
     covary), the bootstrap needs RNG, but the jackknife is exact-
-    deterministic: users hash into {_JK_BUCKETS} buckets, each
+    deterministic: users hash into 10 buckets, each
     leave-one-out rate re-divides exact integer totals, and the
     variance of those rates is computed from INTEGER-LATTICE sums
     (r_u = floor(1e9·R_i) — 10 doubles summed in arbitrary order would
@@ -2130,6 +2130,37 @@ def _sql_pi_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
 
 
+def _pi_lat6(x: Column) -> Column:
+    """Bit-identical half-up on the 1e-6 lattice: FLOOR(x*1e6 + 0.5)
+    is pure IEEE ops, so a product landing EXACTLY on a half-tie
+    resolves the same way on both engines — engine ROUND() does
+    not (Spark rounds the shortest decimal string, DuckDB the
+    scaled binary double; a 1996-03 Laspeyres term tied and they
+    disagreed). Integer lattice terms then sum exactly.
+
+    The lattice is only exact while |x·1e6| < 2^53 (doubles lose
+    integer resolution past that); beyond it the bit-identical
+    guarantee would degrade SILENTLY, so the bound is enforced at
+    runtime (ADVICE r6) — overflow raises instead of mis-rounding.
+    The guard is a per-row branch on the (brand, month)-grain terms
+    frame, so its cost is grain-bounded, not fact-bounded."""
+    scaled = x * F.lit(1000000.0) + F.lit(0.5)
+    return (
+        F.when(
+            F.abs(scaled) >= F.lit(9007199254740992.0),  # 2^53
+            F.raise_error(
+                F.lit(
+                    "ts_price_index: |term|*1e6 exceeds 2^53 — the FLOOR "
+                    "lattice loses bit-identity; coarsen the lattice or "
+                    "move the terms to DECIMAL"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.floor(scaled))
+        .cast("long")
+    )
+
+
 @query(
     "ts_price_index",
     oracle=f"""
@@ -2182,9 +2213,11 @@ def ts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     even an exact half-tie resolves identically on both engines where
     engine ROUND() would not (see lat6) — and the integer terms sum
     exactly, so the index ratios and Fisher's correctly-rounded sqrt
-    are bitwise identical with no final rounding. (The lattice needs
-    p·q·1e6 < 2^53; at magnitudes beyond that, coarsen the lattice or
-    move the terms to DECIMAL.)
+    are bitwise identical with no final rounding. The lattice needs
+    p·q·1e6 < 2^53 — enforced at runtime by _pi_lat6's raise_error
+    guard (ADVICE r6: silent degradation → loud failure); at
+    magnitudes beyond that, coarsen the lattice or move the terms to
+    DECIMAL.
 
     Scale shape: one partial-agg pass to (brand, month) grain — grain
     cardinality, not fact size, bounds everything after; the base
@@ -2214,21 +2247,12 @@ def ts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm.join(F.broadcast(base_month), bm.month == F.col("m0"))
         .select("brand", F.col("p").alias("p0"), F.col("q").alias("q0"))
     )
-    def lat6(x: Column) -> Column:
-        # bit-identical half-up on the 1e-6 lattice: FLOOR(x*1e6 + 0.5)
-        # is pure IEEE ops, so a product landing EXACTLY on a half-tie
-        # resolves the same way on both engines — engine ROUND() does
-        # not (Spark rounds the shortest decimal string, DuckDB the
-        # scaled binary double; a 1996-03 Laspeyres term tied and they
-        # disagreed). Integer lattice terms then sum exactly.
-        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
-
     terms = bm.join(F.broadcast(base), "brand").select(
         "month",
-        lat6(F.col("p") * F.col("q0")).alias("lnum"),
-        lat6(F.col("p0") * F.col("q0")).alias("lden"),
-        lat6(F.col("p") * F.col("q")).alias("pnum"),
-        lat6(F.col("p0") * F.col("q")).alias("pden"),
+        _pi_lat6(F.col("p") * F.col("q0")).alias("lnum"),
+        _pi_lat6(F.col("p0") * F.col("q0")).alias("lden"),
+        _pi_lat6(F.col("p") * F.col("q")).alias("pnum"),
+        _pi_lat6(F.col("p0") * F.col("q")).alias("pden"),
     )
     idx = terms.groupBy("month").agg(
         F.count("*").alias("n_items"),

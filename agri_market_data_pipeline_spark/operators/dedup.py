@@ -503,7 +503,7 @@ WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.02
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity join with stop-shingle removal:
-    shingles appearing in more than {_STOP_SHINGLE_DF} documents carry
+    shingles appearing in more than 100 documents carry
     no near-dup signal but generate the quadratic worst-case buckets of
     the inverted-index self-join, so they are dropped from the universe
     FIRST (both sizes and intersections are over the capped sets —
@@ -1009,10 +1009,10 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, first-token, length-bucket) block BEFORE any distance is
     computed, so the quadratic term is bounded per block and the
     expensive levenshtein runs on candidates only — and on a fixed
-    {_LEV_PREFIX}-char prefix, keeping the DP cost O(prefix²), not
+    60-char prefix, keeping the DP cost O(prefix²), not
     O(doc²). Levenshtein is exact-integer on both engines, so the pair
     set is oracle-checked outright (no recall bound needed). The
-    {_LEV_MAX} threshold is calibrated to the synthetic corpus (word
+    40 threshold is calibrated to the synthetic corpus (word
     salads rarely collide below it; exact-prefix pairs sit at 0). At
     100 TB the block key is the shuffle key; block-size caps
     (dedup_ngram_jaccard's stop-shingle rule) apply unchanged."""
@@ -1090,7 +1090,7 @@ def dedup_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash ESTIMATOR itself audited in-query (the sketch-family
     discipline: agg_countmin_sketch emits its overcount, this emits its
     Jaccard error): for every LSH candidate pair, the estimated Jaccard
-    (fraction of the {_N_HASHES} signature slots that agree — MinHash's
+    (fraction of the 12 signature slots that agree — MinHash's
     defining unbiased-estimator property) is laid beside the EXACT
     shingle-set Jaccard computed by an inverted-index intersection join
     on candidates only. Both are exact-integer count ratios, so the

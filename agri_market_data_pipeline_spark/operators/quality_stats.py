@@ -244,9 +244,9 @@ FROM sk s JOIN ex e USING (l_returnflag)
 )
 def agg_weighted_median_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """agg_weighted_median's promised 100 TB interior made real: the
-    weighted median comes from a FIXED-WIDTH {_WMS_BINS}-bin weighted
+    weighted median comes from a FIXED-WIDTH 1024-bin weighted
     histogram — a mergeable quantile sketch whose per-group state is
-    ≤{_WMS_BINS} (bin, DECIMAL weight) rows regardless of fact
+    ≤1024 (bin, DECIMAL weight) rows regardless of fact
     cardinality (bin sums commute with sharding exactly like
     incr_agg_merge's partials; a KLL/GK sketch trades the fixed grid
     for adaptive rank error, same one-pass/mergeable contract). The
@@ -480,7 +480,7 @@ LIMIT {_SKEW_TOPN}
 """,
 )
 def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-key skew audit: the {_SKEW_TOPN} heaviest l_suppkey values
+    """Join-key skew audit: the 5 heaviest l_suppkey values
     with their hot-key factor (key rows ÷ mean rows per key) — the
     diagnostic you run BEFORE a big join to decide between plain
     shuffle, AQE skew handling, and manual salting (join_skew_salted is
@@ -976,7 +976,7 @@ ORDER BY class_size, nation, segment
 def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over a quasi-identifier set (nation ×
     market segment): every equivalence class's size, flagged when it
-    falls below k={_KANON_K}. A record in a class of size < k is
+    falls below k=8. A record in a class of size < k is
     re-identifiable by joining the quasi-identifiers against any public
     roster — the standard privacy gate a dataset must pass before
     release, and (for this engine's LLM-pipeline role) before user-
@@ -1045,8 +1045,8 @@ GROUP BY c_nationkey, c_mktsegment
 def dq_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private release of the (nation x segment) customer
     histogram: Laplace mechanism on the count (sensitivity 1) and on the
-    [0, {_DP_CLAMP}]-clamped account-balance sum (sensitivity =
-    {_DP_CLAMP}, the contribution bound), both at epsilon = {_DP_EPS}
+    [0, 10000.0]-clamped account-balance sum (sensitivity =
+    10000.0, the contribution bound), both at epsilon = 1.0
     per statistic — the perturbation-side privacy primitive
     (dq_k_anonymity is the suppression side) that a corpus-stats
     publication pipeline runs before numbers leave the enclave.
@@ -1148,7 +1148,7 @@ def dq_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the privacy family (dq_k_anonymity suppresses, dq_dp_counts
     perturbs centrally, this perturbs AT THE SOURCE): each row reports
     its sensitive bit (account in debt) truthfully with probability
-    1-p and flipped with probability p = {_RR_FLIP_PCT}/100, and the
+    1-p and flipped with probability p = 25/100, and the
     aggregate debiases with the classic Warner estimator
     pi_hat = (observed_rate - p) / (1 - 2p). true_rate rides along so
     the estimator's calibration is visible (and oracle-checked); in a

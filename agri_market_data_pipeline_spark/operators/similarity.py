@@ -221,7 +221,7 @@ JOIN (
 """,
 )
 def sim_search_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{_TOP_K} of the IVF search measured against its own
+    """Recall@20 of the IVF search measured against its own
     brute-force twin INSIDE the query — the index's quality metric as
     a first-class, fully oracle-checked result (both engines replicate
     both the approximate and the exact top-k and intersect them). The
@@ -405,10 +405,10 @@ SELECT CAST({_LSH_RECALL_BOUND_PCT} AS BIGINT) AS bound_pct,
 """,
 )
 def sim_search_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{_TOP_K} bound for the random-hyperplane LSH search,
+    """Recall@20 bound for the random-hyperplane LSH search,
     asserted INSIDE the query: the Spark side computes recall against
     the brute-force twin and emits whether it clears the
-    {_LSH_RECALL_BOUND_PCT}% floor; the oracle is the constant row the
+    25% floor; the oracle is the constant row the
     claim must hash-match. The bucket geometry itself (md5-lattice
     hyperplanes) has no maintainable ANSI twin — this converts the
     formerly rows-only operator into an oracle-checked recall
@@ -567,7 +567,7 @@ def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFram
 
 @query("sim_knn_join", oracle=_knn_sql())
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN join: top-{_KNN_K} approximate nearest neighbors for EVERY
+    """kNN join: top-3 approximate nearest neighbors for EVERY
     vector (not a single probe) — the all-pairs workhorse behind
     embedding near-dup clustering and retrieval-index build. Blocking
     key is a TRAINED IVF cell: a ⌈√(P·n)⌉-seed coarse quantizer (k-means,
@@ -676,7 +676,7 @@ SELECT CAST((SELECT COUNT(*) FROM approx JOIN exact
 )
 def sim_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the IVF-blocked kNN join vs the brute-force
-    exact kNN on a 1/{_KNN_SAMPLE_MOD} sample of query vectors — the
+    exact kNN on a 1/29 sample of query vectors — the
     index-quality acceptance probe, fully oracle-checked (both engines
     replicate the approximate and the exact result and intersect
     them). Recall is an exact integer division — never rounded
@@ -1021,7 +1021,7 @@ def _kmeans_cells(
 
 @query("ml_kmeans_train_ivf", oracle=_ivf_sql(_KMI_ROUNDS, _KM_K))
 def ml_kmeans_train_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN path trained→served end to end: {_KMI_ROUNDS} k-means
+    """The ANN path trained→served end to end: 2 k-means
     refinement rounds produce the coarse quantizer, then the IVF search
     (sim_search_ivf's serve stage) runs against the TRAINED centroids —
     assign every vector, probe the _N_PROBE best cells for the query,
@@ -1127,7 +1127,7 @@ def _quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ml_logreg_quality")
 def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier: logistic regression trained by
-    {_LR_ROUNDS} full-batch gradient-descent rounds entirely as
+    8 full-batch gradient-descent rounds entirely as
     DataFrame ops — the 'train a cheap quality filter on heuristic
     labels' step of an LLM curation stack, in the engine itself. The
     model is a 1-ROW FRAME holding the weight array: each round
@@ -1219,7 +1219,7 @@ def _sql_l2(a: str, b: str) -> str:
 
 def _pq_encode(m: int) -> F.Column:
     """Nearest codeword struct (dist, code, cw) for subspace m: rounded
-    squared-L2 over the broadcast cb{m} codeword structs, ties to the
+    squared-L2 over the broadcast cb<m> codeword structs, ties to the
     lowest code — ascending struct sort, element 1. Zero-error
     invariant (test-pinned): a vector whose subvector IS a codeword
     encodes to that codeword with dist 0."""
@@ -1248,7 +1248,7 @@ def _pq_encode(m: int) -> F.Column:
 
 
 def _pq_codebooks(e: DataFrame) -> DataFrame:
-    """One broadcast row of per-subspace codebooks: cb{m} = sorted
+    """One broadcast row of per-subspace codebooks: cb<m> = sorted
     (code, cw) structs from the first _PQ_CODES vectors — array_sort
     on distinct codes is total, so codebook order is engine-free."""
     return e.filter(F.col("vec_id") < _PQ_CODES).agg(
@@ -1338,20 +1338,20 @@ LIMIT {_TOP_K}
 @query("sim_search_ivfpq", oracle=_ivfpq_sql())
 def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the canonical billion-scale index (FAISS's
-    IVFADC layout): the {_N_CELLS}-cell coarse IVF layer prunes the
+    IVFADC layout): the 16-cell coarse IVF layer prunes the
     scan to _N_PROBE cells, then candidates are scored NOT against
     their raw vectors but against their product-quantization codes —
-    each 64-dim float32 vector compressed to {_PQ_M} 4-bit codes
-    ({_PQ_M} subspaces x {_PQ_CODES}-codeword codebooks = 4 bytes/row,
+    each 64-dim float32 vector compressed to 8 4-bit codes
+    (8 subspaces x 16-codeword codebooks = 4 bytes/row,
     a 64x memory compression), asymmetric-distance (ADC) scored
-    against the uncompressed query, and only the top-{_PQ_SHORTLIST}
+    against the uncompressed query, and only the top-50
     ADC shortlist touches raw vectors for the exact re-rank.
 
     Every stage is row-local until the final k-row merges: codebooks
     ride one broadcast row; encoding is an argmin fold over each
     subspace's codeword structs (ROUND(6) squared-L2, code
     tie-break — array_sort struct ordering, the _argmax_cell
-    pattern); ADC sums the {_PQ_M} per-subspace dots in a fixed
+    pattern); ADC sums the 8 per-subspace dots in a fixed
     left-to-right fold. Fully oracle-checked including the codebook
     build and encoding (the DuckDB twin replays them via the
     (m, code) join).
@@ -1359,7 +1359,7 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: at 100 TB the codes table (4 B/vector + cell_id) IS the
     index — it fits executor memory when raw vectors cannot; the
     probe reads nprobe/ncells of the codes, one LUT of
-    {_PQ_M}x{_PQ_CODES} dots scores everything, and only
+    8x16 dots scores everything, and only
     _PQ_SHORTLIST raw vectors are fetched (point lookups against the
     cell-partitioned store). Train-free deterministic codebooks here;
     ml_kmeans_train_ivf is the trained-coarse-layer variant and its
@@ -1453,7 +1453,7 @@ JOIN (
 """,
 )
 def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{_TOP_K} of the IVF-PQ search vs the brute-force exact
+    """Recall@20 of the IVF-PQ search vs the brute-force exact
     top-k, computed INSIDE the query and fully oracle-checked (both
     engines replay the coarse layer, the codebooks, the encoding, the
     ADC shortlist, the re-rank, AND the exact baseline, then intersect

@@ -619,7 +619,7 @@ GROUP BY doc_id
 """,
 )
 def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keyword extraction: top-{_KW_K} TF-IDF terms as
+    """Per-document keyword extraction: top-3 TF-IDF terms as
     rank-ordered arrays — the tagging/routing primitive downstream of
     text_tfidf's flat scores. TF is exact, IDF's ln is ROUND(6)ed before
     the (then-exact) integer multiply so both engines rank on identical
@@ -694,7 +694,7 @@ GROUP BY doc_id, hv % {_EMB_D}
 )
 def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-free document embeddings via the hashing trick (feature
-    hashing): every token hashes to one of {_EMB_D} dimensions with a
+    hashing): every token hashes to one of 16 dimensions with a
     ±1 sign drawn from the next hash bit, and the doc's vector is the
     signed count per dimension — the classic hashing vectorizer, which
     needs no vocabulary build, no model artifact, and no Python in the
@@ -704,7 +704,7 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one explode + one groupBy keyed (doc_id, dim) — partial
     aggregation collapses each doc's token stream map-side, so the
-    shuffle carries ≤ {_EMB_D} rows per document regardless of doc
+    shuffle carries ≤ 16 rows per document regardless of doc
     length. This is the cheap first-pass featurization a curation
     pipeline runs corpus-wide before any learned embedding exists."""
     d = load_parallel(spark, sf_dir, "documents")
@@ -742,8 +742,8 @@ FROM (
 """,
 )
 def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking ({_CHUNK_SIZE}-char windows,
-    {_CHUNK_STRIDE}-char stride → 20-char
+    """Sliding-window document chunking (100-char windows,
+    80-char stride → 20-char
     overlap): the context-window splitter every RAG indexer and
     fixed-length pretraining tokenizer runs before embedding/packing.
     Offsets come from a per-row `sequence` explode — generated
@@ -814,7 +814,7 @@ def _bpe_apply_merge(seq_col, a_col, b_col):
 
 @query("text_bpe_train")
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, distributed: {_BPE_MERGES} merge rounds
+    """BPE tokenizer TRAINING, distributed: 10 merge rounds
     over the corpus — the step `text_token_count_bpe` (which only
     counts with a fixed regex) leaves to an external tool, done in the
     engine. The classic scaling trick makes it feasible: all counting
@@ -921,7 +921,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram language-model scoring — text_unigram_logprob
     upgraded to a CONDITIONAL model with a real train/eval split:
     bigram and context counts come from the training docs only
-    (doc_id % {_BGLM_HOLD} ≠ 0 — the hash-split discipline of
+    (doc_id % 7 ≠ 0 — the hash-split discipline of
     split_train_test), held-out docs are scored with add-1 smoothing
     ln((C(w1,w2)+1)/(C(w1)+V)), unseen contexts and pairs degrading
     gracefully through the same formula. This is the quality filter a

@@ -477,7 +477,7 @@ FROM det d JOIN seas s ON s.prio = d.prio AND s.moy = d.moy
 )
 def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition of the monthly revenue series:
-    trend = centered {_DEC_W}-month moving average (emitted only where
+    trend = centered 13-month moving average (emitted only where
     the window is complete — partial-edge trends are statistical
     artifacts), seasonal = month-of-year mean of the detrended series,
     residual = the rest. The anomaly/forecast stack's missing third

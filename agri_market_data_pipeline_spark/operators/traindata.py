@@ -114,10 +114,10 @@ FROM s GROUP BY shard, seq_id
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: concatenate documents in doc_id order
     and open a new training sequence each time the running token count
-    crosses a {_PACK_CAPACITY}-token boundary (a doc belongs to the
+    crosses a 512-token boundary (a doc belongs to the
     sequence its FIRST token falls in — the concat-and-chop assignment
     GPT-style loaders use). Packing runs independently inside
-    {_PACK_SHARDS} hash shards: the running sum is a window per shard,
+    32 hash shards: the running sum is a window per shard,
     so at 100 TB every shard packs in parallel and no global order is
     ever materialized — exactly how a multi-worker tokenizer shards the
     corpus. Output is the per-sequence manifest (doc count, token
@@ -177,7 +177,7 @@ GROUP BY b.bench_id
 )
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination audit: which held-out eval documents
-    (stand-in: doc_id ≡ 0 mod {_BENCH_MOD}) share word-3-gram shingles
+    (stand-in: doc_id ≡ 0 mod 97) share word-3-gram shingles
     with the training corpus, and with how many training docs — the
     eval-integrity check every corpus release runs before a benchmark
     number is believed. Reports per-benchmark-doc hit counts; a clean
@@ -241,7 +241,7 @@ FROM r WHERE rank <= {_VOCAB_K}
 """,
 )
 def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary construction: the top-{_VOCAB_K} corpus
+    """Tokenizer-vocabulary construction: the top-200 corpus
     tokens by term frequency, with document frequency alongside — the
     count table a BPE/unigram tokenizer trainer starts from, and the
     vocabulary-coverage audit every corpus release publishes.
@@ -253,7 +253,7 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact here; the sketch twin is agg_approx_count_distinct). The
     global top-k is TakeOrderedAndProject — per-partition heaps of k,
     never a full sort — and ranks are assigned AFTER the k-row cut, so
-    the window runs over {_VOCAB_K} rows, not the vocabulary."""
+    the window runs over 200 rows, not the vocabulary."""
     d = load_parallel(spark, sf_dir, "documents")
     v = (
         d.select("doc_id", F.explode(tokens("text")).alias("token"))
@@ -300,8 +300,8 @@ FROM ranked r JOIN t ON t.lang = r.lang AND r.rn <= t.n
 """,
 )
 def mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mixture resampling: compose a {_MIX_K}-doc training slice
-    to target language proportions ({_MIX_WEIGHTS}) by taking the first
+    """Domain-mixture resampling: compose a 200-doc training slice
+    to target language proportions ({'en': 0.4, 'de': 0.15, 'es': 0.15, 'fr': 0.15, 'zh': 0.15}) by taking the first
     floor(w·K) documents per language in deterministic md5 order — the
     dataset-composition step (weights from scaling-law or ablation
     studies) run by every corpus release. Hash-ordering makes the
@@ -898,13 +898,13 @@ def ml_dt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Split search is the classic histogram method (the same move
     LightGBM/XGBoost 'hist' makes to scale): each feature is quantized
-    onto a {_STUMP_BUCKETS}-bucket min/max lattice, so candidate
+    onto a 32-bucket min/max lattice, so candidate
     thresholds come from ONE pass of exact (n, n_pos) bucket counts —
     cumulative sums over a feature-partitioned window then price every
     left/right split in closed form. Cost is one melt scan + one
     (feature, bucket) shuffle with map-side partials, independent of row
     count beyond the scan; the final argmax window ranks the
-    3 x {_STUMP_BUCKETS}-row post-aggregate candidate table (bounded, so
+    3 x 32-row post-aggregate candidate table (bounded, so
     the zero-partition window is legal under the plan walker).
 
     Cross-engine determinism: bucket ids come from one IEEE divide/floor

@@ -298,7 +298,7 @@ FROM t GROUP BY segment, decile
 """,
 )
 def win_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency bucketing: NTILE({_NTILE_N}) splits each market
+    """Equal-frequency bucketing: NTILE(10) splits each market
     segment's customers into balance deciles — the quantile-bucket
     assignment behind tiering, A/B cohorts, and histogram
     equi-depth binning. NTILE is deterministic only given a total
@@ -385,15 +385,15 @@ GROUP BY c.d
 """,
 )
 def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-{_ROLLD_DAYS}-day distinct active users per day — the
+    """Trailing-7-day distinct active users per day — the
     rolling-DAU/WAU metric. COUNT(DISTINCT) over a window frame does
     not exist in Spark (distinct state can't live in a running frame),
     and the naive range self-join (every day × every row within 7 days)
     shuffles the fact 7× through a join. The scalable rewrite: each
-    (day, user) observation CONTRIBUTES ITSELF to the {_ROLLD_DAYS}
+    (day, user) observation CONTRIBUTES ITSELF to the 7
     target days it falls inside — a row-local explode — and the rolling
     distinct collapses to one plain distinct aggregation on (target
-    day, user). The ×{_ROLLD_DAYS} expansion happens map-side inside
+    day, user). The ×7 expansion happens map-side inside
     the scan stage; the only shuffle is the final groupBy, exactly as
     wide as the answer. At 100 TB swap the exact distinct for
     hll_union_agg over daily sketches (agg_hll_merge) — same contribute
@@ -487,8 +487,8 @@ def win_rolling_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling distinct runs on MERGEABLE per-day HLL register tables
     (agg_hll_relational's oracle-checked registers) instead of exact
     (day, user) pairs. Register MAX commutes with set union, so the
-    trailing-{_ROLLD_DAYS}-day union is just MAX over the window's
-    daily registers — the contribute-explode now expands ≤{{m}} register
+    trailing-7-day union is just MAX over the window's
+    daily registers — the contribute-explode now expands ≤64 register
     rows per day instead of every (day, user) observation, making
     rolling state CONSTANT per day regardless of user cardinality.
     The exact rolling distinct rides alongside as the audit twin

@@ -53,16 +53,19 @@ def delta_merge_conditions(keys: list[str], order_col: str) -> tuple[str, str]:
 def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — the correct
     check for non-local schemes (s3a://, hdfs://, …) where the URI's
-    path component means nothing to the local filesystem. Unresolvable
-    scheme/credentials degrade to False, i.e. the safe first-write
-    branch (the pre-r5 behavior for remote URIs)."""
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
-    except Exception:
-        return False
+    path component means nothing to the local filesystem.
+
+    Failures PROPAGATE (ADVICE r6): fs.exists returns False for a
+    genuinely absent path, so any exception here is an unresolvable
+    scheme, bad credentials, or a transient IO error — and against an
+    EXISTING table, degrading those to False would route merge_upsert
+    into its first-write branch, whose mode('overwrite') replaces the
+    whole table with only the incoming batch. Silent data loss is worse
+    than a failed upsert; the caller retries once the fault clears."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def merge_upsert(
@@ -126,52 +129,68 @@ def merge_upsert(
     # LOCAL probe path only for file:-scheme/plain paths: for s3:// etc.
     # the URI path ('/t') is a local-filesystem coincidence, so probe
     # those through the Hadoop FileSystem API instead (ADVICE r5).
+    import contextlib
     from urllib.parse import urlparse
+
+    from .snapshots import table_lock
 
     parsed = urlparse(target_path)
     local_fs = parsed.scheme in ("", "file")
-    if local_fs:
-        probe = parsed.path if parsed.scheme == "file" else target_path
-        old_dir = probe + ".old"
-        if not os.path.exists(probe) and os.path.exists(old_dir):
-            # a prior swap crashed between its two renames — the data is
-            # intact under .old; finish that swap before merging
-            os.rename(old_dir, probe)
-        exists = os.path.exists(probe)
-    else:
-        exists = _hadoop_path_exists(spark, target_path)
-    if exists:
-        existing = spark.read.parquet(target_path)
-        merged = existing.unionByName(updates, allowMissingColumns=True)
-    else:
-        merged = updates
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
-    latest = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    if not local_fs:  # pragma: no cover - no object store in tests
-        # Object stores have no atomic directory rename: there the
-        # transactional answer is a real table format (the Delta path
-        # above) or SnapshotStore's manifest swap. Keep the simple
-        # rewrite, materialized first because Spark cannot read and
-        # overwrite the same path in one job.
-        latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            target_path
+    with contextlib.ExitStack() as stack:
+        if local_fs:
+            probe = parsed.path if parsed.scheme == "file" else target_path
+            old_dir = probe + ".old"
+            # Serialize the whole read-merge-swap: without this, two
+            # concurrent merge_upserts both read the same base and the
+            # last rename wins — a classic lost update (ADVICE r6). The
+            # link-based lock raises ConcurrentPublishError on contention
+            # and steals only dead holders, same policy as
+            # SnapshotStore.publish.
+            stack.enter_context(table_lock(probe + ".lock"))
+            if not os.path.exists(probe) and os.path.exists(old_dir):
+                # a prior swap crashed between its two renames — the data
+                # is intact under .old; finish that swap before merging
+                os.rename(old_dir, probe)
+            exists = os.path.exists(probe)
+        else:
+            exists = _hadoop_path_exists(spark, target_path)
+        if exists:
+            existing = spark.read.parquet(target_path)
+            merged = existing.unionByName(updates, allowMissingColumns=True)
+        else:
+            merged = updates
+        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
-        return
-    # Crash-safe rewrite: stage the new table beside the target, then
-    # swap via two renames. No window exists where the data is only
-    # half-written at the visible path (the in-place overwrite's
-    # failure mode — delete-then-die loses the table); a crash between
-    # the renames leaves .old intact and the recovery branch above
-    # completes the swap on the next call. Staging also removes the
-    # localCheckpoint copy the in-place form needed: source and
-    # destination differ, so Spark streams the merge directly to disk.
-    # Known limitation: between the two renames a concurrent READER sees
-    # no table at the visible path for a few µs — writers that must
-    # serve readers mid-publish use SnapshotStore's manifest swap.
+        if not local_fs:  # pragma: no cover - no object store in tests
+            # Object stores have no atomic directory rename: there the
+            # transactional answer is a real table format (the Delta path
+            # above) or SnapshotStore's manifest swap. Keep the simple
+            # rewrite, materialized first because Spark cannot read and
+            # overwrite the same path in one job.
+            latest.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                target_path
+            )
+            return
+        _swap_local(latest, probe, old_dir)
+
+
+def _swap_local(latest: DataFrame, probe: str, old_dir: str) -> None:
+    """Crash-safe rewrite: stage the new table beside the target, then
+    swap via two renames. No window exists where the data is only
+    half-written at the visible path (the in-place overwrite's
+    failure mode — delete-then-die loses the table); a crash between
+    the renames leaves .old intact and merge_upsert's recovery branch
+    completes the swap on the next call. Staging also removes the
+    localCheckpoint copy the in-place form needed: source and
+    destination differ, so Spark streams the merge directly to disk.
+    Caller holds the table_lock, so no two swaps interleave.
+    Known limitation: between the two renames a concurrent READER sees
+    no table at the visible path for a few µs — writers that must
+    serve readers mid-publish use SnapshotStore's manifest swap."""
     import glob
     import re
     import shutil
@@ -182,10 +201,12 @@ def merge_upsert(
     # .stage-<uuid> dir forever. Sweep stale siblings here — matching
     # ONLY this table's 8-hex stage slot so a sibling table whose name
     # extends this one's is never touched, and skipping dirs younger
-    # than a grace window so a concurrent upsert's live staging dir
-    # isn't deleted mid-write (same pattern as scans._xml_mirror).
+    # than a grace window in case a pre-lock-era writer's staging dir is
+    # still live (same pattern as scans._xml_mirror). glob metacharacters
+    # in the table path ([, ?, *) are escaped on BOTH sides — the regex
+    # already did, the glob previously matched nothing (ADVICE r6).
     slot = re.compile(re.escape(probe) + r"\.stage-[0-9a-f]{8}$")
-    for stale in glob.glob(probe + ".stage-*"):
+    for stale in glob.glob(glob.escape(probe) + ".stage-*"):
         if not slot.match(stale):
             continue
         try:

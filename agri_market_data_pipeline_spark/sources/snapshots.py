@@ -39,6 +39,28 @@ class ConcurrentPublishError(RuntimeError):
     pass
 
 
+class table_lock:
+    """Context manager over the link-based publish lock, reusable by any
+    writer that needs single-writer semantics on a path (merge_upsert's
+    read-merge-swap uses it so two concurrent upserts can't both read
+    the same base and lose one writer's rows — ADVICE r6). Raises
+    ConcurrentPublishError on contention (same raise-don't-block policy
+    as SnapshotStore.publish); a dead holder's lock is stolen."""
+
+    def __init__(self, lock_path: str):
+        self._lock = lock_path
+
+    def __enter__(self) -> "table_lock":
+        SnapshotStore._acquire_lock(self._lock)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        try:
+            os.unlink(self._lock)
+        except OSError:
+            pass
+
+
 class CorruptManifestError(RuntimeError):
     pass
 
@@ -121,7 +143,8 @@ class SnapshotStore:
             except OSError:
                 pass
 
-    def _acquire_lock(self, lock: str) -> None:
+    @classmethod
+    def _acquire_lock(cls, lock: str) -> None:
         """Acquire the publish lock race-free.
 
         The pid is written to a private temp file FIRST and hard-linked
@@ -151,7 +174,7 @@ class SnapshotStore:
                 try:
                     os.link(tmp, lock)
                 except FileExistsError:
-                    if attempt == 0 and self._steal_dead_lock(lock):
+                    if attempt == 0 and cls._steal_dead_lock(lock):
                         # Holder died between data write and manifest
                         # update (SIGKILL runs no finally) — steal, so
                         # the next cron run self-heals instead of

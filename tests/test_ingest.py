@@ -214,6 +214,56 @@ def test_merge_upsert_sweeps_stale_stage_dirs(spark, tmp_path):
     assert got == {1: "a", 2: "b"}
 
 
+def test_merge_upsert_serializes_concurrent_writers(spark, tmp_path):
+    """Two concurrent merge_upserts on one table must not both read the
+    same base and last-rename-wins (lost update, ADVICE r6): while one
+    writer holds the table lock, a second raises instead of clobbering.
+    A dead holder's lock is stolen, so a crashed writer never wedges
+    the table."""
+    import pytest
+
+    from agri_market_data_pipeline_spark.sources.snapshots import (
+        ConcurrentPublishError,
+        table_lock,
+    )
+
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 1)], "k int, val string, ver int")
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    with table_lock(target + ".lock"):  # a live concurrent writer
+        with pytest.raises(ConcurrentPublishError):
+            merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    # lock released on exit — the next upsert proceeds
+    v2 = spark.createDataFrame([(1, "A2", 2)], "k int, val string, ver int")
+    merge_upsert(spark, target, v2, keys=["k"], order_col="ver")
+    got = {r.k: r.val for r in spark.read.parquet(target).collect()}
+    assert got == {1: "A2"}
+    # dead holder (pid that cannot exist) is stolen, not fatal
+    with open(target + ".lock", "w") as fh:
+        fh.write("99999999")
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    assert not os.path.exists(target + ".lock")
+
+
+def test_merge_upsert_sweep_survives_glob_metachars(spark, tmp_path):
+    """A table path containing glob metacharacters ([, ?, *) must still
+    sweep ITS stale .stage-* dirs (ADVICE r6: unescaped glob silently
+    matched nothing). Spark's own readers glob input paths, so such a
+    table can't be re-READ without escaping — but the write-side sweep
+    must not silently skip it."""
+    import time as _time
+
+    target = str(tmp_path / "t[1]")
+    stale = target + ".stage-deadbeef"
+    os.makedirs(stale)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+    v1 = spark.createDataFrame([(1, "a", 1)], "k int, val string, ver int")
+    merge_upsert(spark, target, v1, keys=["k"], order_col="ver")
+    assert not os.path.exists(stale)  # swept despite the metachar
+    assert os.path.isdir(target)  # table written at the literal path
+
+
 def test_delta_merge_conditions_strings():
     """The MERGE INTO condition builder is pure string construction —
     unit-testable without a Delta classpath (VERDICT r5 item 5)."""
@@ -249,8 +299,12 @@ def test_merge_upsert_rejects_empty_keys(spark, tmp_path):
 def test_hadoop_path_exists_probe(spark, tmp_path):
     """The remote-scheme existence probe goes through the Hadoop
     FileSystem API (ADVICE r5: urlparse().path sent s3://bucket/t to the
-    LOCAL filesystem). file: URIs exercise the same API locally; an
-    unresolvable scheme degrades to False (safe first-write branch)."""
+    LOCAL filesystem). file: URIs exercise the same API locally. An
+    unresolvable scheme RAISES (ADVICE r6): degrading it to False would
+    route merge_upsert into the first-write overwrite branch on a
+    transient error against an existing remote table — silent data
+    loss. fs.exists returns False only for genuinely absent paths."""
+    import pytest
     from agri_market_data_pipeline_spark.sources.sinks import (
         _hadoop_path_exists,
     )
@@ -259,7 +313,8 @@ def test_hadoop_path_exists_probe(spark, tmp_path):
     d.mkdir()
     assert _hadoop_path_exists(spark, "file://" + str(d)) is True
     assert _hadoop_path_exists(spark, "file://" + str(tmp_path / "no")) is False
-    assert _hadoop_path_exists(spark, "nosuchscheme://bucket/t") is False
+    with pytest.raises(Exception):
+        _hadoop_path_exists(spark, "nosuchscheme://bucket/t")
 
 
 def test_last_page_clamped_to_max_offset(spark):

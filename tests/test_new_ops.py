@@ -764,3 +764,23 @@ def test_price_index_base_month_is_exactly_100(spark, sf_dir):
     for r in rows:
         assert r.laspeyres > 0 and r.paasche > 0 and r.fisher > 0
         assert 1 <= r.n_items <= 25
+
+
+def test_pi_lat6_guard_raises_past_2_53(spark):
+    """The FLOOR half-up lattice is only bit-identical while
+    |term|*1e6 < 2^53; past that it silently mis-rounds (ADVICE r6).
+    The guard must turn that silent degradation into a loud failure —
+    and leave in-range values (including negatives) untouched."""
+    import pytest
+
+    from agri_market_data_pipeline_spark.operators.analytics import _pi_lat6
+
+    ok = spark.createDataFrame([(1.5,), (-2.25,)], "x double").select(
+        _pi_lat6(F.col("x")).alias("v")
+    )
+    assert {r.v for r in ok.collect()} == {1500000, -2250000}
+    big = spark.createDataFrame([(2.0**53,)], "x double").select(
+        _pi_lat6(F.col("x")).alias("v")
+    )
+    with pytest.raises(Exception, match=r"2\^53"):
+        big.collect()
