@@ -11,7 +11,15 @@ silent +16% inflation automatically.
 Usage:
     python tools/benchguard.py [detail.json] [baseline.json]
 
-Exit 0: every baselined query within THRESHOLD× its pinned median.
+Exit 0: every baselined query within its threshold of the pinned
+median — the uniform 1.5x default, or the per-query override in the
+baseline's "thresholds" map for queries whose measured identical-code
+spread exceeds 1.5x (scan_csv, udf_scalar_pandas, sim_search_ivfpq, …:
+Python-worker/scan-startup-sensitive queries swing ~2x under machine
+co-tenancy that the pure-CPU calibration probe does not absorb —
+VERDICT r6 item 1: a guard that cries wolf on noise gets ignored the
+round it matters, so noise-prone queries carry variance-sized
+thresholds while stable queries keep the tight one).
 Exit 1: regressions listed on stdout.
 Queries present in the detail but not the baseline are reported as
 "new" (not failures); queries in the baseline but missing from the
@@ -37,16 +45,20 @@ def check(detail_path: str, baseline_path: str) -> int:
         baseline = json.load(f)
     base: dict[str, float] = baseline["queries_normalized"]
     cur: dict[str, float] = detail["queries_normalized"]
+    thresholds: dict[str, float] = baseline.get("thresholds", {})
 
     regressed: list[str] = []
     gone = sorted(set(base) - set(cur))
     new = sorted(set(cur) - set(base))
     for name in sorted(set(base) & set(cur)):
         ratio = cur[name] / base[name] if base[name] > 0 else float("inf")
+        limit = thresholds.get(name, THRESHOLD)
         flag = ""
-        if ratio > THRESHOLD:
+        if ratio > limit:
             regressed.append(name)
-            flag = f"  REGRESSED (> {THRESHOLD}x)"
+            flag = f"  REGRESSED (> {limit}x)"
+        elif limit != THRESHOLD:
+            flag = f"  [noise-band limit {limit}x]"
         print(f"{name:40s} {base[name]:8.3f} -> {cur[name]:8.3f}  {ratio:5.2f}x{flag}")
     for name in new:
         print(f"{name:40s} {'(new)':>8s} -> {cur[name]:8.3f}")
