@@ -529,7 +529,12 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     that case this falls back to the applyInPandasWithState plan
     (result-identical by the parity test on the processor body), so the
     query is green everywhere and exercises the new API wherever it
-    can actually run."""
+    can actually run. The near-duplication is pinned in CI by
+    tests/test_streaming.py::test_tws_fallback_is_self_documenting:
+    it asserts _tws_available is False in THIS container and that the
+    fallback's analyzed streaming plan is identical to
+    stream_stateful's — if a future container gains protobuf, that
+    test flips and forces the real path to be exercised."""
     ev = events_stream(spark, sf_dir).select(
         "user_id", "event_id", "ts", "value"
     )
