@@ -103,26 +103,42 @@ def test_resize_matches_exact_recompute(spark, sf_dir):
 
 
 def test_audio_energy_matches_exact_recompute(spark, sf_dir):
-    """Per-window energy/peak must equal an independent recompute; the
-    window count per document is floor(len/W)."""
+    """Per-window energy/peak must equal an independent recompute from
+    the SOURCE bytes (the decode inverts the encode exactly); the
+    window count per document is floor(samples/W). Also proves the wav
+    column is a genuine RIFF container: stdlib wave parses it and
+    reports the declared format."""
+    import io
+    import wave as wavemod
+
     from agri_market_data_pipeline_spark.operators.multimodal import (
         _ENERGY_WINDOW,
+        _WAV_RATE,
         documents_as_media,
+        documents_as_wav,
     )
 
     payloads = {
         r.doc_id: bytes(r.payload)
         for r in documents_as_media(spark, sf_dir).collect()
     }
+    one = documents_as_wav(spark, sf_dir).limit(1).collect()[0]
+    with wavemod.open(io.BytesIO(bytes(one.wav)), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            1, 2, _WAV_RATE,
+        )
+        assert w.getnframes() == len(payloads[one.doc_id])
+
     rows = multimodal_audio_energy(spark, sf_dir).collect()
     got = {(r.doc_id, r.window_no): (r.energy, r.peak) for r in rows}
     n_expected = sum(len(p) // _ENERGY_WINDOW for p in payloads.values())
     assert len(rows) == len(got) == n_expected  # no dups, none dropped
     for doc_id, payload in payloads.items():
-        for w in range(len(payload) // _ENERGY_WINDOW):
-            chunk = payload[w * _ENERGY_WINDOW : (w + 1) * _ENERGY_WINDOW]
+        samples = [(b - 128) * 256 for b in payload]
+        for w in range(len(samples) // _ENERGY_WINDOW):
+            chunk = samples[w * _ENERGY_WINDOW : (w + 1) * _ENERGY_WINDOW]
             assert got[(doc_id, w)] == (
-                sum(b * b for b in chunk),
+                sum(s * s for s in chunk),
                 max(chunk),
             ), (doc_id, w)
 
