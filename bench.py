@@ -190,6 +190,7 @@ def main() -> int:
     calib_run()  # plan-shape warm-up
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
         calib_samples.append(calib_run())  # one probe per query slot
         fn = queries[name]
@@ -217,6 +218,11 @@ def main() -> int:
         if min(runs) > 0 and max(runs) / min(runs) > 1.5:
             runs += [one_run() for _ in range(2)]
         timings[name] = round(statistics.median(runs), 3)
+        # raw samples preserved in the detail file (VERDICT r6 item 8):
+        # regression triage can separate per-query noise (wide sample
+        # spread) from a plan change (tight spread at a new level)
+        # without needing three full confirmation runs.
+        samples[name] = [round(r, 3) for r in runs]
 
     calib_samples.append(calib_run())  # suite end
     calib = statistics.median(calib_samples)
@@ -256,6 +262,7 @@ def main() -> int:
                 # with the environment.
                 "calibration_sec": round(calib, 3),
                 "calibration_samples": [round(c, 3) for c in calib_samples],
+                "queries_samples": samples,
                 "queries_normalized": normalized,
                 "normalized_total": round(total / calib, 3),
                 "sf": sf_val,
