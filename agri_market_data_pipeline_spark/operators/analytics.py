@@ -2272,3 +2272,90 @@ def ts_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "paasche",
         F.sqrt(F.col("laspeyres") * F.col("paasche")).alias("fisher"),
     )
+
+
+_TS_SEN_SQL = f"""
+WITH bm AS (
+  SELECT p.p_brand AS brand,
+         CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT) AS mi,
+         {_sql_pi_dsum("l.l_extendedprice")} / {_sql_pi_dsum("l.l_quantity")}
+           AS p
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.brand,
+         (b.p - a.p) / (b.mi - a.mi) AS slope,
+         a.mi AS mi1, b.mi AS mi2
+  FROM bm a JOIN bm b ON a.brand = b.brand AND a.mi < b.mi
+),
+ranked AS (
+  SELECT brand, slope,
+         ROW_NUMBER() OVER (PARTITION BY brand
+                            ORDER BY slope, mi1, mi2) AS rn,
+         COUNT(*) OVER (PARTITION BY brand) AS n_pairs
+  FROM slopes
+)
+SELECT brand, n_pairs, slope AS sen_slope
+FROM ranked
+WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+@query("ts_theil_sen", oracle=_TS_SEN_SQL)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per brand: the median of all pairwise
+    slopes between monthly unit prices — the estimator that tolerates
+    ~29% outliers where ts_trend_ols's least squares breaks on one bad
+    month (a mis-keyed mandi quotation, in the reference's terms).
+    Unit prices are ratios of exact-DECIMAL sums (bitwise identical);
+    each pairwise slope is one IEEE subtraction/division of those
+    doubles, so the slope VALUES are engine-identical, and the median
+    is selected positionally (lower median, rank = (n+1)//2 over
+    slope with the (mi1, mi2) unique tiebreak) — never averaged, so
+    no new float op enters and nothing needs rounding.
+
+    Scale: the pairwise join is GRAIN-bounded — pairs form over the
+    (brand, month) aggregate (~84 months x 25 brands -> ~3.5k pairs
+    per brand), never over fact rows, and the brand key blocks the
+    self-join, so cost is months^2 x brands regardless of fact scale.
+    At very long histories, swap in the O(n log n) repeated-median
+    refinement per brand; months^2 at monthly grain stays trivial for
+    decades."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("mi"),
+        )
+        .agg((dsum("l_extendedprice") / dsum("l_quantity")).alias("p"))
+    )
+    a, b = bm.alias("a"), bm.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand")) & (F.col("a.mi") < F.col("b.mi")),
+    ).select(
+        F.col("a.brand").alias("brand"),
+        ((F.col("b.p") - F.col("a.p")) / (F.col("b.mi") - F.col("a.mi"))).alias(
+            "slope"
+        ),
+        F.col("a.mi").alias("mi1"),
+        F.col("b.mi").alias("mi2"),
+    )
+    w = Window.partitionBy("brand").orderBy("slope", "mi1", "mi2")
+    wc = Window.partitionBy("brand")
+    ranked = slopes.select(
+        "brand",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select("brand", "n_pairs", F.col("slope").alias("sen_slope"))

@@ -457,3 +457,114 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy(
         F.desc("weight"), F.asc("part_a"), F.asc("part_b")
     ).limit(_BP_TOP)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """DuckDB twin: the peel loop unrolled into a CTE chain (a0 → a1 →
+    … — graph_pagerank's technique). The edge threshold SUM(w)/COUNT(*)
+    is a ratio of exact integer aggregates, so the pruned edge set is
+    engine-identical; every later state is pure integer set algebra."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGE_SQL})",
+        "thr AS (SELECT CAST(SUM(w) AS DOUBLE) / COUNT(*) AS t FROM e"
+        "  WHERE src != dst)",
+        """u AS MATERIALIZED (
+  SELECT src, dst FROM e, thr WHERE src != dst AND w >= t
+  UNION
+  SELECT dst AS src, src AS dst FROM e, thr WHERE src != dst AND w >= t)""",
+        "a0 AS (SELECT DISTINCT src AS node FROM u)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"a{i - 1}"
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT u.src AS node FROM u
+  JOIN {prev} s ON u.src = s.node
+  JOIN {prev} d ON u.dst = d.node
+  GROUP BY u.src HAVING COUNT(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n.n_name AS nation, COUNT(*) AS core_degree
+FROM u
+JOIN a{rounds} s ON u.src = s.node
+JOIN a{rounds} d ON u.dst = d.node
+JOIN nation n ON n.n_nationkey = u.src
+GROUP BY 1"""
+    )
+
+
+@query("graph_kcore", oracle=_kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the thresholded trade graph by iterative
+    peeling: keep only edges with above-average weight (the dense
+    nation graph's sparsifier — an exact integer-aggregate ratio, so
+    both engines prune identically), then repeatedly drop nodes whose
+    surviving degree falls below k=3 until the 3-core remains. The
+    peel loop is unrolled to 4 rounds on both engines (pagerank's CTE
+    technique); each round is pure integer set algebra, so every
+    intermediate survivor set is engine-identical, and the fixpoint is
+    reached well inside the budget (measured: round 1 at every SF;
+    test-pinned: the survivor set at round 4 equals round 3, so an
+    insufficient budget fails loudly instead of shipping a half-peeled
+    core).
+    The k-core is the standard 'structurally engaged subgraph' signal —
+    the trading bloc whose members each keep >= k strong partners even
+    after weakly-attached nations peel away.
+
+    Scale: the fact scan reduces to the nation-pair edge aggregate
+    before any iteration (the module's build-then-iterate shape); each
+    peel round shuffles only node-cardinality frames and the edge set
+    is broadcast-probed. At web-scale graphs the same loop runs with
+    the degree aggregate hash-partitioned by node — still K rounds of
+    linear work, the textbook distributed k-core."""
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    thr = e.agg((F.sum("w").cast("double") / F.count("*")).alias("t"))
+    ue = (
+        e.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+    )
+    u = (
+        ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = u.select(F.col("src").alias("node")).distinct()
+    for _ in range(_KCORE_ROUNDS):
+        surv = u.join(
+            F.broadcast(alive.select(F.col("node").alias("src"))),
+            "src",
+            "leftsemi",
+        ).join(
+            F.broadcast(alive.select(F.col("node").alias("dst"))),
+            "dst",
+            "leftsemi",
+        )
+        alive = (
+            surv.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    core_edges = u.join(
+        F.broadcast(alive.select(F.col("node").alias("src"))), "src", "leftsemi"
+    ).join(
+        F.broadcast(alive.select(F.col("node").alias("dst"))), "dst", "leftsemi"
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("src"), F.col("n_name").alias("nation")
+    )
+    return (
+        core_edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .join(F.broadcast(nat), "src")
+        .select("nation", "core_degree")
+    )

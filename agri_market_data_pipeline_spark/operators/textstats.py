@@ -1073,3 +1073,90 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, COUNT(*) AS cnt FROM tok WHERE token != '' GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+  FROM freq
+),
+pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_types,
+       ROUND(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_exponent,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS ln_c
+FROM s
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_SQL)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus unigram distribution: OLS of
+    ln(count) on ln(rank) gives the Zipf exponent s in count ∝ rank^-s
+    — natural language sits near s≈1, and a corpus whose exponent
+    drifts (template spam flattens the tail, boilerplate floods the
+    head) fails the fit long before per-document quality scores notice;
+    it is THE one-number distributional health check a training-corpus
+    intake runs (text_unigram_logprob scores documents against the
+    distribution; this scores the distribution itself).
+
+    Determinism: ranks are integers off a (cnt DESC, token) total
+    order; ln() of integer-valued doubles is correctly rounded and
+    engine-identical (transcendental ties are measure-zero —
+    CLAUDE.md); the OLS power sums accumulate in DECIMAL(30,15) so the
+    fold is order-exact, and ROUND(6) absorbs the division chain.
+
+    Scale: one token-keyed count (partial-agg), a K=vocab-row rank
+    window, and a one-row reduce — fact rows are touched once; the fit
+    runs on the vocabulary, whose size is corpus-sublinear (Heaps'
+    law), so the window never sees fact cardinality."""
+    d = load_parallel(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    pts = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,15)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,15)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("ln_c"),
+    )

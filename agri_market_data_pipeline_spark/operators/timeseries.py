@@ -812,3 +812,83 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("lnsum"), 6))
         .alias("survival"),
     )
+
+
+_CONC_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, tus,
+         CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > {_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+), sess AS (
+  SELECT user_id, session_id, MIN(tus) AS t0_us, MAX(tus) AS t1_us
+  FROM s GROUP BY user_id, session_id
+), pts AS (
+  SELECT user_id, session_id, t0_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, session_id, t1_us AS t, -1 AS delta FROM sess
+), c AS (
+  SELECT t,
+         CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM pts
+)
+SELECT t // 86400000000 AS day_no,
+       MAX(conc) AS peak_concurrent,
+       COUNT(*) AS n_points
+FROM c GROUP BY 1
+"""
+
+
+@query("ts_session_concurrency", oracle=_CONC_SQL)
+def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by the SWEEP LINE: each session
+    interval emits +1 at its start and -1 at its end, the running sum
+    over the globally ordered point stream IS the concurrency curve,
+    and the per-day MAX is the capacity-planning number every serving
+    platform publishes. Touching intervals count as concurrent (starts
+    order before ends at the same microsecond — delta DESC — with the
+    (user_id, session_id) unique tiebreak making the whole walk
+    engine-deterministic). Session intervals come from win_sessionize
+    (same 30-minute gaps-and-islands CTE on both engines).
+
+    Scale: the sweep runs over 2 rows per SESSION — the session
+    aggregate, never raw events — so the single-partition cumulative
+    window is grain-bounded (win_pareto_share's justification). At
+    100 TB, pre-splitting the sweep by coarse time range (day) and
+    carrying each range's opening balance forward turns it into a
+    two-pass partial-agg plan; the curve itself stays exact."""
+    sess = win_sessionize(spark, sf_dir)
+    starts = sess.select(
+        "user_id",
+        "session_id",
+        F.col("t0_us").alias("t"),
+        F.lit(1).alias("delta"),
+    )
+    ends = sess.select(
+        "user_id",
+        "session_id",
+        F.col("t1_us").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionAll(ends)
+    w = (
+        Window.orderBy(
+            F.col("t").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = pts.select("t", F.sum("delta").over(w).cast("bigint").alias("conc"))
+    return c.groupBy(F.expr("t div 86400000000").alias("day_no")).agg(
+        F.max("conc").alias("peak_concurrent"),
+        F.count("*").alias("n_points"),
+    )

@@ -1031,3 +1031,105 @@ def ml_dt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("posr").alias("pos_right"),
         )
     )
+
+
+_RIDGE_LAMBDA = 10.0  # L2 penalty (fixed; the knob a CV loop would tune)
+
+_RIDGE_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag AS grp,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx1x1,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx2x2,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx1x2,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sx2y
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT grp, n,
+         sx1x1 - sx1 * sx1 / n + {_RIDGE_LAMBDA} AS a11,
+         sx2x2 - sx2 * sx2 / n + {_RIDGE_LAMBDA} AS a22,
+         sx1x2 - sx1 * sx2 / n AS a12,
+         sx1y - sx1 * sy / n AS c1,
+         sx2y - sx2 * sy / n AS c2,
+         sx1, sx2, sy
+  FROM s
+),
+b AS (
+  SELECT grp, n, sx1, sx2, sy,
+         (a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12) AS beta1,
+         (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS beta2
+  FROM c
+)
+SELECT grp, n,
+       ROUND(beta1, 6) AS beta1,
+       ROUND(beta2, 6) AS beta2,
+       ROUND((sy - beta1 * sx1 - beta2 * sx2) / n, 6) AS intercept
+FROM b
+"""
+
+
+@query("ml_ridge_closed_form", oracle=_RIDGE_SQL)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression per group, solved in CLOSED FORM
+    from sufficient statistics (price ~ quantity + discount per return
+    flag): one partial-agg pass accumulates the nine exact-DECIMAL
+    power sums; centering reduces the normal equations to a 2x2 system
+    (X'X + lambda*I) beta = X'y solved by the explicit inverse, and the
+    intercept is recovered from the means. ts_trend_ols's discipline
+    lifted to the multivariate + regularized case — the degenerate-
+    design guard OLS lacks (lambda keeps the system invertible even
+    when the features are collinear), with zero iteration (contrast
+    ml_logreg_quality, which is iterative by nature and rows-only).
+
+    Scale: the fact scan reduces to 9 monoid sums per group — the same
+    one-pass shape at 100 TB; the solve is K-row scalar algebra. The
+    DECIMAL accumulators make the sums order-exact, so the double
+    algebra downstream is bit-identical on both engines and ROUND(6)
+    absorbs only the division chain's last ulp. Products stay inside
+    DECIMAL(38,6): quantity*price <= ~5e6 per row, summed < 1e13 at
+    any tested SF."""
+    li = load_parallel(spark, sf_dir, "lineitem")
+
+    def exact(expr: Column, scale: int = 38) -> Column:
+        return F.sum(expr.cast(f"decimal({scale},6)")).cast("double")
+
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"),
+        exact(x1, 30).alias("sx1"),
+        exact(x2, 30).alias("sx2"),
+        exact(y, 30).alias("sy"),
+        exact(x1 * x1).alias("sx1x1"),
+        exact(x2 * x2).alias("sx2x2"),
+        exact(x1 * x2).alias("sx1x2"),
+        exact(x1 * y).alias("sx1y"),
+        exact(x2 * y).alias("sx2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n + F.lit(_RIDGE_LAMBDA)
+    a22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n + F.lit(_RIDGE_LAMBDA)
+    a12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = (a22 * c1 - a12 * c2) / det
+    beta2 = (a11 * c2 - a12 * c1) / det
+    return s.select(
+        "grp",
+        "n",
+        F.round(beta1, 6).alias("beta1"),
+        F.round(beta2, 6).alias("beta2"),
+        F.round(
+            (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n, 6
+        ).alias("intercept"),
+    )

@@ -784,3 +784,55 @@ def test_pi_lat6_guard_raises_past_2_53(spark):
     )
     with pytest.raises(Exception, match=r"2\^53"):
         big.collect()
+
+
+def test_kcore_budget_reaches_fixpoint(spark, sf_dir):
+    """graph_kcore unrolls the peel to a FIXED round budget; correctness
+    requires the fixpoint lands inside it. Pin: the survivor set after
+    the budgeted rounds equals the set one round earlier, and every
+    reported core node keeps degree >= k within the core."""
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _edges,
+    )
+
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    thr = e.agg((F.sum("w").cast("double") / F.count("*")).alias("t"))
+    ue = (
+        e.join(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+    )
+    u = (
+        ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = u.select(F.col("src").alias("node")).distinct()
+    sets = []
+    for _ in range(_KCORE_ROUNDS):
+        surv = u.join(
+            F.broadcast(alive.select(F.col("node").alias("src"))),
+            "src",
+            "leftsemi",
+        ).join(
+            F.broadcast(alive.select(F.col("node").alias("dst"))),
+            "dst",
+            "leftsemi",
+        )
+        alive = (
+            surv.groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        sets.append({r.node for r in alive.collect()})
+    assert sets[-1] == sets[-2], "peel budget too small: not at fixpoint"
+
+    core = {
+        r.nation: r.core_degree
+        for r in _q("graph_kcore")(spark, sf_dir).collect()
+    }
+    assert all(d >= _KCORE_K for d in core.values())
