@@ -1534,3 +1534,99 @@ def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         (F.count("*") / F.lit(_TOP_K)).alias("recall"),
     )
+
+
+_KNNC_K = 5
+_KNNC_MOD = 20  # probe set: vec_id % 20 == 0
+
+_KNNC_SQL = f"""
+WITH probes AS (
+  SELECT vec_id AS pid, embedding AS pvec, label AS true_label
+  FROM embeddings WHERE vec_id % {_KNNC_MOD} = 0
+),
+scored AS (
+  SELECT p.pid, p.true_label, e.vec_id, e.label,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.pid
+           ORDER BY ROUND({sql_cosine('e.embedding', 'p.pvec')}, 6) DESC,
+                    e.vec_id) AS rn
+  FROM probes p JOIN embeddings e ON e.vec_id != p.pid
+),
+votes AS (
+  SELECT pid, true_label, label, COUNT(*) AS cnt
+  FROM scored WHERE rn <= {_KNNC_K}
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT pid, true_label, label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY cnt DESC, label) AS vr
+  FROM votes
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       COUNT(*) AS n_probes,
+       CAST(COUNT(*) FILTER (WHERE pred_label = true_label) AS BIGINT)
+         AS n_correct,
+       COUNT(*) FILTER (WHERE pred_label = true_label)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM pred WHERE vr = 1
+GROUP BY 1
+"""
+
+
+@query("ml_knn_classify", oracle=_KNNC_SQL)
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding column: every 20th vector
+    is held out as a probe, its 5 nearest labeled neighbors (ROUND(6)
+    cosine, vec_id tiebreak, self excluded) vote, majority label wins
+    (ties to the lowest label — positional argmax, engine-identical),
+    and per-class accuracy is reported. sim_knn_join produces the
+    neighbor PAIR list; this is the decision layer on top — the
+    classifier-free baseline every embedding-quality evaluation runs
+    before training anything.
+
+    Determinism: cosine ROUND(6) + unique tiebreak fixes the neighbor
+    sets; votes are integers; accuracy is an exact integer ratio,
+    bitwise identical unrounded (CLAUDE.md).
+
+    Scale: the probe frame is a broadcast (n/20 rows); candidates come
+    from a broadcast nested-loop against it — the honest brute-force
+    baseline at this table's size. At 100 TB the candidate generator
+    swaps for sim_search_ivf's probe-cell scan (same decision layer,
+    candidates from nprobe/ncells of the corpus) — the recall-audited
+    pattern this module already ships."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % _KNNC_MOD == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pvec"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "true_label",
+            "vec_id",
+            "label",
+            F.round(vec_cosine("embedding", "pvec"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KNNC_K
+    )
+    votes = knn.groupBy("pid", "true_label", "label").agg(
+        F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("pid", "true_label", F.col("label").alias("pred_label"))
+    )
+    hit = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return pred.groupBy(F.col("true_label").cast("bigint").alias("true_label")).agg(
+        F.count("*").alias("n_probes"),
+        F.sum(hit).alias("n_correct"),
+        (F.sum(hit) / F.count("*").cast("double")).alias("accuracy"),
+    )

@@ -892,3 +892,192 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").alias("peak_concurrent"),
         F.count("*").alias("n_points"),
     )
+
+
+_TWAP_SQL = """
+WITH x AS (
+  SELECT event_type, epoch_us(ts) AS tus, event_id, value,
+         epoch_us(ts) // 86400000000 AS day_no,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY event_type, epoch_us(ts) // 86400000000
+           ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+w AS (
+  SELECT event_type, day_no, value, nxt - tus AS dt_us
+  FROM x WHERE nxt IS NOT NULL
+)
+SELECT event_type, day_no,
+       COUNT(*) AS n_intervals,
+       ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(dt_us AS DECIMAL(30,6))) AS DOUBLE), 6) AS twap
+FROM w
+GROUP BY 1, 2
+"""
+
+
+@query("ts_twap", oracle=_TWAP_SQL)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (event_type, day): each
+    observation's value is weighted by how long it REMAINED the
+    current quote (the gap to the next observation), so irregular
+    sampling cannot bias the average the way the row-weighted mean —
+    or agg_vwap's volume weighting — can when quotes cluster. The
+    day's last observation carries no successor interval and drops
+    (left-closed convention, documented here; carrying to midnight is
+    the same plan with one COALESCE).
+
+    Determinism: interval widths are exact integer microsecond
+    differences; value*dt is one IEEE product snapped to DECIMAL(38,6)
+    (the dsum pattern) and both sums are order-exact — but at ~21
+    significant digits the DECIMAL->DOUBLE conversion itself is no
+    longer correctly rounded identically on both engines (measured: a
+    1-ulp drift on 34 of 175 groups), so the ratio takes the standard
+    ROUND(6), whose tie risk on a full-mantissa quotient is
+    measure-zero.
+
+    Scale: one lead() window per (event_type, day) partition — the
+    natural hash partitioning, no global ordering — then a partial-agg
+    groupBy at the same grain. The window and the aggregate reuse one
+    exchange."""
+    ev = load(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    w = Window.partitionBy("event_type", "day_no").orderBy("tus", "event_id")
+    x = ev.select(
+        "event_type",
+        tus.alias("tus"),
+        "event_id",
+        "value",
+        day.alias("day_no"),
+    ).withColumn("nxt", F.lead("tus").over(w))
+    iv = x.filter(F.col("nxt").isNotNull()).select(
+        "event_type",
+        "day_no",
+        "value",
+        (F.col("nxt") - F.col("tus")).alias("dt_us"),
+    )
+    return iv.groupBy("event_type", "day_no").agg(
+        F.count("*").alias("n_intervals"),
+        F.round(
+            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum(F.col("dt_us").cast("decimal(30,6)")).cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+_XCORR_LAGS = 3  # lead-lag window: -3 .. +3 days
+
+_XCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lags AS (
+  SELECT UNNEST(generate_series(-{_XCORR_LAGS}, {_XCORR_LAGS})) AS lag
+),
+pairs AS (
+  SELECT a.et AS type_a, b.et AS type_b, l.lag, a.v AS x, b.v AS y
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON a.et < b.et AND b.day_no = a.day_no + l.lag
+),
+s AS (
+  SELECT type_a, type_b, lag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT type_a, type_b, lag, n,
+       ROUND((n * sxy - sx * sy)
+             / SQRT(GREATEST(n * sxx - sx * sx, 0)
+                    * GREATEST(n * syy - sy * sy, 0)), 6) AS xcorr
+FROM s
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+@query("ts_cross_correlation", oracle=_XCORR_SQL)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between every pair of event-type
+    daily series at lags -3..+3 days: Pearson's r of series A on day d
+    against series B on day d+lag — the lead-lag DISCOVERY matrix
+    (does A's move precede B's?) where ts_autocorr correlates one
+    series with itself and agg_corr_covar correlates two columns of
+    the same rows with no time structure at all. The argmax lag per
+    pair is the shippable signal; the full matrix is emitted so the
+    consumer sees the contrast.
+
+    Determinism: daily means are exact-sum/count doubles; each (x, y)
+    product is one IEEE op snapped to DECIMAL(30,15); the power sums
+    are order-exact; GREATEST(.., 0) guards the sqrt against
+    cancellation-negative variances (DuckDB hard-errors where Spark
+    yields NaN — CLAUDE.md); zero-variance cells are filtered on the
+    SAME exact predicate both sides; ROUND(6) absorbs the division
+    chain.
+
+    Scale: the fact scan reduces to (event_type, day) grain in one
+    partial agg; the lag join runs grain x lags (days x types x 7
+    rows), never fact rows — at 100 TB this is the same plan with a
+    bigger first exchange and an unchanged tail."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    lags = spark.range(-_XCORR_LAGS, _XCORR_LAGS + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("a.et") < F.col("b.et"))
+            & (F.col("b.day_no") == F.col("a.day_no") + F.col("lag")),
+        )
+        .select(
+            F.col("a.et").alias("type_a"),
+            F.col("b.et").alias("type_b"),
+            "lag",
+            F.col("a.v").alias("x"),
+            F.col("b.v").alias("y"),
+        )
+    )
+
+    def exact(c):
+        return F.sum(c.cast("decimal(30,15)")).cast("double")
+
+    s = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").alias("n"),
+        exact(F.col("x")).alias("sx"),
+        exact(F.col("y")).alias("sy"),
+        exact(F.col("x") * F.col("y")).alias("sxy"),
+        exact(F.col("x") * F.col("x")).alias("sxx"),
+        exact(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        F.greatest(varx, F.lit(0.0)) * F.greatest(vary, F.lit(0.0))
+    )
+    return s.filter((varx > 0) & (vary > 0)).select(
+        "type_a",
+        "type_b",
+        "lag",
+        "n",
+        F.round(r, 6).alias("xcorr"),
+    )
