@@ -1536,30 +1536,23 @@ def sim_search_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNNC_K = 5
 _KNNC_MOD = 20  # probe set: vec_id % 20 == 0
 
 _KNNC_SQL = f"""
-WITH probes AS (
-  SELECT vec_id AS pid, embedding AS pvec, label AS true_label
-  FROM embeddings WHERE vec_id % {_KNNC_MOD} = 0
-),
-scored AS (
-  SELECT p.pid, p.true_label, e.vec_id, e.label,
-         ROW_NUMBER() OVER (
-           PARTITION BY p.pid
-           ORDER BY ROUND({sql_cosine('e.embedding', 'p.pvec')}, 6) DESC,
-                    e.vec_id) AS rn
-  FROM probes p JOIN embeddings e ON e.vec_id != p.pid
+WITH knn AS ({_knn_sql()}),
+pk AS (
+  SELECT vec_id, neighbor_id FROM knn WHERE vec_id % {_KNNC_MOD} = 0
 ),
 votes AS (
-  SELECT pid, true_label, label, COUNT(*) AS cnt
-  FROM scored WHERE rn <= {_KNNC_K}
+  SELECT p.vec_id, t.label AS true_label, nl.label, COUNT(*) AS cnt
+  FROM pk p
+  JOIN embeddings t ON t.vec_id = p.vec_id
+  JOIN embeddings nl ON nl.vec_id = p.neighbor_id
   GROUP BY 1, 2, 3
 ),
 pred AS (
-  SELECT pid, true_label, label AS pred_label,
-         ROW_NUMBER() OVER (PARTITION BY pid
+  SELECT vec_id, true_label, label AS pred_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY cnt DESC, label) AS vr
   FROM votes
 )
@@ -1576,56 +1569,52 @@ GROUP BY 1
 
 @query("ml_knn_classify", oracle=_KNNC_SQL)
 def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN classification over the embedding column: every 20th vector
-    is held out as a probe, its 5 nearest labeled neighbors (ROUND(6)
-    cosine, vec_id tiebreak, self excluded) vote, majority label wins
-    (ties to the lowest label — positional argmax, engine-identical),
-    and per-class accuracy is reported. sim_knn_join produces the
-    neighbor PAIR list; this is the decision layer on top — the
+    """k-NN classification over the embedding column, built DIRECTLY on
+    sim_knn_join's production neighbor list: every 20th vector is a
+    probe, its k=3 approximate nearest neighbors (trained-IVF-cell
+    candidates, ROUND(6) cosine, vec_id tiebreak, self excluded) vote,
+    majority label wins (ties to the lowest label — positional argmax,
+    engine-identical), and per-class accuracy is reported — the
     classifier-free baseline every embedding-quality evaluation runs
-    before training anything.
+    before training anything. sim_knn_join produces the neighbor PAIR
+    list; this is the decision layer on top, and the oracle replays
+    the same cell-blocked join (never brute force: the first cut of
+    this operator generated probe x corpus candidate pairs and
+    measured 4.3x on the 10x step — quadratic in disguise; riding the
+    cell-blocked join brings the step down to the join's own
+    sub-quadratic shape, SCALING.md).
 
-    Determinism: cosine ROUND(6) + unique tiebreak fixes the neighbor
-    sets; votes are integers; accuracy is an exact integer ratio,
-    bitwise identical unrounded (CLAUDE.md).
+    Determinism: neighbor sets fixed by sim_knn_join's contract; votes
+    are integers; accuracy is an exact integer ratio, bitwise
+    identical unrounded (CLAUDE.md).
 
-    Scale: the probe frame is a broadcast (n/20 rows); candidates come
-    from a broadcast nested-loop against it — the honest brute-force
-    baseline at this table's size. At 100 TB the candidate generator
-    swaps for sim_search_ivf's probe-cell scan (same decision layer,
-    candidates from nprobe/ncells of the corpus) — the recall-audited
-    pattern this module already ships."""
+    Scale: inherits sim_knn_join's ~sqrt(P)*n^1.5 candidate bound; the
+    vote and accuracy layers are probe-grain aggregates; label lookups
+    are broadcast joins against the (vec_id, label) projection."""
+    knn = sim_knn_join(spark, sf_dir).filter(
+        F.col("vec_id") % _KNNC_MOD == 0
+    )
     e = load(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") % _KNNC_MOD == 0).select(
-        F.col("vec_id").alias("pid"),
-        F.col("embedding").alias("pvec"),
-        F.col("label").alias("true_label"),
+    truth = e.select("vec_id", F.col("label").alias("true_label"))
+    neigh = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
     )
-    scored = (
-        e.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
-        .select(
-            "pid",
-            "true_label",
-            "vec_id",
-            "label",
-            F.round(vec_cosine("embedding", "pvec"), 6).alias("sim"),
-        )
+    votes = (
+        knn.join(F.broadcast(truth), "vec_id")
+        .join(F.broadcast(neigh), "neighbor_id")
+        .groupBy("vec_id", "true_label", "label")
+        .agg(F.count("*").alias("cnt"))
     )
-    w = Window.partitionBy("pid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= _KNNC_K
-    )
-    votes = knn.groupBy("pid", "true_label", "label").agg(
-        F.count("*").alias("cnt")
-    )
-    wv = Window.partitionBy("pid").orderBy(F.desc("cnt"), F.asc("label"))
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cnt"), F.asc("label"))
     pred = (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
-        .select("pid", "true_label", F.col("label").alias("pred_label"))
+        .select("vec_id", "true_label", F.col("label").alias("pred_label"))
     )
     hit = (F.col("pred_label") == F.col("true_label")).cast("long")
-    return pred.groupBy(F.col("true_label").cast("bigint").alias("true_label")).agg(
+    return pred.groupBy(
+        F.col("true_label").cast("bigint").alias("true_label")
+    ).agg(
         F.count("*").alias("n_probes"),
         F.sum(hit).alias("n_correct"),
         (F.sum(hit) / F.count("*").cast("double")).alias("accuracy"),
