@@ -77,6 +77,11 @@ HEADLINE = [
     "graph_bipartite_projection",
     "agg_bootstrap_se",
     "join_geo_radius",
+    # r7 representatives: the grain-bounded pair join and the
+    # build-then-iterate graph loop (pins land next round per the
+    # two-run band rule; until then benchguard reports them as "new")
+    "ts_theil_sen",
+    "graph_kcore",
 ]
 
 
