@@ -2359,3 +2359,88 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rn") == F.expr("(n_pairs + 1) div 2")
     ).select("brand", "n_pairs", F.col("slope").alias("sen_slope"))
+
+
+_FLAT_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT v.user_id, v.t_view,
+         MIN(epoch_us(e.ts)) - v.t_view AS delta_us
+  FROM v JOIN events e
+    ON e.user_id = v.user_id
+   AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) > v.t_view
+  GROUP BY v.user_id, v.t_view
+),
+ranked AS (
+  SELECT t_view // 86400000000 AS cohort_day, user_id, delta_us,
+         ROW_NUMBER() OVER (PARTITION BY t_view // 86400000000
+                            ORDER BY delta_us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY t_view // 86400000000) AS nc
+  FROM conv
+)
+SELECT cohort_day,
+       MAX(nc) AS n_converters,
+       MAX(CASE WHEN rn = (nc + 1) // 2 THEN delta_us END) AS p50_delta_us,
+       CAST(SUM(CAST(delta_us AS DECIMAL(30,0))) AS BIGINT) AS sum_delta_us
+FROM ranked
+GROUP BY cohort_day
+"""
+
+
+@query("win_funnel_latency", oracle=_FLAT_SQL)
+def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per first-view cohort day: for every
+    user, the gap from their FIRST view to the earliest purchase
+    strictly after it (win_funnel_steps' no-fake-conversion ordering),
+    summarized as converter count, positional lower-median latency,
+    and exact total. win_funnel_steps reports WHO converts; this
+    reports HOW LONG conversion takes and how that drifts by cohort —
+    the other half of every funnel dashboard.
+
+    Determinism: latencies are exact integer microseconds; the median
+    is selected positionally (rank (n+1)//2 with a user_id tiebreak),
+    never averaged; the sum accumulates in DECIMAL(30,0) — no float
+    enters at any point, nothing rounded.
+
+    Scale: two per-user MIN aggregates on the same user_id exchange
+    (the funnel chain's layout reuse), then a cohort-day window over
+    converter-grain rows — fact rows are touched twice and never
+    windowed."""
+    ev = load(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(tus).alias("t_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", tus.alias("t_p"))
+        .join(v, "user_id")
+        .filter(F.col("t_p") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg((F.min("t_p") - F.col("t_view")).alias("delta_us"))
+    )
+    cohort = F.expr("t_view div 86400000000")
+    wr = Window.partitionBy(cohort).orderBy("delta_us", "user_id")
+    wc = Window.partitionBy(cohort)
+    ranked = conv.select(
+        cohort.alias("cohort_day"),
+        "user_id",
+        "delta_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("nc"),
+    )
+    return ranked.groupBy("cohort_day").agg(
+        F.max("nc").alias("n_converters"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(nc + 1) div 2"), F.col("delta_us"))
+        ).alias("p50_delta_us"),
+        F.sum(F.col("delta_us").cast("decimal(30,0)"))
+        .cast("bigint")
+        .alias("sum_delta_us"),
+    )

@@ -1160,3 +1160,51 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-slope, 6).alias("zipf_exponent"),
         F.round((F.col("sy") - slope * F.col("sx")) / n, 6).alias("ln_c"),
     )
+
+
+_COMPRESS_SCHEMA = (
+    "doc_id long, raw_len long, compressed_len long, compress_ratio double"
+)
+
+
+def _compress_batch(batches):
+    """zlib level-6 per document — codec work, so necessarily Python,
+    but Arrow-batched over mapInPandas (per-OBJECT loop, the multimodal
+    modules' codec granularity) and emitting only scalars."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = [len(t.encode("utf-8")) for t in pdf["text"]]
+        comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in pdf["text"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "raw_len": pd.Series(raw, dtype="int64"),
+                "compressed_len": pd.Series(comp, dtype="int64"),
+                "compress_ratio": pd.Series(
+                    [c / r if r else 1.0 for r, c in zip(raw, comp)],
+                    dtype="float64",
+                ),
+            }
+        )
+
+
+@query("text_compress_ratio")
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document: zlib-6 bytes out
+    over bytes in — the classic corpus filter (Gopher/RefinedWeb use
+    exactly this): highly repetitive or templated text compresses far
+    below natural prose, boilerplate floods under ~0.3, random noise
+    sits near 1.0. Complements text_repetition_score (n-gram level)
+    with whole-document redundancy that n-gram counters miss (long-
+    range repeats). Rows-only by nature — DuckDB has no zlib — with a
+    pure-Python parity test recomputing the exact lengths
+    (tests/test_new_ops.py).
+
+    Scale: row-local mapInPandas (Arrow batches, per-document codec
+    loop, scalar output); zero shuffle — the downstream filter
+    predicate is where the first exchange appears."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_compress_batch, _COMPRESS_SCHEMA)

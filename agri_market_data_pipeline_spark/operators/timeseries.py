@@ -1081,3 +1081,116 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(r, 6).alias("xcorr"),
     )
+
+
+_PERIODS = (7, 14, 30)  # candidate cycle lengths, days
+
+_PERIOD_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT et, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS svv
+  FROM daily GROUP BY 1
+),
+ph AS (
+  SELECT d.et, p.period, d.day_no % p.period AS phase,
+         COUNT(*) AS np,
+         CAST(SUM(CAST(d.v AS DECIMAL(30,15))) AS DOUBLE) AS sp
+  FROM daily d, LATERAL (
+    SELECT UNNEST(ARRAY{list(_PERIODS)}) AS period) p
+  GROUP BY 1, 2, 3
+),
+terms AS (
+  SELECT ph.et, ph.period,
+         CAST(ph.np * (ph.sp / ph.np - g.sv / g.n)
+                    * (ph.sp / ph.np - g.sv / g.n)
+              AS DECIMAL(30,12)) AS bt
+  FROM ph JOIN g ON g.et = ph.et
+)
+SELECT t.et AS event_type, t.period,
+       g.n AS n_days,
+       ROUND(CAST(SUM(t.bt) AS DOUBLE)
+             / (g.svv - g.sv * g.sv / g.n), 6) AS strength
+FROM terms t JOIN g ON g.et = t.et
+GROUP BY 1, 2, 3, g.svv, g.sv, g.n
+"""
+
+
+@query("ts_periodicity_strength", oracle=_PERIOD_SQL)
+def ts_periodicity_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity detector by phase folding: for each candidate period
+    P (7/14/30 days), fold the daily series onto day_no mod P and take
+    the between-phase share of total variance (the ANOVA decomposition
+    R² = SS_between/SS_total). A true P-cycle concentrates variance in
+    the phase means (strength → its seasonal share); white noise gives
+    ~(P-1)/(n-1). This is the frequency-domain complement of
+    ts_autocorr (which tests ONE lag at a time) and ts_seasonal_profile
+    (which assumes the month cycle); here the period is DETECTED —
+    with zero trigonometry, so there is no cross-engine libm cos/sin
+    to diverge: every input is an exact-sum ratio, every between-phase
+    term is snapped to DECIMAL(30,12) before the P-term sum (fold-order
+    exact), and ROUND(6) absorbs the final division chain.
+
+    Scale: facts reduce to (type, day) in one partial agg; phase sums
+    are a (type, period, phase) grain aggregate (≤ 51 rows per type);
+    everything downstream is K-row algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    g = daily.groupBy("et").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(30,15)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    periods = spark.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+    ph = (
+        daily.join(F.broadcast(periods))
+        .groupBy("et", "period", (F.col("day_no") % F.col("period")).alias("phase"))
+        .agg(
+            F.count("*").alias("np"),
+            F.sum(F.col("v").cast("decimal(30,15)")).cast("double").alias("sp"),
+        )
+    )
+    pm = F.col("sp") / F.col("np")
+    gm = F.col("sv") / F.col("n")
+    terms = ph.join(F.broadcast(g), "et").select(
+        "et",
+        "period",
+        "n",
+        "sv",
+        "svv",
+        (F.col("np") * (pm - gm) * (pm - gm)).cast("decimal(30,12)").alias("bt"),
+    )
+    return (
+        terms.groupBy(
+            F.col("et").alias("event_type"),
+            "period",
+            F.col("n").alias("n_days"),
+            "sv",
+            "svv",
+        )
+        .agg(
+            F.round(
+                F.sum("bt").cast("double")
+                / (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n_days")),
+                6,
+            ).alias("strength")
+        )
+        .select("event_type", "period", "n_days", "strength")
+    )

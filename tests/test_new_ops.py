@@ -836,3 +836,23 @@ def test_kcore_budget_reaches_fixpoint(spark, sf_dir):
         for r in _q("graph_kcore")(spark, sf_dir).collect()
     }
     assert all(d >= _KCORE_K for d in core.values())
+
+
+def test_compress_ratio_matches_pure_python(spark, sf_dir):
+    """Rows-only parity: the operator's zlib-6 lengths must equal a
+    driver-side recompute on every document, and ratios must sit in
+    (0, ~1.1] (zlib overhead can exceed 1.0 only on tiny docs)."""
+    import zlib
+
+    rows = _q("text_compress_ratio")(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        raw = docs[r.doc_id].encode("utf-8")
+        assert r.raw_len == len(raw)
+        assert r.compressed_len == len(zlib.compress(raw, 6))
+        assert r.compress_ratio == r.compressed_len / r.raw_len
+        assert 0 < r.compress_ratio <= 1.3  # zlib header overhead on tiny docs
