@@ -856,3 +856,37 @@ def test_compress_ratio_matches_pure_python(spark, sf_dir):
         assert r.compressed_len == len(zlib.compress(raw, 6))
         assert r.compress_ratio == r.compressed_len / r.raw_len
         assert 0 < r.compress_ratio <= 1.3  # zlib header overhead on tiny docs
+
+
+def test_pq_index_memo_invalidates_on_fingerprint(spark, sf_dir, tmp_path):
+    """The memoized IVF-PQ stored index must be keyed by the embeddings
+    file fingerprint: same sf_dir + same data hits the cache (same
+    object back); pointing at a different copy of the table — or
+    touching the file — misses and rebuilds, so a regenerated testdata
+    dir can never be served a stale index."""
+    import os
+    import shutil
+
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        _PQ_INDEX_CACHE,
+        _pq_index,
+    )
+
+    a1 = _pq_index(spark, sf_dir)
+    a2 = _pq_index(spark, sf_dir)
+    # element identity, not tuple identity: the builder returns a fresh
+    # tuple while the cache stores its own
+    assert a1[0] is a2[0] and a1[1] is a2[1], "same fingerprint must hit"
+
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            shutil.copy(src, alt / f"{t}.parquet")
+    b1 = _pq_index(spark, str(alt))
+    assert b1[1] is not a1[1], "different dir/fingerprint must rebuild"
+    assert len(_PQ_INDEX_CACHE) == 1, "cache is bounded to one live index"
