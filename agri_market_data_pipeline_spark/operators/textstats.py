@@ -447,6 +447,40 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fact and only the tail shuffles.
 _ZIPF_HEAD = 4096
 
+_VOCAB_COUNT_CACHE: dict = {}
+
+
+def _distinct_token_count(spark: SparkSession, sf_dir: str) -> int:
+    """Distinct-token count of the documents corpus — the one-row
+    pre-agg that decides whether the LM count joins need head/tail
+    routing at all (the conditional degree-cap discipline, r6): when
+    the WHOLE model table fits the broadcast head, routing's
+    filter/union/tail-join scaffolding is pure overhead — measured
+    pointless on this corpus's constant 31-token vocabulary. Memoized
+    per (applicationId, sf_dir, documents fingerprint) like
+    tables.max_group_count, so warm bench runs and the full selfcheck
+    pay one tokenization scan. At 100 TB this scalar comes from the
+    vocabulary table's metastore statistics."""
+    from ..tables import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "documents"),
+    )
+    hit = _VOCAB_COUNT_CACHE.get(key)
+    if hit is None:
+        if len(_VOCAB_COUNT_CACHE) > 16:
+            _VOCAB_COUNT_CACHE.clear()
+        hit = int(
+            load_parallel(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("w"))
+            .agg(F.count_distinct("w").alias("v"))
+            .first()["v"]
+        )
+        _VOCAB_COUNT_CACHE[key] = hit
+    return hit
+
 
 @query(
     "text_unigram_logprob",
@@ -495,11 +529,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle is unchanged; what changes is that the fact-sized exchange
     # now carries the tail fraction only (the join_skew_salted
     # playbook, made structural).
-    vhead = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_HEAD)
-    hj = tok.join(F.broadcast(vhead), "tok", "left")
-    scored = hj.filter(F.col("cnt").isNotNull()).unionByName(
-        hj.filter(F.col("cnt").isNull()).drop("cnt").join(vocab, "tok")
-    )
+    # CONDITIONAL routing (r7): when the memoized vocabulary bound
+    # proves the whole vocab fits the head, a single broadcast join
+    # replaces the filter/union/tail scaffolding — identical rows.
+    if _distinct_token_count(spark, sf_dir) <= _ZIPF_HEAD:
+        scored = tok.join(F.broadcast(vocab), "tok")
+    else:
+        vhead = vocab.orderBy(F.desc("cnt"), F.asc("tok")).limit(_ZIPF_HEAD)
+        hj = tok.join(F.broadcast(vhead), "tok", "left")
+        scored = hj.filter(F.col("cnt").isNotNull()).unionByName(
+            hj.filter(F.col("cnt").isNull()).drop("cnt").join(vocab, "tok")
+        )
     return (
         scored.join(F.broadcast(total))
         .groupBy("doc_id")
@@ -973,13 +1013,23 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         """LEFT join fact→table with Zipf head/tail routing: head-hit
         rows take the broadcast join, head-miss rows (tail keys AND
         truly-absent keys) fall through to the shuffled join — per-row
-        results identical to a single LEFT join against `table`."""
+        results identical to a single LEFT join against `table`.
+
+        CONDITIONAL (r7, the degree-cap discipline): when the memoized
+        vocabulary bound proves the whole model table fits the
+        broadcast head (|vocab|^arity ≤ head), routing's
+        filter/union/tail-join scaffolding is skipped for one plain
+        broadcast LEFT join — same per-row results, four fewer
+        operators; the oracle's single LEFT join is unconditional."""
+        if vocab_n ** len(keys) <= _ZIPF_HEAD:
+            return fact.join(F.broadcast(table), keys, "left")
         head = table.orderBy(F.desc(val), *keys).limit(_ZIPF_HEAD)
         hj = fact.join(F.broadcast(head), keys, "left")
         return hj.filter(F.col(val).isNotNull()).unionByName(
             hj.filter(F.col(val).isNull()).drop(val).join(table, keys, "left")
         )
 
+    vocab_n = _distinct_token_count(spark, sf_dir)
     j2 = routed(held, c2, ["w1", "w2"], "c")
     j1 = routed(j2, c1, ["w1"], "n")
     lp = F.log(
