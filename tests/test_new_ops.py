@@ -890,3 +890,105 @@ def test_pq_index_memo_invalidates_on_fingerprint(spark, sf_dir, tmp_path):
     b1 = _pq_index(spark, str(alt))
     assert b1[1] is not a1[1], "different dir/fingerprint must rebuild"
     assert len(_PQ_INDEX_CACHE) == 1, "cache is bounded to one live index"
+
+
+def test_theil_sen_resists_planted_outlier(spark, tmp_path):
+    """The Theil-Sen slope must shrug off one corrupted month where OLS
+    cannot: on a clean fixture y = 10 + 2x the pairwise-slope median is
+    exactly 2.0, and replacing ONE month's price with a 100x spike
+    leaves the Sen slope near 2 while the OLS slope on the same data is
+    pulled far away — the ~29% breakdown property that justifies the
+    operator next to ts_trend_ols."""
+    import shutil
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    alt = tmp_path / "sen"
+    alt.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{sf}/{t}.parquet"
+        shutil.copy(src, alt / f"{t}.parquet")
+    # plant a clean linear series as a synthetic brand: overwrite part
+    # + lineitem with one brand, one part, monthly unit prices 10 + 2m
+    import pandas as pd
+
+    months = list(range(24))
+    part = pd.DataFrame(
+        {"p_partkey": [1], "p_brand": ["BRAND_X"]}
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": [1] * 24,
+            "l_shipdate": pd.to_datetime(
+                [f"200{1 + m // 12}-{m % 12 + 1:02d}-15" for m in months]
+            ),
+            "l_extendedprice": [float(10 + 2 * m) for m in months],
+            "l_quantity": [1.0] * 24,
+        }
+    )
+    part.to_parquet(alt / "part.parquet")
+    li.to_parquet(  # NANOS timestamps are illegal to Spark's reader
+        alt / "lineitem.parquet", coerce_timestamps="us"
+    )
+    rows = {r.brand: r.sen_slope for r in _q("ts_theil_sen")(spark, str(alt)).collect()}
+    assert rows == {"BRAND_X": 2.0}
+
+    li.loc[11, "l_extendedprice"] = 10000.0  # one corrupted month
+    li.to_parquet(alt / "lineitem.parquet", coerce_timestamps="us")
+    sen = _q("ts_theil_sen")(spark, str(alt)).collect()[0].sen_slope
+    assert abs(sen - 2.0) < 0.5, sen
+    # OLS on the same points is destroyed by the spike
+    x = np.array(months, dtype=float)
+    y = np.array([10 + 2 * m for m in months], dtype=float)
+    y[11] = 10000.0
+    ols = np.polyfit(x, y, 1)[0]
+    # the single spike drags OLS to a NEGATIVE slope (-2.3 measured)
+    assert abs(ols - 2.0) > 3, ols
+
+
+def test_periodicity_detects_planted_weekly_cycle(spark, tmp_path):
+    """A planted 7-day square-wave cycle must dominate strength at P=7
+    and its harmonic P=14 must not exceed it; a flat series scores ~0
+    everywhere. Pins the detector's point: the period is FOUND, not
+    assumed."""
+    import shutil
+
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    alt = tmp_path / "per"
+    alt.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{sf}/{t}.parquet", alt / f"{t}.parquet")
+    days = list(range(140))  # 20 full weeks
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(140)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([d * 24 for d in days], unit="h"),
+            "user_id": [1] * 140,
+            "event_type": ["cycle"] * 140,
+            "value": [100.0 if d % 7 < 2 else 10.0 for d in days],
+            "props": ["{}"] * 140,
+        }
+    )
+    ev.to_parquet(alt / "events.parquet")
+    got = {
+        (r.event_type, r.period): r.strength
+        for r in _q("ts_periodicity_strength")(spark, str(alt)).collect()
+    }
+    s7, s14, s30 = (
+        got[("cycle", 7)],
+        got[("cycle", 14)],
+        got[("cycle", 30)],
+    )
+    assert s7 > 0.99, s7  # pure cycle: all variance is between-phase
+    assert s14 <= s7 + 1e-9
+    assert s30 < 0.5
