@@ -374,9 +374,93 @@ def geo_main() -> int:
     return 0
 
 
+
+
+def zipf_main() -> int:
+    """Fourth mode (r7): measure the LM count-join ROUTING counterfactual
+    behind textstats' conditional head/tail split. On the driver
+    testdata the vocabulary is 31 tokens, so the whole model broadcasts
+    and routing is scaffolding (the conditional skips it — measured in
+    bench). This mode plants the case the routing exists FOR: a
+    Zipf-distributed fact over a vocabulary far larger than the
+    broadcast head, joined to its count table three ways:
+
+      broadcast-all  broadcast the ENTIRE count table (what the
+                     conditional does when it fits — here it should
+                     LOSE or OOM-risk: the table is deliberately huge)
+      shuffle        plain shuffle join (the no-routing baseline)
+      routed         broadcast top-HEAD keys + shuffle the tail misses
+
+    Run: python tools/skewbench.py zipf [n_rows] [vocab]
+    """
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+    vocab = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
+    head = 4096
+    spark = get_spark("skewbench-zipf")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Zipf-ish fact as a hot-head/uniform-tail mixture: 90% of rows hit
+    # one of `head` hot keys, 10% spread uniformly over the full vocab —
+    # the floor(vocab/u) inverse form looks Zipfy but has only ~2*sqrt(vocab)
+    # DISTINCT values, which silently shrinks the count table to
+    # broadcast-trivial size and voids the experiment.
+    u = F.pmod(F.hash(F.col("id")), F.lit(100))
+    hot = F.pmod(F.hash(F.col("id") + 1), F.lit(head))
+    cold = F.lit(head) + F.pmod(F.hash(F.col("id") + 2), F.lit(vocab))
+    fact = (
+        spark.range(0, n_rows, 1, 32)
+        .select(
+            F.when(u < 90, hot).otherwise(cold).cast("long").alias("tok"),
+            F.col("id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = (
+        fact.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    print(f"fact rows {n_rows}, distinct keys {counts.count()}, head {head}")
+
+    def broadcast_all():
+        return fact.join(F.broadcast(counts), "tok")
+
+    def shuffle():
+        return fact.join(counts, "tok")
+
+    def routed():
+        h = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(head)
+        hj = fact.join(F.broadcast(h), "tok", "left")
+        return hj.filter(F.col("cnt").isNotNull()).unionByName(
+            hj.filter(F.col("cnt").isNull()).drop("cnt").join(counts, "tok")
+        )
+
+    def timed(mk) -> float:
+        runs = []
+        for i in range(4):
+            t0 = time.time()
+            mk().groupBy().agg(F.sum("cnt")).collect()
+            if i:
+                runs.append(time.time() - t0)
+        return statistics.median(runs)
+
+    a = timed(shuffle)
+    b = timed(routed)
+    c = timed(broadcast_all)
+    print("| variant | median wall s |")
+    print("|---------|--------------:|")
+    print(f"| plain shuffle join | {a:.3f} |")
+    print(f"| routed (broadcast head + tail shuffle) | {b:.3f} |")
+    print(f"| broadcast entire {vocab}-key table | {c:.3f} |")
+    print(f"routing speedup over shuffle: {a / b:.2f}x")
+    print(f"routing speedup over broadcast-all: {c / b:.2f}x")
+    return 0
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "hub":
         raise SystemExit(hub_main())
     if len(sys.argv) > 1 and sys.argv[1] == "geo":
         raise SystemExit(geo_main())
+    if len(sys.argv) > 1 and sys.argv[1] == "zipf":
+        raise SystemExit(zipf_main())
     raise SystemExit(main())
