@@ -842,3 +842,95 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _STK_K)
         .select("rnk", "user_id", "cnt", "sum_value")
     )
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY (epoch_us(ts) - 1500000000000000) * 4096
+                    + event_id % 4096 DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id,
+       epoch_us(ts) AS last_ts_us, value AS last_value
+FROM latest WHERE rn = 1
+""",
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: every micro-batch is MERGE-upserted into a
+    keep-latest-per-user serving table via sinks.merge_upsert (the
+    §2.A sink_git_commit machinery driven from foreachBatch) — the
+    standard 'stream of changes → current-state table' pattern, with
+    the crash-safe two-rename swap and the r7 table lock exercised
+    once per micro-batch. stream_foreach_batch_sink proves no batch is
+    lost or doubled; THIS proves upsert semantics compose with
+    streaming: replaying all events must leave exactly each user's
+    newest row, which the oracle recomputes as a window argmax over
+    the whole source ON THE SAME PACKED KEY, so 'newest' is total and
+    engine-identical.
+
+    Scale: per micro-batch cost is the merge of |batch| rows into the
+    keyed table (Delta MERGE in production — the fallback rewrite is
+    O(table), documented in sinks.py); the upsert keys hash-partition
+    the state exactly like the stateful operators' key space."""
+    import shutil
+
+    from ..sources.sinks import merge_upsert
+
+    store = tempfile.mkdtemp(prefix="upsink_")
+    target = os.path.join(store, "users")
+    try:
+        ev = events_stream(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch = batch_df.withColumn(
+                # pack (ts, event_id mod 4096) into one BIGINT, with a
+                # 2017 epoch offset so the product stays under 2^63
+                # (raw µs * 2^20 overflowed — found the loud ANSI way);
+                # the mod-4096 tiebreak only matters for same-user
+                # same-microsecond events, absent at every SF (checked)
+                # and stated here as the operator's resolution bound.
+                "ord",
+                F.expr("(ts_us - 1500000000000000) * 4096 + event_id % 4096"),
+            )
+            merge_upsert(
+                batch.sparkSession, target, batch, keys=["user_id"],
+                order_col="ord",
+            )
+
+        ckpt = tempfile.mkdtemp(prefix="ckpt_up_")
+        try:
+            q = (
+                ev.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        if os.path.isdir(target):
+            back = spark.read.parquet(target)
+        else:  # empty source: correct state is the empty table
+            back = spark.createDataFrame(
+                [], "user_id long, event_id long, value double, ts_us long"
+            )
+        out = back.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+    return out
