@@ -391,3 +391,46 @@ def test_join_geo_radius_is_cell_blocked_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert has_partial_agg(df)
     assert exchange_count(df) <= 2
+
+
+def test_round7_operators_plan_shapes(spark, sf_dir):
+    """r7 families' scale signatures: the Theil-Sen pair join is
+    key-blocked (never a cartesian product), the sweep-line op carries
+    exactly its one grain-bounded global window, k-core never touches
+    facts inside the peel loop (bounded exchange count end-to-end),
+    and the kNN classifier inherits the cell-blocked join (no
+    cartesian, no broadcast nested loop)."""
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        ts_theil_sen,
+    )
+    from agri_market_data_pipeline_spark.operators.graph import graph_kcore
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        ml_knn_classify,
+    )
+    from agri_market_data_pipeline_spark.operators.timeseries import (
+        ts_session_concurrency,
+    )
+    from agri_market_data_pipeline_spark.plans.audit import exchange_count
+
+    df = ts_theil_sen(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    df = ts_session_concurrency(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SinglePartition") <= 1  # one grain-bounded sweep
+    assert "CartesianProduct" not in plan
+
+    df = graph_kcore(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert exchange_count(df) <= 6  # post-loop serving plan only
+
+    df = ml_knn_classify(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the only BNLJs are sim_knn_join's one-row broadcast folds (the
+    # cells-array dim); candidate generation itself is the cell-keyed
+    # equi-join — assert the hash join is present
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
