@@ -1202,3 +1202,75 @@ def dq_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_rate"),
         (F.sum("truth").cast("double") / F.count("*")).alias("true_rate"),
     )
+
+
+_WINSOR_SQL = """
+WITH cuts AS (
+  SELECT l_returnflag AS grp,
+         ROUND(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+         ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT c.grp,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_hi,
+       CAST(SUM(CAST(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)
+                     AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+         AS winsorized_mean,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS raw_mean
+FROM lineitem l JOIN cuts c ON c.grp = l.l_returnflag
+GROUP BY c.grp
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_SQL)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per group: clamp each price into its group's
+    [p5, p95] band, then average — the robust location estimate that
+    keeps every observation (unlike trimming) while bounding any single
+    point's influence; reported beside the raw mean and the clamp
+    counts so the outlier mass is visible. Complements ts_anomaly_mad
+    (which FLAGS outliers) by SUMMARIZING robustly; dq_anomaly_iqr's
+    Tukey fences count, this estimates.
+
+    Determinism: the cut points are interpolated percentiles — Spark
+    `percentile` ≡ DuckDB `quantile_cont` up to one interpolation ulp,
+    so both are ROUND(4)-snapped BEFORE clamping (otherwise a 1-ulp cut
+    drift flips boundary rows in and out of the clamp and the sums
+    diverge beyond any final rounding); the clamped sum then
+    accumulates in DECIMAL and the mean is an exact-sum/count double,
+    bitwise identical unrounded.
+
+    Scale: exact percentiles sort per group (agg_percentiles' caveat —
+    production swaps percentile_approx with this as audit); the clamp
+    pass is one broadcast join of K cut rows onto the fact scan and one
+    partial agg."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_extendedprice"
+    )
+    cuts = li.groupBy("grp").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(cuts), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((x < F.col("lo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((x > F.col("hi")).cast("long")).alias("n_clamped_hi"),
+            (
+                F.sum(clamped.cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("winsorized_mean"),
+            (
+                F.sum(x.cast("decimal(30,6)")).cast("double") / F.count("*")
+            ).alias("raw_mean"),
+        )
+    )
