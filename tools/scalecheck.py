@@ -105,6 +105,9 @@ AUDITED = [
     "ts_cross_correlation",
     "ml_knn_classify",
     "graph_kcore",
+    # fact-to-derived-aggregate self-joins (the policy's letter):
+    "win_funnel_latency",
+    "agg_winsorized_mean",
 ]
 
 
