@@ -303,3 +303,151 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+_NEYMAN_BUDGET = 1000  # total sample size to allocate across strata
+
+_NEYMAN_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag AS grp,
+         COUNT(*) AS n_pop,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT grp, n_pop,
+         ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
+           AS sd
+  FROM s
+),
+alloc AS (
+  SELECT grp, n_pop, sd,
+         CAST(FLOOR({_NEYMAN_BUDGET} * (n_pop * sd)
+                    / (SELECT SUM(n_pop * sd) FROM w) + 0.5) AS BIGINT)
+           AS alloc_n
+  FROM w
+),
+ranked AS (
+  SELECT l.l_returnflag AS grp, l.l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.l_returnflag
+           ORDER BY md5(CAST(l.l_orderkey AS VARCHAR) || '|'
+                        || CAST(l.l_linenumber AS VARCHAR) || '|'
+                        || CAST(l.l_partkey AS VARCHAR) || '|'
+                        || CAST(l.l_suppkey AS VARCHAR)),
+                    l.l_orderkey, l.l_linenumber, l.l_partkey,
+                    l.l_suppkey) AS rn
+  FROM lineitem l
+)
+SELECT a.grp, a.n_pop, a.sd, a.alloc_n,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(r.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS sample_mean
+FROM alloc a JOIN ranked r ON r.grp = a.grp AND r.rn <= a.alloc_n
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@query("sample_neyman", oracle=_NEYMAN_SQL)
+def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sampling: the survey-sampling
+    optimum that sizes each stratum's sample proportional to
+    N_h * sigma_h — variance-hungry strata get more budget, uniform
+    strata less — where sample_stratified applies CALLER-FIXED rates.
+    One pass computes the exact per-stratum moments, the allocation is
+    closed-form over K rows (FLOOR half-up on the shares — the
+    ts_price_index lattice discipline), and selection is the md5-rank
+    order (reproducible on any partitioning, sample_hash's property,
+    here with an exact per-stratum COUNT rather than a rate). The
+    audit row per stratum carries population size, sd, allocation,
+    realized count, and the sample mean.
+
+    Determinism: sd is ROUND(6) of exact moments; the allocation uses
+    only those rounded values (FLOOR lattice ties resolve identically);
+    rank selection carries the (orderkey, linenumber) unique tiebreak;
+    the sample mean is an exact-sum/count double.
+
+    Scale: moments are one partial-agg pass; ranking is one exchange
+    on the stratum key (the same shuffle any per-stratum top-k pays);
+    at 100 TB replace exact ranks with per-partition reservoir merges
+    sized by the same allocation."""
+    # (orderkey, linenumber) is NOT unique in this testdata (118k dupe
+    # pairs at sf0.1 — found when tied md5 ranks let the engines pick
+    # different boundary rows); (orderkey, linenumber, partkey, suppkey)
+    # is verified unique, so ranks are total.
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    x = F.col("l_extendedprice")
+    s = li.groupBy("grp").agg(
+        F.count("*").alias("n_pop"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+    )
+    w = s.select(
+        "grp",
+        "n_pop",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_pop"))
+                    / (F.col("n_pop") - 1),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("sd"),
+    )
+    tot = w.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("t"))
+    alloc = w.join(F.broadcast(tot)).select(
+        "grp",
+        "n_pop",
+        "sd",
+        F.floor(
+            F.lit(float(_NEYMAN_BUDGET))
+            * (F.col("n_pop") * F.col("sd"))
+            / F.col("t")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+    rk = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+        )
+    )
+    wr = Window.partitionBy("grp").orderBy(
+        rk,
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+    )
+    ranked = li.select(
+        "grp", "l_extendedprice", F.row_number().over(wr).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "grp")
+        .filter(F.col("rn") <= F.col("alloc_n"))
+        .groupBy("grp", "n_pop", "sd", "alloc_n")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("sample_mean"),
+        )
+    )

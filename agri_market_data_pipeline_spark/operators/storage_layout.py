@@ -716,3 +716,67 @@ def layout_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in outs[1:]:
         out = out.unionByName(x)
     return out
+
+
+_RGS_COL = "l_extendedprice"
+
+def rgs_duckdb_sql(sf_dir: str) -> str:
+    """DuckDB twin for the pytest parity check: the driver's oracle
+    strings are STATIC (no sf_dir templating), and parquet_metadata()
+    needs a literal file path — so this op is rows-only in the gate and
+    the cross-engine footer comparison lives in
+    tests/test_storage_layout.py, parameterized on the real path."""
+    from ..tables import table_path
+
+    return f"""
+SELECT CAST(row_group_id AS BIGINT) AS row_group_id,
+       CAST(row_group_num_rows AS BIGINT) AS n_rows,
+       CAST(stats_min_value AS DOUBLE) AS min_price,
+       CAST(stats_max_value AS DOUBLE) AS max_price,
+       CAST(stats_null_count AS BIGINT) AS n_nulls
+FROM parquet_metadata('{table_path(sf_dir, "lineitem")}')
+WHERE path_in_schema = '{_RGS_COL}'
+"""
+
+
+@query("scan_rowgroup_stats")
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout introspection: the per-row-group min/max/null
+    statistics the scanner's zone-map skipping actually consults,
+    surfaced as a queryable table — the audit behind every 'is my
+    layout skippable?' question (layout_zorder_skipping MEASURES
+    skipping; this EXPOSES the stats it runs on). Spark side reads the
+    parquet footer via pyarrow on the driver (metadata only, bounded —
+    the scan_manifest_skipped discipline). Rows-only in the driver gate
+    (static oracle strings can't carry the literal file path
+    parquet_metadata() needs); the cross-engine proof — DuckDB's
+    parquet_metadata() reading THE SAME footer byte-for-byte — is
+    test-pinned in tests/test_storage_layout.py at every test SF.
+
+    Scale: footers are O(row groups), not O(rows) — at 100 TB this is
+    the metadata pass every planner already does; emit it to a table
+    once per snapshot and partition advisors read the table."""
+    import pyarrow.parquet as pq
+
+    from ..tables import table_path
+
+    pf = pq.ParquetFile(table_path(sf_dir, "lineitem"))
+    idx = pf.schema_arrow.names.index(_RGS_COL)
+    rows = []
+    for rg in range(pf.metadata.num_row_groups):
+        col = pf.metadata.row_group(rg).column(idx)
+        st = col.statistics
+        rows.append(
+            (
+                rg,
+                pf.metadata.row_group(rg).num_rows,
+                float(st.min),
+                float(st.max),
+                int(st.null_count),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "row_group_id long, n_rows long, min_price double, "
+        "max_price double, n_nulls long",
+    )

@@ -134,3 +134,27 @@ def test_manifest_skipping_reads_fewer_files_same_answer(spark, sf_dir):
         .collect()[0]
     )
     assert fast.cnt == full.cnt and fast.cnt > 0
+
+
+def test_rowgroup_stats_match_duckdb_footer(spark, sf_dir):
+    """scan_rowgroup_stats is rows-only in the gate (static oracle
+    strings can't carry a literal file path); the cross-engine check
+    lives here: pyarrow's footer read and DuckDB's parquet_metadata()
+    must agree row-group-for-row-group on counts, min/max, and null
+    counts — the same physical bytes, two independent readers."""
+    import duckdb
+
+    from agri_market_data_pipeline_spark.operators.storage_layout import (
+        rgs_duckdb_sql,
+        scan_rowgroup_stats,
+    )
+
+    got = {
+        r.row_group_id: (r.n_rows, r.min_price, r.max_price, r.n_nulls)
+        for r in scan_rowgroup_stats(spark, sf_dir).collect()
+    }
+    want = {
+        int(rg): (int(n), float(lo), float(hi), int(nn))
+        for rg, n, lo, hi, nn in duckdb.sql(rgs_duckdb_sql(sf_dir)).fetchall()
+    }
+    assert got == want and len(got) >= 1
