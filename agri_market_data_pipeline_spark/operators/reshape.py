@@ -319,13 +319,17 @@ WITH s AS (
 w AS (
   SELECT grp, n_pop,
          ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
-           AS sd
+           AS sd,
+         n_pop * CAST(FLOOR(
+           ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
+           * 1e6 + 0.5) AS BIGINT) AS wt
   FROM s
 ),
 alloc AS (
   SELECT grp, n_pop, sd,
-         CAST(FLOOR({_NEYMAN_BUDGET} * (n_pop * sd)
-                    / (SELECT SUM(n_pop * sd) FROM w) + 0.5) AS BIGINT)
+         CAST(FLOOR({_NEYMAN_BUDGET} * (CAST(wt AS DOUBLE)
+                    / CAST(CAST((SELECT SUM(wt) FROM w) AS BIGINT)
+                           AS DOUBLE)) + 0.5) AS BIGINT)
            AS alloc_n
   FROM w
 ),
@@ -391,29 +395,38 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
         F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
     )
+    sd = F.round(
+        F.sqrt(
+            F.greatest(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_pop"))
+                / (F.col("n_pop") - 1),
+                F.lit(0.0),
+            )
+        ),
+        6,
+    )
+    # Allocation denominator on an exact BIGINT lattice (ADVICE r7):
+    # Σ(n_pop·sd) as a raw double SUM is order-dependent (Spark's
+    # partial-agg order is nondeterministic, DuckDB sums in scan
+    # order), and a 1-ulp drift in the total can flip the FLOOR
+    # half-up share at a boundary. sd is ROUND(6), so FLOOR(sd·1e6+.5)
+    # recovers its 6-dp integer losslessly; n_pop·sd_lat is exact
+    # BIGINT, the sum is associative, and the BIGINT→DOUBLE casts in
+    # the share are correctly rounded on both engines.
     w = s.select(
         "grp",
         "n_pop",
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_pop"))
-                    / (F.col("n_pop") - 1),
-                    F.lit(0.0),
-                )
-            ),
-            6,
-        ).alias("sd"),
+        sd.alias("sd"),
+        (F.col("n_pop") * F.floor(sd * 1e6 + F.lit(0.5))).alias("wt"),
     )
-    tot = w.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("t"))
+    tot = w.agg(F.sum("wt").alias("t"))
     alloc = w.join(F.broadcast(tot)).select(
         "grp",
         "n_pop",
         "sd",
         F.floor(
             F.lit(float(_NEYMAN_BUDGET))
-            * (F.col("n_pop") * F.col("sd"))
-            / F.col("t")
+            * (F.col("wt").cast("double") / F.col("t").cast("double"))
             + F.lit(0.5)
         )
         .cast("bigint")

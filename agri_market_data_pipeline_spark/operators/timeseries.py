@@ -1117,6 +1117,7 @@ SELECT t.et AS event_type, t.period,
        ROUND(CAST(SUM(t.bt) AS DOUBLE)
              / (g.svv - g.sv * g.sv / g.n), 6) AS strength
 FROM terms t JOIN g ON g.et = t.et
+WHERE g.svv - g.sv * g.sv / g.n > 0
 GROUP BY 1, 2, 3, g.svv, g.sv, g.n
 """
 
@@ -1178,7 +1179,16 @@ def ts_periodicity_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("np") * (pm - gm) * (pm - gm)).cast("decimal(30,12)").alias("bt"),
     )
     return (
-        terms.groupBy(
+        # Zero-variance guard (identical exact predicate in the oracle's
+        # WHERE): a constant daily series makes SS_total exactly 0 and
+        # the hostile ANSI session would raise DIVIDE_BY_ZERO where
+        # DuckDB yields a non-error value — filter the degenerate group
+        # out on BOTH engines instead (ts_cross_correlation's varx>0
+        # discipline).
+        terms.filter(
+            F.col("svv") - F.col("sv") * F.col("sv") / F.col("n") > 0
+        )
+        .groupBy(
             F.col("et").alias("event_type"),
             "period",
             F.col("n").alias("n_days"),

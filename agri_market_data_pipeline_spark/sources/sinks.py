@@ -33,20 +33,35 @@ def sink_partitioned_append(
     )
 
 
-def delta_merge_conditions(keys: list[str], order_col: str) -> tuple[str, str]:
+def delta_merge_conditions(
+    keys: list[str], order_col: str | list[str]
+) -> tuple[str, str]:
     """Build the MERGE INTO condition strings: (join condition over the
     composite key, matched-update guard that keeps the newest row).
     Pure string construction so the logic is unit-testable without a
     Delta classpath; identifiers are backtick-quoted so keys with
-    spaces/reserved words survive."""
+    spaces/reserved words survive. order_col may be a LIST of columns:
+    the guard is then the lexicographic newer-or-equal comparison —
+    a composite order key keeps 'newest' total when the primary key
+    alone admits ties (ADVICE r7: stream_upsert_sink's packed key
+    truncates event_id mod 4096)."""
     if not keys:
         raise ValueError("merge_upsert requires at least one key column")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if not order_cols:
+        raise ValueError("merge_upsert requires at least one order column")
 
     def q(c: str) -> str:
         return "`" + c.replace("`", "``") + "`"
 
     on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
-    when_matched = f"s.{q(order_col)} >= t.{q(order_col)}"
+    # Lexicographic s >= t over (c1, c2, ...): s.c1 > t.c1 OR
+    # (s.c1 = t.c1 AND (s.c2 > t.c2 OR (... AND s.ck >= t.ck)))
+    when_matched = f"s.{q(order_cols[-1])} >= t.{q(order_cols[-1])}"
+    for c in reversed(order_cols[:-1]):
+        when_matched = (
+            f"s.{q(c)} > t.{q(c)} OR (s.{q(c)} = t.{q(c)} AND ({when_matched}))"
+        )
     return on, when_matched
 
 
@@ -73,10 +88,12 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     keys: list[str],
-    order_col: str,
+    order_col: str | list[str],
 ) -> None:
     """Idempotent upsert: keep, per key, the row with the highest
-    order_col across existing + incoming data.
+    order_col across existing + incoming data (a LIST of order columns
+    compares lexicographically — use one to make 'newest' total when
+    the primary order key admits ties).
 
     Prefers Delta Lake MERGE INTO (transactional, no full rewrite) when
     available; falls back to read-union-dedup-rewrite on plain parquet —
@@ -84,6 +101,7 @@ def merge_upsert(
     testable anywhere."""
     if not keys:
         raise ValueError("merge_upsert requires at least one key column")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     # Delta path: ONLY the import and is-this-a-delta-table detection are
     # guarded — a real MERGE failure (concurrency, duplicate source keys)
     # must propagate, never fall through to a parquet rewrite that would
@@ -102,7 +120,9 @@ def merge_upsert(
         # Delta rejects multiple source rows per target key: pre-dedup the
         # batch to its newest row per key (same keep-latest the fallback
         # applies).
-        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
         latest_updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -159,7 +179,9 @@ def merge_upsert(
             merged = existing.unionByName(updates, allowMissingColumns=True)
         else:
             merged = updates
-        w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in order_cols]
+        )
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

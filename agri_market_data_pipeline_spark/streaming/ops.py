@@ -852,7 +852,7 @@ WITH latest AS (
          ROW_NUMBER() OVER (
            PARTITION BY user_id
            ORDER BY (epoch_us(ts) - 1500000000000000) * 4096
-                    + event_id % 4096 DESC) AS rn
+                    + event_id % 4096 DESC, event_id DESC) AS rn
   FROM events
 )
 SELECT user_id, event_id AS last_event_id,
@@ -895,16 +895,20 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = batch_df.withColumn(
                 # pack (ts, event_id mod 4096) into one BIGINT, with a
                 # 2017 epoch offset so the product stays under 2^63
-                # (raw µs * 2^20 overflowed — found the loud ANSI way);
-                # the mod-4096 tiebreak only matters for same-user
-                # same-microsecond events, absent at every SF (checked)
-                # and stated here as the operator's resolution bound.
+                # (raw µs * 2^20 overflowed — found the loud ANSI way).
+                # The mod-4096 truncation means the packed key alone is
+                # NOT total for same-user same-microsecond events with
+                # event_id ≡ (mod 4096) — absent at every SF but exactly
+                # the passes-by-luck class the r7 tiebreaker rule bans —
+                # so the full event_id rides along as a second
+                # lexicographic order column (ADVICE r7), mirrored in the
+                # oracle window's ", event_id DESC".
                 "ord",
                 F.expr("(ts_us - 1500000000000000) * 4096 + event_id % 4096"),
             )
             merge_upsert(
                 batch.sparkSession, target, batch, keys=["user_id"],
-                order_col="ord",
+                order_col=["ord", "event_id"],
             )
 
         ckpt = tempfile.mkdtemp(prefix="ckpt_up_")

@@ -287,6 +287,37 @@ def test_delta_merge_conditions_strings():
     with pytest.raises(ValueError):
         delta_merge_conditions([], "ver")
 
+    # composite order columns: lexicographic newer-or-equal guard
+    # (ADVICE r7 — a truncated packed key needs a total tiebreak)
+    _, when2 = delta_merge_conditions(["k"], ["ord", "event_id"])
+    assert when2 == (
+        "s.`ord` > t.`ord` OR (s.`ord` = t.`ord` "
+        "AND (s.`event_id` >= t.`event_id`))"
+    )
+    with pytest.raises(ValueError):
+        delta_merge_conditions(["k"], [])
+
+
+def test_merge_upsert_composite_order(spark, tmp_path):
+    """A list order_col must break primary-key ties by the secondary
+    column — the exact case ADVICE r7 flagged in stream_upsert_sink
+    (same packed `ord`, different event_id)."""
+    target = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, 10, 3, "low"), (1, 10, 7, "high")],
+        "k int, ord long, event_id long, val string",
+    )
+    merge_upsert(spark, target, v1, keys=["k"], order_col=["ord", "event_id"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0]["val"] == "high"
+    # a later merge with equal ord but lower event_id must NOT win
+    v2 = spark.createDataFrame(
+        [(1, 10, 5, "mid")], "k int, ord long, event_id long, val string"
+    )
+    merge_upsert(spark, target, v2, keys=["k"], order_col=["ord", "event_id"])
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0]["val"] == "high"
+
 
 def test_merge_upsert_rejects_empty_keys(spark, tmp_path):
     import pytest

@@ -172,6 +172,16 @@ def main() -> int:
         targets, ((m[0], m[1]) for m in (medians[n] for n in targets))
     ):
         merged[name] = (t_small, t_big)
+    # An AUDITED query with no prior SCALING.md row that a subset run
+    # skips would silently vanish from the regenerated table — it LOOKS
+    # complete but the new entry was never measured (ADVICE r7). Warn
+    # loudly so the gap is visible.
+    unmeasured = [n for n in AUDITED if n not in merged]
+    if unmeasured:
+        print(
+            "WARNING: AUDITED but not measured (no prior row, not in "
+            f"this subset) — rerun with these names: {unmeasured}"
+        )
     worst = 0.0
     for name in AUDITED:
         if name not in merged:
