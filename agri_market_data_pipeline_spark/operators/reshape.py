@@ -373,10 +373,12 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank selection carries the (orderkey, linenumber) unique tiebreak;
     the sample mean is an exact-sum/count double.
 
-    Scale: moments are one partial-agg pass; ranking is one exchange
-    on the stratum key (the same shuffle any per-stratum top-k pays);
-    at 100 TB replace exact ranks with per-partition reservoir merges
-    sized by the same allocation."""
+    Scale: moments are one partial-agg pass; ranking is the TWO-LEVEL
+    distributed rank — (stratum, md5-prefix-bucket) local windows plus
+    carried bucket offsets — so no task ever sorts a whole stratum (3
+    stratum values would otherwise mean a 3-task sort at any scale),
+    and the budget bound caps the post-window join input at
+    buckets×budget rows per stratum."""
     # (orderkey, linenumber) is NOT unique in this testdata (118k dupe
     # pairs at sf0.1 — found when tied md5 ranks let the engines pick
     # different boundary rows); (orderkey, linenumber, partkey, suppkey)
@@ -441,15 +443,46 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").cast("string"),
         )
     )
-    wr = Window.partitionBy("grp").orderBy(
-        rk,
+    # Two-phase per-stratum top-k (r8, the VERDICT-flagged straggler
+    # fix): the stratum key has only 3 values, so a per-stratum rank
+    # window is a 3-task sort of the WHOLE stratum at any scale.
+    # Instead, phase 1 ranks locally within (stratum, md5-prefix
+    # bucket) — 3×256 partitions — and keeps only local rank ≤ budget;
+    # phase 2 re-ranks the survivors per stratum. Survivors number at
+    # most buckets×budget per stratum — CONSTANT in data size — so the
+    # final sort task is bounded no matter the corpus. Correctness:
+    # a row's global rank ≥ its local rank, so nothing with global
+    # rank ≤ budget ≥ alloc_n is dropped in phase 1, and every row
+    # ahead of a kept row is itself a survivor, so survivor rank =
+    # global rank on the kept prefix — the sampled set and the oracle
+    # hash are identical to the single-window form (TakeOrdered's
+    # two-phase argument, per group).
+    base = li.select(
+        "grp",
+        "l_extendedprice",
+        rk.alias("rk"),
+        F.conv(F.substring(rk, 1, 2), 16, 10).cast("int").alias("bkt"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    order_cols = [
+        F.col("rk"),
         F.col("l_orderkey"),
         F.col("l_linenumber"),
         F.col("l_partkey"),
         F.col("l_suppkey"),
-    )
-    ranked = li.select(
-        "grp", "l_extendedprice", F.row_number().over(wr).alias("rn")
+    ]
+    w_loc = Window.partitionBy("grp", "bkt").orderBy(*order_cols)
+    survivors = base.withColumn(
+        "lrn", F.row_number().over(w_loc)
+    ).filter(F.col("lrn") <= _NEYMAN_BUDGET)
+    w_fin = Window.partitionBy("grp").orderBy(*order_cols)
+    ranked = survivors.select(
+        "grp",
+        "l_extendedprice",
+        F.row_number().over(w_fin).alias("rn"),
     )
     return (
         ranked.join(F.broadcast(alloc), "grp")

@@ -859,12 +859,19 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-deterministic). Session intervals come from win_sessionize
     (same 30-minute gaps-and-islands CTE on both engines).
 
-    Scale: the sweep runs over 2 rows per SESSION — the session
-    aggregate, never raw events — so the single-partition cumulative
-    window is grain-bounded (win_pareto_share's justification). At
-    100 TB, pre-splitting the sweep by coarse time range (day) and
-    carrying each range's opening balance forward turns it into a
-    two-pass partial-agg plan; the curve itself stays exact."""
+    Scale (the r7 VERDICT escalation, now implemented): the sweep is
+    PRE-SPLIT BY DAY. Each day's points get a day-partitioned
+    cumulative sum (local balance, an ordinary hash-partitioned
+    window — session count grows with data, so a global-order window
+    here would be the one-task bottleneck at 100×); the day's opening
+    balance is the running sum of per-day NET deltas over all prior
+    days — a K-row (K = #days) window, the only SinglePartition left
+    and grain-bounded by the calendar, not the data. Since within a
+    day the global order restricted to that day IS the day-local
+    order (t determines the day), conc(point) = opening(day) +
+    local_cum(point) exactly, so peak(day) = opening(day) +
+    max(local_cum) — pure integer arithmetic, hash identical to the
+    oracle's single global sweep."""
     sess = win_sessionize(spark, sf_dir)
     starts = sess.select(
         "user_id",
@@ -878,19 +885,38 @@ def ts_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t1_us").alias("t"),
         F.lit(-1).alias("delta"),
     )
-    pts = starts.unionAll(ends)
-    w = (
-        Window.orderBy(
+    pts = starts.unionAll(ends).withColumn(
+        "day_no", F.expr("t div 86400000000")
+    )
+    wday = (
+        Window.partitionBy("day_no")
+        .orderBy(
             F.col("t").asc(),
             F.col("delta").desc(),
             F.col("user_id").asc(),
             F.col("session_id").asc(),
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = pts.select("t", F.sum("delta").over(w).cast("bigint").alias("conc"))
-    return c.groupBy(F.expr("t div 86400000000").alias("day_no")).agg(
-        F.max("conc").alias("peak_concurrent"),
+    local = pts.select(
+        "day_no", "delta", F.sum("delta").over(wday).alias("local_cum")
+    )
+    per_day = local.groupBy("day_no").agg(
+        F.max("local_cum").alias("max_local"),
+        F.sum("delta").alias("net"),
         F.count("*").alias("n_points"),
+    )
+    # Opening balance: sessions span days, so a day can start with
+    # sessions already open — the cumulative net of all PRIOR days.
+    w_open = Window.orderBy("day_no").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return per_day.select(
+        "day_no",
+        (F.coalesce(F.sum("net").over(w_open), F.lit(0)) + F.col("max_local"))
+        .cast("bigint")
+        .alias("peak_concurrent"),
+        "n_points",
     )
 
 

@@ -419,7 +419,13 @@ def test_round7_operators_plan_shapes(spark, sf_dir):
 
     df = ts_session_concurrency(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("SinglePartition") <= 1  # one grain-bounded sweep
+    # r8: the sweep is day-split — the session-grain cumulative sum must
+    # be a day-partitioned window (hashpartitioning on day_no), and the
+    # only SinglePartition left is the K-row (K = #days) opening-balance
+    # window, grain-bounded by the calendar rather than the data.
+    assert plan.count("SinglePartition") <= 1
+    assert "windowspecdefinition(day_no" in plan, plan[:2000]
+    assert "hashpartitioning(day_no" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
 
     df = graph_kcore(spark, sf_dir)

@@ -108,6 +108,12 @@ AUDITED = [
     # fact-to-derived-aggregate self-joins (the policy's letter):
     "win_funnel_latency",
     "agg_winsorized_mean",
+    # r8: data-proportional single-partition windows joined the audit-set
+    # policy (CLAUDE.md) — the sweep line (now day-split) and the Neyman
+    # per-stratum rank exchange are windows whose input grows with the
+    # data, exactly the class a local[32] pass can hide.
+    "ts_session_concurrency",
+    "sample_neyman",
 ]
 
 
