@@ -1274,3 +1274,150 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("raw_mean"),
         )
     )
+
+
+_WSK_BINS = 1024
+
+_WSK_SQL = f"""
+WITH rng AS (
+  SELECT l_returnflag AS grp,
+         MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+),
+binned AS (
+  SELECT l.l_returnflag AS grp,
+         CAST(LEAST(FLOOR((l.l_extendedprice - r.mn)
+                          / (CASE WHEN r.mx = r.mn THEN 1.0
+                                  ELSE (r.mx - r.mn) / {_WSK_BINS} END)),
+                    {_WSK_BINS - 1}) AS BIGINT) AS k
+  FROM lineitem l JOIN rng r ON l.l_returnflag = r.grp
+),
+hist AS (SELECT grp, k, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT grp, k,
+         SUM(c) OVER (PARTITION BY grp ORDER BY k) AS cw,
+         SUM(c) OVER (PARTITION BY grp) AS tw
+  FROM hist
+),
+kcut AS (
+  SELECT grp,
+         MIN(CASE WHEN cw * 20 >= tw THEN k END) AS klo,
+         MIN(CASE WHEN cw * 20 >= tw * 19 THEN k END) AS khi
+  FROM cum GROUP BY 1
+),
+cuts AS (
+  SELECT k.grp, r.n,
+         r.mn + CAST(k.klo AS DOUBLE)
+              * (CASE WHEN r.mx = r.mn THEN 1.0
+                      ELSE (r.mx - r.mn) / {_WSK_BINS} END) AS lo,
+         r.mn + CAST(k.khi AS DOUBLE)
+              * (CASE WHEN r.mx = r.mn THEN 1.0
+                      ELSE (r.mx - r.mn) / {_WSK_BINS} END) AS hi,
+         (CASE WHEN r.mx = r.mn THEN 0.0
+               ELSE (r.mx - r.mn) / {_WSK_BINS} END) AS bin_width
+  FROM kcut k JOIN rng r ON r.grp = k.grp
+)
+SELECT c.grp, c.n, c.lo AS lo_sketch, c.hi AS hi_sketch, c.bin_width,
+       CAST(SUM(CASE WHEN l.l_extendedprice < c.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN l.l_extendedprice > c.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped_hi,
+       CAST(CAST(SUM(CAST(FLOOR(
+              LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi) * 1e6 + 0.5)
+            AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(c.n AS DOUBLE) / 1e6 AS winsorized_mean_sketch
+FROM lineitem l JOIN cuts c ON c.grp = l.l_returnflag
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@query("agg_winsorized_mean_sketch", oracle=_WSK_SQL)
+def agg_winsorized_mean_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_winsorized_mean's promised 100 TB interior made real (the
+    same exact/sketch pairing the MAD, weighted-median and
+    rolling-distinct families carry): the p5/p95 clamp cuts come from
+    a FIXED-WIDTH 1024-bin count histogram — a mergeable quantile
+    sketch whose per-group state is <=1024 (bin, count) rows regardless
+    of fact cardinality — instead of the exact per-group percentile
+    sort that was SCALING.md's worst ratio (4.03). Each cut is the
+    lower edge of the first bin where cumulative count crosses the
+    rank (integer cross-multiplied comparisons, no division), so
+    |cut_sketch - cut_exact| <= bin_width and the winsorized mean moves
+    by at most bin_width per row: tests pin
+    |mean_sketch - mean_exact| <= 2*bin_width against the exact twin.
+
+    Determinism: bin keys, cut edges and widths are fixed trees of IEEE
+    double ops over exact min/max (wmedian_sketch's argument — no
+    rounding needed); the rank comparisons are integer; the clamped sum
+    CANNOT take the usual DECIMAL snap because the cut values are
+    full-mantissa doubles (a half-tie cast would diverge per engine —
+    CLAUDE.md float32 rule), so it accumulates on the
+    FLOOR(v*1e6 + 0.5) BIGINT lattice: pure IEEE ops then exact integer
+    sums, bitwise identical both engines.
+
+    Scale: one partial-agg range pass, one broadcast-binned histogram
+    (per-group state fixed at 1024 bins, windows run on that grain),
+    one broadcast clamp pass — no per-group sort anywhere; the 2^53
+    lattice guard holds while n*mean_price*1e6 < 9.2e18 (sf100's
+    lineitem is ~6e8 rows * ~7e4 * 1e6 ~ 4e16 per group: headroom)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), "l_extendedprice"
+    )
+    x = F.col("l_extendedprice")
+    rng = li.groupBy("grp").agg(
+        F.min(x).alias("mn"), F.max(x).alias("mx"), F.count("*").alias("n")
+    )
+    width = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        (F.col("mx") - F.col("mn")) / F.lit(_WSK_BINS)
+    )
+    k = F.least(
+        F.floor((x - F.col("mn")) / width), F.lit(_WSK_BINS - 1)
+    ).cast("bigint")
+    hist = (
+        li.join(F.broadcast(rng), "grp")
+        .groupBy("grp", k.alias("k"))
+        .agg(F.count("*").alias("c"))
+    )
+    w_cum = Window.partitionBy("grp").orderBy("k")
+    w_all = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "k",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_all).alias("tw"),
+    )
+    kcut = cum.groupBy("grp").agg(
+        F.min(F.when(F.col("cw") * 20 >= F.col("tw"), F.col("k"))).alias(
+            "klo"
+        ),
+        F.min(
+            F.when(F.col("cw") * 20 >= F.col("tw") * 19, F.col("k"))
+        ).alias("khi"),
+    )
+    cuts = kcut.join(rng, "grp").select(
+        "grp",
+        "n",
+        (F.col("mn") + F.col("klo").cast("double") * width).alias("lo"),
+        (F.col("mn") + F.col("khi").cast("double") * width).alias("hi"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise((F.col("mx") - F.col("mn")) / F.lit(_WSK_BINS))
+        .alias("bin_width"),
+    )
+    clamped = F.least(F.greatest(x, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(cuts), "grp")
+        .groupBy("grp", "n", F.col("lo").alias("lo_sketch"),
+                 F.col("hi").alias("hi_sketch"), "bin_width")
+        .agg(
+            F.sum((x < F.col("lo")).cast("long")).alias("n_clamped_lo"),
+            F.sum((x > F.col("hi")).cast("long")).alias("n_clamped_hi"),
+            (
+                F.sum(
+                    F.floor(clamped * F.lit(1e6) + F.lit(0.5))
+                ).cast("double")
+                / F.col("n").cast("double")
+                / F.lit(1e6)
+            ).alias("winsorized_mean_sketch"),
+        )
+    )

@@ -108,6 +108,7 @@ AUDITED = [
     # fact-to-derived-aggregate self-joins (the policy's letter):
     "win_funnel_latency",
     "agg_winsorized_mean",
+    "agg_winsorized_mean_sketch",
     # r8: data-proportional single-partition windows joined the audit-set
     # policy (CLAUDE.md) — the sweep line (now day-split) and the Neyman
     # per-stratum rank exchange are windows whose input grows with the
