@@ -723,9 +723,9 @@ _RGS_COL = "l_extendedprice"
 def rgs_duckdb_sql(sf_dir: str) -> str:
     """DuckDB twin for the pytest parity check: the driver's oracle
     strings are STATIC (no sf_dir templating), and parquet_metadata()
-    needs a literal file path — so this op is rows-only in the gate and
-    the cross-engine footer comparison lives in
-    tests/test_storage_layout.py, parameterized on the real path."""
+    needs a literal file path — so the per-row-group DETAIL grain is
+    test-checked here (parameterized on the real path) while the
+    registered query carries the table-level contract oracle."""
     from ..tables import table_path
 
     return f"""
@@ -739,23 +739,15 @@ WHERE path_in_schema = '{_RGS_COL}'
 """
 
 
-@query("scan_rowgroup_stats")
-def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Physical-layout introspection: the per-row-group min/max/null
-    statistics the scanner's zone-map skipping actually consults,
-    surfaced as a queryable table — the audit behind every 'is my
-    layout skippable?' question (layout_zorder_skipping MEASURES
-    skipping; this EXPOSES the stats it runs on). Spark side reads the
-    parquet footer via pyarrow on the driver (metadata only, bounded —
-    the scan_manifest_skipped discipline). Rows-only in the driver gate
-    (static oracle strings can't carry the literal file path
-    parquet_metadata() needs); the cross-engine proof — DuckDB's
-    parquet_metadata() reading THE SAME footer byte-for-byte — is
-    test-pinned in tests/test_storage_layout.py at every test SF.
-
-    Scale: footers are O(row groups), not O(rows) — at 100 TB this is
-    the metadata pass every planner already does; emit it to a table
-    once per snapshot and partition advisors read the table."""
+def rowgroup_stats_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row-group footer statistics (the zone-map skipping inputs),
+    read via pyarrow on the driver — metadata only, bounded (the
+    scan_manifest_skipped discipline). The per-row-group grain is not
+    oracle-expressible (DuckDB's parquet_metadata() needs a literal
+    file path the gate's static oracle strings can't carry), so this
+    detail frame is pinned against DuckDB's reading of the SAME footer
+    bytes in tests/test_storage_layout.py; the registered query below
+    reduces it to an oracle-checkable contract."""
     import pyarrow.parquet as pq
 
     from ..tables import table_path
@@ -779,4 +771,53 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "row_group_id long, n_rows long, min_price double, "
         "max_price double, n_nulls long",
+    )
+
+
+@query(
+    "scan_rowgroup_stats",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN({_RGS_COL}) AS min_price,
+       MAX({_RGS_COL}) AS max_price,
+       CAST(SUM(CASE WHEN {_RGS_COL} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       1 AS all_min_le_max,
+       1 AS all_groups_nonempty
+FROM lineitem
+""",
+)
+def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout introspection, contract-checked (r8 — promoted
+    from rows-only per VERDICT r7 item 4): the per-row-group
+    min/max/null statistics the scanner's zone-map skipping consults
+    (layout_zorder_skipping MEASURES skipping; this EXPOSES the stats
+    it runs on), reduced to the invariants a table-level oracle CAN
+    recompute: summed row counts must equal COUNT(*), the min of
+    row-group minima / max of maxima must equal the table's true
+    MIN/MAX (parquet stores exact statistics for numeric columns),
+    null counts must sum to the table's, and the in-query flags assert
+    every row group is internally consistent (min <= max, nonempty) —
+    the oracle states those flags as literal truth, so a corrupt or
+    truncated footer fails the hash. The per-row-group detail frame
+    (rowgroup_stats_detail) stays pinned byte-for-byte against
+    DuckDB's parquet_metadata() in tests/test_storage_layout.py.
+
+    Scale: footers are O(row groups), not O(rows) — at 100 TB this is
+    the metadata pass every planner already does; emit it to a table
+    once per snapshot and partition advisors read the table."""
+    d = rowgroup_stats_detail(spark, sf_dir)
+    return d.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+        F.sum("n_nulls").cast("long").alias("n_nulls"),
+        F.min(
+            F.when(F.col("min_price") <= F.col("max_price"), 1).otherwise(0)
+        )
+        .cast("int")
+        .alias("all_min_le_max"),
+        F.min(F.when(F.col("n_rows") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("all_groups_nonempty"),
     )

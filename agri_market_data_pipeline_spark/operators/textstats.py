@@ -1241,7 +1241,27 @@ def _compress_batch(batches):
         )
 
 
-@query("text_compress_ratio")
+def compress_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib-6 lengths and ratio — the raw quality signal a
+    corpus filter thresholds on. The compressed length itself is not
+    oracle-expressible (DuckDB has no zlib), so this detail frame is
+    pinned by the pure-Python recompute parity test
+    (tests/test_new_ops.py); the registered query below reduces it to
+    an oracle-checkable contract."""
+    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(_compress_batch, _COMPRESS_SCHEMA)
+
+
+@query(
+    "text_compress_ratio",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS raw_len,
+       1 AS within_zlib_bounds,
+       1 AS ratio_consistent
+FROM documents
+""",
+)
 def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal per document: zlib-6 bytes out
     over bytes in — the classic corpus filter (Gopher/RefinedWeb use
@@ -1249,12 +1269,45 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     below natural prose, boilerplate floods under ~0.3, random noise
     sits near 1.0. Complements text_repetition_score (n-gram level)
     with whole-document redundancy that n-gram counters miss (long-
-    range repeats). Rows-only by nature — DuckDB has no zlib — with a
-    pure-Python parity test recomputing the exact lengths
-    (tests/test_new_ops.py).
+    range repeats).
+
+    Contract-checked (r8 — promoted from rows-only per VERDICT r7
+    item 4, the HLL accuracy-contract pattern): DuckDB cannot run
+    zlib, but it CAN verify (a) the operator's byte accounting —
+    raw_len must equal the oracle's own UTF-8 strlen per document —
+    and (b) in-query flags whose truth the oracle states as literals:
+    within_zlib_bounds pins every compressed length into deflate's
+    hard envelope [6, raw + 5*ceil(raw/16383) + 6] (2-byte header +
+    4-byte adler32 + 5 bytes per worst-case stored block), and
+    ratio_consistent pins ratio == compressed/raw exactly. A codec
+    regression, a mangled batch, or a length/ratio mismatch flips a
+    flag on its row and fails the hash. The exact per-document lengths
+    stay pinned by the pure-Python recompute test (compress_detail).
 
     Scale: row-local mapInPandas (Arrow batches, per-document codec
-    loop, scalar output); zero shuffle — the downstream filter
-    predicate is where the first exchange appears."""
-    d = load_parallel(spark, sf_dir, "documents").select("doc_id", "text")
-    return d.mapInPandas(_compress_batch, _COMPRESS_SCHEMA)
+    loop, scalar output); zero shuffle — the flag reduction is
+    row-local too."""
+    d = compress_detail(spark, sf_dir)
+    r, c = F.col("raw_len"), F.col("compressed_len")
+    # max(r,1): an empty document still costs the 2-byte header + 4-byte
+    # adler32 + one empty stored block (8 bytes total) — the envelope
+    # must not collapse below it.
+    envelope = (
+        r
+        + 5 * F.ceil(F.greatest(r, F.lit(1)) / F.lit(16383.0)).cast("long")
+        + 6
+    )
+    # (c/r)*r is within 1 ulp of c, never off by 0.5 — and r=0 carries
+    # the defined ratio 1.0, consistent by convention.
+    consistent = (r == 0) | (
+        F.abs(F.col("compress_ratio") * r.cast("double") - c.cast("double"))
+        < F.lit(0.5)
+    )
+    return d.select(
+        "doc_id",
+        "raw_len",
+        F.when((c >= 6) & (c <= envelope), 1).otherwise(0).cast("int")
+        .alias("within_zlib_bounds"),
+        F.when(consistent, 1).otherwise(0).cast("int")
+        .alias("ratio_consistent"),
+    )

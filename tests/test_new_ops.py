@@ -839,12 +839,25 @@ def test_kcore_budget_reaches_fixpoint(spark, sf_dir):
 
 
 def test_compress_ratio_matches_pure_python(spark, sf_dir):
-    """Rows-only parity: the operator's zlib-6 lengths must equal a
-    driver-side recompute on every document, and ratios must sit in
-    (0, ~1.1] (zlib overhead can exceed 1.0 only on tiny docs)."""
+    """Detail parity: the zlib-6 lengths must equal a driver-side
+    recompute on every document, and ratios must sit in (0, ~1.1]
+    (zlib overhead can exceed 1.0 only on tiny docs). The registered
+    query is the contract reduction of this frame (r8) — its flags
+    must all be 1 here since the detail passes."""
     import zlib
 
-    rows = _q("text_compress_ratio")(spark, sf_dir).collect()
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        compress_detail,
+    )
+
+    q = _q("text_compress_ratio")(spark, sf_dir)
+    flags = q.agg(
+        F.min("within_zlib_bounds").alias("b"),
+        F.min("ratio_consistent").alias("c"),
+    ).collect()[0]
+    assert flags.b == 1 and flags.c == 1
+
+    rows = compress_detail(spark, sf_dir).collect()
     docs = {
         r.doc_id: r.text
         for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()

@@ -137,24 +137,35 @@ def test_manifest_skipping_reads_fewer_files_same_answer(spark, sf_dir):
 
 
 def test_rowgroup_stats_match_duckdb_footer(spark, sf_dir):
-    """scan_rowgroup_stats is rows-only in the gate (static oracle
-    strings can't carry a literal file path); the cross-engine check
-    lives here: pyarrow's footer read and DuckDB's parquet_metadata()
-    must agree row-group-for-row-group on counts, min/max, and null
-    counts — the same physical bytes, two independent readers."""
+    """The per-row-group detail grain can't ride the gate's static
+    oracle strings (parquet_metadata() needs a literal file path), so
+    the cross-engine check lives here: pyarrow's footer read and
+    DuckDB's parquet_metadata() must agree row-group-for-row-group on
+    counts, min/max, and null counts — the same physical bytes, two
+    independent readers. The registered scan_rowgroup_stats query is
+    the oracle-checked contract REDUCTION of this frame (r8), asserted
+    below to be exactly that reduction."""
     import duckdb
 
     from agri_market_data_pipeline_spark.operators.storage_layout import (
         rgs_duckdb_sql,
+        rowgroup_stats_detail,
         scan_rowgroup_stats,
     )
 
     got = {
         r.row_group_id: (r.n_rows, r.min_price, r.max_price, r.n_nulls)
-        for r in scan_rowgroup_stats(spark, sf_dir).collect()
+        for r in rowgroup_stats_detail(spark, sf_dir).collect()
     }
     want = {
         int(rg): (int(n), float(lo), float(hi), int(nn))
         for rg, n, lo, hi, nn in duckdb.sql(rgs_duckdb_sql(sf_dir)).fetchall()
     }
     assert got == want and len(got) >= 1
+
+    (c,) = scan_rowgroup_stats(spark, sf_dir).collect()
+    assert c.n_rows == sum(v[0] for v in got.values())
+    assert c.min_price == min(v[1] for v in got.values())
+    assert c.max_price == max(v[2] for v in got.values())
+    assert c.n_nulls == sum(v[3] for v in got.values())
+    assert c.all_min_le_max == 1 and c.all_groups_nonempty == 1
