@@ -47,6 +47,20 @@ def check(detail_path: str, baseline_path: str) -> int:
     cur: dict[str, float] = detail["queries_normalized"]
     thresholds: dict[str, float] = baseline.get("thresholds", {})
 
+    # Raw per-run samples (VERDICT r7 item 8): a breach line carries its
+    # own normalized noise spread so the green/red call is
+    # self-explaining — a spread that straddles the pin says "rerun",
+    # a spread entirely above it says "real regression".
+    samples: dict[str, list[float]] = detail.get("queries_samples", {})
+    cal = detail.get("calibration_sec") or 0.0
+
+    def spread(name: str) -> str:
+        ss = samples.get(name)
+        if not ss or not cal:
+            return ""
+        lo, hi = min(ss) / cal, max(ss) / cal
+        return f"  samples n={len(ss)} normalized [{lo:.3f}, {hi:.3f}]"
+
     regressed: list[str] = []
     gone = sorted(set(base) - set(cur))
     new = sorted(set(cur) - set(base))
@@ -56,7 +70,7 @@ def check(detail_path: str, baseline_path: str) -> int:
         flag = ""
         if ratio > limit:
             regressed.append(name)
-            flag = f"  REGRESSED (> {limit}x)"
+            flag = f"  REGRESSED (> {limit}x){spread(name)}"
         elif limit != THRESHOLD:
             flag = f"  [noise-band limit {limit}x]"
         print(f"{name:40s} {base[name]:8.3f} -> {cur[name]:8.3f}  {ratio:5.2f}x{flag}")

@@ -2,6 +2,16 @@
 scale-relevant properties called out — the evidence that the engine's
 100 TB claims are what Catalyst actually plans, not aspiration.
 
+Selection rule (VERDICT r7 item 7): the curated AUDITED list below gets
+its full plan text printed; EVERY OTHER registered query is also built
+and planned, and every one whose physical plan contains a join or a
+window operator lands in the compact full-registry sweep table (join
+kinds, window count, exchanges, partial-agg, cartesian flag) — so no
+join- or window-bearing operator can silently escape the audit. The
+unbounded-global-window invariant runs over the ENTIRE registry here
+(as it does in tests/test_plans.py), and any CartesianProduct or
+BroadcastNestedLoopJoin outside the documented allowlist fails the run.
+
     python tools/plan_audit.py [sf_dir]
 """
 
@@ -130,6 +140,63 @@ AUDITED = [
 ]
 
 
+# Queries allowed to carry a nested-loop/cartesian operator: bounded
+# one-row count frames or documented demos (VERDICT r7 anti-pattern
+# sweep found exactly these).
+NESTED_LOOP_OK = {
+    "join_range_theta",      # documented 5x25 theta demo
+    "sample_balanced",       # 1-row min-count broadcast cross join
+    "sample_neyman",         # 1-row allocation-total broadcast join
+    "mix_temperature",       # 1-row normalizer frames
+    "mix_domains",           # 1-row totals frame
+    "split_train_test",      # 1-row cut frame
+    "agg_jackknife_ci",      # K-row leave-one-out vs K-row totals
+    "text_zipf_fit",         # 1-row OLS moment frame
+    "sql_exists_subquery",   # uncorrelated scalar subquery
+    "ts_periodicity_strength",  # 3-row candidate-period frame
+    "agg_join_size_sketch",  # sketch x sketch inner product
+    "dq_distribution_drift", # 1-row range frame
+    "agg_ks_test",           # 1-row per-sample totals
+    "agg_chi2_independence", # margins x margins product frame
+    "agg_mannwhitney_u",     # 1-row per-group totals
+    "ts_price_index",        # 1-row base-period frame
+    "text_bpe_train",        # bounded merge-table loop frames
+    "ml_ridge_closed_form",  # 1-row sufficient-statistics frame
+    "agg_bootstrap_se",      # 1-row moment frame
+    "text_unigram_logprob",  # 1-row corpus-total frame
+    "text_bigram_logprob",   # 1-row corpus-total frame
+    "ml_logreg_quality",     # 1-row weight frame per GD round
+    "agg_ttest_ab",          # 1-row per-arm moment frames
+    "ts_twap",               # 1-row day-span frame
+}
+
+_JOIN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def sweep_row(name: str, txt: str) -> tuple[str, bool] | None:
+    """Compact audit row for the full-registry sweep; None when the
+    plan has neither a join nor a window (nothing shuffle-shaped to
+    audit). Second element flags a nested-loop operator."""
+    joins = {k: txt.count(k) for k in _JOIN_OPS}
+    n_win = len(re.findall(r"Window(?:GroupLimit)? \[", txt))
+    if not any(joins.values()) and not n_win:
+        return None
+    n_ex = len(re.findall(r"\bExchange hashpartitioning", txt))
+    jdesc = ", ".join(f"{v}x{k}" for k, v in joins.items() if v) or "-"
+    row = (
+        f"| {name} | {jdesc} | {n_win} | {n_ex} | "
+        f"{'y' if 'partial_' in txt else '-'} |"
+    )
+    nested = bool(joins["BroadcastNestedLoopJoin"] or joins["CartesianProduct"])
+    return row, nested
+
+
 def properties(df, txt: str) -> list[str]:
     props = []
     pushed = [m for m in pushed_filters(df) if m.strip()]
@@ -165,6 +232,7 @@ def main() -> int:
         "",
     ]
     violations: list[str] = []
+    sweep_rows: list[str] = []
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
         # Hard invariant (VERDICT r3): an empty-partition WindowExec may
@@ -185,6 +253,42 @@ def main() -> int:
         out.append(body)
         out.append("```")
         out.append("")
+
+    # Full-registry sweep: every query not in the curated list is also
+    # planned; join/window-bearing ones get a compact row, and the
+    # unbounded-window + nested-loop invariants run on all of them.
+    for name in sorted(qs):
+        if name in AUDITED:
+            continue
+        try:
+            df = qs[name](spark, sf_dir)
+        except Exception as e:  # a query that cannot build IS a finding
+            violations.append(f"{name}: failed to build ({e})")
+            continue
+        for w in unbounded_global_windows(df):
+            violations.append(f"{name}: {w}")
+        txt = explain_str(df, "simple")
+        r = sweep_row(name, txt)
+        if r is None:
+            continue
+        row, nested = r
+        if nested and name not in NESTED_LOOP_OK:
+            violations.append(
+                f"{name}: nested-loop/cartesian join outside allowlist"
+            )
+        sweep_rows.append(row)
+    out.append("## Full-registry join/window sweep")
+    out.append("")
+    out.append(
+        "Every registered query not detailed above, filtered to those "
+        "whose plan carries a join or window (the selection rule in the "
+        "file header):"
+    )
+    out.append("")
+    out.append("| query | joins | windows | hash exchanges | partial agg |")
+    out.append("|-------|-------|--------:|---------------:|:-----------:|")
+    out.extend(sweep_rows)
+    out.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print(f"PLANS.md written ({len(AUDITED)} queries)")
