@@ -1790,3 +1790,221 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_size").cast("long").alias("est_size"),
         (F.col("est_size") - F.col("exact_size")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable MinHash signatures: shard-min merge == direct, plus the
+# signature-estimated vs exact source Jaccard
+
+_MHM_H = 16      # signature components
+_MHM_SHARDS = 8  # ingest shards the merge property is proven over
+
+
+_MHM_SQL = f"""
+WITH x AS (
+  SELECT source, doc_id, string_split(text, ' ') AS a FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, doc_id % {_MHM_SHARDS} AS shard,
+         a[i] || '|' || a[i + 1] || '|' || a[i + 2] AS s
+  FROM x, LATERAL (SELECT UNNEST(generate_series(1, len(a) - 2)) AS i) g(i)
+  WHERE len(a) >= 3
+),
+hs AS (
+  SELECT source, shard, i,
+         CAST('0x' || substring(
+           md5('mh' || CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)
+           AS h
+  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, {_MHM_H - 1})) AS i)
+    hh(i)
+),
+pshard AS (
+  SELECT source, shard, i, MIN(h) AS mn FROM hs GROUP BY 1, 2, 3
+),
+merged AS (SELECT source, i, MIN(mn) AS sig FROM pshard GROUP BY 1, 2),
+direct AS (SELECT source, i, MIN(h) AS sig FROM hs GROUP BY 1, 2),
+eq AS (
+  SELECT m.source,
+         CAST(SUM(CASE WHEN m.sig = d.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eq
+  FROM merged m JOIN direct d ON d.source = m.source AND d.i = m.i
+  GROUP BY 1
+),
+sets AS (SELECT DISTINCT source, s FROM sh),
+cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sets GROUP BY 1),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS ni
+  FROM sets a JOIN sets b ON b.s = a.s AND b.source > a.source
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+           AS sig_matches
+  FROM merged a JOIN merged b ON b.i = a.i AND b.source > a.source
+  GROUP BY 1, 2
+)
+SELECT e.sa AS source_a, e.sb AS source_b,
+       e.sig_matches,
+       CAST(e.sig_matches AS DOUBLE) / {_MHM_H} AS jaccard_est,
+       CAST(COALESCE(i.ni, 0) AS DOUBLE)
+         / CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS jaccard_exact,
+       ea.n_eq + eb.n_eq AS merge_components_equal
+FROM est e
+LEFT JOIN inter i ON i.sa = e.sa AND i.sb = e.sb
+JOIN cnt ca ON ca.source = e.sa
+JOIN cnt cb ON cb.source = e.sb
+JOIN eq ea ON ea.source = e.sa
+JOIN eq eb ON eb.source = e.sb
+"""
+
+
+@query("incr_minhash_merge", oracle=_MHM_SQL)
+def incr_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash MERGE property proven in-query (incr_cms_merge's
+    argument applied to set sketches): per-ingest-shard signatures —
+    component-wise minima of md5-derived hashes over each shard's
+    3-word shingle set — merge by component-wise MIN, and the merged
+    signature must equal the directly-built whole-corpus signature
+    (merge_components_equal carries the count over both sources: must
+    be 2x16). min commutes with set union, so each ingest batch
+    contributes a 16-component row and the stored signature is a MIN
+    per component — no historical rescans, the same delta discipline
+    as the CMS/HLL/rollup members of the incr family. The merged
+    signatures then DO the sketch's real job: per source pair the
+    component-match fraction estimates shingle-set Jaccard, audited
+    against the exact |A∩B|/|A∪B| computed relationally alongside
+    (dedup_minhash_estimate_eval runs this audit per document PAIR;
+    here the unit is the corpus SOURCE and the point is mergeability).
+
+    Determinism: hashes are md5-lattice BIGINTs, minima and counts are
+    exact integers, both Jaccards are integer-ratio doubles — bitwise,
+    no rounding anywhere.
+
+    Scale: shingling is row-local; signatures partial-aggregate to
+    (source, shard, component) grain before any exchange; everything
+    downstream is K-row algebra on sources x components."""
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    x = d.withColumn("a", F.split(F.col("text"), " ")).filter(
+        F.size("a") >= 3
+    )
+    sh = (
+        x.select(
+            "source",
+            (F.col("doc_id") % _MHM_SHARDS).alias("shard"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 2), k -> "
+                    "concat(element_at(a, k), '|', element_at(a, k + 1),"
+                    " '|', element_at(a, k + 2)))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    hs = sh.select(
+        "source",
+        "shard",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"mh{i}:"), F.col("s")
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("bigint")
+                        .alias("h"),
+                    )
+                    for i in range(_MHM_H)
+                ]
+            )
+        ).alias("ih"),
+    ).select("source", "shard", "ih.i", "ih.h")
+    pshard = hs.groupBy("source", "shard", "i").agg(F.min("h").alias("mn"))
+    merged = pshard.groupBy("source", "i").agg(F.min("mn").alias("sig"))
+    merged = merged.localCheckpoint(eager=True)  # feeds eq + both est sides
+    direct = hs.groupBy("source", "i").agg(F.min("h").alias("sig"))
+    eq = (
+        merged.alias("m")
+        .join(
+            direct.alias("dd"),
+            (F.col("dd.source") == F.col("m.source"))
+            & (F.col("dd.i") == F.col("m.i")),
+        )
+        .groupBy(F.col("m.source").alias("source"))
+        .agg(
+            F.sum((F.col("m.sig") == F.col("dd.sig")).cast("int"))
+            .cast("bigint")
+            .alias("n_eq")
+        )
+    )
+    sets = sh.select("source", "s").distinct()
+    cnt = sets.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    inter = (
+        sets.alias("a")
+        .join(
+            sets.alias("b"),
+            (F.col("b.s") == F.col("a.s"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count("*").cast("bigint").alias("ni"))
+    )
+    est = (
+        merged.alias("a")
+        .join(
+            merged.alias("b"),
+            (F.col("b.i") == F.col("a.i"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(
+            F.sum((F.col("a.sig") == F.col("b.sig")).cast("int"))
+            .cast("bigint")
+            .alias("sig_matches")
+        )
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    return (
+        est.join(F.broadcast(inter), ["sa", "sb"], "left")
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("sa"),
+                                   F.col("n").alias("na"))), "sa")
+        .join(
+            F.broadcast(cnt.select(F.col("source").alias("sb"),
+                                   F.col("n").alias("nb"))), "sb")
+        .join(
+            F.broadcast(eq.select(F.col("source").alias("sa"),
+                                  F.col("n_eq").alias("ea"))), "sa")
+        .join(
+            F.broadcast(eq.select(F.col("source").alias("sb"),
+                                  F.col("n_eq").alias("eb"))), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "sig_matches",
+            (F.col("sig_matches").cast("double") / F.lit(_MHM_H)).alias(
+                "jaccard_est"
+            ),
+            (
+                ni.cast("double")
+                / (F.col("na") + F.col("nb") - ni).cast("double")
+            ).alias("jaccard_exact"),
+            (F.col("ea") + F.col("eb")).alias("merge_components_equal"),
+        )
+    )

@@ -568,3 +568,137 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), "src")
         .select("nation", "core_degree")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_sql(rounds: int) -> str:
+    """DuckDB twin: synchronous label propagation unrolled into a
+    MATERIALIZED CTE chain (the graph_kcore lesson — lazy CTEs would
+    replay the fact-scale edge build per round). The argmax key
+    ws*1024 + (1023 - lbl) is injective in (ws, lbl) for lbl <= 1023,
+    so arg_max is tie-free and engine-identical; all arithmetic is
+    integer."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        """und AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT src AS u, dst AS v, w FROM e
+        UNION ALL SELECT dst AS u, src AS v, w FROM e)
+  GROUP BY 1, 2)""",
+        "l0 AS (SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT)"
+        " AS lbl FROM nation)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT n.node, COALESCE(x.new_lbl, CAST(n.node AS BIGINT)) AS lbl
+  FROM (SELECT n_nationkey AS node FROM nation) n
+  LEFT JOIN (
+    SELECT u, arg_max(lbl, ws * 1024 + (1023 - lbl)) AS new_lbl
+    FROM (SELECT und.u AS u, p.lbl AS lbl,
+                 CAST(SUM(und.w) AS BIGINT) AS ws
+          FROM und JOIN l{i - 1} p ON p.node = und.v
+          GROUP BY 1, 2)
+    GROUP BY u
+  ) x ON x.u = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       FROM l{rounds} GROUP BY 1)
+SELECT nat.n_name AS nation, l.lbl AS community, sz.community_size
+FROM l{rounds} l
+JOIN sz ON sz.lbl = l.lbl
+JOIN nation nat ON nat.n_nationkey = l.node"""
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_sql(_LPA_ROUNDS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected trade graph: every node starts as its own label; each
+    round it adopts the label with the greatest total incident edge
+    weight among its neighbors (ties to the smallest label via the
+    injective packed key ws*1024 + (1023 - lbl) — the CLAUDE.md
+    one-BIGINT max_by discipline, which also keeps HashAggregate).
+    After 4 synchronous rounds the label is the community id;
+    community sizes ride a K-row count. The missing clustering member
+    of the graph family: pagerank ranks, k-core filters, connected
+    components ignore weights — LPA groups BY weight structure.
+
+    Determinism: weights are line counts (exact BIGINT), the argmax
+    key is injective, isolated nodes keep their own label via the
+    identical COALESCE both sides — every round is bit-identical on
+    both engines, so the oracle is a full value hash (the PageRank
+    integer-lattice argument, here with no division at all).
+
+    Scale: the fact-scale work is the one edge-list build (same
+    broadcast-dim + orderkey-shuffle plan as graph_pagerank); each
+    round joins the ≤n² aggregated edge list to an n-row label frame —
+    Pregel-on-relational, bounded rounds, no fact re-scan (the plan
+    test pins the exchange budget)."""
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(
+            F.col("src").alias("u"), F.col("dst").alias("v"), "w"
+        )
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"), "w"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        # consumed once per round: materialize so the fact-scale edge
+        # build runs once, not _LPA_ROUNDS times (graph_kcore's lesson,
+        # Spark side)
+        .localCheckpoint(eager=True)
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    labels = nodes.select(
+        "node", F.col("node").cast("bigint").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        ws = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("lbl").alias("plbl")
+                ),
+                "v",
+            )
+            .groupBy("u", "plbl")
+            .agg(F.sum("w").cast("bigint").alias("ws"))
+        )
+        new = ws.groupBy("u").agg(
+            F.max_by(
+                "plbl", F.col("ws") * 1024 + (1023 - F.col("plbl"))
+            ).alias("new_lbl")
+        )
+        labels = (
+            nodes.select("node")
+            .join(new, nodes.node == new.u, "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("new_lbl"), F.col("node").cast("bigint")
+                ).alias("lbl"),
+            )
+        )
+    sz = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return (
+        labels.join(F.broadcast(sz), "lbl")
+        .join(F.broadcast(nodes), "node")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+    )

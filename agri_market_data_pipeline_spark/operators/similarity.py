@@ -1619,3 +1619,110 @@ def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("n_correct"),
         (F.sum(hit) / F.count("*").cast("double")).alias("accuracy"),
     )
+
+
+@query(
+    "agg_vector_covariance",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(UNNEST(embedding) AS DOUBLE) AS xi
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(FLOOR(a.xi * b.xi * 1e12) AS BIGINT)) AS BIGINT)
+           AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT i, CAST(SUM(CAST(FLOOR(xi * 1e9) AS BIGINT)) AS BIGINT) AS si,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY 1
+)
+SELECT p.i, p.j, p.n,
+       CAST(p.sp AS DOUBLE) / CAST(p.n AS DOUBLE) / 1e12
+       - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE) / 1e9)
+         * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE) / 1e9) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+""",
+)
+def agg_vector_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the embedding column in long form
+    (i ≤ j, upper triangle) — the moment computation under PCA
+    whitening, Mahalanobis outlier scoring, and embedding-drift
+    monitoring; agg_vector_centroid gives the first moment, this the
+    second. A pytest runs power iteration on the assembled matrix and
+    pins the top eigenvalue against numpy, proving the long form
+    really is the (semi-definite) covariance.
+
+    Plan: ONE local pair expansion — posexplode(i) carrying the array,
+    then posexplode(slice(embedding, i, d-i+1)) — so the d(d+1)/2
+    products per row are generated WITHOUT any self-join, and the only
+    exchange is the (i, j)-keyed partial agg whose reduce side is 2080
+    rows at d=64 regardless of corpus size. (The self-join alternative
+    shuffles n·d exploded rows; the oracle uses it because DuckDB has
+    no slice-explode, and the results are identical.) At 100 TB with
+    much larger d, swap the expansion for per-batch X^T X partials in
+    mapInPandas — same lattice, same reduce grain.
+
+    Determinism: float32 rule — products and per-dim sums accumulate
+    on FLOOR(v·1e12)/FLOOR(v·1e9) BIGINT lattices (exact, associative);
+    cov is a fixed IEEE tree of exact-integer ratios, so the comparison
+    is bitwise with no rounding (headroom: |xi·xj|≲10 → ~9e17/1e13 ≈
+    9e5 rows per pair at 1e12; the driver corpus is ≤5e3 — widen the
+    lattice down a decade per 10× corpus growth)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        "embedding",
+        F.posexplode("embedding").alias("i0", "xi_f"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.col("xi_f").cast("double").alias("xi"),
+        F.col("i0"),
+    )
+    pairs = x.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.slice(F.col("embedding"), F.col("i0") + 1, F.size("embedding"))
+        ).alias("joff", "xj_f"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("joff")).cast("int").alias("j"),
+        "xi",
+        F.col("xj_f").cast("double").alias("xj"),
+    )
+    p = pairs.groupBy("i", "j").agg(
+        F.sum(
+            F.floor(F.col("xi") * F.col("xj") * F.lit(1e12)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sp"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    m = x.groupBy("i").agg(
+        F.sum(F.floor(F.col("xi") * F.lit(1e9)).cast("bigint"))
+        .cast("bigint")
+        .alias("si"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ma = m.select(F.col("i"), F.col("si").alias("sa"), F.col("n").alias("na"))
+    mb = m.select(
+        F.col("i").alias("j"), F.col("si").alias("sb"), F.col("n").alias("nb")
+    )
+    cov = (
+        F.col("sp").cast("double") / F.col("n").cast("double") / F.lit(1e12)
+        - (F.col("sa").cast("double") / F.col("na").cast("double") / F.lit(1e9))
+        * (F.col("sb").cast("double") / F.col("nb").cast("double") / F.lit(1e9))
+    )
+    return (
+        p.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", "n", cov.alias("cov"))
+    )

@@ -821,3 +821,200 @@ def scan_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("all_groups_nonempty"),
     )
+
+
+_BFP_M = 16384  # bloom bits per shard
+_BFP_K = 3      # hash functions
+_BFP_PROBE_MOD = 997  # ~0.1% of orderkeys become probe lookups
+
+
+def _bfp_hash_sql(key: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5('bf{i}:' || CAST({key} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT) % {_BFP_M}"
+    )
+
+
+_BFP_SQL = f"""
+WITH keys AS (
+  SELECT DISTINCT (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+           // 30 AS shard,
+         l_orderkey AS okey
+  FROM lineitem
+),
+idx AS (
+  SELECT DISTINCT shard, pos FROM (
+    {" UNION ALL ".join(
+        f"SELECT shard, {_bfp_hash_sql('okey', i)} AS pos FROM keys"
+        for i in range(_BFP_K)
+    )}
+  )
+),
+probes AS (
+  SELECT DISTINCT o_orderkey AS okey FROM orders
+  WHERE CAST('0x' || substring(md5('probe:' || CAST(o_orderkey AS VARCHAR)),
+             1, 15) AS BIGINT) % {_BFP_PROBE_MOD} = 0
+),
+ppos AS (
+  {" UNION ALL ".join(
+      f"SELECT okey, {i} AS h, {_bfp_hash_sql('okey', i)} AS pos FROM probes"
+      for i in range(_BFP_K)
+  )}
+),
+cand AS (
+  SELECT p.okey, i.shard
+  FROM ppos p JOIN idx i ON i.pos = p.pos
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT p.h) = {_BFP_K}
+),
+truth AS (
+  SELECT k.okey, k.shard FROM keys k JOIN probes p ON p.okey = k.okey
+),
+tot AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards FROM keys)
+SELECT p.okey AS probe_key,
+       tot.n_shards,
+       CAST(COUNT(DISTINCT c.shard) AS BIGINT) AS n_candidate_shards,
+       CAST(COUNT(DISTINCT t.shard) AS BIGINT) AS n_true_shards,
+       CASE WHEN COUNT(DISTINCT t.shard)
+                 = COUNT(DISTINCT CASE WHEN c2.shard IS NOT NULL
+                                       THEN t.shard END)
+            THEN 1 ELSE 0 END AS no_false_negative
+FROM probes p
+CROSS JOIN tot
+LEFT JOIN cand c ON c.okey = p.okey
+LEFT JOIN truth t ON t.okey = p.okey
+LEFT JOIN cand c2 ON c2.okey = t.okey AND c2.shard = t.shard
+GROUP BY 1, 2
+"""
+
+
+@query("layout_bloom_pruning", oracle=_BFP_SQL)
+def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-level BLOOM-INDEX pruning: the point-lookup complement of
+    the min/max manifest (scan_manifest_skipped) and the z-order curve
+    (layout_zorder_skipping). Those prune range predicates on the SORT
+    key; a lookup on a key UNCORRELATED with the layout (here:
+    orderkey probes against a shipdate-sharded table — every shard's
+    orderkey min/max spans everything) prunes NOTHING from zone maps.
+    A per-shard Bloom filter (m=16384 bits, k=3 md5-derived hashes,
+    materialized as the relational (shard, bit-position) index — the
+    Parquet bloom_filter/Iceberg puffin equivalent, kept queryable)
+    answers 'which shards MIGHT contain this key'; a shard qualifies
+    iff all k probe positions are set. Per probe the audit emits total
+    vs candidate vs truly-containing shard counts and the no-false-
+    negative contract flag (Bloom may over-admit — the candidate count
+    vs truth gap IS the measured false-positive cost — but must never
+    under-admit).
+
+    Determinism: positions and probe selection are md5-lattice values
+    (the registry's only cross-engine hash); everything else is exact
+    integer counting.
+
+    Scale: the index build is one distinct-project of 3 positions per
+    (shard, key) — partial-aggregable, output bounded by shards x m
+    rows regardless of fact cardinality; probes join the index on the
+    position key (equi, broadcastable). At 100 TB the index lives as a
+    table maintained per ingest batch (dedup_incremental's delta
+    discipline) and each point lookup touches the candidate shards
+    only."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = (
+        li.select(
+            F.expr(
+                "(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                " div 86400000000) div 30"
+            ).alias("shard"),
+            F.col("l_orderkey").alias("okey"),
+        )
+        .distinct()
+    )
+
+    def hpos(col: str, i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), F.col(col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _BFP_M
+
+    idx = None
+    for i in range(_BFP_K):
+        part = keys.select("shard", hpos("okey", i).alias("pos"))
+        idx = part if idx is None else idx.unionAll(part)
+    idx = idx.distinct()
+
+    probes = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("okey"))
+        .filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("probe:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BFP_PROBE_MOD
+            == 0
+        )
+        .distinct()
+    )
+    ppos = None
+    for i in range(_BFP_K):
+        part = probes.select(
+            "okey", F.lit(i).alias("h"), hpos("okey", i).alias("pos")
+        )
+        ppos = part if ppos is None else ppos.unionAll(part)
+
+    cand = (
+        ppos.join(idx, "pos")
+        .groupBy("okey", "shard")
+        .agg(F.count_distinct("h").alias("nh"))
+        .filter(F.col("nh") == _BFP_K)
+        .select("okey", "shard")
+    )
+    truth = keys.join(F.broadcast(probes), "okey").select("okey", "shard")
+    tot = keys.agg(F.count_distinct("shard").cast("bigint").alias("n_shards"))
+
+    c = cand.select(F.col("okey"), F.col("shard").alias("c_shard"))
+    t = truth.select(F.col("okey"), F.col("shard").alias("t_shard"))
+    c2 = cand.select(
+        F.col("okey").alias("okey2"), F.col("shard").alias("c2_shard")
+    )
+    joined = (
+        probes.crossJoin(F.broadcast(tot))
+        .join(c, "okey", "left")
+        .join(t, "okey", "left")
+        .join(
+            c2,
+            (F.col("okey2") == F.col("okey"))
+            & (F.col("c2_shard") == F.col("t_shard")),
+            "left",
+        )
+    )
+    return joined.groupBy(
+        F.col("okey").alias("probe_key"), "n_shards"
+    ).agg(
+        F.count_distinct("c_shard").cast("bigint").alias(
+            "n_candidate_shards"
+        ),
+        F.count_distinct("t_shard").cast("bigint").alias("n_true_shards"),
+        F.when(
+            F.count_distinct("t_shard")
+            == F.count_distinct(
+                F.when(F.col("c2_shard").isNotNull(), F.col("t_shard"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("no_false_negative"),
+    )

@@ -1230,3 +1230,282 @@ def ts_periodicity_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "period", "n_days", "strength")
     )
+
+
+_MK_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.et,
+         CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.et = a.et AND b.day_no > a.day_no
+),
+s AS (
+  SELECT et, CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY 1
+),
+n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+ties AS (
+  SELECT et,
+         CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT et, v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2)
+  WHERE t > 1 GROUP BY 1
+),
+var AS (
+  SELECT n.et, n.n_days, s.s_stat,
+         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+              - COALESCE(t.tie_term, 0) AS DOUBLE) / 18.0 AS var_s
+  FROM n JOIN s ON s.et = n.et LEFT JOIN ties t ON t.et = n.et
+)
+SELECT et AS event_type, n_days, s_stat, var_s,
+       ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / SQRT(var_s)
+                  ELSE 0.0 END, 6) AS z_mk
+FROM var
+WHERE var_s > 0
+"""
+
+
+@query("ts_mann_kendall", oracle=_MK_SQL)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST per event type: the nonparametric
+    significance companion to ts_theil_sen's slope ESTIMATE (the
+    standard pairing in environmental/market trend monitoring —
+    Theil-Sen says how steep, Mann-Kendall says whether it's real).
+    S = sum of sign(v_j - v_i) over all day pairs i<j; Var(S) carries
+    the tie correction sum t(t-1)(2t+5)/18; the z statistic applies
+    the +/-1 continuity correction. Everything upstream of the final
+    division is integer or bitwise-identical-double arithmetic: daily
+    means are exact-decimal-sum / count ratios (identical IEEE doubles
+    both engines), the sign comparisons on them are therefore
+    identical, S and the tie term are exact BIGINT sums, and only
+    z takes ROUND(6) for its sqrt/division chain. Zero-variance
+    groups (all days tied) are filtered by the identical exact
+    predicate both sides — the ts_periodicity_strength discipline.
+
+    Scale: facts reduce to (type, day) grain in one partial agg; the
+    pair self-join is grain-bounded (days², ~133k pairs per type-year —
+    constant in fact cardinality, the ts_theil_sen audit argument);
+    ties and moments are K-row aggregates.
+
+    Reference parity: the reference never tests its price trends
+    (fetch_data.py has no analytics at all); this is the missing
+    monitoring primitive for its 3-hourly harvest loop."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.et") == F.col("a.et"))
+        & (F.col("b.day_no") > F.col("a.day_no")),
+    ).select(
+        F.col("a.et").alias("et"),
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    s = pairs.groupBy("et").agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    n = daily.groupBy("et").agg(F.count("*").cast("bigint").alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("et", "v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(t > 1)
+        .groupBy("et")
+        .agg(
+            F.coalesce(F.sum(t * (t - 1) * (2 * t + 5)), F.lit(0))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nd = F.col("n_days")
+    var = (
+        n.join(s, "et")
+        .join(ties, "et", "left")
+        .select(
+            "et",
+            "n_days",
+            "s_stat",
+            (
+                (
+                    nd * (nd - 1) * (2 * nd + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    ss = F.col("s_stat")
+    z = (
+        F.when(ss > 0, (ss - 1) / F.sqrt(F.col("var_s")))
+        .when(ss < 0, (ss + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return var.filter(F.col("var_s") > 0).select(
+        F.col("et").alias("event_type"),
+        "n_days",
+        "s_stat",
+        "var_s",
+        F.round(z, 6).alias("z_mk"),
+    )
+
+
+_LTTB_B = 24  # output buckets per series
+
+_LTTB_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+r AS (
+  SELECT d.et, d.day_no, d.v, n.n,
+         ROW_NUMBER() OVER (PARTITION BY d.et ORDER BY d.day_no) AS rn
+  FROM daily d JOIN n ON n.et = d.et
+),
+b AS (
+  SELECT et, day_no, v, rn, n,
+         CAST(((rn - 1) * {_LTTB_B}) // n AS BIGINT) AS bkt
+  FROM r
+),
+anch AS (
+  SELECT et, bkt,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(day_no) AS BIGINT) AS sx,
+         CAST(SUM(CAST(FLOOR(v * 1e9) AS BIGINT)) AS BIGINT) AS syl
+  FROM b GROUP BY 1, 2
+),
+nb AS (
+  SELECT et, bkt,
+         LAG(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+           OVER (PARTITION BY et ORDER BY bkt) AS px,
+         LAG(CAST(syl AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e9)
+           OVER (PARTITION BY et ORDER BY bkt) AS py,
+         LEAD(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE))
+           OVER (PARTITION BY et ORDER BY bkt) AS nx,
+         LEAD(CAST(syl AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e9)
+           OVER (PARTITION BY et ORDER BY bkt) AS ny,
+         MAX(bkt) OVER (PARTITION BY et) AS maxb
+  FROM anch
+),
+scored AS (
+  SELECT b.et, b.day_no, b.v, b.bkt,
+         ROW_NUMBER() OVER (
+           PARTITION BY b.et, b.bkt
+           ORDER BY (CASE
+             WHEN b.bkt = 0 THEN CAST(-b.rn AS DOUBLE)
+             WHEN b.bkt = nb.maxb THEN CAST(b.rn AS DOUBLE)
+             ELSE ABS((nb.px - nb.nx) * (b.v - nb.py)
+                      - (nb.px - CAST(b.day_no AS DOUBLE))
+                        * (nb.ny - nb.py))
+           END) DESC, b.day_no ASC) AS pick
+  FROM b JOIN nb ON nb.et = b.et AND nb.bkt = b.bkt
+)
+SELECT et AS event_type, bkt, day_no, v
+FROM scored WHERE pick = 1
+"""
+
+
+@query("ts_downsample_lttb", oracle=_LTTB_SQL)
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling of each daily series
+    to a fixed 24-point sketch — the standard visualization reducer
+    (Steinarsson 2013; what Grafana/Influx apply before plotting):
+    split the series into 24 rank buckets, keep the first and last
+    points verbatim, and from every interior bucket keep the point
+    forming the LARGEST TRIANGLE with its neighbor buckets' anchor
+    points, preserving spikes and inflections a plain bucket-mean
+    decimator smears away. Sequential LTTB anchors on the previously
+    SELECTED point; this is the bucket-average-anchor variant — the
+    accepted parallel form, since every bucket then scores
+    independently.
+
+    Determinism: bucket ids are pure integer floor division of ranks
+    (day_no is unique per series, so ranks are total); anchors are
+    exact-integer sums (day sum BIGINT, value sum on the FLOOR(v*1e9)
+    lattice) converted once to doubles; the triangle area is one fixed
+    IEEE expression of those — identical both engines — and the argmax
+    orders by (area DESC, day ASC), a total order. First/last buckets
+    rank by +/-rn through the same CASE key, so one window serves all
+    three selection rules.
+
+    Scale: facts reduce to (type, day) grain in one partial agg; the
+    rank and anchor windows run per-series on calendar-bounded rows
+    (the CLAUDE.md grain-bounded exemption); at 100 TB the reduced
+    series per (metric, year) stays a few hundred points while raw
+    events are billions — the whole point of shipping the downsample
+    as an operator."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    n = daily.groupBy("et").agg(F.count("*").cast("bigint").alias("n"))
+    w_rn = Window.partitionBy("et").orderBy("day_no")
+    b = (
+        daily.join(F.broadcast(n), "et")
+        .withColumn("rn", F.row_number().over(w_rn).cast("bigint"))
+        .withColumn(
+            "bkt", F.expr(f"((rn - 1) * {_LTTB_B}) div n").cast("bigint")
+        )
+    )
+    anch = b.groupBy("et", "bkt").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("day_no").cast("bigint").alias("sx"),
+        F.sum(F.floor(F.col("v") * F.lit(1e9)).cast("bigint"))
+        .cast("bigint")
+        .alias("syl"),
+    )
+    ax = F.col("sx").cast("double") / F.col("cnt").cast("double")
+    ay = F.col("syl").cast("double") / F.col("cnt").cast("double") / F.lit(
+        1e9
+    )
+    w_b = Window.partitionBy("et").orderBy("bkt")
+    nb = anch.select(
+        "et",
+        "bkt",
+        F.lag(ax).over(w_b).alias("px"),
+        F.lag(ay).over(w_b).alias("py"),
+        F.lead(ax).over(w_b).alias("nx"),
+        F.lead(ay).over(w_b).alias("ny"),
+        F.max("bkt").over(Window.partitionBy("et")).alias("maxb"),
+    )
+    area = F.abs(
+        (F.col("px") - F.col("nx")) * (F.col("v") - F.col("py"))
+        - (F.col("px") - F.col("day_no").cast("double"))
+        * (F.col("ny") - F.col("py"))
+    )
+    key = (
+        F.when(F.col("bkt") == 0, (-F.col("rn")).cast("double"))
+        .when(F.col("bkt") == F.col("maxb"), F.col("rn").cast("double"))
+        .otherwise(area)
+    )
+    w_pick = Window.partitionBy("et", "bkt").orderBy(
+        key.desc(), F.col("day_no").asc()
+    )
+    return (
+        b.join(F.broadcast(nb), ["et", "bkt"])
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(F.col("et").alias("event_type"), "bkt", "day_no", "v")
+    )

@@ -1133,3 +1133,71 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n, 6
         ).alias("intercept"),
     )
+
+
+_PW_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _pw_cap_sql(n: str) -> str:
+    cases = " ".join(
+        f"WHEN {n} <= {c} THEN {c}" for c in _PW_CAPS
+    )
+    return f"CASE {cases} ELSE 4096 END"
+
+
+_PW_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+b AS (
+  SELECT CAST({_pw_cap_sql('n_tok')} AS BIGINT) AS bucket_cap, n_tok
+  FROM t
+)
+SELECT bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket_cap - n_tok) AS BIGINT) AS sum_padding,
+       CAST(SUM(bucket_cap - n_tok) AS DOUBLE)
+         / CAST(COUNT(*) * bucket_cap AS DOUBLE) AS waste_ratio
+FROM b
+GROUP BY bucket_cap
+"""
+
+
+@query("pack_padding_waste", oracle=_PW_SQL)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching — the
+    efficiency ledger behind every fixed-shape training batch: each
+    document rounds UP to the next power-of-two token bucket, and the
+    per-bucket padding mass (bucket_cap − n_tokens summed) over
+    capacity is the fraction of accelerator FLOPs burned on pad
+    tokens. pack_sequences ELIMINATES the waste by concatenation; this
+    op MEASURES what static bucketing costs, which is how you decide
+    whether packing is worth its attention-mask complexity for a given
+    corpus. The cap ladder is an integer CASE — no log2 float walk to
+    diverge at exact powers of two.
+
+    Determinism: token counts, caps, and padding sums are exact
+    integers; waste_ratio is an integer-ratio double (bitwise, no
+    rounding).
+
+    Scale: row-local bucketing + one partial-aggregable groupBy over
+    ≤9 bucket keys — the map side reduces everything."""
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    cap = F.lit(4096)
+    for c in reversed(_PW_CAPS):
+        cap = F.when(F.col("n_tok") <= c, F.lit(c)).otherwise(cap)
+    b = d.select(cap.cast("bigint").alias("bucket_cap"), "n_tok")
+    return b.groupBy("bucket_cap").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tok"))
+        .cast("bigint")
+        .alias("sum_padding"),
+        (
+            F.sum(F.col("bucket_cap") - F.col("n_tok")).cast("double")
+            / (F.count("*") * F.col("bucket_cap")).cast("double")
+        ).alias("waste_ratio"),
+    )

@@ -633,3 +633,97 @@ def win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_pattern"
         ),
     )
+
+
+_RSL_W = 14  # rolling frame: current day + 14 preceding = 15 days
+
+_RSL_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et, day_no, v,
+         CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS yl
+  FROM daily
+),
+win AS (
+  SELECT et, day_no, v,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(day_no) OVER w AS BIGINT) AS sx,
+         CAST(SUM(yl) OVER w AS BIGINT) AS sy,
+         CAST(SUM(day_no * yl) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(day_no * day_no) OVER w AS BIGINT) AS sxx
+  FROM lat
+  WINDOW w AS (PARTITION BY et ORDER BY day_no
+               ROWS BETWEEN {_RSL_W} PRECEDING AND CURRENT ROW)
+)
+SELECT et AS event_type, day_no, v, n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)) / 1e6
+       ELSE 0.0 END AS slope
+FROM win
+"""
+
+
+@query("win_rolling_slope", oracle=_RSL_SQL)
+def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of each daily series over a 15-day window —
+    the LOCAL trend detector (is the price turning this fortnight?)
+    where ts_trend_ols fits one global line and ts_theil_sen one
+    robust global slope. slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) with
+    every windowed sum EXACT: x is the integer day number, y rides the
+    FLOOR(v·1e6 + 0.5) BIGINT lattice (v is an exact-ratio double, so
+    the lattice is deterministic), products stay integer, and sliding-
+    frame evaluation order therefore cannot drift — the final division
+    is one IEEE op on exact-integer-valued doubles, bitwise identical,
+    no rounding (magnitudes: day_no ~1.7e4, yl ~1e9, 15-row sums
+    ~2.6e14 — inside 2^53 for the double casts and far inside BIGINT).
+    Windows shorter than 2 distinct days have zero x-variance and emit
+    the literal 0.0 slope via the identical exact predicate.
+
+    Scale: facts reduce to (type, day) grain first; the window runs
+    per type over calendar-bounded rows (grain-bounded exemption)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    lat = daily.withColumn(
+        "yl", F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+    )
+    w = (
+        Window.partitionBy("et")
+        .orderBy("day_no")
+        .rowsBetween(-_RSL_W, Window.currentRow)
+    )
+    x = F.col("day_no")
+    win = lat.select(
+        "et",
+        "day_no",
+        "v",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(x).over(w).cast("bigint").alias("sx"),
+        F.sum("yl").over(w).cast("bigint").alias("sy"),
+        F.sum(x * F.col("yl")).over(w).cast("bigint").alias("sxy"),
+        F.sum(x * x).over(w).cast("bigint").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxy"), F.col("sxx")
+    )
+    slope = F.when(
+        n * sxx - sx * sx > 0,
+        ((n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double"))
+        / F.lit(1e6),
+    ).otherwise(F.lit(0.0))
+    return win.select(
+        F.col("et").alias("event_type"), "day_no", "v", "n",
+        slope.alias("slope"),
+    )

@@ -82,6 +82,14 @@ HEADLINE = [
     # two-run band rule; until then benchguard reports them as "new")
     "ts_theil_sen",
     "graph_kcore",
+    # r8 representatives: the LPA community loop, the vector second
+    # moment, the bloom index probe, the minhash merge proof, and the
+    # winsorized histogram twin (same pin-next-round rule)
+    "graph_label_propagation",
+    "agg_vector_covariance",
+    "layout_bloom_pruning",
+    "incr_minhash_merge",
+    "agg_winsorized_mean_sketch",
 ]
 
 

@@ -1026,3 +1026,39 @@ def test_winsorized_sketch_within_two_bin_widths(spark, sf_dir):
         ), (r.grp, r.winsorized_mean_sketch, exact[r.grp], r.bin_width)
         # tails really were clamped on both sides (p5/p95 cuts bite)
         assert r.n_clamped_lo > 0 and r.n_clamped_hi > 0
+
+
+def test_vector_covariance_is_psd_and_matches_numpy(spark, sf_dir):
+    """The long-form upper triangle must assemble into the true sample
+    covariance (vs numpy on the collected vectors, atol bounded by the
+    1e-9/1e-12 lattice quantization) and be positive semi-definite:
+    power iteration's top eigenvalue matches numpy's."""
+    import numpy as np
+
+    rows = _q("agg_vector_covariance")(spark, sf_dir).collect()
+    assert rows
+    d = max(r.j for r in rows)
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+    vecs = np.array(
+        [
+            r.embedding
+            for r in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.cov(vecs, rowvar=False, bias=True)
+    assert np.allclose(C, ref, atol=1e-5), np.abs(C - ref).max()
+    # power iteration on the assembled matrix
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(200):
+        nv = C @ v
+        v = nv / np.linalg.norm(nv)
+    lam = float(v @ C @ v)
+    top = float(np.linalg.eigvalsh(ref).max())
+    assert abs(lam - top) <= 1e-4 * max(1.0, abs(top))
+    assert top >= -1e-9  # PSD

@@ -440,3 +440,51 @@ def test_round7_operators_plan_shapes(spark, sf_dir):
     # cells-array dim); candidate generation itself is the cell-keyed
     # equi-join — assert the hash join is present
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_round8_operators_plan_shapes(spark, sf_dir):
+    """r8 families' scale signatures: the Mann-Kendall pair join is
+    grain-blocked (no cartesian), LPA's rounds never re-scan facts
+    (bounded exchange count on the post-checkpoint serving plan), the
+    covariance pair expansion is join-free until its (i, j) partial agg
+    (no SortMergeJoin of exploded rows), and the winsorized sketch has
+    no per-group sort of fact rows (no data-proportional
+    SinglePartition)."""
+    from agri_market_data_pipeline_spark.operators.quality_stats import (
+        agg_winsorized_mean_sketch,
+    )
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        agg_vector_covariance,
+    )
+    from agri_market_data_pipeline_spark.operators.timeseries import (
+        ts_mann_kendall,
+    )
+
+    df = ts_mann_kendall(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+    df = agg_vector_covariance(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # pair expansion is local
+    assert "partial_" in plan  # (i, j) sums combine map-side
+
+    df = agg_winsorized_mean_sketch(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # rng + cuts broadcast
+
+    from agri_market_data_pipeline_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    df = graph_label_propagation(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # build-then-iterate: the checkpointed edge list means the label
+    # rounds NEVER rescan the fact tables — nation (n-row) is the only
+    # parquet input left in the serving plan. (The rounds do carry
+    # node-cardinality exchanges — bounded by rounds x n, fine.)
+    assert "lineitem" not in plan and "orders" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan

@@ -115,6 +115,15 @@ AUDITED = [
     # data, exactly the class a local[32] pass can hide.
     "ts_session_concurrency",
     "sample_neyman",
+    # r8 additions, join-bearing or candidate-generating: the MK day-pair
+    # self-join, LPA's fact-scale edge build + bounded rounds, the
+    # covariance pair expansion, the bloom index probe join, and the
+    # minhash shingle-blocked set join.
+    "ts_mann_kendall",
+    "graph_label_propagation",
+    "agg_vector_covariance",
+    "layout_bloom_pruning",
+    "incr_minhash_merge",
 ]
 
 
