@@ -702,3 +702,191 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "community_size",
         )
     )
+
+
+_MSB_ROUNDS = 4  # Boruvka halves components: 25 -> <=12 -> <=6 -> <=3 -> 1
+_MSB_JUMPS = 5   # pointer-jumping doublings: 2^5 = 32 > n covers any chain
+
+
+def _msb_sql(rounds: int, jumps: int) -> str:
+    """DuckDB twin: Boruvka unrolled — per round, every component picks
+    its maximum incident cross-component edge by an INJECTIVE packed
+    key (w, then smaller u, then smaller v), mutual picks become the
+    merge pointers, 2-cycles break toward the smaller label, and
+    pointer jumping contracts the merge forest to its roots. All CTEs
+    MATERIALIZED (graph_kcore's lesson)."""
+    key = "(w * 32 + (31 - u)) * 32 + (31 - v)"
+    ctes = [
+        f"e0 AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        """e AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, w FROM e0)
+  GROUP BY 1, 2)""",
+        "c0 AS (SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT)"
+        " AS lbl FROM nation)",
+    ]
+    picks = []
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        ctes.append(f"""ce{r} AS MATERIALIZED (
+  SELECT ca.lbl AS ca, cb.lbl AS cb, e.w, e.u, e.v
+  FROM e JOIN {p} ca ON ca.node = e.u JOIN {p} cb ON cb.node = e.v
+  WHERE ca.lbl <> cb.lbl)""")
+        ctes.append(f"""dir{r} AS (
+  SELECT ca AS c, cb AS oth, w, u, v FROM ce{r}
+  UNION ALL SELECT cb AS c, ca AS oth, w, u, v FROM ce{r})""")
+        ctes.append(f"""pick{r} AS MATERIALIZED (
+  SELECT c,
+         arg_max(oth, {key}) AS oth,
+         arg_max(u, {key}) AS u,
+         arg_max(v, {key}) AS v,
+         arg_max(w, {key}) AS w
+  FROM dir{r} GROUP BY c)""")
+        ctes.append(f"""p{r}_0 AS MATERIALIZED (
+  SELECT cl.lbl AS c, COALESCE(pk.oth, cl.lbl) AS p
+  FROM (SELECT DISTINCT lbl FROM {p}) cl
+  LEFT JOIN pick{r} pk ON pk.c = cl.lbl)""")
+        ctes.append(f"""p{r}_1 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.p = a.c AND a.c < a.p THEN a.c ELSE a.p END AS p
+  FROM p{r}_0 a JOIN p{r}_0 b ON b.c = a.p)""")
+        for j in range(2, jumps + 2):
+            ctes.append(f"""p{r}_{j} AS MATERIALIZED (
+  SELECT a.c, b.p FROM p{r}_{j - 1} a JOIN p{r}_{j - 1} b ON b.c = a.p)""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+  SELECT cp.node, pf.p AS lbl
+  FROM {p} cp JOIN p{r}_{jumps + 1} pf ON pf.c = cp.lbl)""")
+        picks.append(f"SELECT DISTINCT u, v, w FROM pick{r}")
+    body = " UNION ".join(picks)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT na.n_name AS nation_a, nb.n_name AS nation_b, m.w
+FROM ({body}) m
+JOIN nation na ON na.n_nationkey = m.u
+JOIN nation nb ON nb.n_nationkey = m.v"""
+    )
+
+
+@query(
+    "graph_max_spanning_backbone",
+    oracle=_msb_sql(_MSB_ROUNDS, _MSB_JUMPS),
+)
+def graph_max_spanning_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM spanning tree of the trade graph by distributed Boruvka —
+    the strongest-links backbone (which n-1 trade relationships carry
+    the network?): per round EVERY component in parallel picks its
+    heaviest cross-component edge under one globally injective packed
+    key (w, then smaller u, then smaller v — so all comparisons are
+    strict and the pointer graph provably has only mutual 2-cycles),
+    picks become merge pointers, 2-cycles break toward the smaller
+    label, pointer jumping (2^5 doublings) contracts each merge tree
+    to its root, and the union of per-round picks is the exact
+    maximum spanning forest in ceil(log2 n) rounds. This is THE
+    textbook distributed-MST algorithm (Boruvka 1926; the GHS
+    lineage) — chosen over Kruskal/Prim precisely because those are
+    inherently sequential scans of a globally sorted edge list, while
+    Boruvka is per-component parallel argmax + bounded label algebra.
+    The pytest pins tree-ness (n-1 edges, acyclic, spanning) AND total
+    weight equal to an independent Kruskal run.
+
+    Determinism: weights are exact BIGINT counts; the packed key is
+    injective, so arg_max/max_by agree across engines; merging and
+    jumping are pure integer label algebra — full value-hash oracle
+    with zero rounding (the graph_pagerank integer discipline).
+
+    Scale: facts reduce once to the <=n² edge list (checkpointed —
+    Spark-side MATERIALIZED); each round touches edge-list- and
+    node-cardinality frames only; rounds and jumps are O(log n). At
+    real graph scale the identical algebra runs on (component, edge)
+    grain with the same halving guarantee."""
+    e0 = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    e = (
+        e0.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    comp = nodes.select("node", F.col("node").cast("bigint").alias("lbl"))
+    key = (F.col("w") * 32 + (31 - F.col("u"))) * 32 + (31 - F.col("v"))
+    mst = None
+    for _ in range(_MSB_ROUNDS):
+        ca = comp.select(F.col("node").alias("ua"), F.col("lbl").alias("ca"))
+        cb = comp.select(F.col("node").alias("vb"), F.col("lbl").alias("cb"))
+        ce = (
+            e.join(ca, e.u == ca.ua)
+            .join(cb, e.v == cb.vb)
+            .filter(F.col("ca") != F.col("cb"))
+            .select("ca", "cb", "w", "u", "v")
+        )
+        dirb = ce.select(
+            F.col("ca").alias("c"), F.col("cb").alias("oth"), "w", "u", "v"
+        ).unionAll(
+            ce.select(
+                F.col("cb").alias("c"), F.col("ca").alias("oth"), "w", "u", "v"
+            )
+        )
+        pick = (
+            dirb.groupBy("c")
+            .agg(
+                F.max_by("oth", key).alias("oth"),
+                F.max_by("u", key).alias("u"),
+                F.max_by("v", key).alias("v"),
+                F.max_by("w", key).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ptr = (
+            comp.select("lbl")
+            .distinct()
+            .join(pick.select("c", "oth"), F.col("c") == F.col("lbl"), "left")
+            .select(
+                F.col("lbl").alias("c"),
+                F.coalesce(F.col("oth"), F.col("lbl")).alias("p"),
+            )
+        )
+        b = ptr.select(F.col("c").alias("bc"), F.col("p").alias("bp"))
+        ptr = (
+            ptr.join(b, F.col("bc") == F.col("p"))
+            .select(
+                "c",
+                F.when(
+                    (F.col("bp") == F.col("c")) & (F.col("c") < F.col("p")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+        )
+        for _j in range(_MSB_JUMPS):
+            b = ptr.select(F.col("c").alias("bc"), F.col("p").alias("bp"))
+            ptr = ptr.join(b, F.col("bc") == F.col("p")).select(
+                "c", F.col("bp").alias("p")
+            )
+        ptr = ptr.localCheckpoint(eager=True)
+        comp = (
+            comp.join(ptr, F.col("c") == F.col("lbl"))
+            .select("node", F.col("p").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        part = pick.select("u", "v", "w").distinct()
+        mst = part if mst is None else mst.unionAll(part)
+    mst = mst.distinct()
+    na = nodes.select(
+        F.col("node").alias("u"), F.col("n_name").alias("nation_a")
+    )
+    nb = nodes.select(
+        F.col("node").alias("v"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        mst.join(F.broadcast(na), "u")
+        .join(F.broadcast(nb), "v")
+        .select("nation_a", "nation_b", "w")
+    )

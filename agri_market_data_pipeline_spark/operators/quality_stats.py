@@ -1421,3 +1421,80 @@ def agg_winsorized_mean_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_sketch"),
         )
     )
+
+
+_SEQ_BLOCK = 4096  # keys per block in the two-level gap scan
+_SEQ_TOPK = 25
+
+
+_SEQGAP_SQL = f"""
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+g AS (
+  SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
+  FROM (SELECT k, LEAD(k) OVER (ORDER BY k) AS nxt FROM k)
+  WHERE nxt > k + 1
+)
+SELECT gap_start, gap_end, gap_len
+FROM g ORDER BY gap_len DESC, gap_start ASC LIMIT {_SEQ_TOPK}
+"""
+
+
+@query("dq_sequence_gaps", oracle=_SEQGAP_SQL)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id-range audit: the 25 largest gaps in the order-key
+    sequence — the ingest-completeness question ("which id ranges did
+    the feed drop?") that row counts can't answer and per-day
+    freshness (dq_freshness) doesn't see. TPC-H order keys are sparse
+    BY DESIGN (runs of 8 per 32), so the audit has real work here.
+
+    Scale design — distributed gaps-and-islands: a global LEAD over
+    all keys is a one-task sort (the oracle can afford it; an engine
+    cannot). Instead keys split into fixed id-range BLOCKS
+    (key div 4096): internal gaps come from a block-partitioned lead
+    window (fully distributed); cross-block gaps — which subsume any
+    EMPTY blocks between nonempty ones — come from one lead over the
+    (block, min, max) summary, a data/4096-proportional frame measured
+    in scalecheck per the CLAUDE.md window policy; when even block
+    summaries outgrow a task, the identical decomposition recurses
+    (blocks of blocks, O(log) levels). The union of the two gap sets
+    is exactly the global gap set; top-k selection is
+    TakeOrderedAndProject, never a global sort.
+
+    Determinism: pure integer arithmetic end to end; the (len DESC,
+    start ASC) order is total because gap starts are unique."""
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("block", F.expr(f"k div {_SEQ_BLOCK}"))
+    )
+    wl = Window.partitionBy("block").orderBy("k")
+    nxt = F.lead("k").over(wl)
+    internal = (
+        keys.select("k", nxt.alias("nxt"))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+        )
+    )
+    summary = keys.groupBy("block").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    ws = Window.orderBy("block")
+    cross = (
+        summary.select("mx", F.lead("mn").over(ws).alias("nxt_mn"))
+        .filter(F.col("nxt_mn") > F.col("mx") + 1)
+        .select(
+            (F.col("mx") + 1).alias("gap_start"),
+            (F.col("nxt_mn") - 1).alias("gap_end"),
+        )
+    )
+    gaps = internal.unionAll(cross).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )
+    return gaps.orderBy(
+        F.desc("gap_len"), F.asc("gap_start")
+    ).limit(_SEQ_TOPK)

@@ -1062,3 +1062,58 @@ def test_vector_covariance_is_psd_and_matches_numpy(spark, sf_dir):
     top = float(np.linalg.eigvalsh(ref).max())
     assert abs(lam - top) <= 1e-4 * max(1.0, abs(top))
     assert top >= -1e-9  # PSD
+
+
+def test_max_spanning_backbone_is_optimal_tree(spark, sf_dir):
+    """Boruvka's output must be a spanning tree of the trade graph
+    (n-1 edges, acyclic, one component) with total weight equal to an
+    independent driver-side Kruskal run over the same edge list — the
+    optimality proof the value-hash oracle (same algorithm) cannot
+    give."""
+    from agri_market_data_pipeline_spark.operators.graph import _edges
+
+    rows = _q("graph_max_spanning_backbone")(spark, sf_dir).collect()
+    edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            "w",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .collect()
+    )
+    nodes = set()
+    for e in edges:
+        nodes.add(e.u)
+        nodes.add(e.v)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # driver-side Kruskal (max variant) on the exact same edge list
+    tot = 0
+    cnt = 0
+    for e in sorted(edges, key=lambda e: (-e.w, e.u, e.v)):
+        ru, rv = find(e.u), find(e.v)
+        if ru != rv:
+            parent[ru] = rv
+            tot += e.w
+            cnt += 1
+    assert cnt == len(nodes) - 1
+
+    # the operator's result: tree-ness + equal total weight
+    assert len(rows) == len(nodes) - 1
+    parent.clear()
+    for r in rows:
+        ra, rb = find(r.nation_a), find(r.nation_b)
+        assert ra != rb, f"cycle through {r.nation_a}-{r.nation_b}"
+        parent[ra] = rb
+    assert sum(r.w for r in rows) == tot

@@ -124,6 +124,10 @@ AUDITED = [
     "agg_vector_covariance",
     "layout_bloom_pruning",
     "incr_minhash_merge",
+    # r8 batch 2: the Boruvka loop (fact edge build + log-n rounds) and
+    # the block-summary lead window (data/4096-proportional by design).
+    "graph_max_spanning_backbone",
+    "dq_sequence_gaps",
 ]
 
 
