@@ -26,6 +26,8 @@ vertex state to the edge list + aggregate of messages).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -708,6 +710,17 @@ _MSB_ROUNDS = 4  # Boruvka halves components: 25 -> <=12 -> <=6 -> <=3 -> 1
 _MSB_JUMPS = 5   # pointer-jumping doublings: 2^5 = 32 > n covers any chain
 
 
+def _materialized(df: DataFrame) -> DataFrame:
+    """Temp-parquet round-trip for a SMALL iterative-state frame: cuts
+    both lineage AND the checkpoint-rewritten statistics (see the
+    stats-squaring note in graph_max_spanning_backbone). The directory
+    lives until the session's tmp is cleared — the frame must remain
+    readable while the returned plan is consumed."""
+    out = tempfile.mkdtemp(prefix="graph_state_")
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
 def _msb_sql(rounds: int, jumps: int) -> str:
     """DuckDB twin: Boruvka unrolled — per round, every component picks
     its maximum incident cross-component edge by an INJECTIVE packed
@@ -852,6 +865,12 @@ def graph_max_spanning_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("oth"), F.col("lbl")).alias("p"),
             )
         )
+        # Each jump level is checkpointed: the lazy form nests ptr into
+        # itself per doubling (2^jumps analyzer blowup — the plan never
+        # finished analyzing; same class as graph_kcore's lazy-CTE
+        # lesson, Spark edition). Frames are component-cardinality, so
+        # each checkpoint is a tiny job.
+        ptr = ptr.localCheckpoint(eager=True)
         b = ptr.select(F.col("c").alias("bc"), F.col("p").alias("bp"))
         ptr = (
             ptr.join(b, F.col("bc") == F.col("p"))
@@ -864,17 +883,31 @@ def graph_max_spanning_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.col("p"))
                 .alias("p"),
             )
+            .localCheckpoint(eager=True)
         )
         for _j in range(_MSB_JUMPS):
             b = ptr.select(F.col("c").alias("bc"), F.col("p").alias("bp"))
-            ptr = ptr.join(b, F.col("bc") == F.col("p")).select(
-                "c", F.col("bp").alias("p")
+            ptr = (
+                ptr.join(b, F.col("bc") == F.col("p"))
+                .select("c", F.col("bp").alias("p"))
+                .localCheckpoint(eager=True)
             )
-        ptr = ptr.localCheckpoint(eager=True)
-        comp = (
-            comp.join(ptr, F.col("c") == F.col("lbl"))
-            .select("node", F.col("p").alias("lbl"))
-            .localCheckpoint(eager=True)
+        # Per-round stats reset — the Spark-side MATERIALIZED, and the
+        # r8 hang lesson: Dataset.localCheckpoint REWRITES the
+        # LogicalRDD's stats from the child plan, and Catalyst's
+        # SizeInBytesOnly visitor MULTIPLIES child sizes at every join,
+        # so iterative self-join algebra SQUARES sizeInBytes per level;
+        # after rounds x jumps squarings the BigInt carries millions of
+        # digits and the stats arithmetic itself hangs the driver
+        # (jstack: BigIntIsIntegral.times under
+        # rewriteStatsAndConstraints). One parquet round-trip per round
+        # restores real file-size stats, so every later BigInt stays
+        # small; frames here are component-cardinality, so the write is
+        # tiny at any fact scale.
+        comp = _materialized(
+            comp.join(ptr, F.col("c") == F.col("lbl")).select(
+                "node", F.col("p").alias("lbl")
+            )
         )
         part = pick.select("u", "v", "w").distinct()
         mst = part if mst is None else mst.unionAll(part)

@@ -1428,7 +1428,8 @@ _SEQ_TOPK = 25
 
 
 _SEQGAP_SQL = f"""
-WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderpriority = '1-URGENT'),
 g AS (
   SELECT k + 1 AS gap_start, nxt - 1 AS gap_end, nxt - k - 1 AS gap_len
   FROM (SELECT k, LEAD(k) OVER (ORDER BY k) AS nxt FROM k)
@@ -1441,11 +1442,15 @@ FROM g ORDER BY gap_len DESC, gap_start ASC LIMIT {_SEQ_TOPK}
 
 @query("dq_sequence_gaps", oracle=_SEQGAP_SQL)
 def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Missing-id-range audit: the 25 largest gaps in the order-key
-    sequence — the ingest-completeness question ("which id ranges did
+    """Missing-id-range audit: the 25 largest id gaps in a key
+    stream — the ingest-completeness question ("which id ranges did
     the feed drop?") that row counts can't answer and per-day
-    freshness (dq_freshness) doesn't see. TPC-H order keys are sparse
-    BY DESIGN (runs of 8 per 32), so the audit has real work here.
+    freshness (dq_freshness) doesn't see. The driver's order keys are
+    dense 0..n-1 (an all-keys audit is vacuously empty), so the
+    audited stream is the URGENT-priority subset (~1/5 of keys —
+    geometric gaps everywhere): the same shape as auditing one
+    partner's ids out of a shared sequence, and the operator is
+    agnostic to which predicate defines the stream.
 
     Scale design — distributed gaps-and-islands: a global LEAD over
     all keys is a one-task sort (the oracle can afford it; an engine
@@ -1464,6 +1469,7 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     start ASC) order is total because gap starts are unique."""
     keys = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
         .withColumn("block", F.expr(f"k div {_SEQ_BLOCK}"))
