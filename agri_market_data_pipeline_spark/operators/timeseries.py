@@ -1509,3 +1509,412 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pick") == 1)
         .select(F.col("et").alias("event_type"), "bkt", "day_no", "v")
     )
+
+
+_GRANGER_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT dx.et AS cause, dy.et AS effect,
+         dy.v AS y, dl.v AS u, dx.v AS x
+  FROM daily dy
+  JOIN daily dl ON dl.et = dy.et AND dl.day_no = dy.day_no - 1
+  JOIN daily dx ON dx.day_no = dy.day_no - 1 AND dx.et <> dy.et
+),
+m AS (
+  SELECT cause, effect, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(u AS DECIMAL(30,15))) AS DOUBLE) AS su,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y * u AS DECIMAL(30,15))) AS DOUBLE) AS syu,
+         CAST(SUM(CAST(y * x AS DECIMAL(30,15))) AS DOUBLE) AS syx,
+         CAST(SUM(CAST(u * u AS DECIMAL(30,15))) AS DOUBLE) AS suu,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(u * x AS DECIMAL(30,15))) AS DOUBLE) AS sux,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE) AS syy
+  FROM rows_ GROUP BY 1, 2
+),
+c AS (
+  SELECT cause, effect, n,
+         syy - sy * sy / n AS cyy,
+         suu - su * su / n AS cuu,
+         sxx - sx * sx / n AS cxx,
+         syu - sy * su / n AS cyu,
+         syx - sy * sx / n AS cyx,
+         sux - su * sx / n AS cux
+  FROM m
+),
+fit AS (
+  SELECT cause, effect, n, cyy, cuu, cyu, cyx,
+         cuu * cxx - cux * cux AS det,
+         cyu * cxx - cyx * cux AS bnum,
+         cyx * cuu - cyu * cux AS gnum
+  FROM c
+)
+SELECT cause, effect, n,
+       ROUND(bnum / det, 6) AS beta_lag,
+       ROUND(gnum / det, 6) AS gamma_cause,
+       ROUND(((cyy - cyu * cyu / cuu)
+              - (cyy - (bnum / det) * cyu - (gnum / det) * cyx))
+             * (n - 3)
+             / (cyy - (bnum / det) * cyu - (gnum / det) * cyx), 6) AS f_stat
+FROM fit
+WHERE det > 0 AND cuu > 0 AND n > 3
+  AND cyy - (bnum / det) * cyu - (gnum / det) * cyx > 0
+"""
+
+
+@query("ts_granger_causality", oracle=_GRANGER_SQL)
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen over every ordered pair of daily
+    series: does yesterday's CAUSE series improve the prediction of
+    today's EFFECT beyond the effect's own lag? Unrestricted AR(1)+X
+    vs restricted AR(1), both solved in closed form from exact moment
+    sums (ml_ridge_closed_form's sufficient-statistics discipline),
+    F = (RSS_r - RSS_u)(n-3)/RSS_u with one exogenous regressor.
+    ts_cross_correlation reports lead-lag ASSOCIATION; this adds the
+    incremental-predictability DIRECTION the correlation matrix cannot
+    distinguish. (Granger causality is predictive, not mechanistic —
+    the standard caveat rides with the name.)
+
+    Determinism: daily means are exact-ratio doubles; every product
+    moment snaps to DECIMAL(30,15) before its order-exact sum (the
+    ts_cross_correlation pattern); the normal-equation solve is one
+    fixed IEEE tree and the outputs take ROUND(6); degenerate pairs
+    (singular design, zero residual, short overlap) are filtered by
+    identical exact predicates both sides.
+
+    Scale: facts reduce to (type, day) grain in one partial agg; the
+    triple alignment join is day-blocked (types per day x types —
+    grain-bounded like ts_theil_sen's pair join); moments are one
+    partial agg per ordered pair; the solve is K-row algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    dy = daily.select(
+        F.col("et").alias("effect"), "day_no", F.col("v").alias("y")
+    )
+    dl = daily.select(
+        F.col("et").alias("l_et"),
+        (F.col("day_no") + 1).alias("day_no"),
+        F.col("v").alias("u"),
+    )
+    dx = daily.select(
+        F.col("et").alias("cause"),
+        (F.col("day_no") + 1).alias("day_no"),
+        F.col("v").alias("x"),
+    )
+    rows = (
+        dy.join(dl, (dl.l_et == dy.effect) & (dl.day_no == dy.day_no))
+        .join(
+            dx,
+            (dx.day_no == dy.day_no) & (dx.cause != dy.effect),
+        )
+        .select("cause", "effect", "y", "u", "x")
+    )
+
+    def exact(col):
+        return F.sum(col.cast("decimal(30,15)")).cast("double")
+
+    y, u, x = F.col("y"), F.col("u"), F.col("x")
+    m = rows.groupBy("cause", "effect").agg(
+        F.count("*").cast("bigint").alias("n"),
+        exact(y).alias("sy"),
+        exact(u).alias("su"),
+        exact(x).alias("sx"),
+        exact(y * u).alias("syu"),
+        exact(y * x).alias("syx"),
+        exact(u * u).alias("suu"),
+        exact(x * x).alias("sxx"),
+        exact(u * x).alias("sux"),
+        exact(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cexp = {
+        "cyy": F.col("syy") - F.col("sy") * F.col("sy") / n,
+        "cuu": F.col("suu") - F.col("su") * F.col("su") / n,
+        "cxx": F.col("sxx") - F.col("sx") * F.col("sx") / n,
+        "cyu": F.col("syu") - F.col("sy") * F.col("su") / n,
+        "cyx": F.col("syx") - F.col("sy") * F.col("sx") / n,
+        "cux": F.col("sux") - F.col("su") * F.col("sx") / n,
+    }
+    c = m.select(
+        "cause", "effect", "n", *[v.alias(k) for k, v in cexp.items()]
+    )
+    det = F.col("cuu") * F.col("cxx") - F.col("cux") * F.col("cux")
+    bnum = F.col("cyu") * F.col("cxx") - F.col("cyx") * F.col("cux")
+    gnum = F.col("cyx") * F.col("cuu") - F.col("cyu") * F.col("cux")
+    fit = c.select(
+        "cause", "effect", "n", "cyy", "cuu", "cyu", "cyx",
+        det.alias("det"), bnum.alias("bnum"), gnum.alias("gnum"),
+    )
+    beta = F.col("bnum") / F.col("det")
+    gamma = F.col("gnum") / F.col("det")
+    rss_u = F.col("cyy") - beta * F.col("cyu") - gamma * F.col("cyx")
+    rss_r = F.col("cyy") - F.col("cyu") * F.col("cyu") / F.col("cuu")
+    return (
+        fit.filter(
+            (F.col("det") > 0) & (F.col("cuu") > 0) & (F.col("n") > 3)
+            & (rss_u > 0)
+        )
+        .select(
+            "cause",
+            "effect",
+            "n",
+            F.round(beta, 6).alias("beta_lag"),
+            F.round(gamma, 6).alias("gamma_cause"),
+            F.round((rss_r - rss_u) * (F.col("n") - 3) / rss_u, 6).alias(
+                "f_stat"
+            ),
+        )
+    )
+
+
+_HURST_NS = (8, 16, 32, 64)  # R/S window sizes (log2 = 3..6, exact x)
+
+_HURST_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et, day_no, v,
+         CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS vl,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk
+  FROM daily
+),
+blocks AS (
+  SELECT l.et, ns.n, (l.rk - 1) // ns.n AS blk, l.day_no, l.v, l.vl, l.rk
+  FROM lat l, LATERAL (
+    SELECT UNNEST(ARRAY{list(_HURST_NS)}) AS n) ns
+),
+full_blocks AS (
+  SELECT et, n, blk,
+         CAST(SUM(vl) AS BIGINT) AS s_l,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS svv,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM blocks GROUP BY 1, 2, 3 HAVING COUNT(*) = n
+),
+cum AS (
+  SELECT b.et, b.n, b.blk,
+         CAST(b.n AS BIGINT)
+           * CAST(SUM(b.vl) OVER (PARTITION BY b.et, b.n, b.blk
+                                  ORDER BY b.rk
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - CAST(ROW_NUMBER() OVER (PARTITION BY b.et, b.n, b.blk
+                                     ORDER BY b.rk) AS BIGINT)
+             * f.s_l AS dev
+  FROM blocks b JOIN full_blocks f
+    ON f.et = b.et AND f.n = b.n AND f.blk = b.blk
+),
+rs AS (
+  SELECT c.et, c.n, c.blk,
+         CAST(FLOOR(
+           (CAST(MAX(c.dev) - MIN(c.dev) AS DOUBLE)
+            / (CAST(f.n AS DOUBLE) * 1e6))
+           / SQRT(GREATEST(f.svv / f.cnt - (f.sv / f.cnt) * (f.sv / f.cnt),
+                           0) + 1e-18)
+           * 1e6 + 0.5) AS BIGINT) AS rs_l
+  FROM cum c JOIN full_blocks f
+    ON f.et = c.et AND f.n = c.n AND f.blk = c.blk
+  GROUP BY c.et, c.n, c.blk, f.n, f.svv, f.sv, f.cnt
+),
+pts AS (
+  SELECT et, n,
+         CAST(SUM(rs_l) AS BIGINT) AS s_rs,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM rs GROUP BY 1, 2
+),
+xy AS (
+  SELECT et,
+         CAST(CASE n WHEN 8 THEN 3 WHEN 16 THEN 4 WHEN 32 THEN 5
+                     ELSE 6 END AS BIGINT) AS x,
+         CAST(FLOOR(ROUND(log2(CAST(s_rs AS DOUBLE)
+                                / (CAST(nb AS DOUBLE) * 1e6)), 9)
+                    * 1e9 + 0.5) AS BIGINT) AS y9
+  FROM pts WHERE s_rs > 0
+),
+fit AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y9) AS BIGINT) AS sy,
+         CAST(SUM(x * y9) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY 1
+)
+SELECT et AS event_type, k AS n_scales,
+       ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+             / CAST(k * sxx - sx * sx AS DOUBLE) / 1e9, 6) AS hurst
+FROM fit WHERE k >= 2 AND k * sxx - sx * sx > 0
+"""
+
+
+@query("ts_hurst_exponent", oracle=_HURST_SQL)
+def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis per
+    daily series: split into blocks of n in {8,16,32,64} days, per
+    block take the RANGE of cumulative mean-deviations over the
+    std ((R/S)), average per scale, and fit the log2-log2 slope —
+    H > 0.5 long-memory persistence, < 0.5 mean reversion, = 0.5 a
+    random walk. The long-range-dependence complement to ts_autocorr
+    (one lag) and ts_periodicity_strength (fixed cycles).
+
+    Determinism ledger: cumulative deviations run on EXACT integers
+    (n·Σvl - t·S_block over the FLOOR(v·1e6+0.5) lattice — windowed
+    double sums would be fold-order-dependent); block std comes from
+    DECIMAL-exact moments (+1e-18 so a constant block yields a finite,
+    engine-identical ~0 R/S instead of 0/0); per-block R/S snaps to a
+    1e-6 lattice BEFORE the cross-block average (double sums again);
+    scale x is the EXACT integer log2(n); y takes the transcendental
+    ROUND(9) then a lossless 1e9 lattice so the slope's moment sums
+    are pure BIGINT; the final slope is one fixed IEEE tree ROUND(6).
+
+    Scale: facts reduce to (type, day); ranks and block windows are
+    calendar-bounded per series (grain exemption); everything after
+    full_blocks is (type, scale, block) grain algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w_rk = Window.partitionBy("et").orderBy("day_no")
+    lat = daily.select(
+        "et",
+        "day_no",
+        "v",
+        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint").alias("vl"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    ns = F.explode(
+        F.array(*[F.lit(n) for n in _HURST_NS])
+    ).alias("n")
+    blocks = lat.select("et", "day_no", "v", "vl", "rk", ns).withColumn(
+        "blk", F.expr("(rk - 1) div n")
+    )
+    fb = (
+        blocks.groupBy("et", "n", "blk")
+        .agg(
+            F.sum("vl").cast("bigint").alias("s_l"),
+            F.sum(F.col("v").cast("decimal(30,15)"))
+            .cast("double")
+            .alias("sv"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("svv"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("n"))
+    )
+    w_cum = (
+        Window.partitionBy("et", "n", "blk")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("et", "n", "blk").orderBy("rk")
+    cum = (
+        blocks.join(
+            fb.select("et", "n", "blk", "s_l", "svv", "sv", "cnt"),
+            ["et", "n", "blk"],
+        )
+        .select(
+            "et",
+            "n",
+            "blk",
+            "svv",
+            "sv",
+            "cnt",
+            (
+                F.col("n").cast("bigint")
+                * F.sum("vl").over(w_cum).cast("bigint")
+                - F.row_number().over(w_rn).cast("bigint") * F.col("s_l")
+            ).alias("dev"),
+        )
+    )
+    std = F.sqrt(
+        F.greatest(
+            F.col("svv") / F.col("cnt")
+            - (F.col("sv") / F.col("cnt")) * (F.col("sv") / F.col("cnt")),
+            F.lit(0.0),
+        )
+        + F.lit(1e-18)
+    )
+    rs = cum.groupBy("et", "n", "blk", "svv", "sv", "cnt").agg(
+        F.floor(
+            (
+                (F.max("dev") - F.min("dev")).cast("double")
+                / (F.col("n").cast("double") * F.lit(1e6))
+            )
+            / std
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rs_l")
+    )
+    pts = rs.groupBy("et", "n").agg(
+        F.sum("rs_l").cast("bigint").alias("s_rs"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    x = (
+        F.when(F.col("n") == 8, 3)
+        .when(F.col("n") == 16, 4)
+        .when(F.col("n") == 32, 5)
+        .otherwise(6)
+        .cast("bigint")
+    )
+    y9 = F.floor(
+        F.round(
+            F.log2(
+                F.col("s_rs").cast("double")
+                / (F.col("nb").cast("double") * F.lit(1e6))
+            ),
+            9,
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("bigint")
+    xy = pts.filter(F.col("s_rs") > 0).select(
+        "et", x.alias("x"), y9.alias("y9")
+    )
+    fit = xy.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y9").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y9")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    k = F.col("k")
+    return (
+        fit.filter(
+            (k >= 2) & (k * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        )
+        .select(
+            F.col("et").alias("event_type"),
+            k.alias("n_scales"),
+            F.round(
+                (k * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (k * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                / F.lit(1e9),
+                6,
+            ).alias("hurst"),
+        )
+    )

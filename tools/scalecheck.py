@@ -128,6 +128,8 @@ AUDITED = [
     # the block-summary lead window (data/4096-proportional by design).
     "graph_max_spanning_backbone",
     "dq_sequence_gaps",
+    "ts_granger_causality",  # day-blocked triple alignment join
+    "ts_hurst_exponent",     # scale-replicated block join over the grain
 ]
 
 
