@@ -727,3 +727,168 @@ def win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("et").alias("event_type"), "day_no", "v", "n",
         slope.alias("slope"),
     )
+
+
+_SPC_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) AS sv,
+         CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS svv
+  FROM daily GROUP BY 1
+),
+z AS (
+  SELECT d.et, d.day_no, d.v,
+         (d.v - g.sv / g.n)
+           / SQRT(GREATEST((g.svv - g.sv * g.sv / g.n) / g.n, 0)) AS zz
+  FROM daily d JOIN g ON g.et = d.et
+  WHERE g.svv - g.sv * g.sv / g.n > 0
+),
+ind AS (
+  SELECT et, day_no, v, zz,
+         CASE WHEN zz > 2 THEN 1 ELSE 0 END AS hi2,
+         CASE WHEN zz < -2 THEN 1 ELSE 0 END AS lo2,
+         CASE WHEN zz > 1 THEN 1 ELSE 0 END AS hi1,
+         CASE WHEN zz < -1 THEN 1 ELSE 0 END AS lo1,
+         CASE WHEN zz > 0 THEN 1 ELSE 0 END AS hi0,
+         CASE WHEN zz < 0 THEN 1 ELSE 0 END AS lo0
+  FROM z
+),
+r AS (
+  SELECT et, day_no, v, zz,
+         CASE WHEN zz > 3 OR zz < -3 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN SUM(hi2) OVER w3 >= 2 OR SUM(lo2) OVER w3 >= 2
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN SUM(hi1) OVER w5 >= 4 OR SUM(lo1) OVER w5 >= 4
+              THEN 1 ELSE 0 END AS r3,
+         CASE WHEN SUM(hi0) OVER w8 = 8 OR SUM(lo0) OVER w8 = 8
+              THEN 1 ELSE 0 END AS r4
+  FROM ind
+  WINDOW w3 AS (PARTITION BY et ORDER BY day_no
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY et ORDER BY day_no
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY et ORDER BY day_no
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT et AS event_type, day_no, v, ROUND(zz, 6) AS z,
+       r1, r2, r3, r4,
+       CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END AS any_signal
+FROM r
+"""
+
+
+@query("win_spc_runs_rules", oracle=_SPC_SQL)
+def win_spc_runs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart RUNS rules (Western Electric) over each daily
+    series: R1 = a point beyond 3 sigma, R2 = 2-of-3 consecutive beyond
+    2 sigma on the same side, R3 = 4-of-5 beyond 1 sigma same side,
+    R4 = 8 consecutive on one side of center. anomaly_zscore is the
+    memoryless R1 alone; the runs rules catch SUSTAINED small shifts a
+    3-sigma gate never fires on — the standard SPC escalation ladder
+    (and the monitoring the reference's 3-hourly price harvest never
+    had). Rolling counts are integer sums over bounded frames; 'same
+    side' is enforced by counting each side separately.
+
+    Determinism: mu and sigma are fixed IEEE trees over DECIMAL-exact
+    moments, so z is bitwise identical both engines; every rule
+    compares that identical z to integer thresholds and sums integer
+    indicators over ROWS frames (no float fold order anywhere); only
+    the REPORTED z takes ROUND(6). Zero-variance series are filtered
+    by the identical exact predicate (ts_periodicity_strength's
+    discipline).
+
+    Scale: one partial agg to (type, day), one broadcast of K moment
+    rows, three bounded-frame windows on the natural series partition
+    key — grain-bounded (calendar) per series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    g = daily.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("decimal(30,15)")).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    z = (
+        daily.join(F.broadcast(g), "et")
+        .filter(svv - sv * sv / n > 0)
+        .select(
+            "et",
+            "day_no",
+            "v",
+            (
+                (F.col("v") - sv / n)
+                / F.sqrt(F.greatest((svv - sv * sv / n) / n, F.lit(0.0)))
+            ).alias("zz"),
+        )
+    )
+    zz = F.col("zz")
+    ind = z.select(
+        "et",
+        "day_no",
+        "v",
+        "zz",
+        (zz > 2).cast("int").alias("hi2"),
+        (zz < -2).cast("int").alias("lo2"),
+        (zz > 1).cast("int").alias("hi1"),
+        (zz < -1).cast("int").alias("lo1"),
+        (zz > 0).cast("int").alias("hi0"),
+        (zz < 0).cast("int").alias("lo0"),
+    )
+
+    def frame(k):
+        return (
+            Window.partitionBy("et")
+            .orderBy("day_no")
+            .rowsBetween(-(k - 1), Window.currentRow)
+        )
+
+    r1 = F.when((zz > 3) | (zz < -3), 1).otherwise(0)
+    r2 = F.when(
+        (F.sum("hi2").over(frame(3)) >= 2)
+        | (F.sum("lo2").over(frame(3)) >= 2),
+        1,
+    ).otherwise(0)
+    r3 = F.when(
+        (F.sum("hi1").over(frame(5)) >= 4)
+        | (F.sum("lo1").over(frame(5)) >= 4),
+        1,
+    ).otherwise(0)
+    r4 = F.when(
+        (F.sum("hi0").over(frame(8)) == 8)
+        | (F.sum("lo0").over(frame(8)) == 8),
+        1,
+    ).otherwise(0)
+    r = ind.select(
+        "et", "day_no", "v", "zz",
+        r1.alias("r1"), r2.alias("r2"), r3.alias("r3"), r4.alias("r4"),
+    )
+    return r.select(
+        F.col("et").alias("event_type"),
+        "day_no",
+        "v",
+        F.round(zz, 6).alias("z"),
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        F.when(
+            F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0, 1
+        )
+        .otherwise(0)
+        .alias("any_signal"),
+    )

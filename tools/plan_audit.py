@@ -137,6 +137,20 @@ AUDITED = [
     "ts_periodicity_strength",
     "win_funnel_latency",
     "agg_winsorized_mean",
+    # r8 additions
+    "agg_winsorized_mean_sketch",
+    "agg_vector_covariance",
+    "graph_label_propagation",
+    "graph_max_spanning_backbone",
+    "layout_bloom_pruning",
+    "incr_minhash_merge",
+    "ts_mann_kendall",
+    "ts_granger_causality",
+    "ts_hurst_exponent",
+    "ts_downsample_lttb",
+    "win_rolling_slope",
+    "dq_sequence_gaps",
+    "pack_padding_waste",
 ]
 
 
