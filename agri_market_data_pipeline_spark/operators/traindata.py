@@ -1201,3 +1201,118 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("*") * F.col("bucket_cap")).cast("double")
         ).alias("waste_ratio"),
     )
+
+
+_CUR_BINS = 1024
+_CUR_PHASES = 4  # curriculum stages: shortest quartile first
+
+
+_CUR_SQL = f"""
+WITH rng AS (
+  SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+),
+binned AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         CAST(LEAST(FLOOR((d.n_chars - r.mn)
+                          / (CASE WHEN r.mx = r.mn THEN 1.0
+                                  ELSE (r.mx - r.mn) / {_CUR_BINS} END)),
+                    {_CUR_BINS - 1}) AS BIGINT) AS k
+  FROM documents d JOIN rng r ON r.source = d.source
+),
+hist AS (
+  SELECT source, k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, k,
+         SUM(c) OVER (PARTITION BY source ORDER BY k) AS cw,
+         SUM(c) OVER (PARTITION BY source) AS tw
+  FROM hist
+),
+cuts AS (
+  SELECT source,
+         MIN(CASE WHEN cw * 4 >= tw THEN k END) AS k1,
+         MIN(CASE WHEN cw * 2 >= tw THEN k END) AS k2,
+         MIN(CASE WHEN cw * 4 >= tw * 3 THEN k END) AS k3
+  FROM cum GROUP BY 1
+)
+SELECT b.doc_id, b.source,
+       CASE WHEN b.k <= c.k1 THEN 1
+            WHEN b.k <= c.k2 THEN 2
+            WHEN b.k <= c.k3 THEN 3
+            ELSE 4 END AS phase
+FROM binned b JOIN cuts c ON c.source = b.source
+"""
+
+
+@query("mix_curriculum", oracle=_CUR_SQL)
+def mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phase assignment: each document gets a training stage
+    1..4 by its length quartile WITHIN its source — the standard
+    short-to-long curriculum (and the template for any score-quantile
+    curriculum: swap n_chars for a quality score, nothing else
+    changes). mix_domains reweights BETWEEN sources; this orders
+    WITHIN them.
+
+    Scale design: quartile cuts come from a per-source 1024-bin count
+    histogram (the agg_winsorized_mean_sketch machinery) — NOT a
+    per-source rank window, which would be a constant-cardinality-key
+    single-partition sort, exactly the class the CLAUDE.md window
+    policy bans; the histogram's windows run on <=1024-row per-source
+    grain, the cuts broadcast, and phase assignment is row-local.
+    Documents in the same bin share a phase (bin-granular quartiles —
+    the documented approximation; 1024 bins over the length range make
+    the boundary mass negligible and the assignment deterministic).
+
+    Determinism: bin keys and cut ranks are integer arithmetic over
+    exact counts (cross-multiplied comparisons, no division); bin
+    width is the same fixed IEEE expression both engines."""
+    d = load_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rng = d.groupBy("source").agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    width = F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+        (F.col("mx") - F.col("mn")) / F.lit(_CUR_BINS)
+    )
+    k = F.least(
+        F.floor((F.col("n_chars") - F.col("mn")) / width),
+        F.lit(_CUR_BINS - 1),
+    ).cast("bigint")
+    binned = d.join(F.broadcast(rng), "source").select(
+        "doc_id", "source", "n_chars", k.alias("k")
+    )
+    hist = binned.groupBy("source", "k").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = Window.partitionBy("source").orderBy("k")
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "k",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_all).alias("tw"),
+    )
+    cw, tw, kk = F.col("cw"), F.col("tw"), F.col("k")
+    cuts = cum.groupBy("source").agg(
+        F.min(F.when(cw * 4 >= tw, kk)).alias("k1"),
+        F.min(F.when(cw * 2 >= tw, kk)).alias("k2"),
+        F.min(F.when(cw * 4 >= tw * 3, kk)).alias("k3"),
+    )
+    return (
+        binned.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("k") <= F.col("k1"), 1)
+            .when(F.col("k") <= F.col("k2"), 2)
+            .when(F.col("k") <= F.col("k3"), 3)
+            .otherwise(4)
+            .alias("phase"),
+        )
+    )
