@@ -1117,3 +1117,30 @@ def test_max_spanning_backbone_is_optimal_tree(spark, sf_dir):
         assert ra != rb, f"cycle through {r.nation_a}-{r.nation_b}"
         parent[ra] = rb
     assert sum(r.w for r in rows) == tot
+
+
+def test_lttb_keeps_endpoints_and_bucket_count(spark, sf_dir):
+    """LTTB must keep each series' first and last day verbatim and
+    emit exactly min(24, n_days) points — rank bucketing covers every
+    bucket when the series is long enough."""
+    out = _q("ts_downsample_lttb")(spark, sf_dir).collect()
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d0"),
+            F.max(F.expr("unix_micros(ts) div 86400000000")).alias("d1"),
+            F.count_distinct(
+                F.expr("unix_micros(ts) div 86400000000")
+            ).alias("nd"),
+        )
+        .collect()
+    )
+    by_et = {}
+    for r in out:
+        by_et.setdefault(r.event_type, []).append(r)
+    for s in daily:
+        pts = by_et[s.event_type]
+        days = {p.day_no for p in pts}
+        assert s.d0 in days and s.d1 in days, s.event_type
+        assert len(pts) == min(24, s.nd), (s.event_type, len(pts))
