@@ -1311,3 +1311,91 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(consistent, 1).otherwise(0).cast("int")
         .alias("ratio_consistent"),
     )
+
+
+_BP_CHUNK = 10    # words per chunk (dedup_paragraph's grain)
+_BP_MIN_DOCS = 3  # a chunk in >= this many docs is boilerplate
+
+
+_BP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       LATERAL (SELECT UNNEST(generate_series(1, len(a))) AS i) g(i)
+),
+chunks AS (
+  SELECT doc_id, pos // {_BP_CHUNK} AS cix,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY 1, 2
+),
+freq AS (
+  SELECT md5(chunk) AS h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.df >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN f.df >= {_BP_MIN_DOCS} THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS boiler_share
+FROM chunks c JOIN freq f ON f.h = md5(c.chunk)
+GROUP BY 1
+"""
+
+
+@query("text_boilerplate_share", oracle=_BP_SQL)
+def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate SHARE: the fraction of a document's
+    10-word chunks that occur in >= 3 distinct documents — the
+    template/navigation/footer signal the RefinedWeb-style filters
+    threshold on. dedup_paragraph REWRITES the corpus (keeps first
+    occurrences); this SCORES documents so a curation policy can
+    drop, downweight, or route them — the flag-vs-rewrite split the
+    MAD (flags) / winsorized (summarizes) families already follow.
+    Documents that are pure template (share → 1) and pure original
+    (share → 0) separate without touching any text.
+
+    Determinism: chunking is the same positional string_agg ↔
+    ordered-collect_list construction both engines (registry rule);
+    frequency keys on md5(chunk); counts and the share are exact
+    integers / integer-ratio doubles — bitwise, no rounding.
+
+    Scale: chunking is map-side; document frequency is one
+    partial-agg groupBy on the content hash (uniform by
+    construction); the scoring join shuffles one row per chunk on the
+    same hash key. Nothing pairwise, nothing quadratic."""
+    d = load_parallel(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    chunks = (
+        toks.withColumn("cix", F.expr(f"pos div {_BP_CHUNK}"))
+        .groupBy("doc_id", "cix")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s.tok,
+                ),
+            ).alias("chunk")
+        )
+        .select("doc_id", "cix", F.md5("chunk").alias("h"))
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    boiler = (F.col("df") >= _BP_MIN_DOCS).cast("int")
+    return (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            (F.sum(boiler).cast("double") / F.count("*")).alias(
+                "boiler_share"
+            ),
+        )
+    )
