@@ -26,13 +26,15 @@ vertex state to the edge list + aggregate of messages).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load, max_group_count
+from ..tables import load, max_column_value, max_group_count
 
 _PR_ROUNDS = 5
 _PR_UNIT = 1_000_000  # rank micro-units: 1.0 == 1e6
@@ -643,6 +645,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     round joins the ≤n² aggregated edge list to an n-row label frame —
     Pregel-on-relational, bounded rounds, no fact re-scan (the plan
     test pins the exchange budget)."""
+    _assert_node_radix(spark, sf_dir, 1024, "graph_label_propagation")
     edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     und = (
         edges.select(
@@ -710,15 +713,50 @@ _MSB_ROUNDS = 4  # Boruvka halves components: 25 -> <=12 -> <=6 -> <=3 -> 1
 _MSB_JUMPS = 5   # pointer-jumping doublings: 2^5 = 32 > n covers any chain
 
 
+_STATE_DIRS: list[str] = []
+
+
+def _sweep_state_dirs() -> None:
+    """Remove every temp-parquet state dir this process created; wired
+    to atexit so repeated selfcheck/bench runs don't accumulate
+    orphaned graph_state_* dirs in tmp (ADVICE r8)."""
+    while _STATE_DIRS:
+        shutil.rmtree(_STATE_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_state_dirs)
+
+
 def _materialized(df: DataFrame) -> DataFrame:
     """Temp-parquet round-trip for a SMALL iterative-state frame: cuts
     both lineage AND the checkpoint-rewritten statistics (see the
     stats-squaring note in graph_max_spanning_backbone). The directory
-    lives until the session's tmp is cleared — the frame must remain
-    readable while the returned plan is consumed."""
+    must remain readable while the returned plan is consumed — later
+    rounds' state derives from it lazily — so dirs are swept at
+    PROCESS exit (atexit), not per call."""
     out = tempfile.mkdtemp(prefix="graph_state_")
+    _STATE_DIRS.append(out)
     df.write.mode("overwrite").parquet(out)
     return df.sparkSession.read.parquet(out)
+
+
+def _assert_node_radix(
+    spark: SparkSession, sf_dir: str, radix: int, op: str
+) -> None:
+    """Packed argmax keys (LPA's ws*1024+(1023-lbl), Boruvka's base-32
+    (w*32+(31-u))*32+(31-v)) are injective only while every node id —
+    and hence every label, since labels are always node ids — is
+    < radix. Injectivity breaking SILENTLY would surface as
+    tie-dependent cross-engine divergence, so a domain change must
+    fail loudly at build time instead (ADVICE r8). The scalar is the
+    memoized one-row max pre-agg; at 100 TB it comes from the
+    metastore's column max statistic."""
+    mx = max_column_value(spark, sf_dir, "nation", "n_nationkey")
+    if mx >= radix:
+        raise ValueError(
+            f"{op}: max node id {mx} >= pack radix {radix}; the packed "
+            "argmax key would lose injectivity — widen the radix"
+        )
 
 
 def _msb_sql(rounds: int, jumps: int) -> str:
@@ -813,6 +851,7 @@ def graph_max_spanning_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality frames only; rounds and jumps are O(log n). At
     real graph scale the identical algebra runs on (component, edge)
     grain with the same halving guarantee."""
+    _assert_node_radix(spark, sf_dir, 32, "graph_max_spanning_backbone")
     e0 = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     e = (
         e0.select(

@@ -750,17 +750,25 @@ z AS (
 ),
 ind AS (
   SELECT et, day_no, v, zz,
-         CASE WHEN zz > 2 THEN 1 ELSE 0 END AS hi2,
-         CASE WHEN zz < -2 THEN 1 ELSE 0 END AS lo2,
-         CASE WHEN zz > 1 THEN 1 ELSE 0 END AS hi1,
-         CASE WHEN zz < -1 THEN 1 ELSE 0 END AS lo1,
-         CASE WHEN zz > 0 THEN 1 ELSE 0 END AS hi0,
-         CASE WHEN zz < 0 THEN 1 ELSE 0 END AS lo0
+         CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) AS zl,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) > 2000000000
+              THEN 1 ELSE 0 END AS hi2,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) < -2000000000
+              THEN 1 ELSE 0 END AS lo2,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) > 1000000000
+              THEN 1 ELSE 0 END AS hi1,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) < -1000000000
+              THEN 1 ELSE 0 END AS lo1,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) > 0
+              THEN 1 ELSE 0 END AS hi0,
+         CASE WHEN CAST(FLOOR(zz * 1e9 + 0.5) AS BIGINT) < 0
+              THEN 1 ELSE 0 END AS lo0
   FROM z
 ),
 r AS (
   SELECT et, day_no, v, zz,
-         CASE WHEN zz > 3 OR zz < -3 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN zl > 3000000000 OR zl < -3000000000
+              THEN 1 ELSE 0 END AS r1,
          CASE WHEN SUM(hi2) OVER w3 >= 2 OR SUM(lo2) OVER w3 >= 2
               THEN 1 ELSE 0 END AS r2,
          CASE WHEN SUM(hi1) OVER w5 >= 4 OR SUM(lo1) OVER w5 >= 4
@@ -795,10 +803,15 @@ def win_spc_runs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     side' is enforced by counting each side separately.
 
     Determinism: mu and sigma are fixed IEEE trees over DECIMAL-exact
-    moments, so z is bitwise identical both engines; every rule
-    compares that identical z to integer thresholds and sums integer
-    indicators over ROWS frames (no float fold order anywhere); only
-    the REPORTED z takes ROUND(6). Zero-variance series are filtered
+    moments, so z is bitwise identical both engines — but a z landing
+    within 1 ulp of a threshold could still flip an indicator if the
+    DECIMAL(30,15) sums ever exceed the ~15-significant-digit
+    correctly-rounded span (ADVICE r8), so every threshold compares
+    the FLOOR(z*1e9+0.5) BIGINT lattice (pure IEEE ops, half-ties
+    resolve identically — the CLAUDE.md lattice rule) rather than the
+    raw double; rolling sums are integer indicators over ROWS frames
+    (no float fold order anywhere); only the REPORTED z takes
+    ROUND(6). Zero-variance series are filtered
     by the identical exact predicate (ts_periodicity_strength's
     discipline).
 
@@ -837,17 +850,19 @@ def win_spc_runs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     zz = F.col("zz")
+    zl = F.floor(zz * 1e9 + F.lit(0.5)).cast("bigint")
     ind = z.select(
         "et",
         "day_no",
         "v",
         "zz",
-        (zz > 2).cast("int").alias("hi2"),
-        (zz < -2).cast("int").alias("lo2"),
-        (zz > 1).cast("int").alias("hi1"),
-        (zz < -1).cast("int").alias("lo1"),
-        (zz > 0).cast("int").alias("hi0"),
-        (zz < 0).cast("int").alias("lo0"),
+        zl.alias("zl"),
+        (zl > 2_000_000_000).cast("int").alias("hi2"),
+        (zl < -2_000_000_000).cast("int").alias("lo2"),
+        (zl > 1_000_000_000).cast("int").alias("hi1"),
+        (zl < -1_000_000_000).cast("int").alias("lo1"),
+        (zl > 0).cast("int").alias("hi0"),
+        (zl < 0).cast("int").alias("lo0"),
     )
 
     def frame(k):
@@ -857,7 +872,10 @@ def win_spc_runs_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(-(k - 1), Window.currentRow)
         )
 
-    r1 = F.when((zz > 3) | (zz < -3), 1).otherwise(0)
+    zlc = F.col("zl")
+    r1 = F.when(
+        (zlc > 3_000_000_000) | (zlc < -3_000_000_000), 1
+    ).otherwise(0)
     r2 = F.when(
         (F.sum("hi2").over(frame(3)) >= 2)
         | (F.sum("lo2").over(frame(3)) >= 2),

@@ -62,6 +62,11 @@ def delta_merge_conditions(
         when_matched = (
             f"s.{q(c)} > t.{q(c)} OR (s.{q(c)} = t.{q(c)} AND ({when_matched}))"
         )
+    # Outer parentheses so the guard composes safely as a sub-expression
+    # of a larger condition ('WHEN MATCHED AND ' + guard) — the top-level
+    # OR would otherwise rebind under the caller's AND (ADVICE r8).
+    if len(order_cols) > 1:
+        when_matched = f"({when_matched})"
     return on, when_matched
 
 

@@ -97,6 +97,34 @@ def max_group_count(
     return hit
 
 
+def max_column_value(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> int:
+    """Max value of one integer column — same memoized one-row pre-agg
+    discipline as max_group_count. Used to assert packed-argmax-key
+    radixes at build time (ADVICE r8: LPA's ws*1024+(1023-lbl) and
+    Boruvka's base-32 pack silently lose injectivity if the vertex
+    domain ever outgrows the radix — a domain change must fail loudly,
+    not produce tie-dependent cross-engine divergence). At 100 TB this
+    scalar comes from the metastore's column max statistic."""
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        key,
+        "max_value",
+        source_fingerprint(sf_dir, name),
+    )
+    hit = _MAX_GROUP_CACHE.get(memo_key)
+    if hit is None:
+        if len(_MAX_GROUP_CACHE) > 64:
+            _MAX_GROUP_CACHE.clear()  # scalars are cheap to recompute
+        row = load(spark, sf_dir, name).agg(F.max(key).alias("m")).first()
+        hit = int(row["m"] or 0)
+        _MAX_GROUP_CACHE[memo_key] = hit
+    return hit
+
+
 def events_ts_is_nanos(sf_dir: str) -> bool:
     """True when events.parquet stores ts as TIMESTAMP(NANOS) (which the
     vectorized Spark reader rejects outright); False for the plain

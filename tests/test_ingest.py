@@ -288,11 +288,13 @@ def test_delta_merge_conditions_strings():
         delta_merge_conditions([], "ver")
 
     # composite order columns: lexicographic newer-or-equal guard
-    # (ADVICE r7 — a truncated packed key needs a total tiebreak)
+    # (ADVICE r7 — a truncated packed key needs a total tiebreak),
+    # outer-parenthesized so 'WHEN MATCHED AND ' + guard composes
+    # without OR rebinding under the caller's AND (ADVICE r8)
     _, when2 = delta_merge_conditions(["k"], ["ord", "event_id"])
     assert when2 == (
-        "s.`ord` > t.`ord` OR (s.`ord` = t.`ord` "
-        "AND (s.`event_id` >= t.`event_id`))"
+        "(s.`ord` > t.`ord` OR (s.`ord` = t.`ord` "
+        "AND (s.`event_id` >= t.`event_id`)))"
     )
     with pytest.raises(ValueError):
         delta_merge_conditions(["k"], [])
