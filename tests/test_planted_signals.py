@@ -1,0 +1,170 @@
+"""Planted-signal property tests for the r8 statistical operators
+(VERDICT r8 item 1). The DuckDB oracle proves CROSS-ENGINE agreement,
+not statistical correctness — both engines could share one wrong
+formula. Each test here plants a known signal in a synthetic events
+table and asserts the detector fires on it (and does NOT fire on the
+matched null): Granger's F on a lag-1 x→y dependence and not the
+reverse; Hurst ≈ 0.5 on md5-noise and high on a trending series;
+Mann-Kendall on a monotone drift and not on trendless jitter; the SPC
+runs rules on a sustained ~2σ shift that the 3σ R1 rule never sees.
+
+Fixture pattern: tests/test_new_ops.py's ts_theil_sen planted-outlier
+test (copy the sf0.001 tables, overwrite events.parquet)."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+
+import pandas as pd
+
+from agri_market_data_pipeline_spark.registry import all_queries
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def _noise(tag: str, i: int) -> float:
+    """Deterministic uniform[0,1) — md5 of a tagged index, so the
+    fixture is bit-identical on every run (no RNG seeds to drift)."""
+    return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def _planted(tmp_path, name: str, types, values, days) -> str:
+    """Copy the sf0.001 tables into tmp and overwrite events with one
+    row per (type, day): day d gets ts = 2024-01-01 + d days."""
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    n = len(values)
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([d * 24 for d in days], unit="h"),
+            "user_id": [1] * n,
+            "event_type": types,
+            "value": [float(v) for v in values],
+            "props": ["{}"] * n,
+        }
+    )
+    ev.to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def _interleave(series: dict[str, list[float]]):
+    """(types, values, days) with one row per type per day, day-major —
+    every type shares the same day axis so the pair joins align."""
+    keys = sorted(series)
+    n = len(series[keys[0]])
+    types, values, days = [], [], []
+    for i in range(n):
+        for k in keys:
+            types.append(k)
+            values.append(series[k][i])
+            days.append(i)
+    return types, values, days
+
+
+def test_granger_fires_on_planted_lag_and_not_reverse(spark, tmp_path):
+    """y_t = 0.8·x_{t-1} + ε with x iid noise: the (cause=xs,
+    effect=ys) F statistic must be far beyond the F(1, n-3) 1%
+    critical value (~6.8) while the reverse direction — which has no
+    predictive content by construction — stays below it."""
+    n = 200
+    x = [_noise("gx", i) for i in range(n)]
+    y = [0.0] + [0.8 * x[i - 1] + 0.05 * _noise("gy", i) for i in range(1, n)]
+    types, values, days = _interleave({"xs": x, "ys": y})
+    alt = _planted(tmp_path, "granger", types, values, days)
+    rows = {
+        (r.cause, r.effect): r.f_stat
+        for r in _q("ts_granger_causality")(spark, alt).collect()
+    }
+    assert set(rows) == {("xs", "ys"), ("ys", "xs")}
+    assert rows[("xs", "ys")] > 30, rows
+    assert rows[("ys", "xs")] < 6.8, rows
+
+
+def test_hurst_noise_half_and_trend_high(spark, tmp_path):
+    """R/S analysis: iid md5-noise must sit near H = 0.5 (classical
+    small-sample R/S bias runs slightly high, hence the 0.3–0.75
+    band), while a deterministic trend + small noise — maximal
+    persistence — must land far above it."""
+    n = 256
+    noise = [_noise("hn", i) for i in range(n)]
+    trend = [0.1 * i + 0.2 * _noise("ht", i) for i in range(n)]
+    types, values, days = _interleave({"noisy": noise, "trendy": trend})
+    alt = _planted(tmp_path, "hurst", types, values, days)
+    got = {
+        r.event_type: (r.hurst, r.n_scales)
+        for r in _q("ts_hurst_exponent")(spark, alt).collect()
+    }
+    assert set(got) == {"noisy", "trendy"}
+    h_noise, k_noise = got["noisy"]
+    h_trend, k_trend = got["trendy"]
+    assert k_noise == 4 and k_trend == 4  # all of n in {8,16,32,64} fit
+    assert 0.3 < h_noise < 0.75, h_noise
+    assert h_trend > 0.85, h_trend
+    assert h_trend > h_noise + 0.15
+
+
+def test_mann_kendall_fires_on_drift_not_on_jitter(spark, tmp_path):
+    """A monotone drift must push |z_mk| far beyond the 99.9% normal
+    quantile while trendless alternating jitter stays inside ±2. The
+    drift series is strictly increasing, so S = n(n-1)/2 exactly."""
+    n = 100
+    drift = [i + 0.1 * _noise("mkd", i) for i in range(n)]
+    jitter = [
+        (1 if i % 2 == 0 else -1) * (1 + 0.01 * _noise("mkj", i))
+        for i in range(n)
+    ]
+    types, values, days = _interleave({"drift": drift, "jitter": jitter})
+    alt = _planted(tmp_path, "mk", types, values, days)
+    got = {
+        r.event_type: r
+        for r in _q("ts_mann_kendall")(spark, alt).collect()
+    }
+    assert set(got) == {"drift", "jitter"}
+    assert got["drift"].s_stat == n * (n - 1) // 2  # strictly monotone
+    assert got["drift"].z_mk > 10, got["drift"]
+    assert abs(got["jitter"].z_mk) < 2, got["jitter"]
+
+
+def test_spc_runs_rules_catch_sustained_shift_r1_misses(spark, tmp_path):
+    """The Western-Electric escalation: 100 baseline days alternating
+    ±0.5 then 12 days at ~2σ. The shift never crosses 3σ — R1 (the
+    memoryless anomaly_zscore rule) is silent everywhere — but the
+    runs rules fire inside the shift window (R4: 8 consecutive on one
+    side; R2: 2-of-3 beyond 2σ), and nothing fires in the pure
+    baseline region."""
+    base_n, shift_n = 100, 12
+    vals = [
+        (0.5 if i % 2 == 0 else -0.5) + 0.01 * _noise("spc", i)
+        for i in range(base_n)
+    ] + [2.0 + 0.01 * _noise("spc", base_n + j) for j in range(shift_n)]
+    types = ["shifted"] * len(vals)
+    alt = _planted(tmp_path, "spc", types, vals, list(range(len(vals))))
+    rows = sorted(
+        _q("win_spc_runs_rules")(spark, alt).collect(),
+        key=lambda r: r.day_no,
+    )
+    assert len(rows) == base_n + shift_n
+    day0 = rows[0].day_no
+    # R1 (|z| > 3) never fires: the shift is sustained-but-small
+    assert all(r.r1 == 0 for r in rows)
+    # pure-baseline region (frames end before the shift): no signal
+    for r in rows:
+        if r.day_no - day0 < base_n:
+            assert r.any_signal == 0, (r.day_no - day0, r)
+    # the shift window fires R4 (8 consecutive one side) and R2
+    shift_rows = [r for r in rows if r.day_no - day0 >= base_n]
+    assert any(r.r4 == 1 for r in shift_rows)
+    assert any(r.r2 == 1 for r in shift_rows)
+    assert any(r.any_signal == 1 for r in shift_rows)
