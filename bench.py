@@ -90,6 +90,9 @@ HEADLINE = [
     "layout_bloom_pruning",
     "incr_minhash_merge",
     "agg_winsorized_mean_sketch",
+    # r9 representative: the bounded-round BFS distance loop (same
+    # pin-next-round rule)
+    "graph_khop_distance",
 ]
 
 

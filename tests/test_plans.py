@@ -488,3 +488,20 @@ def test_round8_operators_plan_shapes(spark, sf_dir):
     # node-cardinality exchanges — bounded by rounds x n, fine.)
     assert "lineitem" not in plan and "orders" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_graph_khop_serving_plan_is_state_sized(spark, sf_dir):
+    """The BFS loop's _materialized stats reset means the SERVING plan
+    reads only the final k-round distance parquet plus nation/region —
+    the fact tables were reduced once inside the loop and must not
+    appear; joins are broadcast (node-cardinality), never cartesian."""
+    from agri_market_data_pipeline_spark.operators.graph import (
+        graph_khop_distance,
+    )
+
+    df = graph_khop_distance(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan and "orders" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "graph_state_" in plan  # final state parquet is the source
+    assert "BroadcastHashJoin" in plan

@@ -130,6 +130,13 @@ AUDITED = [
     "dq_sequence_gaps",
     "ts_granger_causality",  # day-blocked triple alignment join
     "ts_hurst_exponent",     # scale-replicated block join over the grain
+    # r9: the BFS relaxation loop (fact edge build + k bounded rounds),
+    # and the two pre-policy rank/top-k samplers whose selection windows
+    # ride data-proportional keys (VERDICT r8 item 7 — the audit-set's
+    # own gap).
+    "graph_khop_distance",
+    "sample_reservoir_k",
+    "sample_weighted_k",
 ]
 
 
