@@ -46,11 +46,16 @@ def _events_stream_schema(ts_type) -> StructType:
     )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-source stream over the events table (bounded replay —
     SURVEY.md §2.B stream_source_rate). Normalizes ts to TIMESTAMP
     (session-zone, UTC) for either physical layout of the file — INT64
-    TIMESTAMP(NANOS) or plain timestamp[us] (see tables.load_events)."""
+    TIMESTAMP(NANOS) or plain timestamp[us] (see tables.load_events).
+    `glob` widens the file match for callers that stage extra files
+    next to the table (stream_interval_join_outer's watermark-flush
+    sentinel)."""
     from pyspark.sql.types import TimestampNTZType
 
     from ..tables import events_ts_is_nanos
@@ -75,7 +80,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = (
             spark.readStream.schema(schema)
             .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", glob)
             .load(sf_dir)
         )
     finally:
@@ -673,6 +678,139 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy(F.col("c_event_id").alias("event_id")).agg(
         F.count("*").alias("n_purchases_5m")
+    )
+
+
+def _sentineled_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a temp dir holding a symlink to events.parquet plus ONE
+    sentinel row 2 hours past max(ts), written in the SAME physical ts
+    layout as the original file (NANOS vs micros — the schema must
+    match the declared stream schema). The sentinel's event_type never
+    matches any operator filter; its only job is to push the global
+    watermark past every real event so OUTER-join state fully expires
+    and the null rows emit before the bounded replay terminates —
+    without it, clicks in the final watermark-delay window would stay
+    pending forever and the batch oracle could never match. Production
+    streams don't need this: their watermark advances with the next
+    real batch; a bounded replay has no next batch."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..tables import load, table_path
+
+    src = table_path(sf_dir, "events")
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_ts = max_ts + datetime.timedelta(hours=2)
+    schema = pq.read_schema(src)
+    arrays = []
+    for field in schema:
+        if field.name == "ts":
+            arrays.append(pa.array([flush_ts], type=field.type))
+        elif pa.types.is_integer(field.type):
+            arrays.append(pa.array([-1], type=field.type))
+        elif pa.types.is_floating(field.type):
+            arrays.append(pa.array([0.0], type=field.type))
+        else:
+            arrays.append(
+                pa.array(["__watermark_flush__"], type=field.type)
+            )
+    staged = tempfile.mkdtemp(prefix="ev_sentinel_")
+    os.symlink(os.path.abspath(src), os.path.join(staged, "events.parquet"))
+    # version 2.6 preserves TIMESTAMP(NANOS); older coerces to micros
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=schema),
+        os.path.join(staged, "events_flush.parquet"),
+        version="2.6",
+    )
+    return staged
+
+
+@query(
+    "stream_interval_join_outer",
+    oracle="""
+SELECT c.event_id,
+       COUNT(p.user_id) AS n_purchases_5m
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 5 MINUTE
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+""",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the join mode real
+    CDC/funnel pipelines depend on (VERDICT r8 item 5): every click
+    appears in the result, with its following-5-minute purchase count
+    or an explicit ZERO when the watermark expires the click's state
+    unmatched (Spark emits the null-padded row at state eviction; the
+    batch oracle's LEFT JOIN + COUNT(p.user_id) is the exact twin).
+    The watermark-flush sentinel (see _sentineled_events_dir) makes
+    the bounded replay's final eviction complete, so the result is the
+    FULL batch left-outer interval join including every null-emission
+    row — not just the prefix an arbitrary replay horizon happens to
+    expire."""
+    import shutil
+
+    staged = _sentineled_events_dir(spark, sf_dir)
+    try:
+        clicks = events_stream(spark, staged, glob="events*.parquet")
+        purchases = events_stream(spark, staged, glob="events*.parquet")
+        # The flush sentinel must REACH each side's watermark node or it
+        # can't advance the watermark — and merely writing
+        # withWatermark-before-filter doesn't achieve that, because
+        # Catalyst pushes a non-event-time filter below the watermark
+        # node (measured: eventTime.max stuck at the max CLICK ts and
+        # the max-ts zero-purchase click stayed pending forever). So the
+        # sentinel type is kept IN both filters; it can never join (its
+        # user_id matches nothing and its ts is past every window) and
+        # its own state row never expires (wm = flush−delay < flush), so
+        # it adds no output — the post-sink event_id >= 0 guard is
+        # defense against a future Spark emitting pending state at
+        # termination.
+        c = (
+            clicks.withWatermark("ts", "10 minutes")
+            .filter(
+                F.col("event_type").isin("click", "__watermark_flush__")
+            )
+            .select(
+                F.col("event_id").alias("c_event_id"),
+                F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        p = (
+            purchases.withWatermark("ts", "10 minutes")
+            .filter(
+                F.col("event_type").isin("purchase", "__watermark_flush__")
+            )
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        joined = c.join(
+            p,
+            (F.col("p_user_id") == F.col("c_user_id"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        )
+        out = run_to_table(
+            joined.select("c_event_id", "p_user_id"),
+            "interval_join_outer",
+            "append",
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return (
+        out.filter(F.col("c_event_id") >= 0)
+        .groupBy(F.col("c_event_id").alias("event_id"))
+        .agg(F.count("p_user_id").alias("n_purchases_5m"))
     )
 
 

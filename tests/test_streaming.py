@@ -375,3 +375,37 @@ def test_tws_fallback_is_self_documenting(spark, sf_dir, monkeypatch):
         return re.sub(r"#\d+L?", "#x", s)  # strip per-plan expr ids
 
     assert plan(captured["stateful_tws"]) == plan(captured["stateful"])
+
+
+def test_outer_interval_join_emits_null_rows(spark, sf_dir):
+    """The left-outer variant's whole point (VERDICT r8 item 5): the
+    watermark-expired NULL emissions are PRESENT — every click appears,
+    zero-purchase clicks carry an explicit 0, and the outer key set is
+    a strict superset of the inner join's (which only has matched
+    clicks). The DuckDB oracle already hash-matches the full batch
+    left-outer result; this pins the semantic difference between the
+    two operators directly."""
+    from agri_market_data_pipeline_spark.registry import all_queries
+
+    q = all_queries()
+    outer = {
+        r.event_id: r.n_purchases_5m
+        for r in q["stream_interval_join_outer"](spark, sf_dir).collect()
+    }
+    inner = {
+        r.event_id: r.n_purchases_5m
+        for r in q["stream_interval_join"](spark, sf_dir).collect()
+    }
+    from agri_market_data_pipeline_spark.tables import load
+    from pyspark.sql import functions as F
+
+    n_clicks = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert len(outer) == n_clicks  # every click present
+    zero = [k for k, v in outer.items() if v == 0]
+    assert zero  # the null-emission rows exist
+    assert set(inner) == {k for k, v in outer.items() if v > 0}
+    assert all(outer[k] == v for k, v in inner.items())
