@@ -1726,3 +1726,243 @@ def agg_vector_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mb), "j")
         .select("i", "j", "n", cov.alias("cov"))
     )
+
+
+_PCA_SQUARINGS = 10  # effective power 2^10 = 1024: gap^1024 ~ 1e-6 at
+#                      the testdata's near-flat (MP-bulk) spectrum
+_PCA_COV = """
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(UNNEST(embedding) AS DOUBLE) AS xi
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(SUM(CAST(FLOOR(a.xi * b.xi * 1e12) AS BIGINT)) AS BIGINT)
+           AS sp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x a JOIN x b ON b.vec_id = a.vec_id AND b.i >= a.i
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT i, CAST(SUM(CAST(FLOOR(xi * 1e9) AS BIGINT)) AS BIGINT) AS si,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM x GROUP BY 1
+),
+ut AS (
+  SELECT p.i, p.j,
+         CAST(p.sp AS DOUBLE) / CAST(p.n AS DOUBLE) / 1e12
+         - (CAST(ma.si AS DOUBLE) / CAST(ma.n AS DOUBLE) / 1e9)
+           * (CAST(mb.si AS DOUBLE) / CAST(mb.n AS DOUBLE) / 1e9) AS c
+  FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+),
+cfull AS MATERIALIZED (
+  SELECT i, j, c FROM ut
+  UNION ALL
+  SELECT j AS i, i AS j, c FROM ut WHERE i <> j
+),
+b0 AS MATERIALIZED (
+  SELECT i, j,
+         FLOOR(c / (SELECT SQRT(CAST(SUM(CAST(c * c AS DECIMAL(30,15)))
+                                     AS DOUBLE)) FROM cfull)
+               * 1e12 + 0.5) / 1e12 AS b
+  FROM cfull)"""
+
+
+def _pca_sql(squarings: int) -> str:
+    """DuckDB twin: normalized repeated matrix squaring unrolled —
+    B <- (B·B) / ||B·B||_F per round, every matmul cell accumulated in
+    DECIMAL(30,15) (order-exact), every entry snapped to the
+    FLOOR(x*1e12+0.5)/1e12 lattice so no 1-ulp drift compounds. Loop
+    CTEs MATERIALIZED (each product frame feeds both the norm and the
+    renormalize — the lazy form would replay 2^rounds times)."""
+    ctes = []
+    for r in range(1, squarings + 1):
+        ctes.append(
+            f"""q{r} AS MATERIALIZED (
+  SELECT a.i, c.j,
+         CAST(SUM(CAST(a.b * c.b AS DECIMAL(30,15))) AS DOUBLE) AS q
+  FROM b{r - 1} a JOIN b{r - 1} c ON c.i = a.j
+  GROUP BY a.i, c.j)"""
+        )
+        ctes.append(
+            f"""b{r} AS MATERIALIZED (
+  SELECT i, j,
+         FLOOR(q / (SELECT SQRT(CAST(SUM(CAST(q * q AS DECIMAL(30,15)))
+                                     AS DOUBLE)) FROM q{r})
+               * 1e12 + 0.5) / 1e12 AS b
+  FROM q{r})"""
+        )
+    return (
+        _PCA_COV
+        + ",\n"
+        + ",\n".join(ctes)
+        + f""",
+w AS MATERIALIZED (
+  SELECT b.i,
+         CAST(SUM(CAST(b.b * (1.0 + CAST(b.j AS DOUBLE) / 100)
+                       AS DECIMAL(30,15))) AS DOUBLE) AS w
+  FROM b{squarings} b GROUP BY b.i),
+v AS MATERIALIZED (
+  SELECT i, FLOOR(w / (SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15)))
+                                        AS DOUBLE)) FROM w)
+                  * 1e9 + 0.5) / 1e9 AS v
+  FROM w),
+cv AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(CAST(c.c * v.v AS DECIMAL(30,15))) AS DOUBLE) AS w
+  FROM cfull c JOIN v ON v.i = c.j GROUP BY c.i),
+ray AS (
+  SELECT CAST(SUM(CAST(cv.w * v.v AS DECIMAL(30,15))) AS DOUBLE)
+         / CAST(SUM(CAST(v.v * v.v AS DECIMAL(30,15))) AS DOUBLE) AS ev
+  FROM cv JOIN v ON v.i = cv.i)
+SELECT v.i, v.v AS loading, ROUND((SELECT ev FROM ray), 6) AS eigval
+FROM v"""
+    )
+
+
+@query("ml_pca_power", oracle=_pca_sql(_PCA_SQUARINGS))
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus — the missing
+    DIRECTION layer over agg_vector_covariance's second moment
+    (centroid = first moment, covariance = second, this = where the
+    variance POINTS): whitening, drift monitoring, and low-rank
+    compression all start from it. The corpus is touched ONCE (the
+    covariance sufficient statistics); the iteration then runs on
+    d²-row frames, so the loop cost is independent of corpus size —
+    the sufficient-stats factoring that makes PCA feasible at 100 TB.
+
+    Plain power iteration needs O(1/gap) rounds and the testdata's
+    spectrum is MP-bulk near-flat (λ2/λ1 ≈ 0.987 at sf0.01 — measured;
+    10 rounds left a 9% eigenvalue error), so the loop is NORMALIZED
+    REPEATED SQUARING instead: B <- B·B / ||B·B||_F, reaching
+    effective power 2^{_PCA_SQUARINGS} = 1024 in {_PCA_SQUARINGS}
+    rounds (gap^1024 ≈ 1e-6) at d³-per-round cost — the right trade
+    whenever d is sketch-sized and the gap is thin. A pytest pins
+    loadings (|cosine| > 0.999) and the Rayleigh eigenvalue against
+    numpy's full eigendecomposition.
+
+    Determinism: C entries are fixed IEEE trees of exact-lattice
+    ratios (bitwise both engines); every matmul cell and every
+    Frobenius norm accumulates in DECIMAL(30,15) (order-exact); every
+    iterate entry snaps to the FLOOR(x·1e12+0.5)/1e12 lattice so drift
+    cannot compound across rounds — measured: all 64 loadings are
+    BITWISE identical unrounded. Only the Rayleigh quotient takes
+    ROUND(6): its Σv² denominator sits at ~16 significant decimal
+    digits, the exact DECIMAL→DOUBLE span where cross-engine correct
+    rounding breaks (the r7 ts_twap 1-ulp class — CLAUDE.md).
+
+    Scale: one corpus-wide partial agg (d(d+1)/2-row reduce); the loop
+    squares a d²-row frame (d³ multiply tasks, embarrassingly
+    partial-agg parallel); norm scalars join back on a constant key
+    (BroadcastHashJoin, never cartesian); the iterate is stats-reset
+    per round via the parquet round-trip (CLAUDE.md's localCheckpoint
+    stats-squaring rule — each product frame feeds both the norm and
+    the renormalize)."""
+    from .graph import _materialized
+
+    ut = agg_vector_covariance(spark, sf_dir).select(
+        "i", "j", F.col("cov").alias("c")
+    )
+    cfull = ut.unionAll(
+        ut.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c"
+        )
+    ).localCheckpoint(eager=True)
+
+    def fro(df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.sqrt(
+                F.sum((F.col(col) * F.col(col)).cast("decimal(30,15)"))
+                .cast("double")
+            ).alias("s")
+        ).withColumn("k", F.lit(1))
+
+    def snapped(df: DataFrame, col: str, unit: float) -> DataFrame:
+        return (
+            df.withColumn("k", F.lit(1))
+            .join(F.broadcast(fro(df, col)), "k")
+            .select(
+                "i",
+                "j",
+                (
+                    F.floor(F.col(col) / F.col("s") * unit + F.lit(0.5))
+                    / unit
+                ).alias("b"),
+            )
+        )
+
+    b = _materialized(snapped(cfull, "c", 1e12))
+    for _ in range(_PCA_SQUARINGS):
+        q = (
+            b.join(
+                b.select(
+                    F.col("i").alias("j"),
+                    F.col("j").alias("j2"),
+                    F.col("b").alias("b2"),
+                ),
+                "j",
+            )
+            .groupBy("i", F.col("j2").alias("j"))
+            .agg(
+                F.sum((F.col("b") * F.col("b2")).cast("decimal(30,15)"))
+                .cast("double")
+                .alias("q")
+            )
+        )
+        b = _materialized(snapped(q, "q", 1e12))
+    w = b.groupBy("i").agg(
+        F.sum(
+            (
+                F.col("b") * (F.lit(1.0) + F.col("j").cast("double") / 100)
+            ).cast("decimal(30,15)")
+        )
+        .cast("double")
+        .alias("w")
+    )
+    sw = w.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(30,15)"))
+            .cast("double")
+        ).alias("s")
+    ).withColumn("k", F.lit(1))
+    v = (
+        w.withColumn("k", F.lit(1))
+        .join(F.broadcast(sw), "k")
+        .select(
+            "i",
+            (
+                F.floor(F.col("w") / F.col("s") * 1e9 + F.lit(0.5)) / 1e9
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cv = (
+        cfull.join(
+            F.broadcast(v.select(F.col("i").alias("j"), F.col("v").alias("vj"))),
+            "j",
+        )
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("c") * F.col("vj")).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    ray = (
+        cv.join(F.broadcast(v), "i")
+        .agg(
+            F.round(
+                F.sum((F.col("w") * F.col("v")).cast("decimal(30,15)"))
+                .cast("double")
+                / F.sum((F.col("v") * F.col("v")).cast("decimal(30,15)"))
+                .cast("double"),
+                6,
+            ).alias("eigval")
+        )
+        .withColumn("k", F.lit(1))
+    )
+    return (
+        v.withColumn("k", F.lit(1))
+        .join(F.broadcast(ray), "k")
+        .select("i", F.col("v").alias("loading"), "eigval")
+    )

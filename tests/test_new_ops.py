@@ -1187,3 +1187,39 @@ def test_curriculum_phase_counts_within_boundary_bin_mass(spark, sf_dir):
         # all four phases exist and partition the source
         assert sum(got.get((source, p), 0) for p in (1, 2, 3, 4)) == n
         assert all(got.get((source, p), 0) > 0 for p in (1, 2, 3, 4))
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark, sf_dir):
+    """ml_pca_power's loadings and eigenvalue must match numpy's full
+    eigendecomposition of the sample covariance of the collected
+    vectors: |lambda - lambda_numpy| relative error and the absolute
+    cosine between the loading vector and numpy's top eigenvector both
+    pinned (cosine, because the eigenvector sign is arbitrary). The
+    lattice quantization (1e-9 per round, 1e-12 on products) bounds
+    the residual far below the pins."""
+    import numpy as np
+
+    rows = _q("ml_pca_power")(spark, sf_dir).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r.i - 1] = r.loading
+    ev = rows[0].eigval
+    assert all(abs(r.eigval - ev) < 1e-12 for r in rows)
+    X = np.array(
+        [
+            r.embedding
+            for r in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    wl, wv = np.linalg.eigh(C)
+    top_l, top_v = wl[-1], wv[:, -1]
+    assert abs(ev - top_l) / top_l < 1e-3, (ev, top_l)
+    cos = abs(float(v @ top_v) / (np.linalg.norm(v)))
+    assert cos > 0.999, cos
+    # the iterate really is unit-norm up to the snap lattice
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6

@@ -137,6 +137,7 @@ AUDITED = [
     "graph_khop_distance",
     "sample_reservoir_k",
     "sample_weighted_k",
+    "ml_pca_power",  # corpus-once sufficient stats + d^3 squaring loop
 ]
 
 
