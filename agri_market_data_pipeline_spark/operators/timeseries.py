@@ -1918,3 +1918,97 @@ def ts_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hurst"),
         )
     )
+
+
+_VAR_PCT = 5  # tail percent: VaR/CVaR at the 95% confidence level
+
+_VAR_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+ret AS (
+  SELECT et, day_no,
+         v - LAG(v) OVER (PARTITION BY et ORDER BY day_no) AS r
+  FROM daily
+),
+rk AS (
+  SELECT et, day_no, r,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY r, day_no) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n
+  FROM ret WHERE r IS NOT NULL
+)
+SELECT et AS event_type, MAX(n) AS n_ret,
+       CAST((MAX(n) * {_VAR_PCT} + 99) // 100 AS BIGINT) AS k_tail,
+       MAX(r) AS var_95,
+       ROUND(CAST(SUM(CAST(r AS DECIMAL(30,15))) AS DOUBLE)
+         / CAST((MAX(n) * {_VAR_PCT} + 99) // 100 AS DOUBLE), 6) AS cvar_95
+FROM rk
+WHERE rn <= (n * {_VAR_PCT} + 99) // 100
+GROUP BY et
+"""
+
+
+@query("ts_var_cvar", oracle=_VAR_SQL)
+def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of each
+    daily series' one-day changes at the 95% level — the tail-risk
+    pairing that completes the family around ts_max_drawdown (path
+    risk) and anomaly_zscore (point risk): VaR is the k-th smallest
+    daily change with k = ceil(0.05·n) (the empirical 5% quantile,
+    lower-tail convention), CVaR the mean of the changes at or below
+    it — the coherent-risk-measure refinement Basel moved to precisely
+    because VaR alone ignores HOW BAD the tail is. Changes are
+    first differences (no division — the exact-ratio discipline), so
+    a price series' 'loss' is its day-over-day drop.
+
+    Determinism: daily means are exact-ratio doubles (bitwise), so
+    differences and their (r, day_no) rank order are identical both
+    engines; k is pure integer ceiling arithmetic ((n·5+99) div 100);
+    VaR is a VALUE from the data (no interpolation); CVaR accumulates
+    the ≤k tail in DECIMAL(30,15) — the summed returns carry ~17
+    significant digits, past the bitwise DECIMAL→DOUBLE span (measured:
+    1 ulp on one group), so the ratio takes ROUND(6) both sides (the
+    ts_twap rule).
+
+    Scale: one partial agg to (type, day); the rank window rides the
+    per-series calendar grain (the CLAUDE.md grain-bounded exemption);
+    the tail filter and moments are K-row aggregates."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    ret = daily.select(
+        "et", "day_no", (F.col("v") - F.lag("v").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    w_rk = Window.partitionBy("et").orderBy("r", "day_no")
+    w_n = Window.partitionBy("et")
+    rk = ret.select(
+        "et",
+        "day_no",
+        "r",
+        F.row_number().over(w_rk).alias("rn"),
+        F.count("*").over(w_n).cast("bigint").alias("n"),
+    )
+    tail = rk.filter(
+        F.col("rn") <= F.expr(f"(n * {_VAR_PCT} + 99) div 100")
+    )
+    kk = F.expr(f"(max(n) * {_VAR_PCT} + 99) div 100").cast("bigint")
+    return tail.groupBy(F.col("et").alias("event_type")).agg(
+        F.max("n").alias("n_ret"),
+        kk.alias("k_tail"),
+        F.max("r").alias("var_95"),
+        F.round(
+            F.sum(F.col("r").cast("decimal(30,15)")).cast("double")
+            / kk.cast("double"),
+            6,
+        ).alias("cvar_95"),
+    )

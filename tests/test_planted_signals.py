@@ -237,3 +237,30 @@ def test_lttb_parallel_tracks_sequential_steinarsson(spark, tmp_path):
         assert first.day in got and last.day in got  # endpoints verbatim
         overlap = len(set(seq) & got) / len(seq)
         assert overlap >= 0.5, (et, overlap)
+
+
+def test_var_cvar_captures_planted_crashes(spark, tmp_path):
+    """ts_var_cvar must identify a planted tail: 200 days of small
+    md5-noise drift with 10 planted one-day crashes of about -5. With
+    n = 199 returns, k = ceil(0.05·199) = 10, so the tail is exactly
+    the 10 crash days: VaR sits at the shallowest crash (~ -5 ± the
+    rebound noise) and CVaR at the tail mean, with CVaR <= VaR by
+    construction (the coherence property)."""
+    n = 200
+    vals, level = [], 100.0
+    for i in range(n):
+        if i > 0 and i % 20 == 10:
+            level -= 5.0  # planted crash
+        else:
+            level += 0.2 * (_noise("vc", i) - 0.5)
+        vals.append(level)
+    alt = _planted(
+        tmp_path, "vc", ["asset"] * n, vals, list(range(n))
+    )
+    rows = _q("ts_var_cvar")(spark, alt).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_ret == n - 1 and r.k_tail == 10
+    assert -5.2 < r.var_95 < -4.8, r.var_95
+    assert r.cvar_95 <= r.var_95
+    assert -5.2 < r.cvar_95 < -4.8, r.cvar_95
