@@ -2444,3 +2444,172 @@ def win_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_delta_us"),
     )
+
+
+_PERM_R = 20  # relabeling replicates (md5-derived, deterministic)
+
+
+def _perm_sql(reps: int) -> str:
+    """DuckDB twin: the observed A/B mean difference plus `reps`
+    md5-relabeled null replicates, all FILTER aggregates in ONE scan
+    (the agg_bootstrap_se single-pass shape). Every mean is an
+    integer-lattice sum / count ratio — bitwise identical — so the
+    |diff_r| >= |diff_obs| indicators and the exact p-value ratio
+    need no rounding anywhere."""
+    lat = int(_AB_LAT)
+    rep_aggs = ",\n".join(
+        f"""         CAST(COALESCE(SUM(lv) FILTER (WHERE p{r} = 0), 0) AS BIGINT) AS s{r}_0,
+         CAST(COUNT(*) FILTER (WHERE p{r} = 0) AS BIGINT) AS c{r}_0"""
+        for r in range(reps)
+    )
+    diffs = ",\n".join(
+        f"""       CASE WHEN c{r}_0 > 0 AND n_all > c{r}_0 THEN
+         ABS(CAST(s{r}_0 AS DOUBLE) / {lat} / c{r}_0
+             - CAST(s_all - s{r}_0 AS DOUBLE) / {lat} / (n_all - c{r}_0))
+       END AS d{r}"""
+        for r in range(reps)
+    )
+    extreme = " + ".join(
+        f"CASE WHEN d{r} IS NOT NULL AND d{r} >= ABS(diff_obs) "
+        f"THEN 1 ELSE 0 END"
+        for r in range(reps)
+    )
+    return f"""
+WITH assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 2 = 0
+              THEN 0 ELSE 1 END AS v,
+         CAST(FLOOR(value * {lat}) AS BIGINT) AS lv,
+         {", ".join(
+    f"CAST(('0x' || substring(md5('perm:{r}:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS p{r}"
+    for r in range(reps))}
+  FROM events),
+g AS (
+  SELECT CAST(SUM(lv) AS BIGINT) AS s_all,
+         CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(COALESCE(SUM(lv) FILTER (WHERE v = 0), 0) AS BIGINT) AS s_a,
+         CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+{rep_aggs}
+  FROM assigned),
+d AS (
+  SELECT n_a, n_all - n_a AS n_b,
+         CAST(s_a AS DOUBLE) / {lat} / n_a
+           - CAST(s_all - s_a AS DOUBLE) / {lat} / (n_all - n_a) AS diff_obs,
+         s_all, n_all,
+{diffs}
+  FROM g)
+SELECT n_a, n_b, ROUND(diff_obs, 4) AS diff_obs,
+       CAST({extreme} AS BIGINT) AS n_extreme,
+       CAST({extreme} AS DOUBLE) / {reps} AS p_value
+FROM d"""
+
+
+@query("agg_permutation_test", oracle=_perm_sql(_PERM_R))
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation-style) test for the A/B mean
+    difference — the NONPARAMETRIC significance companion to
+    agg_ttest_ab's Welch t (no normality or variance assumptions: the
+    null distribution is built from the data itself). The observed
+    statistic uses the platform's md5 user-level assignment; each of
+    the {_PERM_R} null replicates relabels ROWS by an independent
+    md5('perm:r:'||event_id) coin — the random-relabeling variant of
+    the permutation test (exact label-multiset permutation requires a
+    global shuffle-pairing; row relabeling preserves group proportions
+    in expectation and is the standard scalable form), and the
+    one-sided-in-magnitude p-value is the fraction of replicates at
+    least as extreme. All {_PERM_R} replicates are FILTER aggregates
+    in ONE scan — the agg_bootstrap_se single-pass discipline; no row
+    explosion, no second pass.
+
+    Determinism: every mean is an integer-lattice sum / count ratio
+    (bitwise both engines); the extremeness indicators compare those
+    bitwise doubles; n_extreme is an integer and p_value the exact
+    integer ratio n_extreme/{_PERM_R} (unrounded — CLAUDE.md integer-
+    ratio rule). Only the REPORTED diff_obs takes ROUND(4).
+
+    Scale: one hash-bucket partial aggregation producing a single
+    ~{2 * _PERM_R + 4}-column row; scalar algebra after. Experiment
+    readouts stay scan-bound at any corpus size."""
+    lat = int(_AB_LAT)
+    ev = load(spark, sf_dir, "events")
+
+    def h(tag: str, col) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+
+    assigned = ev.select(
+        h("ab:", F.col("user_id")).alias("v"),
+        F.floor(F.col("value") * lat).cast("bigint").alias("lv"),
+        *[
+            h(f"perm:{r}:", F.col("event_id")).alias(f"p{r}")
+            for r in range(_PERM_R)
+        ],
+    )
+    aggs = [
+        F.sum("lv").cast("bigint").alias("s_all"),
+        F.count("*").cast("bigint").alias("n_all"),
+        F.coalesce(F.sum(F.when(F.col("v") == 0, F.col("lv"))), F.lit(0))
+        .cast("bigint")
+        .alias("s_a"),
+        F.count(F.when(F.col("v") == 0, 1)).cast("bigint").alias("n_a"),
+    ]
+    for r in range(_PERM_R):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col(f"p{r}") == 0, F.col("lv"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"s{r}_0")
+        )
+        aggs.append(
+            F.count(F.when(F.col(f"p{r}") == 0, 1))
+            .cast("bigint")
+            .alias(f"c{r}_0")
+        )
+    g = assigned.agg(*aggs)
+    s_all, n_all = F.col("s_all"), F.col("n_all")
+    diff_obs = F.col("s_a").cast("double") / lat / F.col("n_a") - (
+        s_all - F.col("s_a")
+    ).cast("double") / lat / (n_all - F.col("n_a"))
+    d = g.select(
+        F.col("n_a"),
+        (n_all - F.col("n_a")).alias("n_b"),
+        diff_obs.alias("diff_obs"),
+        "s_all",
+        "n_all",
+        *[
+            F.when(
+                (F.col(f"c{r}_0") > 0) & (n_all > F.col(f"c{r}_0")),
+                F.abs(
+                    F.col(f"s{r}_0").cast("double") / lat / F.col(f"c{r}_0")
+                    - (s_all - F.col(f"s{r}_0")).cast("double")
+                    / lat
+                    / (n_all - F.col(f"c{r}_0"))
+                ),
+            ).alias(f"d{r}")
+            for r in range(_PERM_R)
+        ],
+    )
+    extreme = None
+    for r in range(_PERM_R):
+        ind = F.when(
+            F.col(f"d{r}").isNotNull()
+            & (F.col(f"d{r}") >= F.abs(F.col("diff_obs"))),
+            1,
+        ).otherwise(0)
+        extreme = ind if extreme is None else extreme + ind
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("diff_obs"), 4).alias("diff_obs"),
+        extreme.cast("bigint").alias("n_extreme"),
+        (extreme.cast("double") / _PERM_R).alias("p_value"),
+    )

@@ -264,3 +264,49 @@ def test_var_cvar_captures_planted_crashes(spark, tmp_path):
     assert -5.2 < r.var_95 < -4.8, r.var_95
     assert r.cvar_95 <= r.var_95
     assert -5.2 < r.cvar_95 < -4.8, r.cvar_95
+
+
+def test_permutation_test_fires_on_planted_effect(spark, tmp_path):
+    """A planted treatment effect (value = 10 + 5·variant + noise,
+    where variant is the SAME md5 user assignment the operator uses)
+    must yield p_value = 0 — no random relabeling reaches the real
+    5-unit gap — while a null fixture (value independent of the
+    assignment) must not be called significant (p well above 0.05).
+    Both fixtures are md5-deterministic, so the pins are exact."""
+    import hashlib as _h
+
+    def variant(uid: int) -> int:
+        return int(_h.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    n = 2000
+    rows_eff, rows_null = [], []
+    for i in range(n):
+        uid = i % 97
+        base = 10.0 + 2.0 * _noise("pt", i)
+        rows_eff.append((uid, base + (5.0 if variant(uid) == 0 else 0.0)))
+        rows_null.append((uid, base))
+    for name, rows, in (("eff", rows_eff), ("null", rows_null)):
+        alt = tmp_path / name
+        alt.mkdir()
+        for t in _TABLES:
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+            )
+        ev = pd.DataFrame(
+            {
+                "event_id": list(range(n)),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(list(range(n)), unit="m"),
+                "user_id": [r[0] for r in rows],
+                "event_type": ["m"] * n,
+                "value": [r[1] for r in rows],
+                "props": ["{}"] * n,
+            }
+        )
+        ev.to_parquet(alt / "events.parquet", coerce_timestamps="us")
+        r = _q("agg_permutation_test")(spark, str(alt)).collect()[0]
+        if name == "eff":
+            assert r.n_extreme == 0 and r.p_value == 0.0, r
+            assert abs(r.diff_obs) > 4.5, r
+        else:
+            assert r.p_value > 0.05, r
