@@ -1504,3 +1504,143 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.orderBy(
         F.desc("gap_len"), F.asc("gap_start")
     ).limit(_SEQ_TOPK)
+
+
+_DIFF_SQL = """
+WITH old_v AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS pc,
+         o_orderpriority AS pr
+  FROM orders
+),
+new_v AS (
+  SELECT k, ck, st,
+         CASE WHEN CAST(('0x' || substring(md5('mod:' || CAST(k AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 17 = 0
+              THEN pc + 100 ELSE pc END AS pc,
+         pr
+  FROM old_v
+  WHERE CAST(('0x' || substring(md5('del:' || CAST(k AS VARCHAR)),
+             1, 8)) AS BIGINT) % 29 <> 0
+  UNION ALL
+  SELECT k + 1000000000 AS k, ck, st, pc, pr
+  FROM old_v
+  WHERE CAST(('0x' || substring(md5('ins:' || CAST(k AS VARCHAR)),
+             1, 8)) AS BIGINT) % 31 = 0
+),
+d AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN n.k IS NULL THEN 'deleted'
+              WHEN o.k IS NULL THEN 'inserted'
+              WHEN o.ck IS DISTINCT FROM n.ck
+                OR o.st IS DISTINCT FROM n.st
+                OR o.pc IS DISTINCT FROM n.pc
+                OR o.pr IS DISTINCT FROM n.pr THEN 'changed'
+              ELSE 'unchanged' END AS change_type,
+         CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+              THEN ABS(n.pc - o.pc) ELSE 0 END AS delta_cents
+  FROM old_v o FULL JOIN new_v n ON n.k = o.k
+)
+SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(delta_cents) AS BIGINT) AS sum_price_delta_cents
+FROM d GROUP BY change_type
+"""
+
+
+@query("dq_table_diff", oracle=_DIFF_SQL)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the table-diff primitive every
+    warehouse migration, backfill validation, and CDC audit runs:
+    given two versions of a keyed table, classify every key as
+    inserted / deleted / changed / unchanged and quantify the drift
+    (here: total absolute price movement in exact cents). The
+    complement of incr_cdc_apply: that APPLIES a given changelog,
+    this DERIVES the changelog by comparing states — together they
+    close the reconcile-then-repair loop. The second version is
+    synthesized deterministically from orders (md5-selected ~1/29
+    deletes, ~1/17 modifications of +1.00, ~1/31 inserts under
+    shifted keys) so the classification is fully oracle-checkable.
+
+    Determinism: row comparison is column-wise null-safe equality with
+    the price on a FLOOR(x·100) BIGINT cent lattice (never md5 of a
+    stringified double — double→string is engine-divergent); counts
+    and delta sums are exact integers. Full value hash, no rounding.
+
+    Scale: ONE full outer shuffle join on the key (AQE-sized), the
+    change classification row-local, the summary a K-row partial agg.
+    At 100 TB both sides prune to changed partitions via
+    partition-level stats before the row diff — the operator is the
+    row-level core of that pipeline."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderstatus").alias("st"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+
+    def pick(tag: str, mod: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("k").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+        )
+
+    new_v = (
+        o.filter(pick("del:", 29) != 0)
+        .select(
+            "k",
+            "ck",
+            "st",
+            F.when(pick("mod:", 17) == 0, F.col("pc") + 100)
+            .otherwise(F.col("pc"))
+            .alias("pc"),
+            "pr",
+        )
+        .unionAll(
+            o.filter(pick("ins:", 31) == 0).select(
+                (F.col("k") + 1_000_000_000).alias("k"), "ck", "st", "pc", "pr"
+            )
+        )
+    )
+    n = new_v.select(
+        F.col("k").alias("nk"),
+        F.col("ck").alias("nck"),
+        F.col("st").alias("nst"),
+        F.col("pc").alias("npc"),
+        F.col("pr").alias("npr"),
+    )
+    j = o.join(n, o.k == n.nk, "full")
+    differs = (
+        ~F.col("ck").eqNullSafe(F.col("nck"))
+        | ~F.col("st").eqNullSafe(F.col("nst"))
+        | ~F.col("pc").eqNullSafe(F.col("npc"))
+        | ~F.col("pr").eqNullSafe(F.col("npr"))
+    )
+    change = (
+        F.when(F.col("nk").isNull(), F.lit("deleted"))
+        .when(F.col("k").isNull(), F.lit("inserted"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.when(
+        F.col("k").isNotNull() & F.col("nk").isNotNull(),
+        F.abs(F.col("npc") - F.col("pc")),
+    ).otherwise(F.lit(0))
+    return (
+        j.select(change.alias("change_type"), delta.alias("delta_cents"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("delta_cents").cast("bigint").alias(
+                "sum_price_delta_cents"
+            ),
+        )
+    )
