@@ -310,3 +310,100 @@ def test_permutation_test_fires_on_planted_effect(spark, tmp_path):
             assert abs(r.diff_obs) > 4.5, r
         else:
             assert r.p_value > 0.05, r
+
+
+def _planted_orders(tmp_path, name: str, rows) -> str:
+    """Copy the sf0.001 tables and overwrite orders with the given
+    (orderdate, priority, totalprice) rows."""
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    od = pd.DataFrame(
+        {
+            "o_orderkey": list(range(len(rows))),
+            "o_custkey": [1] * len(rows),
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": [float(r[2]) for r in rows],
+            "o_orderdate": pd.to_datetime([r[0] for r in rows]),
+            "o_orderpriority": [r[1] for r in rows],
+        }
+    )
+    od.to_parquet(alt / "orders.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def test_cusum_locates_planted_level_shift(spark, tmp_path):
+    """The CUSUM |argmax| must land at the planted regime change: 120
+    daily totals at ~1000 with a +500 shift from day 60 on — the peak
+    of the cumulative deviation from the global mean sits at the shift
+    boundary (within the 2-day noise tolerance)."""
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(120):
+        level = 1000.0 if i < 60 else 1500.0
+        rows.append(
+            (base + pd.Timedelta(days=i), "1-URGENT",
+             level + 10 * _noise("cu", i))
+        )
+    alt = _planted_orders(tmp_path, "cusum", rows)
+    got = {r.prio: r for r in _q("ts_cusum_changepoint")(spark, alt).collect()}
+    r = got["1-URGENT"]
+    assert r.n_days == 120
+    shift = (base + pd.Timedelta(days=60)).date()
+    assert abs((r.changepoint_d - shift).days) <= 2, r.changepoint_d
+
+
+def test_ks_and_mannwhitney_fire_on_planted_shift(spark, tmp_path):
+    """On two independent same-distribution cohorts the KS D and the
+    Mann-Whitney |z| must stay small; plant a +0.5 location shift in
+    the purchase cohort and D must approach the theoretical 0.5 while
+    |z| blows past any critical value. (Both operators read raw click
+    vs purchase values — the fixture plants 1000 of each.)"""
+    n = 1000
+    for name, shift, d_lo, d_hi, z_bound in (
+        ("null", 0.0, 0.0, 0.1, 3.0),
+        ("shift", 0.5, 0.4, 1.0, 10.0),
+    ):
+        types, values, days = [], [], []
+        for i in range(n):
+            types.append("click")
+            values.append(_noise("ksa", i))
+            days.append(i)
+            types.append("purchase")
+            values.append(shift + _noise("ksb", i))
+            days.append(i)
+        alt = _planted(tmp_path, f"ks_{name}", types, values, days)
+        ks = _q("agg_ks_test")(spark, alt).collect()[0]
+        mw = _q("agg_mannwhitney_u")(spark, alt).collect()[0]
+        assert ks.n_a == n and ks.n_b == n
+        assert d_lo <= ks.ks_d <= d_hi, (name, ks.ks_d)
+        if name == "null":
+            assert abs(mw.z_score) < z_bound, (name, mw.z_score)
+        else:
+            assert abs(mw.z_score) > z_bound, (name, mw.z_score)
+
+
+def test_benford_passes_loguniform_flags_uniform(spark, tmp_path):
+    """dq_benford's deviation table must be near zero on log-uniform
+    amounts (10^(3u) spans three decades — exactly Benford) and flag a
+    uniform[100,999) feed, whose first digits are equidistributed:
+    digit 1 deviates by |1/9 - 0.301| ~ 0.19."""
+    base = pd.Timestamp("2024-01-01")
+    n = 5000
+    lu = [
+        (base, "1-URGENT", 10 ** (3 * _noise("bfl", i))) for i in range(n)
+    ]
+    un = [
+        (base, "1-URGENT", 100 + 899 * _noise("bfu", i)) for i in range(n)
+    ]
+    alt = _planted_orders(tmp_path, "benford_lu", lu)
+    devs = {r.digit: r.abs_dev for r in _q("dq_benford")(spark, alt).collect()}
+    assert len(devs) == 9
+    assert max(devs.values()) < 0.02, devs
+    alt2 = _planted_orders(tmp_path, "benford_un", un)
+    devs2 = {
+        r.digit: r.abs_dev for r in _q("dq_benford")(spark, alt2).collect()
+    }
+    assert devs2[1] > 0.15, devs2
+    assert max(devs2.values()) > 0.15
