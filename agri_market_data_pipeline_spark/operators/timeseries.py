@@ -2012,3 +2012,110 @@ def ts_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cvar_95"),
     )
+
+
+_HOLT_H = 7  # forecast horizon (days ahead)
+
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et, CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS lv,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n
+  FROM daily
+),
+rec AS (
+  SELECT et, rk, n, lv AS l, CAST(0 AS BIGINT) AS b
+  FROM lat WHERE rk = 1
+  UNION ALL
+  SELECT d.et, d.rk, d.n,
+         CAST(FLOOR((d.lv + r.l + r.b) / 2.0) AS BIGINT) AS l,
+         CAST(FLOOR((CAST(FLOOR((d.lv + r.l + r.b) / 2.0) AS BIGINT)
+                     - r.l + 3 * r.b) / 4.0) AS BIGINT) AS b
+  FROM rec r JOIN lat d ON d.et = r.et AND d.rk = r.rk + 1
+)
+SELECT et AS event_type, n AS n_days,
+       CAST(l AS DOUBLE) / 1e6 AS level,
+       CAST(b AS DOUBLE) / 1e6 AS trend,
+       CAST(l + {_HOLT_H} * b AS DOUBLE) / 1e6 AS fc{_HOLT_H}
+FROM rec WHERE rk = n
+"""
+
+
+@query("ts_holt_forecast", oracle=_HOLT_SQL)
+def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per daily series, plus
+    the {_HOLT_H}-day-ahead forecast l_n + {_HOLT_H}·b_n — the TRAINED
+    forecaster beside ts_forecast_eval's seasonal-naive BASELINE and
+    ts_ewma's level-only smoother (Holt adds the trend state the
+    level-only recursion systematically lags on drifting series).
+    α = 1/2, β = 1/4 — exact binary fractions, so the recurrences
+
+        l_t = floor((x_t + l_{{t-1}} + b_{{t-1}}) / 2)
+        b_t = floor((l_t − l_{{t-1}} + 3·b_{{t-1}}) / 4)
+
+    run on an exact BIGINT micro-unit lattice: every state is an
+    integer, every division is an exact binary FLOOR (negative-safe —
+    FLOOR(x/2.0) on both engines, never integer `div`, whose
+    truncation direction differs from `//` below zero).
+
+    This is the registry's genuinely SEQUENTIAL per-series recursion:
+    Spark runs it as applyInPandas over the calendar-bounded series
+    grain (the sanctioned custom-stateful path — no window can express
+    a recurrence whose coefficient feeds back), and the oracle is a
+    DuckDB RECURSIVE CTE advancing all series in rank lockstep. Both
+    engines produce identical integers, so the oracle is a full value
+    hash with no rounding (outputs are exact multiples of 1e-6).
+
+    Scale: facts reduce to (type, day) in one partial agg; the pandas
+    recursion touches n_days rows per series and parallelizes across
+    series — at 100 TB the state is two BIGINTs per series, the
+    textbook mapGroups shape."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    lat = daily.select(
+        "et",
+        "day_no",
+        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint").alias("lv"),
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_no")
+        lvs = [int(x) for x in pdf["lv"]]
+        l_prev, b_prev = lvs[0], 0
+        for x in lvs[1:]:
+            l_cur = (x + l_prev + b_prev) // 2  # == FLOOR(·/2.0) exactly
+            b_prev = (l_cur - l_prev + 3 * b_prev) // 4
+            l_prev = l_cur
+        n = len(lvs)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["et"].iloc[0]],
+                "n_days": [n],
+                "level": [l_prev / 1e6],
+                "trend": [b_prev / 1e6],
+                f"fc{_HOLT_H}": [(l_prev + _HOLT_H * b_prev) / 1e6],
+            }
+        )
+
+    return lat.groupBy("et").applyInPandas(
+        holt,
+        schema=(
+            "event_type string, n_days long, level double, trend double, "
+            f"fc{_HOLT_H} double"
+        ),
+    )

@@ -407,3 +407,25 @@ def test_benford_passes_loguniform_flags_uniform(spark, tmp_path):
     }
     assert devs2[1] > 0.15, devs2
     assert max(devs2.values()) > 0.15
+
+
+def test_holt_tracks_planted_linear_ramp(spark, tmp_path):
+    """On a 200-day linear ramp (slope 2.5/day + small noise) Holt's
+    trend state must converge to the true slope and the 7-day-ahead
+    forecast must extrapolate it; a flat series must keep trend ~ 0
+    and forecast ~ its level. (The level-only EWMA systematically lags
+    a ramp — the trend state is the operator's whole point.)"""
+    n = 200
+    ramp = [10.0 + 2.5 * i + 0.2 * _noise("hf", i) for i in range(n)]
+    flat = [50.0 + 0.2 * _noise("hg", i) for i in range(n)]
+    types, values, days = _interleave({"ramp": ramp, "flat": flat})
+    alt = _planted(tmp_path, "holt", types, values, days)
+    got = {r.event_type: r for r in _q("ts_holt_forecast")(spark, alt).collect()}
+    r, f = got["ramp"], got["flat"]
+    assert r.n_days == n and f.n_days == n
+    assert abs(r.trend - 2.5) < 0.2, r.trend
+    true_last = 10.0 + 2.5 * (n - 1)
+    assert abs(r.level - true_last) < 5, r.level
+    assert abs(r.fc7 - (true_last + 7 * 2.5)) < 6, r.fc7
+    assert abs(f.trend) < 0.1, f.trend
+    assert abs(f.fc7 - 50.0) < 1, f.fc7

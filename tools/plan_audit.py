@@ -198,6 +198,10 @@ NESTED_LOOP_OK = {
     "sim_search_ivfpq_recall",  # 1-row query LUT frame
     "sim_search_lsh_recall", # 1-row query-signature frame
     "text_keyword_extract",  # 1-row corpus doc-count frame
+    # r9:
+    "ml_pca_power",          # 1-row Frobenius-norm / Rayleigh frames
+    #   (the lit-key equi-join constant-folds to a trivially-true
+    #   condition, so Catalyst plans the one-row broadcast as BNLJ)
 }
 
 _JOIN_OPS = (
