@@ -138,6 +138,8 @@ AUDITED = [
     "sample_reservoir_k",
     "sample_weighted_k",
     "ml_pca_power",  # corpus-once sufficient stats + d^3 squaring loop
+    "dq_table_diff",  # full-outer key join of two snapshot versions
+    "ts_var_cvar",    # per-series rank window (calendar grain-bounded)
 ]
 
 
