@@ -1223,3 +1223,57 @@ def test_pca_power_matches_numpy_eigendecomposition(spark, sf_dir):
     assert cos > 0.999, cos
     # the iterate really is unit-norm up to the snap lattice
     assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+
+
+def test_point_in_polygon_matches_pure_python_raycast(spark, sf_dir):
+    """The inverted-cell-list + SQL ray cast must agree with an
+    independent pure-Python even-odd ray cast over ALL customers (no
+    cell prefilter — so the test also proves the bbox cell cover loses
+    no candidate). The oracle proves cross-engine agreement; this
+    proves the geometry."""
+    import hashlib
+
+    from agri_market_data_pipeline_spark.operators.geo import (
+        _LAT_BASE,
+        _LAT_SPAN,
+        _LON_BASE,
+        _LON_SPAN,
+        _PIP_POLYS,
+    )
+
+    got = {
+        r.polygon: (r.n_inside, r.custkey_checksum)
+        for r in _q("join_point_in_polygon")(spark, sf_dir).collect()
+    }
+
+    def coord(key, salt, base, span):
+        h = int(
+            hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:15], 16
+        )
+        return base + (h % span) / 10000.0
+
+    def inside(px, py, vs):
+        n = 0
+        for i, (x1, y1) in enumerate(vs):
+            x2, y2 = vs[(i + 1) % len(vs)]
+            if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (
+                x2 - x1
+            ) / (y2 - y1):
+                n += 1
+        return n % 2 == 1
+
+    keys = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+    want: dict[str, list[int]] = {}
+    for k in keys:
+        lat = coord(k, "clat", _LAT_BASE, _LAT_SPAN)
+        lon = coord(k, "clon", _LON_BASE, _LON_SPAN)
+        for name, vs in _PIP_POLYS.items():
+            if inside(lon, lat, vs):
+                want.setdefault(name, []).append(k)
+    assert got == {
+        name: (len(ks), sum(ks)) for name, ks in want.items()
+    }, (got, {n: len(k) for n, k in want.items()})
+    assert len(got) == 3 and all(v[0] > 0 for v in got.values())

@@ -140,6 +140,7 @@ AUDITED = [
     "ml_pca_power",  # corpus-once sufficient stats + d^3 squaring loop
     "dq_table_diff",  # full-outer key join of two snapshot versions
     "ts_var_cvar",    # per-series rank window (calendar grain-bounded)
+    "join_point_in_polygon",  # inverted-cell-list candidate equi-join
 ]
 
 
