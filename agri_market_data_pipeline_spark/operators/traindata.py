@@ -1316,3 +1316,125 @@ def mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("phase"),
         )
     )
+
+
+_IPF_ROUNDS = 6
+
+
+def _ipf_sql(rounds: int) -> str:
+    """DuckDB twin: IPF unrolled — per round a source-margin scaling
+    then a lang-margin scaling. Margin sums accumulate in DECIMAL(30,6)
+    (weights are exact 1e-6 multiples, so the sums are EXACT — no fold
+    order anywhere); each scaled weight snaps back to the
+    FLOOR(x·1e6+0.5)/1e6 lattice so drift cannot compound. Loop CTEs
+    MATERIALIZED (each state feeds both its margin agg and the scale
+    join)."""
+    ctes = [
+        """w0 AS MATERIALIZED (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM documents GROUP BY 1, 2)""",
+        """t AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT source) AS tr,
+         CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT lang) AS tl
+  FROM documents)""",
+    ]
+    prev = "w0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT w.source, w.lang, w.n,
+         FLOOR(w.w * (SELECT tr FROM t)
+               / CAST(rs.s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS w
+  FROM {prev} w JOIN (
+    SELECT source, SUM(CAST(w AS DECIMAL(30,6))) AS s
+    FROM {prev} GROUP BY 1) rs ON rs.source = w.source)"""
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT w.source, w.lang, w.n,
+         FLOOR(w.w * (SELECT tl FROM t)
+               / CAST(cs.s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS w
+  FROM r{i} w JOIN (
+    SELECT lang, SUM(CAST(w AS DECIMAL(30,6))) AS s
+    FROM r{i} GROUP BY 1) cs ON cs.lang = w.lang)"""
+        )
+        prev = f"c{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT source, lang, n AS n_docs, w AS weight FROM {prev}"""
+    )
+
+
+@query("mix_raking_ipf", oracle=_ipf_sql(_IPF_ROUNDS))
+def mix_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking / Sinkhorn scaling) of the
+    (source × lang) corpus contingency toward UNIFORM source and lang
+    margins — the 2-D calibration mix_domains' one-dimensional
+    reweighting cannot express: when both marginals must hit targets
+    simultaneously (balance sources AND languages for a training mix),
+    the classical answer is alternating margin scaling, and the result
+    is the maximum-entropy reweighting consistent with both targets
+    (Deming-Stephan 1940; Sinkhorn 1964). {_IPF_ROUNDS} rounds, each a
+    source-margin scale then a lang-margin scale.
+
+    Determinism: weights live on an exact 1e-6 lattice — margin sums
+    accumulate in DECIMAL(30,6), which is EXACT for lattice multiples
+    (no fold order at all); targets are single integer divisions; each
+    scaled weight snaps back to the lattice via FLOOR(x·1e6+0.5) (the
+    ml_pca_power per-round discipline). Full value hash, no rounding.
+
+    Scale: the contingency is ONE partial-agg scan of the corpus; the
+    loop runs on the K-cell frame (sources × langs — constant in
+    corpus size) with per-round parquet stats resets (each state feeds
+    both its margin agg and the scale join — the CLAUDE.md
+    stats-squaring rule). A pytest pins margin convergence: after
+    {_IPF_ROUNDS} rounds every source margin is within 0.1% of
+    uniform."""
+    from .graph import _materialized
+
+    d = load_parallel(spark, sf_dir, "documents")
+    w = (
+        d.groupBy("source", "lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "source", "lang", "n", F.col("n").cast("double").alias("w")
+        )
+    )
+    tot = d.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("lang").alias("nl"),
+    ).first()
+    tr = float(tot["n"]) / tot["ns"]
+    tl = float(tot["n"]) / tot["nl"]
+
+    def scale(df: DataFrame, key: str, target: float) -> DataFrame:
+        ms = df.groupBy(key).agg(
+            F.sum(F.col("w").cast("decimal(30,6)")).alias("s")
+        )
+        return (
+            df.join(F.broadcast(ms), key)
+            .select(
+                "source",
+                "lang",
+                "n",
+                (
+                    F.floor(
+                        F.col("w")
+                        * F.lit(target)
+                        / F.col("s").cast("double")
+                        * 1e6
+                        + F.lit(0.5)
+                    )
+                    / 1e6
+                ).alias("w"),
+            )
+        )
+
+    for _ in range(_IPF_ROUNDS):
+        w = _materialized(scale(scale(w, "source", tr), "lang", tl))
+    return w.select("source", "lang", F.col("n").alias("n_docs"),
+                    F.col("w").alias("weight"))

@@ -1277,3 +1277,27 @@ def test_point_in_polygon_matches_pure_python_raycast(spark, sf_dir):
         name: (len(ks), sum(ks)) for name, ks in want.items()
     }, (got, {n: len(k) for n, k in want.items()})
     assert len(got) == 3 and all(v[0] > 0 for v in got.values())
+
+
+def test_ipf_margins_converge_to_uniform(spark, sf_dir):
+    """The docstring's convergence claim, measured: after the fixed
+    rounds every SOURCE margin (the last-scaled axis is exact by
+    construction, so the test bites on the OTHER axis) is within 0.5%
+    of uniform, lang margins within the lattice of exact, and total
+    mass is preserved within lattice tolerance."""
+    rows = _q("mix_raking_ipf")(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.weight for r in rows)
+    n_docs = sum(r.n_docs for r in rows)
+    assert abs(total - n_docs) / n_docs < 1e-3
+    src: dict[str, float] = {}
+    lng: dict[str, float] = {}
+    for r in rows:
+        src[r.source] = src.get(r.source, 0.0) + r.weight
+        lng[r.lang] = lng.get(r.lang, 0.0) + r.weight
+    t_src = n_docs / len(src)
+    t_lng = n_docs / len(lng)
+    for s, m in src.items():
+        assert abs(m - t_src) / t_src < 5e-3, (s, m, t_src)
+    for g, m in lng.items():
+        assert abs(m - t_lng) / t_lng < 1e-4, (g, m, t_lng)
