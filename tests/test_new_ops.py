@@ -1301,3 +1301,75 @@ def test_ipf_margins_converge_to_uniform(spark, sf_dir):
         assert abs(m - t_src) / t_src < 5e-3, (s, m, t_src)
     for g, m in lng.items():
         assert abs(m - t_lng) / t_lng < 1e-4, (g, m, t_lng)
+
+
+def test_khop_distance_matches_pure_python_bfs(spark, sf_dir):
+    """graph_khop_distance vs an independent pure-Python BFS over the
+    same kNN backbone rebuilt from first principles (edge aggregation
+    in pandas, top-3 by the packed key, symmetrize, BFS from ASIA
+    nations, cap k=4) — the oracle proves cross-engine agreement, this
+    proves the graph construction and the distance semantics."""
+    import collections
+
+    import pandas as pd
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).toPandas()
+    reg = load(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).toPandas()
+
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    e = e[e.s_nationkey != e.c_nationkey]
+    knn = set()
+    for src, g in e.groupby("s_nationkey"):
+        g = g.assign(key=g.w * 32 + (31 - g.c_nationkey)).sort_values(
+            "key", ascending=False
+        )
+        for dst in g.c_nationkey.head(3):
+            knn.add((int(src), int(dst)))
+    und = collections.defaultdict(set)
+    for u, v in knn:
+        und[u].add(v)
+        und[v].add(u)
+    asia_key = int(reg[reg.r_name == "ASIA"].r_regionkey.iloc[0])
+    sources = set(nat[nat.n_regionkey == asia_key].n_nationkey)
+    dist = {int(n): (0 if n in sources else -1) for n in nat.n_nationkey}
+    frontier = set(sources)
+    for hop in range(1, 5):
+        nxt = set()
+        for u in frontier:
+            for v in und[u]:
+                if dist[v] == -1:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    want = {
+        nat[nat.n_nationkey == k].n_name.iloc[0]: d
+        for k, d in dist.items()
+    }
+    got = {
+        r.nation: r.hops
+        for r in _q("graph_khop_distance")(spark, sf_dir).collect()
+    }
+    assert got == want, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
