@@ -141,6 +141,8 @@ AUDITED = [
     "dq_table_diff",  # full-outer key join of two snapshot versions
     "ts_var_cvar",    # per-series rank window (calendar grain-bounded)
     "join_point_in_polygon",  # inverted-cell-list candidate equi-join
+    "ts_holt_forecast",  # applyInPandas per-series recursion
+    "mix_raking_ipf",    # corpus-once contingency + K-cell IPF loop
 ]
 
 
