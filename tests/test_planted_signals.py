@@ -429,3 +429,53 @@ def test_holt_tracks_planted_linear_ramp(spark, tmp_path):
     assert abs(r.fc7 - (true_last + 7 * 2.5)) < 6, r.fc7
     assert abs(f.trend) < 0.1, f.trend
     assert abs(f.fc7 - 50.0) < 1, f.fc7
+
+
+def test_ljung_box_fires_on_planted_weekly_cycle(spark, tmp_path):
+    """Q(7) on a planted weekly square wave must dwarf the white-noise
+    fixture's (whose Q(7) hovers near the chi-square(7) mean ~7), and
+    the lag-7 ACF must carry the cycle. The operator pools ALL event
+    types into one daily-total series, so each fixture plants a single
+    type."""
+    n = 140
+    for name, series, fires in (
+        ("noise", [100 * _noise("lbn", i) for i in range(n)], False),
+        (
+            "cycle",
+            [100.0 if i % 7 < 2 else 10.0 + _noise("lbc", i) for i in range(n)],
+            True,
+        ),
+    ):
+        alt = _planted(
+            tmp_path, f"lb_{name}", ["m"] * n, series, list(range(n))
+        )
+        rows = sorted(
+            _q("ts_ljung_box")(spark, alt).collect(), key=lambda r: r.lag
+        )
+        q7 = rows[-1].q_stat
+        acf7 = rows[-1].acf
+        if fires:
+            assert q7 > 100, (name, q7)
+            assert acf7 > 0.5, (name, acf7)
+        else:
+            assert q7 < 20, (name, q7)
+
+
+def test_psi_drift_fires_on_planted_shift(spark, tmp_path):
+    """The PSI alarm (sum of per-bucket terms; >=0.2 is the retrain
+    trigger) must stay near zero when baseline (pre-1998) and current
+    (>=1998) windows share a distribution, and blow past 0.2 on a
+    planted +60% location shift."""
+    for name, shift, lo, hi in (("same", 0.0, 0.0, 0.05), ("drift", 600.0, 0.2, 99.0)):
+        rows = []
+        for i in range(3000):
+            v = 1000 + 500 * _noise("psib", i)
+            rows.append((pd.Timestamp("1996-03-01"), "1-URGENT", v))
+        for i in range(3000):
+            v = 1000 + shift + 500 * _noise("psic", i)
+            rows.append((pd.Timestamp("1998-06-01"), "1-URGENT", v))
+        alt = _planted_orders(tmp_path, f"psi_{name}", rows)
+        psi = sum(
+            r.psi_term for r in _q("dq_distribution_drift")(spark, alt).collect()
+        )
+        assert lo <= psi <= hi, (name, psi)
