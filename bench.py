@@ -90,9 +90,17 @@ HEADLINE = [
     "layout_bloom_pruning",
     "incr_minhash_merge",
     "agg_winsorized_mean_sketch",
-    # r9 representative: the bounded-round BFS distance loop (same
-    # pin-next-round rule)
+    # r9 representatives: the bounded-round BFS distance loop (pinned
+    # this round from the two r9 runs), plus the round's cheap new
+    # operators (pins land next round per the two-run band rule; the
+    # heavy loops ml_pca_power / mix_raking_ipf stay off the headline
+    # set — their scale evidence is SCALING.md's measured rows)
     "graph_khop_distance",
+    "ts_var_cvar",
+    "dq_table_diff",
+    "join_point_in_polygon",
+    "ts_holt_forecast",
+    "agg_permutation_test",
 ]
 
 
