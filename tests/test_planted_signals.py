@@ -479,3 +479,74 @@ def test_psi_drift_fires_on_planted_shift(spark, tmp_path):
             r.psi_term for r in _q("dq_distribution_drift")(spark, alt).collect()
         )
         assert lo <= psi <= hi, (name, psi)
+
+
+def test_xcorr_finds_planted_lead_lag(spark, tmp_path):
+    """ts_cross_correlation must put the argmax correlation at the
+    planted lag: y_t = x_{t-2} + tiny noise, so (type_a=xs, type_b=ys)
+    peaks at lag +2 with r near 1, and the lag-0 correlation of two
+    independent noise series stays small."""
+    n = 120
+    x = [10 * _noise("xc", i) for i in range(n)]
+    y = [0.0, 0.0] + [x[i - 2] + 0.01 * _noise("yc", i) for i in range(2, n)]
+    types, values, days = _interleave({"xs": x, "ys": y})
+    alt = _planted(tmp_path, "xcorr", types, values, days)
+    rows = {
+        (r.type_a, r.type_b, r.lag): r.xcorr
+        for r in _q("ts_cross_correlation")(spark, alt).collect()
+    }
+    fwd = {
+        lag: v for (a, b, lag), v in rows.items() if a == "xs" and b == "ys"
+    }
+    best = max(fwd, key=lambda k: fwd[k])
+    assert best == 2 and fwd[2] > 0.95, fwd
+    assert abs(fwd[0]) < 0.5, fwd
+
+
+def test_chi2_fires_on_planted_mix_dependence(spark, tmp_path):
+    """chi2 must stay around its df (=4) when the event-type mix is
+    independent of the md5 variant and blow up when variant-1 users'
+    mix is skewed hard toward 'purchase'."""
+    import hashlib as _h
+
+    def variant(uid: int) -> int:
+        return int(_h.md5(f"chi:{uid}".encode()).hexdigest()[:8], 16) % 2
+
+    typs = ("click", "error", "purchase", "signup", "view")
+    n = 5000
+    for name, skew, bound_lo, bound_hi in (
+        ("indep", False, 0.0, 16.0),
+        ("dep", True, 100.0, 1e12),
+    ):
+        types, values, days, users = [], [], [], []
+        for i in range(n):
+            uid = i % 211
+            if skew and variant(uid) == 1:
+                t = "purchase" if _noise("c2", i) < 0.6 else typs[i % 5]
+            else:
+                t = typs[i % 5]
+            types.append(t)
+            values.append(1.0)
+            days.append(i)
+            users.append(uid)
+        alt = tmp_path / f"chi_{name}"
+        alt.mkdir()
+        for tb in _TABLES:
+            shutil.copy(
+                f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+            )
+        ev = pd.DataFrame(
+            {
+                "event_id": list(range(n)),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(days, unit="m"),
+                "user_id": users,
+                "event_type": types,
+                "value": values,
+                "props": ["{}"] * n,
+            }
+        )
+        ev.to_parquet(alt / "events.parquet", coerce_timestamps="us")
+        r = _q("agg_chi2_independence")(spark, str(alt)).collect()[0]
+        assert r.df == 4 and r.n == n
+        assert bound_lo <= r.chi2 <= bound_hi, (name, r.chi2)
