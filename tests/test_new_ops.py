@@ -1373,3 +1373,26 @@ def test_khop_distance_matches_pure_python_bfs(spark, sf_dir):
         for r in _q("graph_khop_distance")(spark, sf_dir).collect()
     }
     assert got == want, {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]}
+
+
+def test_pack_radix_guard_fails_loudly_on_domain_growth(spark, tmp_path):
+    """ADVICE r8: the packed argmax keys (LPA's base-1024, Boruvka's
+    and khop's base-32) silently lose injectivity if the vertex domain
+    outgrows the radix — the guard must raise instead. A fake nation
+    table with node id 40 must trip the base-32 guard and pass the
+    base-1024 one."""
+    import pandas as pd
+    import pytest
+
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _assert_node_radix,
+    )
+
+    pd.DataFrame(
+        {"n_nationkey": [0, 5, 40], "n_name": ["A", "B", "C"],
+         "n_regionkey": [0, 0, 1]}
+    ).to_parquet(tmp_path / "nation.parquet")
+    sf = str(tmp_path)
+    with pytest.raises(ValueError, match="pack radix 32"):
+        _assert_node_radix(spark, sf, 32, "graph_khop_distance")
+    _assert_node_radix(spark, sf, 1024, "graph_label_propagation")
