@@ -584,6 +584,23 @@ def _lpa_sql(rounds: int) -> str:
     ws*1024 + (1023 - lbl) is injective in (ws, lbl) for lbl <= 1023,
     so arg_max is tie-free and engine-identical; all arithmetic is
     integer."""
+    ctes = _lpa_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       FROM l{rounds} GROUP BY 1)
+SELECT nat.n_name AS nation, l.lbl AS community, sz.community_size
+FROM l{rounds} l
+JOIN sz ON sz.lbl = l.lbl
+JOIN nation nat ON nat.n_nationkey = l.node"""
+    )
+
+
+def _lpa_ctes(rounds: int) -> list:
+    """The shared LPA CTE chain (edge build + label rounds) — consumed
+    by _lpa_sql and by graph_community_modularity's oracle."""
     ctes = [
         f"e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst)",
         """und AS MATERIALIZED (
@@ -608,17 +625,7 @@ def _lpa_sql(rounds: int) -> str:
     GROUP BY u
   ) x ON x.u = n.node)"""
         )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
-       FROM l{rounds} GROUP BY 1)
-SELECT nat.n_name AS nation, l.lbl AS community, sz.community_size
-FROM l{rounds} l
-JOIN sz ON sz.lbl = l.lbl
-JOIN nation nat ON nat.n_nationkey = l.node"""
-    )
+    return ctes
 
 
 @query("graph_label_propagation", oracle=_lpa_sql(_LPA_ROUNDS))
@@ -1090,4 +1097,130 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n_name").alias("nation"),
         F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("hops"),
+    )
+
+
+def _modularity_sql(rounds: int) -> str:
+    """DuckDB twin: the LPA CTE chain, then Newman modularity of TWO
+    partitions — LPA's labels and the region grouping — computed
+    ENTIRELY in integers: per (partition, community) the internal
+    weight win_c and degree deg_c are BIGINT sums over the doubled
+    undirected edge list, and Q = (W·Σwin − Σdeg²)/W² is one division
+    of exact integers (the integer-ratio rule: bitwise, unrounded).
+    Σ_c deg_c = W per partition by construction."""
+    ctes = _lpa_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lbl AS MATERIALIZED (
+  SELECT 'lpa' AS part, node, lbl FROM l{rounds}
+  UNION ALL
+  SELECT 'region' AS part, n_nationkey AS node,
+         CAST(n_regionkey AS BIGINT) AS lbl
+  FROM nation),
+cm AS MATERIALIZED (
+  SELECT a.part, a.lbl AS community,
+         CAST(SUM(und.w) AS BIGINT) AS deg,
+         CAST(COALESCE(SUM(und.w) FILTER (WHERE b.lbl = a.lbl), 0)
+              AS BIGINT) AS win
+  FROM und
+  JOIN lbl a ON a.node = und.u
+  JOIN lbl b ON b.node = und.v AND b.part = a.part
+  GROUP BY 1, 2)
+SELECT part AS partitioning,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       CAST(SUM(deg) AS BIGINT) AS w_total,
+       (CAST(SUM(deg) AS DOUBLE) * CAST(SUM(win) AS DOUBLE)
+        - CAST(SUM(deg * deg) AS DOUBLE))
+       / (CAST(SUM(deg) AS DOUBLE) * CAST(SUM(deg) AS DOUBLE))
+         AS q_modularity
+FROM cm GROUP BY part"""
+    )
+
+
+@query("graph_community_modularity", oracle=_modularity_sql(_LPA_ROUNDS))
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q — the EVALUATION member of the graph family
+    (LPA produces a partition; nothing scored it): Q = Σ_c [win_c/W −
+    (deg_c/W)²], positive when a partition holds more weight inside
+    communities than a random degree-preserving rewiring would. Scored
+    for TWO partitions side by side: LPA's labels (which collapse this
+    dense trade graph to ONE community — Q = 0 exactly, itself the
+    finding: every nation trades with every nation at these SFs) and
+    the REGION grouping (does geography explain trade structure? its
+    Q quantifies the answer). Computed as Q = (W·Σwin − Σdeg²)/W² —
+    all three sums exact BIGINTs over the doubled undirected edge list
+    (W = Σ_c deg_c per partition by construction), so each output is
+    one division of exact integers: bitwise identical, NO rounding.
+
+    Scale: rides graph_label_propagation's build (facts reduce once);
+    scoring is two broadcast label joins on the ≤n² edge list + a
+    K-row agg. At real graph scale this is the convergence metric a
+    Louvain loop maximizes — here it audits fixed partitions.
+
+    Headroom: W·Σwin ≤ (2L)²·K stays inside BIGINT-as-double exactness
+    until ~1e8-line graphs — widen to DECIMAL(38,0) beyond."""
+    lpa = graph_label_propagation(spark, sf_dir)
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name", "n_regionkey"
+    )
+    lbl = (
+        lpa.join(F.broadcast(nat), lpa.nation == nat.n_name)
+        .select(
+            F.lit("lpa").alias("part"),
+            "node",
+            F.col("community").alias("lbl"),
+        )
+        .unionAll(
+            nat.select(
+                F.lit("region").alias("part"),
+                "node",
+                F.col("n_regionkey").cast("bigint").alias("lbl"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    la = lbl.select(
+        F.col("part"), F.col("node").alias("u"), F.col("lbl").alias("ca")
+    )
+    lb = lbl.select(
+        F.col("part").alias("pb"),
+        F.col("node").alias("v"),
+        F.col("lbl").alias("cb"),
+    )
+    cm = (
+        und.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), (lb.pb == F.col("part")) & (lb.v == und.v))
+        .groupBy("part", F.col("ca").alias("community"))
+        .agg(
+            F.sum("w").cast("bigint").alias("deg"),
+            F.coalesce(
+                F.sum(F.when(F.col("ca") == F.col("cb"), F.col("w"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("win"),
+        )
+    )
+    deg, win = F.col("deg"), F.col("win")
+    return cm.groupBy(F.col("part").alias("partitioning")).agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum(deg).cast("bigint").alias("w_total"),
+        (
+            (
+                F.sum(deg).cast("double") * F.sum(win).cast("double")
+                - F.sum(deg * deg).cast("double")
+            )
+            / (F.sum(deg).cast("double") * F.sum(deg).cast("double"))
+        ).alias("q_modularity"),
     )

@@ -1396,3 +1396,65 @@ def test_pack_radix_guard_fails_loudly_on_domain_growth(spark, tmp_path):
     with pytest.raises(ValueError, match="pack radix 32"):
         _assert_node_radix(spark, sf, 32, "graph_khop_distance")
     _assert_node_radix(spark, sf, 1024, "graph_label_propagation")
+
+
+def test_modularity_matches_pure_python_newman(spark, sf_dir):
+    """graph_community_modularity vs an independent pandas rebuild of
+    the doubled undirected edge list and a direct Newman Q for the
+    REGION partition; the LPA row must be exactly 0 with one community
+    (the dense trade graph collapses — itself the pinned finding), and
+    both partitions see the same total weight."""
+    rows = {
+        r.partitioning: r
+        for r in _q("graph_community_modularity")(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"lpa", "region"}
+    assert rows["lpa"].n_communities == 1
+    assert rows["lpa"].q_modularity == 0.0
+    assert rows["lpa"].w_total == rows["region"].w_total
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    ).toPandas()
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    e = e[e.s_nationkey != e.c_nationkey]
+    und: dict[tuple[int, int], int] = {}
+    for _, r in e.iterrows():
+        for u, v in ((int(r.s_nationkey), int(r.c_nationkey)),
+                     (int(r.c_nationkey), int(r.s_nationkey))):
+            und[(u, v)] = und.get((u, v), 0) + int(r.w)
+    region = dict(zip(nat.n_nationkey, nat.n_regionkey))
+    deg: dict[int, int] = {}
+    win: dict[int, int] = {}
+    for (u, v), w in und.items():
+        cu = region[u]
+        deg[cu] = deg.get(cu, 0) + w
+        if region[v] == cu:
+            win[cu] = win.get(cu, 0) + w
+    W = sum(deg.values())
+    sw = sum(win.values())
+    sd2 = sum(d * d for d in deg.values())
+    q = (W * sw - sd2) / (W * W)
+    got = rows["region"]
+    assert got.n_communities == len(deg)
+    assert got.w_total == W
+    assert got.q_modularity == q, (got.q_modularity, q)
