@@ -143,6 +143,7 @@ AUDITED = [
     "join_point_in_polygon",  # inverted-cell-list candidate equi-join
     "ts_holt_forecast",  # applyInPandas per-series recursion
     "mix_raking_ipf",    # corpus-once contingency + K-cell IPF loop
+    "graph_community_modularity",  # rides LPA + two label joins
 ]
 
 
