@@ -1458,3 +1458,39 @@ def test_modularity_matches_pure_python_newman(spark, sf_dir):
     assert got.n_communities == len(deg)
     assert got.w_total == W
     assert got.q_modularity == q, (got.q_modularity, q)
+
+
+def test_table_diff_counts_close_the_reconciliation_loop(spark, sf_dir):
+    """dq_table_diff's classification must satisfy the reconciliation
+    identities against an independent pandas rebuild of both versions:
+    n_old = deleted + changed + unchanged, n_new = inserted + changed +
+    unchanged, every changed row moved exactly +1.00 (so the drift is
+    100 cents per changed row), and inserted/deleted counts match the
+    md5 selections."""
+    import hashlib
+
+    import pandas as pd
+
+    got = {
+        r.change_type: (r.n_rows, r.sum_price_delta_cents)
+        for r in _q("dq_table_diff")(spark, sf_dir).collect()
+    }
+
+    def pick(tag, k, mod):
+        return int(hashlib.md5(f"{tag}{k}".encode()).hexdigest()[:8], 16) % mod
+
+    o = pd.read_parquet(
+        sf_dir + "/orders.parquet", columns=["o_orderkey"]
+    )
+    keys = o.o_orderkey.tolist()
+    n_old = len(keys)
+    deleted = sum(1 for k in keys if pick("del:", k, 29) == 0)
+    survivors = [k for k in keys if pick("del:", k, 29) != 0]
+    changed = sum(1 for k in survivors if pick("mod:", k, 17) == 0)
+    inserted = sum(1 for k in keys if pick("ins:", k, 31) == 0)
+    unchanged = len(survivors) - changed
+    assert got["deleted"] == (deleted, 0)
+    assert got["inserted"] == (inserted, 0)
+    assert got["changed"] == (changed, 100 * changed)
+    assert got["unchanged"] == (unchanged, 0)
+    assert got["deleted"][0] + got["changed"][0] + got["unchanged"][0] == n_old
