@@ -1966,3 +1966,122 @@ def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ray), "k")
         .select("i", F.col("v").alias("loading"), "eigval")
     )
+
+
+_ECE_BINS = 10
+
+_ECE_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT vec_id, y, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score
+  FROM z
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(score * {_ECE_BINS}) AS BIGINT),
+               {_ECE_BINS - 1}) AS bin,
+         y, score
+  FROM s
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos,
+       CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+         AS avg_score,
+       ABS(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+           - CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*))
+         AS abs_gap
+FROM b GROUP BY bin
+"""
+
+
+@query("ml_calibration_ece", oracle=_ECE_SQL)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / expected-calibration-error bins — the
+    standard post-training eval beside accuracy (ml_knn_classify) and
+    loss (ml_logreg_quality): bucket predictions by confidence and
+    compare each bin's predicted probability to its empirical positive
+    rate; ECE = Σ (n_b/N)·|gap_b| is the headline scalar the test
+    assembles from the long form. The score is a FIXED md5-derived
+    linear probe through the sigmoid (deterministic stand-in for a
+    trained model's logits — the binning/gap machinery is the operator;
+    swap in any score column unchanged), the target label % 2.
+
+    Determinism: the probe weights are md5-lattice rationals; z
+    accumulates per-dimension products in DECIMAL(30,15) (order-exact);
+    EXP is transcendental, so the score takes ROUND(6) BEFORE binning
+    (bin edges then compare lattice values — the CLAUDE.md rule that
+    rounding must precede any comparison on a transcendental); bin
+    sums of the rounded score are DECIMAL-exact (1e-6 multiples) and
+    frac_pos is an exact integer ratio — bitwise, unrounded.
+
+    Scale: one corpus scan (explode × broadcast 64-row probe), one
+    {_ECE_BINS}-key partial agg — calibration audits are scan-bound at
+    any corpus size."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = x.select(
+        "vec_id", "y", "xi", probe_w.alias("w")
+    ).groupBy("vec_id", "y").agg(
+        F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("z")
+    )
+    s = z.select(
+        "vec_id",
+        "y",
+        F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6).alias("score"),
+    )
+    b = s.select(
+        "y",
+        "score",
+        F.least(
+            F.floor(F.col("score") * _ECE_BINS).cast("bigint"),
+            F.lit(_ECE_BINS - 1),
+        ).alias("bin"),
+    )
+    frac = F.sum("y").cast("double") / F.count("*")
+    avg_s = (
+        F.sum(F.col("score").cast("decimal(30,6)")).cast("double")
+        / F.count("*")
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        frac.alias("frac_pos"),
+        avg_s.alias("avg_score"),
+        F.abs(frac - avg_s).alias("abs_gap"),
+    )

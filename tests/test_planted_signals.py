@@ -550,3 +550,51 @@ def test_chi2_fires_on_planted_mix_dependence(spark, tmp_path):
         r = _q("agg_chi2_independence")(spark, str(alt)).collect()[0]
         assert r.df == 4 and r.n == n
         assert bound_lo <= r.chi2 <= bound_hi, (name, r.chi2)
+
+
+def test_calibration_ece_separates_calibrated_from_inverted(spark, tmp_path):
+    """ml_calibration_ece on a planted CALIBRATED fixture (labels drawn
+    with P(y=1) exactly equal to the probe's sigmoid score) must report
+    a small weighted ECE, and on an INVERTED fixture (P(y=1) =
+    sigmoid(-z)) a large one — the reliability machinery measures what
+    it claims. Embeddings are constructed so z = t exactly: x =
+    t·w/Σw², with the same md5 probe weights the operator derives."""
+    import numpy as np
+
+    w = np.array(
+        [
+            (int(hashlib.md5(f"probe:{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(1, 65)
+        ]
+    )
+    sw2 = float(w @ w)
+    n = 4000
+    for name, invert, bound, op in (
+        ("cal", False, 0.07, "lt"),
+        ("inv", True, 0.2, "gt"),
+    ):
+        alt = tmp_path / name
+        alt.mkdir()
+        for t in _TABLES:
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+            )
+        vecs, labels = [], []
+        for vid in range(n):
+            t = -4.0 + 8.0 * _noise("ece_t", vid)
+            x = (t / sw2) * w
+            vecs.append(x.astype(np.float32).tolist())
+            p = 1.0 / (1.0 + np.exp(t if invert else -t))
+            labels.append(1 if _noise("ece_y", vid) < p else 0)
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": vecs, "label": labels}
+        ).to_parquet(alt / "embeddings.parquet")
+        rows = _q("ml_calibration_ece")(spark, str(alt)).collect()
+        total = sum(r.n_rows for r in rows)
+        assert total == n
+        ece = sum(r.n_rows / total * r.abs_gap for r in rows)
+        if op == "lt":
+            assert ece < bound, (name, ece)
+        else:
+            assert ece > bound, (name, ece)
