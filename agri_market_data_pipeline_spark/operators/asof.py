@@ -459,3 +459,177 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(dense),
         (clamped.prio == dense.prio) & (clamped.join_d == dense.d),
     ).select("l_orderkey", "l_linenumber", "sd", "idx_date", "idx_val")
+
+
+_OV_GAP_US = 30 * 60 * 1_000_000  # the win_sessionize 30-min gap
+_OV_TOPK = 8      # sessions per day entering the pair stage
+_OV_BUCKETS = 16  # phase-1 md5 buckets (the sample_neyman two-phase cut)
+
+_OV_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, tus,
+         CAST(SUM(CASE WHEN prev IS NULL OR tus - prev > {_OV_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM x
+),
+sess AS (
+  SELECT user_id, sid,
+         CAST(MIN(tus) AS BIGINT) AS s_us,
+         CAST(MAX(tus) AS BIGINT) AS e_us,
+         CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur,
+         CAST(MIN(tus) // 86400000000 AS BIGINT) AS day_no,
+         CAST(('0x' || substring(md5('ov:' || CAST(user_id AS VARCHAR)
+                                  || ':' || CAST(sid AS VARCHAR)), 1, 8))
+              AS BIGINT) % {_OV_BUCKETS} AS bkt
+  FROM s GROUP BY user_id, sid
+),
+p1 AS (
+  SELECT * FROM (
+    SELECT sess.*,
+           ROW_NUMBER() OVER (PARTITION BY day_no, bkt
+                              ORDER BY dur DESC, user_id, sid) AS r1
+    FROM sess) WHERE r1 <= {_OV_TOPK}
+),
+p2 AS (
+  SELECT * FROM (
+    SELECT p1.*,
+           ROW_NUMBER() OVER (PARTITION BY day_no
+                              ORDER BY dur DESC, user_id, sid) AS r2
+    FROM p1) WHERE r2 <= {_OV_TOPK}
+)
+SELECT a.day_no,
+       a.user_id AS user_a, a.sid AS sid_a,
+       b.user_id AS user_b, b.sid AS sid_b,
+       CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS BIGINT)
+         AS overlap_us
+FROM p2 a JOIN p2 b
+  ON b.day_no = a.day_no
+ AND (a.user_id < b.user_id
+      OR (a.user_id = b.user_id AND a.sid < b.sid))
+ AND LEAST(a.e_us, b.e_us) > GREATEST(a.s_us, b.s_us)
+"""
+
+
+@query("join_interval_overlap", oracle=_OV_SQL)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — the temporal-join member the
+    family lacked (join_interval_events is point-in-interval;
+    join_asof_* are nearest-point): among each day's {_OV_TOPK} longest
+    sessions (sessions assigned to their START day), every pair whose
+    intervals intersect, with the exact overlap duration — 'do the
+    day's heaviest sessions coincide?', the co-activity question
+    capacity planning asks after ts_session_concurrency reports the
+    peak COUNT.
+
+    Enumerating ALL overlapping pairs is inherently quadratic in
+    per-hour density (the pair COUNT itself is), so the operator's
+    contract is top-k-per-day: the selection is a TWO-PHASE top-k over
+    {_OV_BUCKETS} md5 buckets (the sample_neyman discipline — a plain
+    per-day rank window is the banned constant-cardinality-key sort;
+    phase 1 ranks within (day, bucket), phase 2 ranks the ≤{_OV_BUCKETS}
+    ·{_OV_TOPK} survivors), and the pair stage is day-blocked with
+    ≤ C(k,2) pairs per day. Same-user pairs are impossible (gap-based
+    sessions of one user are disjoint) but the lexicographic
+    (user, sid) antisymmetry keeps each pair once regardless.
+
+    Determinism: all interval arithmetic in integral epoch µs (the
+    win_sessionize rule); the rank order (dur DESC, user, sid) is a
+    total order over unique session keys; overlap durations are exact
+    BIGINTs — full value hash, no rounding."""
+    ev = load(spark, sf_dir, "events")
+    tus = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    base = ev.select("user_id", "event_id", tus.alias("tus"))
+    prev = F.lag("tus").over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("tus") - prev > _OV_GAP_US), 1
+    ).otherwise(0)
+    sess = (
+        base.withColumn(
+            "sid",
+            F.sum(new_sess)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("tus").cast("bigint").alias("s_us"),
+            F.max("tus").cast("bigint").alias("e_us"),
+        )
+        .select(
+            "user_id",
+            "sid",
+            "s_us",
+            "e_us",
+            (F.col("e_us") - F.col("s_us")).cast("bigint").alias("dur"),
+            F.expr("s_us div 86400000000").cast("bigint").alias("day_no"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ov:"),
+                                F.col("user_id").cast("string"),
+                                F.lit(":"),
+                                F.col("sid").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _OV_BUCKETS
+            ).alias("bkt"),
+        )
+    )
+    w1 = Window.partitionBy("day_no", "bkt").orderBy(
+        F.desc("dur"), F.asc("user_id"), F.asc("sid")
+    )
+    p1 = sess.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= _OV_TOPK
+    )
+    w2 = Window.partitionBy("day_no").orderBy(
+        F.desc("dur"), F.asc("user_id"), F.asc("sid")
+    )
+    p2 = (
+        p1.withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= _OV_TOPK)
+        .select("day_no", "user_id", "sid", "s_us", "e_us")
+    )
+    a = p2.alias("a")
+    b = p2.alias("b")
+    ov = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
+        F.col("a.s_us"), F.col("b.s_us")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("b.day_no") == F.col("a.day_no"))
+            & (
+                (F.col("a.user_id") < F.col("b.user_id"))
+                | (
+                    (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.sid") < F.col("b.sid"))
+                )
+            )
+            & (ov > 0),
+        )
+        .select(
+            F.col("a.day_no").alias("day_no"),
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            ov.cast("bigint").alias("overlap_us"),
+        )
+    )

@@ -1494,3 +1494,36 @@ def test_table_diff_counts_close_the_reconciliation_loop(spark, sf_dir):
     assert got["changed"] == (changed, 100 * changed)
     assert got["unchanged"] == (unchanged, 0)
     assert got["deleted"][0] + got["changed"][0] + got["unchanged"][0] == n_old
+
+
+def test_interval_overlap_pairs_are_genuine_and_topk(spark, sf_dir):
+    """Every reported pair must be two REAL win_sessionize sessions of
+    different users whose intervals truly intersect by exactly the
+    reported µs, both among their day's top-8 by duration; pair count
+    per day stays under C(8,2)."""
+    sess = {
+        (r.user_id, r.session_id): (r.t0_us, r.t1_us)
+        for r in _q("win_sessionize")(spark, sf_dir).collect()
+    }
+    by_day: dict[int, list] = {}
+    for (u, sid), (t0, t1) in sess.items():
+        by_day.setdefault(t0 // 86400000000, []).append(
+            (t1 - t0, u, sid)
+        )
+    rows = _q("join_interval_overlap")(spark, sf_dir).collect()
+    assert rows
+    per_day: dict[int, int] = {}
+    for r in rows:
+        a = sess[(r.user_a, r.sid_a)]
+        b = sess[(r.user_b, r.sid_b)]
+        assert r.overlap_us == min(a[1], b[1]) - max(a[0], b[0]) > 0
+        assert (r.user_a, r.sid_a) != (r.user_b, r.sid_b)
+        top8 = {
+            (u, sid)
+            for _, u, sid in sorted(
+                by_day[r.day_no], key=lambda t: (-t[0], t[1], t[2])
+            )[:8]
+        }
+        assert (r.user_a, r.sid_a) in top8 and (r.user_b, r.sid_b) in top8
+        per_day[r.day_no] = per_day.get(r.day_no, 0) + 1
+    assert all(c <= 28 for c in per_day.values())

@@ -144,6 +144,7 @@ AUDITED = [
     "ts_holt_forecast",  # applyInPandas per-series recursion
     "mix_raking_ipf",    # corpus-once contingency + K-cell IPF loop
     "graph_community_modularity",  # rides LPA + two label joins
+    "join_interval_overlap",  # two-phase top-k + day-blocked pair join
 ]
 
 
