@@ -1438,3 +1438,301 @@ def mix_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = _materialized(scale(scale(w, "source", tr), "lang", tl))
     return w.select("source", "lang", F.col("n").alias("n_docs"),
                     F.col("w").alias("weight"))
+
+
+_GBM_ROUNDS = 3
+_GBM_B = 32          # per-feature histogram buckets (ml_dt_stump's)
+_GBM_NU = 0.5        # shrinkage — exact binary fraction
+# state units: u = 1e-4 cents, so means snap losslessly to integers
+_GBM_FEATS = (("disc", "bd"), ("price", "bp"), ("qty", "bq"))
+
+
+def _gbm_sql(rounds: int) -> str:
+    """DuckDB twin: the cell sufficient-statistics build, then each
+    boosting round as axis-rollup → cumulative split scoring → 1-row
+    argmax → cell state update, all MATERIALIZED (each state feeds the
+    rollup AND the update; each best feeds the update AND the output).
+    Residual sums are exact BIGINTs in u = 1e-4-cent units recomputed
+    from (n, sy, fl) each round — no float state anywhere; the split
+    score (rl²/nl + rr²/nr) and the threshold are fixed IEEE trees over
+    those integers, and the per-side mean snaps back to the integer
+    lattice via FLOOR(ν·r/n + 0.5)."""
+    b = _GBM_B
+    bucket = (
+        "CASE WHEN {hi} = {lo} THEN 0 ELSE LEAST(CAST(FLOOR(({v} - {lo})"
+        " / (({hi} - {lo}) / " + f"{b}.0)) AS BIGINT), {b - 1}) END"
+    )
+    ctes = [
+        """rng AS (
+  SELECT MIN(l_discount) AS dlo, MAX(l_discount) AS dhi,
+         MIN(l_extendedprice) AS plo, MAX(l_extendedprice) AS phi,
+         MIN(l_quantity) AS qlo, MAX(l_quantity) AS qhi
+  FROM lineitem)""",
+        f"""cells AS MATERIALIZED (
+  SELECT {bucket.format(v='l.l_discount', lo='r.dlo', hi='r.dhi')} AS bd,
+         {bucket.format(v='l.l_extendedprice', lo='r.plo', hi='r.phi')} AS bp,
+         {bucket.format(v='l.l_quantity', lo='r.qlo', hi='r.qhi')} AS bq,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sy
+  FROM lineitem l, rng r
+  GROUP BY 1, 2, 3)""",
+        """f0 AS (
+  SELECT CAST((SUM(sy) * 10000) // SUM(n) AS BIGINT) AS fl FROM cells)""",
+        """c0 AS MATERIALIZED (
+  SELECT bd, bp, bq, n, sy, (SELECT fl FROM f0) AS fl FROM cells)""",
+    ]
+    out_rows = []
+    for m in range(1, rounds + 1):
+        p = f"c{m - 1}"
+        ctes.append(
+            f"""ax{m} AS (
+  SELECT 'disc' AS f, bd AS bucket, n, sy * 10000 - n * fl AS ru FROM {p}
+  UNION ALL
+  SELECT 'price', bp, n, sy * 10000 - n * fl FROM {p}
+  UNION ALL
+  SELECT 'qty', bq, n, sy * 10000 - n * fl FROM {p})"""
+        )
+        ctes.append(
+            f"""cum{m} AS (
+  SELECT f, bucket,
+         CAST(SUM(nn) OVER w AS BIGINT) AS nl,
+         CAST(SUM(rr) OVER w AS BIGINT) AS rl,
+         CAST(SUM(nn) OVER t AS BIGINT) AS nt,
+         CAST(SUM(rr) OVER t AS BIGINT) AS rt
+  FROM (SELECT f, bucket, CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(ru) AS BIGINT) AS rr
+        FROM ax{m} GROUP BY 1, 2)
+  WINDOW w AS (PARTITION BY f ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY f))"""
+        )
+        ctes.append(
+            f"""best{m} AS MATERIALIZED (
+  SELECT *, CAST(FLOOR({_GBM_NU} * (CAST(rl AS DOUBLE) / nl) + 0.5)
+                 AS BIGINT) AS dl,
+         CAST(FLOOR({_GBM_NU} * (CAST(rt - rl AS DOUBLE) / (nt - nl)) + 0.5)
+              AS BIGINT) AS dr
+  FROM (
+    SELECT f, bucket, nl, rl, nt, rt,
+           ROW_NUMBER() OVER (ORDER BY
+             (CAST(rl AS DOUBLE) / 1e6) * (CAST(rl AS DOUBLE) / 1e6) / nl
+             + (CAST(rt - rl AS DOUBLE) / 1e6)
+               * (CAST(rt - rl AS DOUBLE) / 1e6) / (nt - nl) DESC,
+             f ASC, bucket ASC) AS rn
+    FROM cum{m} WHERE nl < nt)
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{m} AS MATERIALIZED (
+  SELECT c.bd, c.bp, c.bq, c.n, c.sy,
+         c.fl + CASE WHEN (CASE b.f WHEN 'disc' THEN c.bd
+                                    WHEN 'price' THEN c.bp
+                                    ELSE c.bq END) <= b.bucket
+                     THEN b.dl ELSE b.dr END AS fl
+  FROM c{m - 1} c, best{m} b)"""
+        )
+        out_rows.append(
+            f"""SELECT CAST({m} AS BIGINT) AS round, b.f AS feature,
+       b.bucket AS split_bucket,
+       (CASE b.f WHEN 'disc' THEN r.dlo + (b.bucket + 1) * ((r.dhi - r.dlo) / {b}.0)
+                 WHEN 'price' THEN r.plo + (b.bucket + 1) * ((r.phi - r.plo) / {b}.0)
+                 ELSE r.qlo + (b.bucket + 1) * ((r.qhi - r.qlo) / {b}.0) END)
+         AS threshold,
+       b.nl AS n_left, b.nt - b.nl AS n_right,
+       b.dl AS delta_left_u, b.dr AS delta_right_u
+FROM best{m} b, rng r"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(out_rows)
+    )
+
+
+@query("ml_gbm_stumps", oracle=_gbm_sql(_GBM_ROUNDS))
+def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted decision stumps (squared loss, ν = 1/2,
+    {_GBM_ROUNDS} rounds) regressing the line price on the three
+    histogram features — the ENSEMBLE layer over ml_dt_stump's single
+    split, i.e. the LightGBM/XGBoost 'hist' training loop in
+    miniature. The corpus is touched ONCE: because the bucket lattice
+    is fixed, a row's prediction depends only on its (bd, bp, bq)
+    bucket triple, so ALL training state lives on the ≤{_GBM_B}³-cell
+    sufficient-statistics frame (n, Σcents per cell) and every round
+    is axis-rollup → cumulative split scoring → argmax → cell update —
+    cost independent of row count beyond the one scan, the same
+    sufficient-statistics factoring as ml_pca_power.
+
+    Determinism: cell counts and price sums are exact BIGINTs; the
+    model value fl lives on an integer u = 1e-4-cent lattice, per-side
+    residual sums are recomputed each round as sy·10⁴ − n·fl (exact —
+    NO float state crosses rounds); the split score and threshold are
+    fixed IEEE trees over those integers (bitwise both engines) and
+    each side's ν·mean update snaps back to the lattice via
+    FLOOR(x + 0.5). Output is all integers plus the fixed-tree
+    threshold — full value hash, zero rounding. A pytest replays the
+    identical algorithm in pandas and pins bitwise-equal outputs AND
+    the boosting property (training SSE strictly decreases per round,
+    beating the mean-only baseline).
+
+    Scale: one melt-free fact scan into the cell frame; each round's
+    frames are cell- or 3×{_GBM_B}-row sized; the 1-row best-split
+    frame joins back by broadcast (plan_audit NESTED_LOOP_OK — the
+    ml_pca_power one-row class); cell state is stats-reset per round
+    via the parquet round-trip (CLAUDE.md)."""
+    from .graph import _materialized
+
+    li = load_parallel(spark, sf_dir, "lineitem")
+    rng_row = li.agg(
+        F.min("l_discount").alias("dlo"), F.max("l_discount").alias("dhi"),
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+        F.min("l_quantity").alias("qlo"), F.max("l_quantity").alias("qhi"),
+    ).first()
+
+    def bucket(v, lo: float, hi: float):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return F.least(
+            F.floor((v - F.lit(lo)) / F.lit((hi - lo) / float(_GBM_B)))
+            .cast("long"),
+            F.lit(_GBM_B - 1).cast("long"),
+        )
+
+    cells = (
+        li.select(
+            bucket(F.col("l_discount"), rng_row["dlo"], rng_row["dhi"])
+            .alias("bd"),
+            bucket(F.col("l_extendedprice"), rng_row["plo"], rng_row["phi"])
+            .alias("bp"),
+            bucket(F.col("l_quantity"), rng_row["qlo"], rng_row["qhi"])
+            .alias("bq"),
+            F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("bd", "bp", "bq")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sy"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("sy").alias("ts"), F.sum("n").alias("tn")
+    ).first()
+    f0 = (int(tot["ts"]) * 10000) // int(tot["tn"])
+    state = cells.withColumn("fl", F.lit(f0).cast("bigint"))
+    lo_hi = {
+        "disc": (rng_row["dlo"], rng_row["dhi"]),
+        "price": (rng_row["plo"], rng_row["phi"]),
+        "qty": (rng_row["qlo"], rng_row["qhi"]),
+    }
+    outs = []
+    for m in range(1, _GBM_ROUNDS + 1):
+        ru = F.col("sy") * 10000 - F.col("n") * F.col("fl")
+        ax = None
+        for fname, bcol in _GBM_FEATS:
+            part = state.select(
+                F.lit(fname).alias("f"),
+                F.col(bcol).alias("bucket"),
+                F.col("n"),
+                ru.alias("ru"),
+            )
+            ax = part if ax is None else ax.unionAll(part)
+        g = ax.groupBy("f", "bucket").agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum("ru").cast("bigint").alias("rr"),
+        )
+        w_cum = (
+            Window.partitionBy("f")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("f")
+        cum = g.select(
+            "f",
+            "bucket",
+            F.sum("nn").over(w_cum).cast("bigint").alias("nl"),
+            F.sum("rr").over(w_cum).cast("bigint").alias("rl"),
+            F.sum("nn").over(w_tot).cast("bigint").alias("nt"),
+            F.sum("rr").over(w_tot).cast("bigint").alias("rt"),
+        ).filter(F.col("nl") < F.col("nt"))
+        rl_d = F.col("rl").cast("double") / 1e6
+        rr_d = (F.col("rt") - F.col("rl")).cast("double") / 1e6
+        score = rl_d * rl_d / F.col("nl") + rr_d * rr_d / (
+            F.col("nt") - F.col("nl")
+        )
+        w_best = Window.orderBy(
+            score.desc(), F.asc("f"), F.asc("bucket")
+        )
+        best = (
+            cum.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select(
+                "f",
+                "bucket",
+                "nl",
+                "nt",
+                F.floor(
+                    F.lit(_GBM_NU) * (F.col("rl").cast("double") / F.col("nl"))
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("dl"),
+                F.floor(
+                    F.lit(_GBM_NU)
+                    * (
+                        (F.col("rt") - F.col("rl")).cast("double")
+                        / (F.col("nt") - F.col("nl"))
+                    )
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("dr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        brow = best.first()
+        thr_lo, thr_hi = lo_hi[brow["f"]]
+        outs.append(
+            {
+                "round": m,
+                "feature": brow["f"],
+                "split_bucket": int(brow["bucket"]),
+                "threshold": thr_lo
+                + (int(brow["bucket"]) + 1) * ((thr_hi - thr_lo) / float(_GBM_B)),
+                "n_left": int(brow["nl"]),
+                "n_right": int(brow["nt"]) - int(brow["nl"]),
+                "delta_left_u": int(brow["dl"]),
+                "delta_right_u": int(brow["dr"]),
+            }
+        )
+        side_bucket = {
+            "disc": F.col("bd"), "price": F.col("bp"), "qty": F.col("bq")
+        }[brow["f"]]
+        state = _materialized(
+            state.select(
+                "bd",
+                "bp",
+                "bq",
+                "n",
+                "sy",
+                (
+                    F.col("fl")
+                    + F.when(
+                        side_bucket <= F.lit(int(brow["bucket"])),
+                        F.lit(int(brow["dl"])),
+                    ).otherwise(F.lit(int(brow["dr"])))
+                )
+                .cast("bigint")
+                .alias("fl"),
+            )
+        )
+    spark_ = li.sparkSession
+    return spark_.createDataFrame(
+        outs,
+        "round long, feature string, split_bucket long, threshold double, "
+        "n_left long, n_right long, delta_left_u long, delta_right_u long",
+    )

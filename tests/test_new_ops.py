@@ -1527,3 +1527,87 @@ def test_interval_overlap_pairs_are_genuine_and_topk(spark, sf_dir):
         assert (r.user_a, r.sid_a) in top8 and (r.user_b, r.sid_b) in top8
         per_day[r.day_no] = per_day.get(r.day_no, 0) + 1
     assert all(c <= 28 for c in per_day.values())
+
+
+def test_gbm_stumps_matches_pandas_replay_and_reduces_sse(spark, sf_dir):
+    """ml_gbm_stumps vs the identical algorithm replayed in pandas:
+    bitwise-equal training trace (features, buckets, counts, lattice
+    deltas), and the boosting PROPERTY — training SSE strictly
+    decreases every round and ends below the mean-only baseline."""
+    import math
+
+    import pandas as pd
+
+    from agri_market_data_pipeline_spark.operators.traindata import (
+        _GBM_B,
+        _GBM_NU,
+        _GBM_ROUNDS,
+    )
+
+    got = sorted(
+        (
+            (r.round, r.feature, r.split_bucket, r.n_left, r.n_right,
+             r.delta_left_u, r.delta_right_u)
+            for r in _q("ml_gbm_stumps")(spark, sf_dir).collect()
+        )
+    )
+    li = pd.read_parquet(
+        sf_dir + "/lineitem.parquet",
+        columns=["l_discount", "l_extendedprice", "l_quantity"],
+    )
+    feats = {"disc": "l_discount", "price": "l_extendedprice",
+             "qty": "l_quantity"}
+    bk = {}
+    for f, col in feats.items():
+        lo, hi = li[col].min(), li[col].max()
+        if hi == lo:
+            bk[f] = pd.Series(0, index=li.index)
+        else:
+            bk[f] = (
+                ((li[col] - lo) / ((hi - lo) / _GBM_B))
+                .apply(math.floor)
+                .clip(upper=_GBM_B - 1)
+            )
+    cents = (li.l_extendedprice * 100).apply(math.floor).astype("int64")
+    cell = pd.DataFrame(
+        {"bd": bk["disc"], "bp": bk["price"], "bq": bk["qty"], "c": cents}
+    ).groupby(["bd", "bp", "bq"]).agg(n=("c", "size"), sy=("c", "sum"))
+    cell = cell.reset_index()
+    f0 = (int(cell.sy.sum()) * 10000) // int(cell.n.sum())
+    cell["fl"] = f0
+
+    def sse():  # between-cell SSE component, in u² (within-cell part
+        # is constant across rounds, so monotonicity is equivalent);
+        # float BEFORE squaring — ru² overflows int64
+        ru = (cell.sy * 10000 - cell.n * cell.fl).astype("float64")
+        return float((ru * ru / cell.n).sum())
+
+    want, sses = [], [sse()]
+    axcol = {"disc": "bd", "price": "bp", "qty": "bq"}
+    for m in range(1, _GBM_ROUNDS + 1):
+        cands = []
+        for f in ("disc", "price", "qty"):
+            g = cell.assign(ru=cell.sy * 10000 - cell.n * cell.fl).groupby(
+                axcol[f]
+            ).agg(nn=("n", "sum"), rr=("ru", "sum")).sort_index()
+            nt, rt = int(g.nn.sum()), int(g.rr.sum())
+            nl = rl = 0
+            for b, row in g.iterrows():
+                nl += int(row.nn)
+                rl += int(row.rr)
+                if nl < nt:
+                    s = (rl / 1e6) ** 2 / nl + ((rt - rl) / 1e6) ** 2 / (
+                        nt - nl
+                    )
+                    cands.append((-s, f, int(b), nl, rl, nt, rt))
+        cands.sort()
+        _, f, b, nl, rl, nt, rt = cands[0]
+        dl = math.floor(_GBM_NU * (rl / nl) + 0.5)
+        dr = math.floor(_GBM_NU * ((rt - rl) / (nt - nl)) + 0.5)
+        want.append((m, f, b, nl, nt - nl, dl, dr))
+        onleft = cell[axcol[f]] <= b
+        cell.loc[onleft, "fl"] += dl
+        cell.loc[~onleft, "fl"] += dr
+        sses.append(sse())
+    assert got == sorted(want), (got, want)
+    assert all(a > b for a, b in zip(sses, sses[1:])), sses

@@ -200,6 +200,7 @@ NESTED_LOOP_OK = {
     "text_keyword_extract",  # 1-row corpus doc-count frame
     # r9:
     "ml_pca_power",          # 1-row Frobenius-norm / Rayleigh frames
+    "ml_gbm_stumps",         # 1-row best-split frame per boosting round
     #   (the lit-key equi-join constant-folds to a trivially-true
     #   condition, so Catalyst plans the one-row broadcast as BNLJ)
 }

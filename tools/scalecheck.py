@@ -145,6 +145,7 @@ AUDITED = [
     "mix_raking_ipf",    # corpus-once contingency + K-cell IPF loop
     "graph_community_modularity",  # rides LPA + two label joins
     "join_interval_overlap",  # two-phase top-k + day-blocked pair join
+    "ml_gbm_stumps",  # corpus-once cell stats + bounded boosting rounds
 ]
 
 
