@@ -598,3 +598,33 @@ def test_calibration_ece_separates_calibrated_from_inverted(spark, tmp_path):
             assert ece < bound, (name, ece)
         else:
             assert ece > bound, (name, ece)
+
+
+def test_iqr_fences_catch_planted_outliers_exactly(spark, tmp_path):
+    """dq_anomaly_iqr must count exactly the planted outliers: 200
+    inliers uniform on [100, 200] put the Tukey fences near [50, 250],
+    so the 5 planted highs at 10000 and 3 lows at -5000 are the whole
+    tail — n_high = 5, n_low = 3, and a clean group reports zero."""
+    alt = tmp_path / "iqr"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    rows = []
+    for i in range(200):
+        rows.append(("N", 100.0 + 100.0 * _noise("iqr", i)))
+        rows.append(("A", 100.0 + 100.0 * _noise("iqr2", i)))
+    rows += [("N", 10000.0 + i) for i in range(5)]
+    rows += [("N", -5000.0 - i) for i in range(3)]
+    pd.DataFrame(
+        {
+            "l_returnflag": [r[0] for r in rows],
+            "l_extendedprice": [r[1] for r in rows],
+        }
+    ).to_parquet(alt / "lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in _q("dq_anomaly_iqr")(spark, str(alt)).collect()
+    }
+    assert got["N"].n_high == 5 and got["N"].n_low == 3
+    assert got["N"].n_rows == 208
+    assert got["A"].n_high == 0 and got["A"].n_low == 0
