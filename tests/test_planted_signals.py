@@ -628,3 +628,117 @@ def test_iqr_fences_catch_planted_outliers_exactly(spark, tmp_path):
     assert got["N"].n_high == 5 and got["N"].n_low == 3
     assert got["N"].n_rows == 208
     assert got["A"].n_high == 0 and got["A"].n_low == 0
+
+
+def test_event_pattern_counts_planted_adjacent_click_buys(spark, tmp_path):
+    """win_event_pattern's /c+p/ adjacency semantics, pinned: a user
+    whose journey is click,click,purchase,view,click,purchase has
+    exactly 2 click→purchase adjacencies; a user whose clicks are
+    always separated from the purchase by a view has ZERO (order alone
+    would count it — adjacency is the operator's point vs
+    win_funnel_steps)."""
+    seqs = {
+        1: ["click", "click", "purchase", "view", "click", "purchase"],
+        2: ["click", "view", "purchase", "click", "view", "purchase"],
+        3: ["view", "signup", "view"],
+    }
+    types, users, days = [], [], []
+    i = 0
+    for uid, evs in seqs.items():
+        for t in evs:
+            types.append(t)
+            users.append(uid)
+            days.append(i)
+            i += 1
+    alt = tmp_path / "pat"
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    n = len(types)
+    pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(days, unit="m"),
+            "user_id": users,
+            "event_type": types,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    got = {
+        r.user_id: (r.n_events, r.n_click_buys, r.has_pattern)
+        for r in _q("win_event_pattern")(spark, str(alt)).collect()
+    }
+    assert got[1] == (6, 2, 1)
+    assert got[2] == (6, 0, 0)  # order yes, adjacency no
+    assert got[3] == (3, 0, 0)
+
+
+def test_attribution_credits_planted_touches(spark, tmp_path):
+    """win_attribution's bookend models, pinned: a signup→view→purchase
+    journey credits first_touch=signup / last_touch=view; a cold
+    purchase (no prior event) lands in the explicit 'none' bucket."""
+    rows = [
+        (1, "signup"), (1, "view"), (1, "purchase"),
+        (2, "purchase"),
+        (3, "click"), (3, "purchase"), (3, "view"), (3, "purchase"),
+    ]
+    alt = tmp_path / "attr"
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    n = len(rows)
+    pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(list(range(n)), unit="m"),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    got = {
+        (r.first_touch, r.last_touch): r.n_purchases
+        for r in _q("win_attribution")(spark, str(alt)).collect()
+    }
+    # user1: signup/view; user2: none/none; user3 purchase1: click/click,
+    # user3 purchase2: click/view (the view between the purchases)
+    assert got == {
+        ("signup", "view"): 1,
+        ("none", "none"): 1,
+        ("click", "click"): 1,
+        ("click", "view"): 1,
+    }, got
+
+
+def test_seasonal_profile_finds_planted_monsoon_spike(spark, tmp_path):
+    """ts_seasonal_profile on planted orders where June prices run 3x
+    the rest of the year: the June index must sit near 3/(mean) and
+    every other month below 1 — the 'onion prices spike before
+    monsoon' fingerprint the operator exists for."""
+    rows = []
+    i = 0
+    for month in range(1, 13):
+        for d in (3, 12, 21):
+            base = 3000.0 if month == 6 else 1000.0
+            rows.append(
+                (pd.Timestamp(2024, month, d), "1-URGENT",
+                 base + _noise("sp", i))
+            )
+            i += 1
+    alt = _planted_orders(tmp_path, "seas", rows)
+    got = {
+        r.moy: r.seasonal_idx
+        for r in _q("ts_seasonal_profile")(spark, str(alt)).collect()
+    }
+    assert len(got) == 12
+    # overall mean ~ (11*1000 + 3000)/12 ~ 1166.7
+    assert 2.4 < got[6] < 2.8, got[6]
+    assert all(0.8 < v < 0.9 for m, v in got.items() if m != 6), got
