@@ -742,3 +742,87 @@ def test_seasonal_profile_finds_planted_monsoon_spike(spark, tmp_path):
     # overall mean ~ (11*1000 + 3000)/12 ~ 1166.7
     assert 2.4 < got[6] < 2.8, got[6]
     assert all(0.8 < v < 0.9 for m, v in got.items() if m != 6), got
+
+
+def _planted_events_rows(tmp_path, name: str, rows):
+    """rows = [(user_id, event_type), ...] one minute apart."""
+    alt = tmp_path / name
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    n = len(rows)
+    pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(list(range(n)), unit="m"),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def test_funnel_steps_enforce_order_with_gaps(spark, tmp_path):
+    """win_funnel_steps' view→click→purchase ORDER semantics, pinned:
+    user 1 completes in order (counts at every step), user 2 clicks
+    BEFORE viewing (counts only at step 1 — the click must follow the
+    first view), user 3 views and clicks but never purchases (steps
+    1-2). Arbitrary gaps are fine — the adjacency-free complement of
+    win_event_pattern."""
+    rows = [
+        (1, "view"), (1, "signup"), (1, "click"), (1, "error"),
+        (1, "purchase"),
+        (2, "click"), (2, "view"), (2, "purchase"),
+        # user 2: purchase AFTER view but no click after the view
+        (3, "view"), (3, "click"),
+    ]
+    alt = _planted_events_rows(tmp_path, "funnel", rows)
+    got = {
+        r.step: r.n_users
+        for r in _q("win_funnel_steps")(spark, alt).collect()
+    }
+    assert got == {
+        "step1_view": 3,
+        "step2_click": 2,
+        "step3_purchase": 1,
+    }, got
+
+
+def test_quality_score_gates_planted_junk(spark, tmp_path):
+    """text_quality_score's Gopher-style gate, pinned on planted docs:
+    a normal English doc with stopwords keeps; a stopword-free
+    keyword-stuffed doc fails the stop-ratio band; a too-short doc
+    fails the length floors."""
+    alt = tmp_path / "tq"
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    good = (
+        "the market opened early and the traders were busy with a "
+        "steady flow of onions and tomatoes that kept the yard full "
+        "for most of the morning session in the district"
+    )
+    stuffed = " ".join(f"keyword{i % 9} price market onion" for i in range(20))
+    short = "tiny doc"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [good, stuffed, short],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(good), len(stuffed), len(short)],
+        }
+    ).to_parquet(alt / "documents.parquet")
+    got = {
+        r.doc_id: r for r in _q("text_quality_score")(spark, alt).collect()
+    }
+    assert got[1].keep == 1, got[1]
+    assert got[2].keep == 0 and got[2].stop_ratio < 0.01, got[2]
+    assert got[3].keep == 0 and got[3].n_tokens < 20, got[3]
