@@ -2119,3 +2119,125 @@ def ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"fc{_HOLT_H} double"
         ),
     )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+mu AS (
+  SELECT et,
+         CAST(SUM(CAST(v AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS m
+  FROM daily GROUP BY 1
+),
+sided AS (
+  SELECT d.et, d.day_no,
+         CASE WHEN d.v > mu.m THEN 1 WHEN d.v < mu.m THEN 0 END AS side
+  FROM daily d JOIN mu ON mu.et = d.et
+),
+runs AS (
+  SELECT et, side,
+         CASE WHEN LAG(side) OVER (PARTITION BY et ORDER BY day_no)
+                   IS DISTINCT FROM side THEN 1 ELSE 0 END AS brk
+  FROM sided WHERE side IS NOT NULL
+),
+g AS (
+  SELECT et,
+         CAST(SUM(brk) AS BIGINT) AS n_runs,
+         CAST(SUM(side) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(side) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM runs GROUP BY 1
+)
+SELECT et AS event_type, n1, n2, n_runs,
+       (CAST(n_runs AS DOUBLE)
+        - (2.0 * n1 * n2 / n + 1.0))
+       / SQRT(GREATEST(
+           2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+           / (CAST(n AS DOUBLE) * n * (n - 1)), 0) + 1e-300)
+         AS z_runs
+FROM g WHERE n1 > 0 AND n2 > 0 AND n > 2
+"""
+
+
+@query("ts_runs_test", oracle=_RUNS_SQL)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test of each daily series against its mean —
+    the third member of the nonparametric randomness family
+    (ts_mann_kendall asks 'is there monotone TREND', ts_ljung_box 'is
+    there serial CORRELATION', this 'is the above/below-mean SEQUENCE
+    random at all'): too FEW runs means clustering/regime persistence,
+    too MANY means oscillation, and |z| is the distribution-free gate
+    with no moment assumptions. The first run is counted by the
+    LAG-IS-NULL break (IS DISTINCT FROM), so n_runs needs no +1
+    constant.
+
+    Determinism: the mean is an exact-DECIMAL ratio (bitwise), side
+    comparisons on bitwise doubles are identical, exact-mean ties are
+    DROPPED by the identical CASE both engines (the standard
+    treatment); n_runs/n1/n2 are exact BIGINTs and z one fixed IEEE
+    tree over them (sqrt is correctly rounded; GREATEST guards the
+    degenerate variance) — bitwise, NO rounding (the agg_mannwhitney_u
+    precedent).
+
+    Scale: one partial agg to (type, day), a K-row moment broadcast,
+    one lag window on the calendar-bounded series grain."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    mu = daily.groupBy("et").agg(
+        (
+            F.sum(F.col("v").cast("decimal(30,15)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    sided = (
+        daily.join(F.broadcast(mu), "et")
+        .select(
+            "et",
+            "day_no",
+            F.when(F.col("v") > F.col("m"), 1)
+            .when(F.col("v") < F.col("m"), 0)
+            .alias("side"),
+        )
+        .filter(F.col("side").isNotNull())
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    runs = sided.select(
+        "et",
+        "side",
+        (~F.lag("side").over(w).eqNullSafe(F.col("side")))
+        .cast("int")
+        .alias("brk"),
+    )
+    g = runs.groupBy(F.col("et").alias("event_type")).agg(
+        F.sum("brk").cast("bigint").alias("n_runs"),
+        F.sum("side").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("side")).cast("bigint").alias("n2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    mu_r = 2.0 * n1 * n2 / n + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return g.filter((n1 > 0) & (n2 > 0) & (n > 2)).select(
+        "event_type",
+        "n1",
+        "n2",
+        "n_runs",
+        (
+            (F.col("n_runs").cast("double") - mu_r)
+            / F.sqrt(F.greatest(var_r, F.lit(0.0)) + F.lit(1e-300))
+        ).alias("z_runs"),
+    )

@@ -826,3 +826,28 @@ def test_quality_score_gates_planted_junk(spark, tmp_path):
     assert got[1].keep == 1, got[1]
     assert got[2].keep == 0 and got[2].stop_ratio < 0.01, got[2]
     assert got[3].keep == 0 and got[3].n_tokens < 20, got[3]
+
+
+def test_runs_test_separates_oscillation_clustering_noise(spark, tmp_path):
+    """Wald–Wolfowitz directions, pinned: a strictly alternating series
+    has the maximum number of runs (z strongly POSITIVE), a two-regime
+    series has 2 runs (z strongly NEGATIVE), and md5-noise stays inside
+    |z| < 2.5."""
+    n = 100
+    series = {
+        "osc": [(1.0 if i % 2 == 0 else -1.0) + 0.01 * _noise("rt", i)
+                for i in range(n)],
+        "regime": [(-1.0 if i < n // 2 else 1.0) + 0.01 * _noise("rg", i)
+                   for i in range(n)],
+        "noise": [_noise("rn", i) for i in range(n)],
+    }
+    types, values, days = _interleave(series)
+    alt = _planted(tmp_path, "runs", types, values, days)
+    got = {
+        r.event_type: r for r in _q("ts_runs_test")(spark, alt).collect()
+    }
+    assert got["osc"].n_runs == n  # every step flips side
+    assert got["osc"].z_runs > 8, got["osc"]
+    assert got["regime"].n_runs == 2
+    assert got["regime"].z_runs < -8, got["regime"]
+    assert abs(got["noise"].z_runs) < 2.5, got["noise"]
