@@ -851,3 +851,58 @@ def test_runs_test_separates_oscillation_clustering_noise(spark, tmp_path):
     assert got["regime"].n_runs == 2
     assert got["regime"].z_runs < -8, got["regime"]
     assert abs(got["noise"].z_runs) < 2.5, got["noise"]
+
+
+def test_lang_id_identifies_planted_languages(spark, tmp_path):
+    """text_lang_id on planted stopword-bearing texts: each language's
+    closed-class words dominate their doc; a symbols-only doc is
+    'unknown'. (The REAL documents table has lang independent of text
+    — the memory-pinned driver gotcha — so only a planted fixture can
+    test the identifier.)"""
+    alt = tmp_path / "lid"
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    docs = {
+        1: ("en", "the market and the price of a crop to watch in season"),
+        2: ("es", "el mercado y la cebolla de la tarde que sube en precio"),
+        3: ("de", "der markt und die zwiebel das ist ein guter preis"),
+        4: ("fr", "le marche et les oignons des agriculteurs un bon prix"),
+        5: ("unknown", "zzz qqq 12345 !!! ??? xyzzy plugh"),
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [t for _, t in docs.values()],
+            "lang": ["xx"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs.values()],
+        }
+    ).to_parquet(alt / "documents.parquet")
+    got = {
+        r.doc_id: r.lang_pred
+        for r in _q("text_lang_id")(spark, str(alt)).collect()
+    }
+    assert got == {i: lang for i, (lang, _) in docs.items()}, got
+
+
+def test_key_skew_flags_planted_hot_supplier(spark, tmp_path):
+    """dq_key_skew must put a planted hot key (one supplier owning half
+    the rows) at the top with skew_factor ~ n_keys/2, while uniform
+    keys sit near 1."""
+    alt = tmp_path / "skew"
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    rows = [7] * 1000 + [100 + (i % 100) for i in range(1000)]
+    pd.DataFrame({"l_suppkey": rows}).to_parquet(alt / "lineitem.parquet")
+    got = _q("dq_key_skew")(spark, str(alt)).collect()
+    top = got[0]
+    assert top.l_suppkey == 7 and top.n == 1000
+    # 101 distinct keys, 2000 rows: hot factor = 1000*101/2000 = 50.5
+    assert abs(top.skew_factor - 50.5) < 1e-9
+    assert all(abs(r.skew_factor - 0.505) < 1e-9 for r in got[1:])
