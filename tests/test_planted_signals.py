@@ -906,3 +906,85 @@ def test_key_skew_flags_planted_hot_supplier(spark, tmp_path):
     # 101 distinct keys, 2000 rows: hot factor = 1000*101/2000 = 50.5
     assert abs(top.skew_factor - 50.5) < 1e-9
     assert all(abs(r.skew_factor - 0.505) < 1e-9 for r in got[1:])
+
+
+def _planted_docs(tmp_path, name: str, texts: dict) -> str:
+    alt = tmp_path / name
+    alt.mkdir()
+    for tb in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{tb}.parquet", alt / f"{tb}.parquet"
+        )
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(alt / "documents.parquet")
+    return str(alt)
+
+
+def test_sentiment_lexicon_scores_planted_polarity(spark, tmp_path):
+    """text_sentiment_lexicon on planted docs: fast/merge are +1,
+    slow/small are -1 — a doc with two positives scores +2, two
+    negatives -2, mixed 0, and lexicon-free text 0 with zero hits."""
+    texts = {
+        1: "the fast merge made the build pleasant",
+        2: "a slow and small harvest this week",
+        3: "fast but small results today",
+        4: "nothing from the lexicon appears here",
+    }
+    alt = _planted_docs(tmp_path, "sent", texts)
+    rows = {r.doc_id: r for r in _q("text_sentiment_lexicon")(spark, alt).collect()}
+    scores = {i: rows[i].sentiment for i in texts} if hasattr(
+        rows.get(1), "sentiment"
+    ) else {i: rows[i].score for i in texts}
+    assert scores[1] == 2 and scores[2] == -2
+    assert scores[3] == 0 and scores[4] == 0
+
+
+def test_boilerplate_share_flags_planted_template(spark, tmp_path):
+    """text_boilerplate_share: a 10-word template chunk planted
+    verbatim at the head of 3 docs is boilerplate (df >= 3) — those
+    docs report a positive share with n_boiler = 1 — while a doc of
+    unique words shares nothing."""
+    template = "this report is generated automatically please do not reply now"
+    uniq = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    texts = {
+        1: template + " " + uniq("a", 10),
+        2: template + " " + uniq("b", 10),
+        3: template + " " + uniq("c", 10),
+        4: uniq("d", 20),
+    }
+    alt = _planted_docs(tmp_path, "bp", texts)
+    rows = {
+        r.doc_id: r
+        for r in _q("text_boilerplate_share")(spark, alt).collect()
+    }
+    for d in (1, 2, 3):
+        assert rows[d].n_chunks == 2 and rows[d].n_boiler == 1, rows[d]
+        assert rows[d].boiler_share == 0.5
+    assert rows[4].n_boiler == 0 and rows[4].boiler_share == 0.0
+
+
+def test_repetition_score_gates_planted_stutter(spark, tmp_path):
+    """text_repetition_score: a doc that repeats one 3-gram dominates
+    both the duplicated-occurrence ratio and the top-gram share and is
+    dropped; normal prose keeps."""
+    texts = {
+        1: " ".join(["buy cheap pills"] * 12),
+        2: (
+            "the morning auction moved briskly through onion lots while "
+            "buyers compared moisture and size before the final gavel"
+        ),
+    }
+    alt = _planted_docs(tmp_path, "rep", texts)
+    rows = {
+        r.doc_id: r
+        for r in _q("text_repetition_score")(spark, alt).collect()
+    }
+    assert rows[1].keep == 0 and rows[1].top_frac > 0.3, rows[1]
+    assert rows[2].keep == 1, rows[2]
