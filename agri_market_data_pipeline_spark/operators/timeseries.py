@@ -2241,3 +2241,119 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.greatest(var_r, F.lit(0.0)) + F.lit(1e-300))
         ).alias("z_runs"),
     )
+
+
+_ADF_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT et, day_no, v,
+         LAG(v) OVER (PARTITION BY et ORDER BY day_no) AS yl
+  FROM daily
+),
+r AS (
+  SELECT et, yl AS x, v - yl AS d FROM p WHERE yl IS NOT NULL
+),
+m AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(d AS DECIMAL(30,15))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(x * d AS DECIMAL(30,15))) AS DOUBLE) AS sxd,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(d * d AS DECIMAL(30,15))) AS DOUBLE) AS sdd
+  FROM r GROUP BY 1
+),
+f AS (
+  SELECT et, n,
+         n * sxx - sx * sx AS vx,
+         n * sxd - sx * sd AS cxd,
+         n * sdd - sd * sd AS vd,
+         sxx, sx, sd, sxd, sdd
+  FROM m
+)
+SELECT et AS event_type, n AS n_obs,
+       ROUND(cxd / vx, 6) AS rho,
+       ROUND((cxd / vx)
+             / SQRT(GREATEST((vd - cxd * cxd / vx) / (n - 2), 0) / vx
+                    + 1e-300), 6) AS tau
+FROM f WHERE n > 2 AND vx > 0
+"""
+
+
+@query("ts_adf_unit_root", oracle=_ADF_SQL)
+def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey–Fuller unit-root test per daily series: regress the
+    one-day change on the lagged level (with intercept, solved in
+    closed form from exact moment sums — the ts_granger_causality
+    discipline) and report ρ̂ and its t-ratio τ = ρ̂/SE(ρ̂). τ far
+    below the ~-2.9 critical value rejects the unit root (the series
+    is mean-reverting/stationary); τ near 0 says RANDOM WALK — the
+    STATIONARITY member of the inference family (Mann-Kendall: trend;
+    runs test: randomness of signs; Ljung-Box: serial correlation;
+    Hurst: memory; this: does the level itself revert). The augmented
+    variant adds Δy lags as extra regressors to the same
+    sufficient-statistics solve.
+
+    Determinism: daily means are exact-ratio doubles; every product
+    moment snaps to DECIMAL(30,15) before its order-exact sum; ρ and τ
+    are ratios of such sums — the summed moments carry ~17+ significant
+    digits (the r7 ts_twap DECIMAL→DOUBLE 1-ulp class), so both
+    reported statistics take ROUND(6) on both engines; the variance
+    under the sqrt is GREATEST-guarded (cancellation rule).
+
+    Scale: one partial agg to (type, day), one lag window on the
+    calendar-bounded series grain, one K-row moment aggregate, scalar
+    algebra."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    r = (
+        daily.select(
+            "et", "v", F.lag("v").over(w).alias("yl")
+        )
+        .filter(F.col("yl").isNotNull())
+        .select(
+            "et",
+            F.col("yl").alias("x"),
+            (F.col("v") - F.col("yl")).alias("d"),
+        )
+    )
+
+    def exact(c):
+        return F.sum(c.cast("decimal(30,15)")).cast("double")
+
+    x, d = F.col("x"), F.col("d")
+    m = r.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        exact(x).alias("sx"),
+        exact(d).alias("sd"),
+        exact(x * d).alias("sxd"),
+        exact(x * x).alias("sxx"),
+        exact(d * d).alias("sdd"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    cxd = n * F.col("sxd") - F.col("sx") * F.col("sd")
+    vd = n * F.col("sdd") - F.col("sd") * F.col("sd")
+    rho = cxd / vx
+    tau = rho / F.sqrt(
+        F.greatest((vd - cxd * cxd / vx) / (n - 2), F.lit(0.0)) / vx
+        + F.lit(1e-300)
+    )
+    return m.filter((n > 2) & (vx > 0)).select(
+        F.col("et").alias("event_type"),
+        n.alias("n_obs"),
+        F.round(rho, 6).alias("rho"),
+        F.round(tau, 6).alias("tau"),
+    )

@@ -988,3 +988,29 @@ def test_repetition_score_gates_planted_stutter(spark, tmp_path):
     }
     assert rows[1].keep == 0 and rows[1].top_frac > 0.3, rows[1]
     assert rows[2].keep == 1, rows[2]
+
+
+def test_adf_separates_random_walk_from_mean_reversion(spark, tmp_path):
+    """Dickey-Fuller directions, pinned: a deterministic random walk
+    (cumsum of md5-noise steps) must NOT reject the unit root (tau
+    above the ~-2.9 critical value), while a strongly mean-reverting
+    AR process (y_t = 0.3*y_{t-1} + noise) must reject decisively."""
+    n = 200
+    walk, level = [], 0.0
+    for i in range(n):
+        level += _noise("adfw", i) - 0.5
+        walk.append(level)
+    ar, y = [], 0.0
+    for i in range(n):
+        y = 0.3 * y + (_noise("adfa", i) - 0.5)
+        ar.append(y)
+    types, values, days = _interleave({"walk": walk, "revert": ar})
+    alt = _planted(tmp_path, "adf", types, values, days)
+    got = {
+        r.event_type: r for r in _q("ts_adf_unit_root")(spark, alt).collect()
+    }
+    assert got["walk"].tau > -2.9, got["walk"]
+    assert got["revert"].tau < -6, got["revert"]
+    # rho ~ rho_true - 1: near 0 for the walk, near -0.7 for AR(0.3)
+    assert abs(got["walk"].rho) < 0.2, got["walk"]
+    assert -0.9 < got["revert"].rho < -0.5, got["revert"]
