@@ -2085,3 +2085,138 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_s.alias("avg_score"),
         F.abs(frac - avg_s).alias("abs_gap"),
     )
+
+
+_AUC_FOLDS = 4
+
+_AUC_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT vec_id % {_AUC_FOLDS} AS fold, y,
+         ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score
+  FROM z
+),
+g AS (
+  SELECT fold, score,
+         CAST(SUM(y) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT fold, p, q,
+         CAST(SUM(q) OVER (PARTITION BY fold ORDER BY score
+              ROWS UNBOUNDED PRECEDING) - q AS BIGINT) AS q_below
+  FROM g
+)
+SELECT fold,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(q) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * p * q_below + p * q) AS DOUBLE)
+         / CAST(2 * SUM(p) * SUM(q) AS DOUBLE) AS auc
+FROM c GROUP BY fold
+"""
+
+
+@query("ml_auc_roc", oracle=_AUC_SQL)
+def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney U identity — the DISCRIMINATION
+    half of probabilistic-classifier eval beside ml_calibration_ece's
+    RELIABILITY half (a model can be perfectly calibrated yet rank no
+    better than chance, and vice versa; both numbers are needed before
+    a quality filter's threshold means anything). Same deterministic
+    md5-probe sigmoid score and y = label % 2 as the ECE operator, so
+    the two read the SAME classifier; scored per vec_id-mod fold the
+    way a cross-validated eval would. AUC = P(score_pos > score_neg)
+    + ½·P(tie), computed WITHOUT materializing pairs: group to
+    (fold, score) → (p positives, q negatives), cumulate negatives
+    strictly below each score, and 2U = Σ(2·p·q_below + p·q) — the
+    tie-corrected average-rank formulation as ONE exact BIGINT.
+
+    Determinism: score is ROUND(6) before any comparison (the
+    transcendental rule), so the (fold, score) grouping keys are
+    lattice values; p, q, q_below, 2U are exact integers; AUC is one
+    division of exact BIGINTs — an integer-ratio double, bitwise
+    identical cross-engine, deliberately UNROUNDED (rounding would
+    introduce tie divergence, the CLAUDE.md rule).
+
+    Scale: one corpus scan for z (explode x broadcast 64-row probe),
+    one (fold, score) partial agg; the cumulative window rides the
+    per-fold DISTINCT-score grain, which saturates at 1e6+1 lattice
+    values (grain-bounded exemption — value support saturates). At a
+    1e9-row fold 2·p·q_below approaches BIGINT range; shift to the
+    per-score-bucket U decomposition with DECIMAL(38,0) accumulation
+    before that point."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = x.select(
+        "vec_id", "y", "xi", probe_w.alias("w")
+    ).groupBy("vec_id", "y").agg(
+        F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("z")
+    )
+    s = z.select(
+        (F.col("vec_id") % _AUC_FOLDS).alias("fold"),
+        "y",
+        F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6).alias("score"),
+    )
+    g = s.groupBy("fold", "score").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("q"),
+    )
+    w_cum = (
+        Window.partitionBy("fold")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "fold",
+        "p",
+        "q",
+        (F.sum("q").over(w_cum) - F.col("q")).cast("bigint").alias("q_below"),
+    )
+    return c.groupBy("fold").agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+        (
+            F.sum(2 * F.col("p") * F.col("q_below") + F.col("p") * F.col("q"))
+            .cast("double")
+            / (2 * F.sum("p") * F.sum("q")).cast("double")
+        ).alias("auc"),
+    )

@@ -1736,3 +1736,124 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round long, feature string, split_bucket long, threshold double, "
         "n_left long, n_right long, delta_left_u long, delta_right_u long",
     )
+
+
+_TE_M = 20  # smoothing pseudo-count
+_TE_FOLDS = 3
+
+_TE_SQL = f"""
+WITH base AS (
+  SELECT o_custkey AS ck, o_orderkey % {_TE_FOLDS} AS fold,
+         CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cf AS (
+  SELECT ck, fold, CAST(COUNT(*) AS BIGINT) AS n_kf,
+         CAST(SUM(y) AS BIGINT) AS sy_kf
+  FROM base GROUP BY 1, 2
+),
+ct AS (
+  SELECT ck, CAST(SUM(n_kf) AS BIGINT) AS n_k,
+         CAST(SUM(sy_kf) AS BIGINT) AS sy_k
+  FROM cf GROUP BY 1
+),
+gf AS (
+  SELECT fold, CAST(SUM(n_kf) AS BIGINT) AS n_f,
+         CAST(SUM(sy_kf) AS BIGINT) AS sy_f
+  FROM cf GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(n_f) AS BIGINT) AS n_all,
+         CAST(SUM(sy_f) AS BIGINT) AS sy_all
+  FROM gf
+)
+SELECT cf.ck AS custkey, cf.fold,
+       ct.n_k - cf.n_kf AS n_out,
+       ct.sy_k - cf.sy_kf AS sy_out,
+       CAST(g.sy_all - gf.sy_f AS DOUBLE)
+         / CAST(g.n_all - gf.n_f AS DOUBLE) AS prior_out,
+       CAST((ct.sy_k - cf.sy_kf) * (g.n_all - gf.n_f)
+            + {_TE_M} * (g.sy_all - gf.sy_f) AS DOUBLE)
+         / CAST((g.n_all - gf.n_f) * (ct.n_k - cf.n_kf + {_TE_M})
+                AS DOUBLE) AS enc
+FROM cf
+JOIN ct USING (ck)
+JOIN gf USING (fold)
+CROSS JOIN g
+"""
+
+
+@query("ml_target_encoding", oracle=_TE_SQL)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe OUT-OF-FOLD smoothed target encoding — the feature
+    transform every tabular training pipeline applies to
+    high-cardinality categoricals (the alternative, one-hot, explodes
+    at 100 TB key cardinalities): encode o_custkey by the smoothed
+    urgent-order rate computed from the OTHER {_TE_FOLDS - 1} folds,
+
+        enc(k, f) = (sy_out + m·prior_out) / (n_out + m),  m = {_TE_M}
+
+    where sy_out/n_out are key k's label sum / count OUTSIDE fold f and
+    prior_out the global rate outside f — rare keys shrink toward the
+    prior (the James-Stein move) and a row's own label can never reach
+    its own feature (the leakage contract the no-leak planted test
+    pins by flipping one fold's labels).
+
+    Determinism: everything is counting until the last step; enc is
+    rewritten over a common denominator as a ratio of two exact
+    BIGINTs — (sy_out·D + m·Np) / (D·(n_out+m)) with prior_out = Np/D
+    — so enc and prior_out are unrounded integer-ratio doubles,
+    bitwise identical cross-engine. (The naive form sy_out/… +
+    m·prior/… would round twice and diverge.) At petabyte counts the
+    cross-product sy_out·D approaches BIGINT range — promote the
+    numerator to DECIMAL(38,0) there; the ratio stays exact.
+
+    Scale: one scan → (key, fold) partial agg; key totals are a second
+    agg co-partitioned on the key; the fold frame is {_TE_FOLDS} rows
+    and the global frame 1 row (broadcast — plan_audit NESTED_LOOP_OK,
+    the sanctioned one-row-scalar shape). Nothing data-proportional
+    survives past the first groupBy."""
+    o = load_parallel(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        F.when(F.col("o_orderpriority").startswith("1-"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    cf = base.groupBy("ck", "fold").agg(
+        F.count("*").cast("bigint").alias("n_kf"),
+        F.sum("y").cast("bigint").alias("sy_kf"),
+    )
+    ct = cf.groupBy("ck").agg(
+        F.sum("n_kf").cast("bigint").alias("n_k"),
+        F.sum("sy_kf").cast("bigint").alias("sy_k"),
+    )
+    gf = cf.groupBy("fold").agg(
+        F.sum("n_kf").cast("bigint").alias("n_f"),
+        F.sum("sy_kf").cast("bigint").alias("sy_f"),
+    )
+    g = gf.agg(
+        F.sum("n_f").cast("bigint").alias("n_all"),
+        F.sum("sy_f").cast("bigint").alias("sy_all"),
+    )
+    joined = (
+        cf.join(ct, "ck")
+        .join(F.broadcast(gf), "fold")
+        .crossJoin(F.broadcast(g))
+    )
+    n_out = F.col("n_k") - F.col("n_kf")
+    sy_out = F.col("sy_k") - F.col("sy_kf")
+    d_p = F.col("n_all") - F.col("n_f")
+    n_p = F.col("sy_all") - F.col("sy_f")
+    return joined.select(
+        F.col("ck").alias("custkey"),
+        "fold",
+        n_out.cast("bigint").alias("n_out"),
+        sy_out.cast("bigint").alias("sy_out"),
+        (n_p.cast("double") / d_p.cast("double")).alias("prior_out"),
+        (
+            (sy_out * d_p + _TE_M * n_p).cast("double")
+            / (d_p * (n_out + _TE_M)).cast("double")
+        ).alias("enc"),
+    )

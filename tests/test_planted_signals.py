@@ -1014,3 +1014,119 @@ def test_adf_separates_random_walk_from_mean_reversion(spark, tmp_path):
     # rho ~ rho_true - 1: near 0 for the walk, near -0.7 for AR(0.3)
     assert abs(got["walk"].rho) < 0.2, got["walk"]
     assert -0.9 < got["revert"].rho < -0.5, got["revert"]
+
+
+def test_auc_roc_separation_random_and_inverted(spark, tmp_path):
+    """ml_auc_roc's Mann-Whitney machinery, pinned on three planted
+    label regimes over the SAME score construction the operator
+    derives (x = t·w/Σw² so z = t exactly): perfectly separated
+    labels (y = [t > 0]) must score AUC ≈ 1 in every fold, labels
+    independent of t must sit at chance (≈ 0.5), and inverted labels
+    (y = [t < 0]) must collapse to ≈ 0 — direction, not just
+    magnitude, so a flipped inequality in the rank identity fails."""
+    import numpy as np
+
+    w = np.array(
+        [
+            (int(hashlib.md5(f"probe:{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(1, 65)
+        ]
+    )
+    sw2 = float(w @ w)
+    n = 3000
+    for name, lab, lo, hi in (
+        ("sep", lambda t, vid: 1 if t > 0 else 0, 0.999, 1.0),
+        ("rand", lambda t, vid: 1 if _noise("auc_y", vid) < 0.5 else 0,
+         0.45, 0.55),
+        ("inv", lambda t, vid: 1 if t < 0 else 0, 0.0, 0.001),
+    ):
+        alt = tmp_path / f"auc_{name}"
+        alt.mkdir()
+        for t in _TABLES:
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+            )
+        vecs, labels = [], []
+        for vid in range(n):
+            t = -4.0 + 8.0 * _noise("auc_t", vid)
+            if abs(t) < 0.01:
+                t = 0.01  # keep the separated fixtures tie-free
+            vecs.append(((t / sw2) * w).astype(np.float32).tolist())
+            labels.append(lab(t, vid))
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": vecs, "label": labels}
+        ).to_parquet(alt / "embeddings.parquet")
+        rows = _q("ml_auc_roc")(spark, str(alt)).collect()
+        assert len(rows) == 4 and sum(r.n_pos + r.n_neg for r in rows) == n
+        for r in rows:
+            assert lo <= r.auc <= hi, (name, r.fold, r.auc)
+
+
+def _te_orders_fixture(tmp_path, name: str, flip_a_fold0: bool) -> str:
+    """Orders fixture for ml_target_encoding: 900 filler orders set the
+    prior (~30% urgent), key A (ck=1) has 10 orders per fold — fold 1/2
+    all urgent, fold 0 per the flip flag — and key B (ck=2) has one
+    order in fold 0 (urgent) and one in fold 1 (not)."""
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    keys, cks, pris = [], [], []
+    for i in range(900):
+        keys.append(3000 + i)
+        cks.append(1000 + i % 300)
+        pris.append("1-URGENT" if _noise("te", i) < 0.3 else "5-LOW")
+    for i in range(30):
+        keys.append(30000 + i)  # fold = (30000+i) % 3 = i % 3
+        cks.append(1)
+        fold = (30000 + i) % 3
+        if fold == 0:
+            pris.append("1-URGENT" if flip_a_fold0 else "5-LOW")
+        else:
+            pris.append("1-URGENT")
+    keys += [60000, 60001]
+    cks += [2, 2]
+    pris += ["1-URGENT", "5-LOW"]
+    n = len(keys)
+    pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_custkey": cks,
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": [100.0] * n,
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * n,
+            "o_orderpriority": pris,
+        }
+    ).to_parquet(alt / "orders.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def test_target_encoding_no_leakage_signal_and_shrinkage(spark, tmp_path):
+    """ml_target_encoding's three contracts, planted: (1) NO LEAKAGE —
+    flipping every fold-0 label of key A leaves enc(A, fold 0) bitwise
+    unchanged (a row's own fold can never reach its own feature) while
+    enc(A, fold 1) DOES move (the flipped labels are in ITS
+    out-of-fold set); (2) signal — key A's out-of-fold all-urgent
+    folds encode far above the prior; (3) shrinkage — key B with one
+    out-of-fold order sits within (1-p)/21 of the prior (m=20
+    dominates n_out=1)."""
+    base = _te_orders_fixture(tmp_path, "te_base", flip_a_fold0=False)
+    flip = _te_orders_fixture(tmp_path, "te_flip", flip_a_fold0=True)
+    rb = {
+        (r.custkey, r.fold): r
+        for r in _q("ml_target_encoding")(spark, base).collect()
+    }
+    rf = {
+        (r.custkey, r.fold): r
+        for r in _q("ml_target_encoding")(spark, flip).collect()
+    }
+    assert rb[(1, 0)].enc == rf[(1, 0)].enc  # bitwise: own fold flipped
+    assert rb[(1, 0)].prior_out == rf[(1, 0)].prior_out
+    assert rb[(1, 1)].enc != rf[(1, 1)].enc  # out-of-fold labels moved
+    a0 = rb[(1, 0)]
+    assert a0.n_out == 20 and a0.sy_out == 20
+    assert a0.enc > a0.prior_out + 0.2 and a0.enc < 1.0
+    b1 = rb[(2, 1)]
+    assert b1.n_out == 1 and b1.sy_out == 1
+    assert abs(b1.enc - b1.prior_out) < 0.05
