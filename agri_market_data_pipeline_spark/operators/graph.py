@@ -1224,3 +1224,124 @@ def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum(deg).cast("double") * F.sum(deg).cast("double"))
         ).alias("q_modularity"),
     )
+
+
+_AA_TOP = 3  # same kNN backbone grain as graph_khop_distance
+
+
+def _adamic_adar_sql(top: int) -> str:
+    """DuckDB twin: kNN-backbone build (graph_khop_distance's CTEs),
+    then neighbor-pair generation BLOCKED on the common neighbor w,
+    per-term ROUND(9) lattice snap of the transcendental 1/ln(deg)
+    BEFORE the DECIMAL sum, and a left-anti edge filter so only
+    PREDICTED (non-edge) links survive."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst),
+knn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w * 32 + (31 - dst) DESC) AS rk
+    FROM e) WHERE rk <= {top}),
+und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM knn
+    UNION ALL SELECT dst AS u, src AS v FROM knn)),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1),
+pr AS (
+  SELECT a.u AS w, a.v AS x, b.v AS y
+  FROM und a JOIN und b ON a.u = b.u AND a.v < b.v),
+t AS (
+  SELECT pr.x, pr.y,
+         CAST(ROUND(1.0 / LN(deg.deg), 9) AS DECIMAL(20,10)) AS term
+  FROM pr JOIN deg ON deg.node = pr.w),
+agg AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(term) AS DOUBLE) AS aa
+  FROM t GROUP BY 1, 2)
+SELECT n1.n_name AS nation_u, n2.n_name AS nation_v, agg.cn, agg.aa
+FROM agg
+LEFT JOIN und ON und.u = agg.x AND und.v = agg.y
+JOIN nation n1 ON n1.n_nationkey = agg.x
+JOIN nation n2 ON n2.n_nationkey = agg.y
+WHERE und.u IS NULL
+"""
+
+
+@query("graph_adamic_adar", oracle=_adamic_adar_sql(_AA_TOP))
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction — the graph family's missing
+    PREDICTIVE member (pagerank ranks what IS, khop measures how far,
+    LPA/CC cluster; nothing scores what's MISSING): for every non-edge
+    pair (u, v) of the kNN trade backbone, AA(u,v) = Σ_{{w ∈
+    N(u)∩N(v)}} 1/ln(deg(w)) — common neighbors weighted inversely by
+    how promiscuous they are (a shared rare partner is stronger
+    evidence than a shared hub; plain common-neighbor counting can't
+    tell them apart, which is the cn column emitted beside aa).
+
+    Determinism: backbone edges ride the injective radix-guarded rank
+    key; each 1/ln(deg) is a transcendental, so it's snapped to the
+    1e-9 lattice (ROUND(9), ties measure-zero) BEFORE the DECIMAL sum
+    — the sum is then exact and the double conversion well inside the
+    15-digit bitwise span; cn is an exact BIGINT. deg(w)=1 never
+    divides by ln(1)=0: a degree-1 node generates no pair.
+
+    Scale: pair generation is BLOCKED on the common neighbor w —
+    O(Σ_w deg(w)²), never all-pairs; out-degree is capped at
+    {_AA_TOP} by construction, and symmetrized in-degree rides the
+    same conditional degree-cap policy as graph_bipartite_projection
+    (at this graph's nation grain the max degree is bounded by the
+    node count; at open-domain scale add the rank-pass cap gated by
+    tables.max_group_count). The anti-join and name joins run on the
+    pair frame, which the degree cap bounds."""
+    _assert_node_radix(spark, sf_dir, 32, "graph_adamic_adar")
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    wk = Window.partitionBy("src").orderBy(
+        (F.col("w") * 32 + (31 - F.col("dst"))).desc()
+    )
+    knn = (
+        e.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _AA_TOP)
+        .select("src", "dst")
+    )
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    a = und.select(F.col("u").alias("w"), F.col("v").alias("x"))
+    b = und.select(F.col("u").alias("w"), F.col("v").alias("y"))
+    pr = a.join(b, "w").filter(F.col("x") < F.col("y"))
+    t = pr.join(deg, pr.w == deg.node).select(
+        "x",
+        "y",
+        F.round(1.0 / F.log(F.col("deg")), 9)
+        .cast("decimal(20,10)")
+        .alias("term"),
+    )
+    agg = t.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("cn"),
+        F.sum("term").cast("double").alias("aa"),
+    )
+    non_edge = agg.join(
+        und,
+        (agg.x == und.u) & (agg.y == und.v),
+        "left_anti",
+    )
+    nat = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("x"), F.col("n_name").alias("nation_u"))
+    )
+    n2 = F.broadcast(
+        nat.select(F.col("n_nationkey").alias("y"), F.col("n_name").alias("nation_v"))
+    )
+    return (
+        non_edge.join(n1, "x")
+        .join(n2, "y")
+        .select("nation_u", "nation_v", "cn", "aa")
+    )

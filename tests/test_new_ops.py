@@ -1611,3 +1611,75 @@ def test_gbm_stumps_matches_pandas_replay_and_reduces_sse(spark, sf_dir):
         sses.append(sse())
     assert got == sorted(want), (got, want)
     assert all(a > b for a, b in zip(sses, sses[1:])), sses
+
+
+def test_adamic_adar_matches_pure_python(spark, sf_dir):
+    """graph_adamic_adar vs an independent pure-Python recomputation
+    over the same kNN backbone rebuilt from first principles (the
+    khop-parity pattern): same pair set (non-edges with >=1 common
+    neighbor), same common-neighbor counts, and AA within 1e-6 of the
+    sum of ROUND(1/ln(deg), 9) terms — proves the blocked-pair
+    generation and the degree weighting, not just cross-engine
+    agreement."""
+    import collections
+    import math
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).toPandas()
+
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    e = e[e.s_nationkey != e.c_nationkey]
+    knn = set()
+    for src, g in e.groupby("s_nationkey"):
+        g = g.assign(key=g.w * 32 + (31 - g.c_nationkey)).sort_values(
+            "key", ascending=False
+        )
+        for dst in g.c_nationkey.head(3):
+            knn.add((int(src), int(dst)))
+    und = collections.defaultdict(set)
+    edge = set()
+    for u, v in knn:
+        und[u].add(v)
+        und[v].add(u)
+        edge.add((u, v))
+        edge.add((v, u))
+    want = {}
+    for w, nbrs in und.items():
+        term = round(1.0 / math.log(len(nbrs)), 9) if len(nbrs) > 1 else None
+        for x in nbrs:
+            for y in nbrs:
+                if x < y and (x, y) not in edge:
+                    cn, aa = want.get((x, y), (0, 0.0))
+                    want[(x, y)] = (cn + 1, aa + term)
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    got = {
+        (r.nation_u, r.nation_v): (r.cn, r.aa)
+        for r in _q("graph_adamic_adar")(spark, sf_dir).collect()
+    }
+    want_named = {
+        (names[x], names[y]): v for (x, y), v in want.items()
+    }
+    assert set(got) == set(want_named)
+    for k, (cn, aa) in want_named.items():
+        assert got[k][0] == cn, (k, got[k], cn)
+        assert abs(got[k][1] - aa) < 1e-6, (k, got[k], aa)

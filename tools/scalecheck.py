@@ -146,6 +146,8 @@ AUDITED = [
     "graph_community_modularity",  # rides LPA + two label joins
     "join_interval_overlap",  # two-phase top-k + day-blocked pair join
     "ml_gbm_stumps",  # corpus-once cell stats + bounded boosting rounds
+    "graph_adamic_adar",  # neighbor-pair self-join blocked on w
+    "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
 ]
 
 
