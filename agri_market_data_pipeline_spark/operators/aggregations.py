@@ -2008,3 +2008,82 @@ def incr_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ea") + F.col("eb")).alias("merge_components_equal"),
         )
     )
+
+
+_DECAY_HL_DAYS = 7  # half-life: weight halves every full 7 days of age
+
+_DECAY_SQL = f"""
+WITH base AS (
+  SELECT event_type AS et,
+         epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS lv
+  FROM events WHERE value >= 0
+),
+tip AS (SELECT MAX(day_no) AS max_day FROM base),
+w AS (
+  SELECT et, lv,
+         LEAST((tip.max_day - base.day_no) // {_DECAY_HL_DAYS}, 62) AS k
+  FROM base CROSS JOIN tip
+)
+SELECT et AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(lv // (CAST(1 AS BIGINT) << k)) AS DOUBLE) / 1e6
+         AS decayed_sum,
+       CAST(SUM(1000000 // (CAST(1 AS BIGINT) << k)) AS DOUBLE) / 1e6
+         AS decayed_weight,
+       CAST(SUM(lv // (CAST(1 AS BIGINT) << k)) AS DOUBLE)
+         / CAST(SUM(1000000 // (CAST(1 AS BIGINT) << k)) AS DOUBLE)
+         AS decayed_avg
+FROM w GROUP BY et
+"""
+
+
+@query("agg_time_decay", oracle=_DECAY_SQL)
+def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed aggregates per series — the
+    feature-store primitive behind "recent activity" features (a
+    7-day-half-life decayed sum forgets the past smoothly where a
+    tumbling window forgets it in cliffs; ts_ewma smooths a DAILY
+    series sequentially, this decays RAW rows against the table tip in
+    one pass, no recursion). Weight = 2^-k with k = age_days div
+    {_DECAY_HL_DAYS} — half-life steps chosen so every weight is an
+    exact binary fraction, never a transcendental.
+
+    Determinism: each row's decayed contribution is lv div 2^k on the
+    1e-6 BIGINT lattice (2^k via integer shift, k capped at 62 — a
+    row 62 half-lives old contributes 0 anyway); the per-row floor
+    makes every term an exact integer, so sums are order-independent
+    BIGINTs and decayed_avg is an unrounded integer-ratio double. The
+    value >= 0 filter is the contract that keeps div == floor (Spark
+    `div` truncates toward zero, `//` floors — they only agree above
+    zero, the pagerank caveat).
+
+    Scale: one scan, one 1-row tip frame (broadcast — plan_audit
+    NESTED_LOOP_OK), one event_type-keyed partial agg. The tip join
+    is what makes this incremental-friendly: re-running at a new tip
+    just re-scales k, and a stored Σ lv·2^(day_no/hl) form would
+    overflow — the div-at-read form is the scale-safe one."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("value") >= 0).select(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("bigint").alias("lv"),
+    )
+    tip = base.agg(F.max("day_no").alias("max_day"))
+    w = base.crossJoin(F.broadcast(tip)).select(
+        "et",
+        "lv",
+        F.least(
+            F.expr(f"(max_day - day_no) div {_DECAY_HL_DAYS}"), F.lit(62)
+        ).alias("k"),
+    )
+    term = F.expr("lv div shiftleft(cast(1 as bigint), cast(k as int))")
+    unit = F.expr("1000000 div shiftleft(cast(1 as bigint), cast(k as int))")
+    return w.groupBy(F.col("et").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum(term).cast("double") / 1e6).alias("decayed_sum"),
+        (F.sum(unit).cast("double") / 1e6).alias("decayed_weight"),
+        (F.sum(term).cast("double") / F.sum(unit).cast("double")).alias(
+            "decayed_avg"
+        ),
+    )

@@ -1644,3 +1644,92 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_FD_SPECS = [
+    # (fd label, table, lhs column, rhs column) — mixes FDs that HOLD
+    # (key-determined) with ones the synthetic data violates, so both
+    # the zero path and the g3 arithmetic are exercised.
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey",
+     "c_nationkey"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey",
+     "n_regionkey"),
+    ("part.p_name->p_brand", "part", "p_name", "p_brand"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey",
+     "l_suppkey"),
+]
+
+
+def _fd_sql_block(fd: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       CAST(SUM(grp_n - max_rhs) AS BIGINT) AS rows_to_remove,
+       CAST(SUM(grp_n - max_rhs) AS DOUBLE) / CAST(SUM(grp_n) AS DOUBLE)
+         AS g3
+FROM (
+  SELECT {lhs}, CAST(SUM(c) AS BIGINT) AS grp_n,
+         CAST(COUNT(*) AS BIGINT) AS n_rhs,
+         CAST(MAX(c) AS BIGINT) AS max_rhs
+  FROM (SELECT {lhs}, {rhs}, COUNT(*) AS c FROM {table} GROUP BY 1, 2)
+  GROUP BY 1
+)"""
+
+
+_FD_SQL = "\nUNION ALL\n".join(
+    _fd_sql_block(*spec) for spec in _FD_SPECS
+)
+
+
+@query("dq_fd_violations", oracle=_FD_SQL)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit — the schema-semantics
+    check beside dq_referential's FK orphans and dq_rules' row
+    predicates: for each candidate FD A→B, does A determine B, and if
+    not, HOW approximately? Reports the violating-group count and the
+    standard g3 error (Kivinen-Mannila): the minimum fraction of rows
+    to delete for the FD to hold exactly — per LHS group that's
+    everything but the plurality RHS value, Σ(n_g − max_g)/N. The
+    audit set mixes key-determined FDs that must report zero with
+    violated ones whose g3 the planted test pins by construction.
+
+    Determinism: pure counting — two stacked partial aggs per FD; g3
+    is one division of exact BIGINTs (integer-ratio double, unrounded,
+    bitwise both engines).
+
+    Scale: per FD, one (A, B) partial agg then one A-keyed agg —
+    map-side combine on both; the union is K result rows. FD discovery
+    over ALL column pairs would be a different operator (TANE-style
+    lattice search); this is the audit of DECLARED dependencies, which
+    is what a pipeline contract checks per run."""
+    out = None
+    for fd, table, lhs, rhs in _FD_SPECS:
+        t = load(spark, sf_dir, table)
+        pairs = t.groupBy(lhs, rhs).agg(F.count("*").alias("c"))
+        grp = pairs.groupBy(lhs).agg(
+            F.sum("c").cast("bigint").alias("grp_n"),
+            F.count("*").cast("bigint").alias("n_rhs"),
+            F.max("c").cast("bigint").alias("max_rhs"),
+        )
+        one = grp.agg(
+            F.lit(fd).alias("fd"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum((F.col("n_rhs") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.sum(F.col("grp_n") - F.col("max_rhs"))
+            .cast("bigint")
+            .alias("rows_to_remove"),
+            (
+                F.sum(F.col("grp_n") - F.col("max_rhs")).cast("double")
+                / F.sum("grp_n").cast("double")
+            ).alias("g3"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out

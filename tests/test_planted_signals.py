@@ -1130,3 +1130,64 @@ def test_target_encoding_no_leakage_signal_and_shrinkage(spark, tmp_path):
     b1 = rb[(2, 1)]
     assert b1.n_out == 1 and b1.sy_out == 1
     assert abs(b1.enc - b1.prior_out) < 0.05
+
+
+def test_fd_violations_g3_by_construction(spark, tmp_path):
+    """dq_fd_violations' g3 arithmetic, pinned on a hand-built part
+    table: group 'alpha' (brands X,X,X,Y) needs 1 removal, 'gamma'
+    (P,P,Q,Q,R — plurality 2) needs 3, 'beta' is clean — so
+    p_name->p_brand must report exactly n_violating=2,
+    rows_to_remove=4, g3=4/12; and the key-determined FDs (c_custkey,
+    n_nationkey) must report zero on the stock tables."""
+    alt = tmp_path / "fd"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    names = ["alpha"] * 4 + ["beta"] * 3 + ["gamma"] * 5
+    brands = ["X", "X", "X", "Y", "Z", "Z", "Z", "P", "P", "Q", "Q", "R"]
+    n = len(names)
+    pd.DataFrame(
+        {
+            "p_partkey": range(n),
+            "p_name": names,
+            "p_brand": brands,
+            "p_type": ["T"] * n,
+            "p_size": [1] * n,
+            "p_retailprice": [9.99] * n,
+        }
+    ).to_parquet(alt / "part.parquet")
+    rows = {r.fd: r for r in _q("dq_fd_violations")(spark, str(alt)).collect()}
+    p = rows["part.p_name->p_brand"]
+    assert p.n_rows == 12 and p.n_groups == 3
+    assert p.n_violating == 2 and p.rows_to_remove == 4
+    assert p.g3 == 4.0 / 12.0
+    for held in (
+        "customer.c_custkey->c_nationkey",
+        "nation.n_nationkey->n_regionkey",
+    ):
+        r = rows[held]
+        assert r.n_violating == 0 and r.rows_to_remove == 0 and r.g3 == 0.0
+
+
+def test_time_decay_half_life_ladder(spark, tmp_path):
+    """agg_time_decay on a hand-built ladder: type 'm' has value 100
+    at ages 0, 7, 14 days (k = 0, 1, 2 → contributions 100, 50, 25);
+    type 'f' at ages 0 and 3 (both k=0, full weight). The tip is
+    GLOBAL (day 14), so both types decay against the same clock —
+    sums, weights, and the exact-ratio average are all pinned."""
+    d = _planted(
+        tmp_path,
+        "decay",
+        ["m", "m", "m", "f", "f"],
+        [100.0, 100.0, 100.0, 100.0, 100.0],
+        [14, 7, 0, 14, 11],
+    )
+    rows = {r.event_type: r for r in _q("agg_time_decay")(spark, d).collect()}
+    m = rows["m"]
+    assert m.n == 3
+    assert m.decayed_sum == 175.0
+    assert m.decayed_weight == 1.75  # 1 + 0.5 + 0.25
+    assert m.decayed_avg == 100.0  # 175 / 1.75: decay-weighted mean of 100s
+    f = rows["f"]
+    assert f.n == 2 and f.decayed_sum == 200.0 and f.decayed_weight == 2.0
+    assert f.decayed_avg == 200000000 / 2000000

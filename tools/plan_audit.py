@@ -177,6 +177,7 @@ NESTED_LOOP_OK = {
     "text_bpe_train",        # bounded merge-table loop frames
     "ml_ridge_closed_form",  # 1-row sufficient-statistics frame
     "ml_target_encoding",    # 1-row global-count frame (lit-key scalar)
+    "agg_time_decay",        # 1-row table-tip day frame
     "agg_bootstrap_se",      # 1-row moment frame
     "text_unigram_logprob",  # 1-row corpus-total frame
     "text_bigram_logprob",   # 1-row corpus-total frame
