@@ -2357,3 +2357,153 @@ def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rho, 6).alias("rho"),
         F.round(tau, 6).alias("tau"),
     )
+
+
+_HW_H = 7  # forecast horizon (days ahead)
+
+
+def _hw_sql() -> str:
+    """DuckDB twin of ts_holt_winters: the triple recurrence advanced
+    in rank lockstep across all series, the 7 seasonal BIGINT slots
+    carried as columns s0..s6 (one updated per step via CASE on the
+    observed day's weekday phase). DuckDB's lateral column aliases
+    name the intermediates (sprev → l_new → b_new → s_new) inside the
+    recursive member's subquery, so every state expression appears
+    once. Forecasts join a 7-row horizon frame and pick the phase
+    slot of each future calendar day."""
+    scols = ", ".join(f"s{j}" for j in range(7))
+    sprev = "CASE ph " + " ".join(
+        f"WHEN {j} THEN r.s{j}" for j in range(7)
+    ) + " END"
+    supd = ", ".join(
+        f"CASE WHEN ph = {j} THEN s_new ELSE s{j} END AS s{j}"
+        for j in range(7)
+    )
+    sfc = "CASE (max_day + h.h) % 7 " + " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(7)
+    ) + " END"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et, day_no, CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS lv,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n,
+         CAST(MAX(day_no) OVER (PARTITION BY et) AS BIGINT) AS max_day
+  FROM daily
+),
+rec AS (
+  SELECT et, rk, n, max_day, lv AS l, CAST(0 AS BIGINT) AS b,
+         {", ".join(f"CAST(0 AS BIGINT) AS s{j}" for j in range(7))}
+  FROM lat WHERE rk = 1
+  UNION ALL
+  SELECT et, rk, n, max_day, l_new AS l, b_new AS b, {supd}
+  FROM (
+    SELECT d.et, d.rk, d.n, d.max_day, r.s0, r.s1, r.s2, r.s3, r.s4,
+           r.s5, r.s6, d.day_no % 7 AS ph,
+           {sprev} AS sprev,
+           CAST(FLOOR((d.lv - sprev + r.l + r.b) / 2.0) AS BIGINT)
+             AS l_new,
+           CAST(FLOOR((l_new - r.l + 3 * r.b) / 4.0) AS BIGINT) AS b_new,
+           CAST(FLOOR((d.lv - l_new + sprev) / 2.0) AS BIGINT) AS s_new
+    FROM rec r JOIN lat d ON d.et = r.et AND d.rk = r.rk + 1
+  )
+)
+SELECT et AS event_type, h.h, n AS n_days,
+       CAST(l AS DOUBLE) / 1e6 AS level,
+       CAST(b AS DOUBLE) / 1e6 AS trend,
+       CAST(l + h.h * b + {sfc} AS DOUBLE) / 1e6 AS fc
+FROM (SELECT et, n, max_day, l, b, {scols} FROM rec WHERE rk = n)
+CROSS JOIN (SELECT UNNEST(generate_series(1, {_HW_H})) AS h) h
+"""
+
+
+@query("ts_holt_winters", oracle=_hw_sql())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters — the SEASONAL completion of the
+    exponential-smoothing family (ts_ewma smooths level,
+    ts_holt_forecast adds trend; this adds the weekly profile both
+    systematically lag on day-of-week-patterned series, which is what
+    event telemetry IS). α = 1/2, β = 1/4, γ = 1/2 — all exact binary
+    fractions, so the three recurrences
+
+        l_t = floor((x_t − s_{{t-7}} + l_{{t-1}} + b_{{t-1}}) / 2)
+        b_t = floor((l_t − l_{{t-1}} + 3·b_{{t-1}}) / 4)
+        s_t = floor((x_t − l_t + s_{{t-7}}) / 2)
+
+    run on the exact BIGINT micro-unit lattice with negative-safe
+    binary FLOORs (FLOOR(x/2.0), never integer `div` — seasonal
+    deviations and trends go negative). Seasonal slots index by TRUE
+    weekday (day_no % 7), not observation rank, so calendar gaps
+    can't rotate the profile; init l=x_1, b=0, s=0 (the smoothing
+    absorbs init bias at γ=1/2 within a few weeks). Output: the
+    {_HW_H}-day forecast fan l_n + h·b_n + s[(max_day+h) % 7] in long
+    form — one row per (series, horizon).
+
+    Spark runs the genuinely sequential recursion as applyInPandas
+    over the calendar-bounded series grain (the sanctioned custom
+    stateful path); the oracle is a DuckDB RECURSIVE CTE advancing all
+    series in rank lockstep with the 7 slots as carried BIGINT
+    columns. Both produce identical integers — full value hash, zero
+    rounding (outputs are exact 1e-6 multiples).
+
+    Scale: facts reduce to (type, day) in one partial agg; the pandas
+    recursion is O(n_days) per series with 9 BIGINTs of state,
+    parallel across series — the mapGroups shape."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    lat = daily.select(
+        "et",
+        "day_no",
+        F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint").alias("lv"),
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_no")
+        days = [int(x) for x in pdf["day_no"]]
+        lvs = [int(x) for x in pdf["lv"]]
+        l_prev, b_prev = lvs[0], 0
+        s = [0] * 7
+        for day, x in zip(days[1:], lvs[1:]):
+            ph = day % 7
+            sprev = s[ph]
+            l_cur = (x - sprev + l_prev + b_prev) // 2  # FLOOR(·/2.0)
+            b_prev = (l_cur - l_prev + 3 * b_prev) // 4
+            s[ph] = (x - l_cur + sprev) // 2
+            l_prev = l_cur
+        n, max_day = len(lvs), days[-1]
+        et = pdf["et"].iloc[0]
+        return pd.DataFrame(
+            {
+                "event_type": [et] * _HW_H,
+                "h": list(range(1, _HW_H + 1)),
+                "n_days": [n] * _HW_H,
+                "level": [l_prev / 1e6] * _HW_H,
+                "trend": [b_prev / 1e6] * _HW_H,
+                "fc": [
+                    (l_prev + h * b_prev + s[(max_day + h) % 7]) / 1e6
+                    for h in range(1, _HW_H + 1)
+                ],
+            }
+        )
+
+    return lat.groupBy("et").applyInPandas(
+        hw,
+        schema=(
+            "event_type string, h long, n_days long, level double, "
+            "trend double, fc double"
+        ),
+    )

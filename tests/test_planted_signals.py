@@ -1191,3 +1191,38 @@ def test_time_decay_half_life_ladder(spark, tmp_path):
     f = rows["f"]
     assert f.n == 2 and f.decayed_sum == 200.0 and f.decayed_weight == 2.0
     assert f.decayed_avg == 200000000 / 2000000
+
+
+def test_holt_winters_learns_planted_weekly_profile_and_trend(spark, tmp_path):
+    """ts_holt_winters on two planted series: 'seas' = 100 + 10 on one
+    fixed weekday (no trend) must forecast a fan whose spread is ~10
+    with the peak at exactly the horizon h landing on that weekday and
+    near-zero trend; 'lin' = 10 + 2·d (no seasonality) must report
+    trend ≈ 2 and forecasts tracking the line — the seasonal slots
+    must NOT steal the trend, nor vice versa."""
+    day0 = (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).days
+    peak_ph = (day0 + 3) % 7  # the planted peak weekday
+    types, values, days = [], [], []
+    for d in range(91):
+        types.append("seas")
+        values.append(100.0 + (10.0 if (day0 + d) % 7 == peak_ph else 0.0))
+        days.append(d)
+        types.append("lin")
+        values.append(10.0 + 2.0 * d)
+        days.append(d)
+    fx = _planted(tmp_path, "hw", types, values, days)
+    rows = _q("ts_holt_winters")(spark, fx).collect()
+    seas = {r.h: r for r in rows if r.event_type == "seas"}
+    lin = {r.h: r for r in rows if r.event_type == "lin"}
+    assert len(seas) == 7 and len(lin) == 7
+    fcs = {h: r.fc for h, r in seas.items()}
+    spread = max(fcs.values()) - min(fcs.values())
+    assert 8.0 < spread < 12.0, fcs
+    peak_h = max(fcs, key=fcs.get)
+    max_day = day0 + 90
+    assert (max_day + peak_h) % 7 == peak_ph, (peak_h, fcs)
+    assert abs(seas[1].trend) < 0.5
+    assert abs(lin[1].trend - 2.0) < 0.2
+    for h, r in lin.items():
+        truth = 10.0 + 2.0 * (90 + h)
+        assert abs(r.fc - truth) < 3.0, (h, r.fc, truth)

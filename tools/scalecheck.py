@@ -147,6 +147,7 @@ AUDITED = [
     "join_interval_overlap",  # two-phase top-k + day-blocked pair join
     "ml_gbm_stumps",  # corpus-once cell stats + bounded boosting rounds
     "graph_adamic_adar",  # neighbor-pair self-join blocked on w
+    "ts_holt_winters",  # applyInPandas per-series seasonal recursion
     "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
 ]
 
