@@ -1857,3 +1857,121 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (d_p * (n_out + _TE_M)).cast("double")
         ).alias("enc"),
     )
+
+
+_WOE_BINS = 10
+
+_WOE_SQL = f"""
+WITH base AS (
+  SELECT o_totalprice AS x,
+         CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM base),
+b AS (
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR(((x - lo) * {_WOE_BINS}) / (hi - lo))
+                         AS BIGINT), {_WOE_BINS - 1}) END AS bin,
+         y
+  FROM base CROSS JOIN mm
+),
+c AS (
+  SELECT bin, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM b GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS tp, CAST(SUM(neg) AS BIGINT) AS tn
+  FROM c
+)
+SELECT bin, pos + neg AS n_rows, pos, neg,
+       ROUND(LN(CAST((pos + 1) * (tn + {_WOE_BINS}) AS DOUBLE)
+                / CAST((neg + 1) * (tp + {_WOE_BINS}) AS DOUBLE)), 6)
+         AS woe,
+       (CAST(pos + 1 AS DOUBLE) / CAST(tp + {_WOE_BINS} AS DOUBLE)
+        - CAST(neg + 1 AS DOUBLE) / CAST(tn + {_WOE_BINS} AS DOUBLE))
+       * ROUND(LN(CAST((pos + 1) * (tn + {_WOE_BINS}) AS DOUBLE)
+                  / CAST((neg + 1) * (tp + {_WOE_BINS}) AS DOUBLE)), 6)
+         AS iv_term
+FROM c CROSS JOIN t
+"""
+
+
+@query("ml_woe_iv", oracle=_WOE_SQL)
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value — the
+    feature-SCREENING companion to ml_target_encoding's feature
+    TRANSFORM (WoE/IV is how credit-scoring and feature-selection
+    pipelines rank candidate predictors before encoding them): bin
+    the numeric feature into {_WOE_BINS} equal-width bins, and per
+    bin WoE = ln(P(bin|pos) / P(bin|neg)); IV = Σ (P(bin|pos) −
+    P(bin|neg))·WoE summarizes the feature's separating power (the
+    planted test pins IV ≈ 0 for an uninformative feature and large
+    for a separating one). Laplace smoothing (+1 per bin, +{_WOE_BINS}
+    on totals) keeps empty-class bins finite.
+
+    Determinism: the WoE argument is rewritten as ONE exact-BIGINT
+    ratio (pos+1)·(NEG+10) / ((neg+1)·(POS+10)) — cross-multiplied so
+    no intermediate double division feeds the transcendental; LN takes
+    ROUND(6) (ties measure-zero); iv_term multiplies two bitwise
+    operands (an exact integer-ratio difference × the lattice WoE) —
+    one IEEE multiply, identical both engines, no summation in-query
+    (the long form; the test assembles IV). Bin assignment divides
+    identical doubles with explicit parenthesization — same FLOOR both
+    engines; hi = lo degenerates to bin 0, not a division by zero.
+
+    Scale: one scan + 1-row min/max frame (broadcast — NESTED_LOOP_OK)
+    + {_WOE_BINS}-key partial agg + 1-row totals frame. Screening K
+    features is K independent passes or one melt — embarrassingly
+    parallel either way."""
+    o = load_parallel(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority").startswith("1-"), 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    mm = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    b = base.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    ((F.col("x") - F.col("lo")) * _WOE_BINS)
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("bigint"),
+                F.lit(_WOE_BINS - 1).cast("bigint"),
+            )
+        )
+        .alias("bin"),
+        "y",
+    )
+    c = b.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("neg"),
+    )
+    t = c.agg(
+        F.sum("pos").cast("bigint").alias("tp"),
+        F.sum("neg").cast("bigint").alias("tn"),
+    )
+    woe = F.round(
+        F.log(
+            ((F.col("pos") + 1) * (F.col("tn") + _WOE_BINS)).cast("double")
+            / ((F.col("neg") + 1) * (F.col("tp") + _WOE_BINS)).cast("double")
+        ),
+        6,
+    )
+    p_pos = (F.col("pos") + 1).cast("double") / (
+        F.col("tp") + _WOE_BINS
+    ).cast("double")
+    p_neg = (F.col("neg") + 1).cast("double") / (
+        F.col("tn") + _WOE_BINS
+    ).cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        (F.col("pos") + F.col("neg")).alias("n_rows"),
+        "pos",
+        "neg",
+        woe.alias("woe"),
+        ((p_pos - p_neg) * woe).alias("iv_term"),
+    )

@@ -101,6 +101,16 @@ HEADLINE = [
     "join_point_in_polygon",
     "ts_holt_forecast",
     "agg_permutation_test",
+    # r9 late additions (this session): discrimination metric, leakage-
+    # safe encoder, link prediction, FD audit, decayed features, and the
+    # seasonal smoother (pins land next round per the two-run band rule)
+    "ml_auc_roc",
+    "ml_target_encoding",
+    "graph_adamic_adar",
+    "dq_fd_violations",
+    "agg_time_decay",
+    "ts_holt_winters",
+    "ml_woe_iv",
 ]
 
 

@@ -1226,3 +1226,59 @@ def test_holt_winters_learns_planted_weekly_profile_and_trend(spark, tmp_path):
     for h, r in lin.items():
         truth = 10.0 + 2.0 * (90 + h)
         assert abs(r.fc - truth) < 3.0, (h, r.fc, truth)
+
+
+def _woe_orders_fixture(tmp_path, name: str, separating: bool) -> str:
+    """Orders fixture for ml_woe_iv: 2000 orders with x uniform on
+    [0, 1000]; labels either independent of x (30% urgent everywhere)
+    or strongly separated (10% urgent below the midpoint, 90% above)."""
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    n = 2000
+    xs = [1000.0 * _noise("woe_x", i) for i in range(n)]
+    pris = []
+    for i, x in enumerate(xs):
+        p = (0.1 if x < 500 else 0.9) if separating else 0.3
+        pris.append("1-URGENT" if _noise("woe_y", i) < p else "5-LOW")
+    pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_custkey": [1] * n,
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": xs,
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * n,
+            "o_orderpriority": pris,
+        }
+    ).to_parquet(alt / "orders.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def test_woe_iv_separates_informative_from_flat(spark, tmp_path):
+    """ml_woe_iv: a feature whose label rate jumps 0.1→0.9 at the
+    midpoint must report IV >> the classic 0.3 'strong' threshold with
+    negative WoE below and positive above; a label independent of the
+    feature must report IV near zero. Each bin's WoE is also
+    recomputed from its own emitted counts — the formula is pinned,
+    not just the direction."""
+    import math
+
+    for name, sep, lo_iv, hi_iv in (
+        ("flat", False, 0.0, 0.05),
+        ("sep", True, 1.0, 100.0),
+    ):
+        fx = _woe_orders_fixture(tmp_path, f"woe_{name}", sep)
+        rows = _q("ml_woe_iv")(spark, fx).collect()
+        assert sum(r.n_rows for r in rows) == 2000
+        tp = sum(r.pos for r in rows)
+        tn = sum(r.neg for r in rows)
+        iv = sum(r.iv_term for r in rows)
+        assert lo_iv <= iv <= hi_iv, (name, iv)
+        for r in rows:
+            want = math.log((r.pos + 1) * (tn + 10) / ((r.neg + 1) * (tp + 10)))
+            assert abs(r.woe - want) < 2e-6, (name, r.bin, r.woe, want)
+            if sep and r.bin <= 3:
+                assert r.woe < -0.5, (r.bin, r.woe)
+            if sep and r.bin >= 6:
+                assert r.woe > 0.5, (r.bin, r.woe)
