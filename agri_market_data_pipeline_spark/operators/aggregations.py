@@ -2087,3 +2087,145 @@ def agg_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decayed_avg"
         ),
     )
+
+
+_BFM_SHARDS = 4
+
+_BFM_SQL = f"""
+WITH src AS (
+  SELECT DISTINCT l_orderkey % {_BFM_SHARDS} AS shard, l_suppkey AS key
+  FROM lineitem
+),
+sb AS (
+  SELECT DISTINCT shard,
+         CASE i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql(i, 'key')}" for i in range(_BLOOM_K))} END AS pos
+  FROM src, (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS i)
+),
+direct AS (
+  SELECT DISTINCT
+         CASE i {" ".join(f"WHEN {i} THEN {_bloom_pos_sql(i, 'key')}" for i in range(_BLOOM_K))} END AS pos
+  FROM (SELECT DISTINCT key FROM src),
+       (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS i)
+),
+merged AS (SELECT DISTINCT pos FROM sb),
+diff AS (
+  SELECT COUNT(*) AS d FROM (
+    (SELECT pos FROM merged EXCEPT SELECT pos FROM direct)
+    UNION ALL
+    (SELECT pos FROM direct EXCEPT SELECT pos FROM merged))
+),
+cum AS (
+  SELECT a.shard, CAST(COUNT(DISTINCT b.pos) AS BIGINT) AS cum_bits
+  FROM (SELECT DISTINCT shard FROM sb) a
+  JOIN sb b ON b.shard <= a.shard
+  GROUP BY 1
+),
+nk AS (
+  SELECT shard, CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys
+  FROM src GROUP BY 1
+),
+nb AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bits FROM sb GROUP BY 1)
+SELECT nk.shard, nk.n_keys, nb.n_bits, cum.cum_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM direct) AS direct_bits,
+       CASE WHEN (SELECT d FROM diff) = 0 THEN 1 ELSE 0 END AS merge_ok
+FROM nk JOIN nb ON nb.shard = nk.shard JOIN cum ON cum.shard = nk.shard
+"""
+
+
+@query("incr_bloom_merge", oracle=_BFM_SQL)
+def incr_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-merge proof for the Bloom filter — the MEMBERSHIP member
+    that completes the sketch-merge family (incr_minhash_merge proves
+    MIN-merge, incr_cms_merge cell-sum, agg_hll_merge register-MAX,
+    incr_quantile_merge/topk_merge their own algebras; Bloom's merge
+    is bitwise OR, here the DISTINCT union of relational (shard, pos)
+    bit rows). Each ingest shard (l_orderkey mod {_BFM_SHARDS}) builds
+    its own filter over its supplier keys; the query proves in-query
+    that the OR of the shard filters equals the filter built
+    monolithically (symmetric difference EMPTY — merge_ok), and emits
+    the cumulative-bits saturation curve an incremental ingest would
+    observe shard by shard (cum_bits at the last shard == direct_bits).
+
+    This algebra is what makes a 100 TB Bloom build embarrassingly
+    parallel: shards build independently, bits OR at reduce — no
+    global distinct-key shuffle — and the SAME union maintains the
+    filter incrementally as new shards arrive.
+
+    Determinism: bit positions are md5-lattice integers (the
+    cross-engine hash); everything else is exact set cardinality
+    counting — zero rounding anywhere.
+
+    Scale: the bit tables are bounded by {_BFM_SHARDS}·{_BLOOM_M} rows
+    regardless of fact cardinality; the shard<=shard cumulative join
+    and the 1-row direct/diff frames are constant-size (broadcast —
+    NESTED_LOOP_OK); only the per-shard distinct-key pass touches the
+    facts, once, with map-side partial aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+
+    def pos(i: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"), key.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    src = li.select(
+        (F.col("l_orderkey") % _BFM_SHARDS).alias("shard"),
+        F.col("l_suppkey").alias("key"),
+    ).distinct()
+    sb = src.select(
+        "shard",
+        F.explode(
+            F.array(*[pos(i, F.col("key")) for i in range(_BLOOM_K)])
+        ).alias("pos"),
+    ).distinct()
+    direct = (
+        src.select("key")
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[pos(i, F.col("key")) for i in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    merged = sb.select("pos").distinct()
+    diff_cnt = (
+        merged.exceptAll(direct)
+        .unionAll(direct.exceptAll(merged))
+        .agg(F.count("*").alias("d"))
+    )
+    shards = sb.select("shard").distinct()
+    cum = (
+        shards.alias("a")
+        .join(sb.alias("b"), F.col("b.shard") <= F.col("a.shard"))
+        .groupBy(F.col("a.shard").alias("shard"))
+        .agg(F.countDistinct("pos").cast("bigint").alias("cum_bits"))
+    )
+    nk = src.groupBy("shard").agg(
+        F.countDistinct("key").cast("bigint").alias("n_keys")
+    )
+    nb = sb.groupBy("shard").agg(F.count("*").cast("bigint").alias("n_bits"))
+    return (
+        nk.join(nb, "shard")
+        .join(cum, "shard")
+        .crossJoin(
+            F.broadcast(direct.agg(F.count("*").cast("bigint").alias("direct_bits")))
+        )
+        .crossJoin(F.broadcast(diff_cnt))
+        .select(
+            "shard",
+            "n_keys",
+            "n_bits",
+            "cum_bits",
+            "direct_bits",
+            F.when(F.col("d") == 0, 1).otherwise(0).alias("merge_ok"),
+        )
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "agg_time_decay",
     "ts_holt_winters",
     "ml_woe_iv",
+    "incr_bloom_merge",
 ]
 
 

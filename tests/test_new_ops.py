@@ -1683,3 +1683,26 @@ def test_adamic_adar_matches_pure_python(spark, sf_dir):
     for k, (cn, aa) in want_named.items():
         assert got[k][0] == cn, (k, got[k], cn)
         assert abs(got[k][1] - aa) < 1e-6, (k, got[k], aa)
+
+
+def test_bloom_merge_algebra_and_saturation(spark, sf_dir):
+    """incr_bloom_merge's structural invariants beyond the oracle:
+    merge_ok holds, the cumulative-bits curve is monotone
+    non-decreasing in shard order with diminishing marginal bits
+    bounded by each shard's own popcount, and the last cumulative
+    count equals the monolithic build exactly (OR-merge is lossless)."""
+    rows = sorted(
+        _q("incr_bloom_merge")(spark, sf_dir).collect(), key=lambda r: r.shard
+    )
+    assert len(rows) == 4
+    assert all(r.merge_ok == 1 for r in rows)
+    direct = rows[0].direct_bits
+    assert all(r.direct_bits == direct for r in rows)
+    prev = 0
+    for r in rows:
+        assert r.n_bits <= min(3 * r.n_keys, 1024)
+        assert r.cum_bits >= prev
+        assert r.cum_bits - prev <= r.n_bits  # marginal <= own popcount
+        assert r.cum_bits >= r.n_bits  # union contains the shard
+        prev = r.cum_bits
+    assert rows[-1].cum_bits == direct

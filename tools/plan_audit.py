@@ -179,6 +179,7 @@ NESTED_LOOP_OK = {
     "ml_target_encoding",    # 1-row global-count frame (lit-key scalar)
     "agg_time_decay",        # 1-row table-tip day frame
     "ml_woe_iv",             # 1-row min/max + totals frames
+    "incr_bloom_merge",      # shard-count-bounded bit frames + 1-row proofs
     "agg_bootstrap_se",      # 1-row moment frame
     "text_unigram_logprob",  # 1-row corpus-total frame
     "text_bigram_logprob",   # 1-row corpus-total frame
