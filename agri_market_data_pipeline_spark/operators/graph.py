@@ -1345,3 +1345,141 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, "y")
         .select("nation_u", "nation_v", "cn", "aa")
     )
+
+
+_HC_K = 4    # hop budget (bounded-k ego metric)
+_HC_TOP = 3  # same kNN backbone grain as khop / adamic_adar
+
+
+def _harmonic_sql(k: int, top: int) -> str:
+    """DuckDB twin: the visited-set BFS unrolled — per round the
+    frontier expands through the undirected backbone and EXCEPT
+    removes already-seen (src, node) pairs, so each pair is labeled
+    with its FIRST (shortest) hop. Every round CTE is MATERIALIZED
+    (each is referenced twice: as the union carry and the dedup
+    base)."""
+    ctes = [
+        f"e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        f"""knn AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w * 32 + (31 - dst) DESC) AS rk
+    FROM e) WHERE rk <= {top})""",
+        """und AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM knn
+    UNION ALL SELECT dst AS u, src AS v FROM knn))""",
+        """s0 AS MATERIALIZED (
+  SELECT n_nationkey AS src, n_nationkey AS node,
+         CAST(0 AS BIGINT) AS hop
+  FROM nation)""",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""n{i} AS MATERIALIZED (
+  SELECT src, node, CAST({i} AS BIGINT) AS hop FROM (
+    SELECT DISTINCT s.src, und.v AS node
+    FROM s{i - 1} s JOIN und ON und.u = s.node
+    WHERE s.hop = {i - 1}
+    EXCEPT SELECT src, node FROM s{i - 1}))"""
+        )
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT * FROM s{i - 1} UNION ALL SELECT * FROM n{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nat.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(1000000 // hop) AS DOUBLE) / 1e6 AS harmonic,
+       CAST(SUM(hop) AS DOUBLE) / COUNT(*) AS avg_dist
+FROM s{k} s JOIN nation nat ON nat.n_nationkey = s.src
+WHERE s.hop > 0
+GROUP BY nat.n_name"""
+    )
+
+
+@query("graph_harmonic_centrality", oracle=_harmonic_sql(_HC_K, _HC_TOP))
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-k harmonic centrality over the kNN trade backbone —
+    the IMPORTANCE-BY-DISTANCE member beside pagerank's
+    importance-by-flow (harmonic = Σ 1/d(u,v) over nodes reached
+    within {_HC_K} hops; Boldi-Vigna's axiom-clean replacement for
+    closeness, finite even on disconnected graphs because unreached
+    nodes contribute 0 rather than ∞). Distances come from an
+    all-sources BFS run as a SPARSE visited-set expansion — frontier
+    joins the edge list, an anti-join labels each (src, node) pair at
+    its FIRST (hence shortest) hop — never a dense src×node grid;
+    this is exactly HyperBall's exact-counting degenerate form, and
+    at open-domain scale the visited set swaps for HLL registers per
+    node (the documented approximation path).
+
+    Determinism: hops are exact BIGINTs; each 1/d term is the exact
+    integer 1000000 div d (d ∈ 1..{_HC_K}, non-negative `div` ==
+    floor), so harmonic is an exact 1e-6-lattice sum and avg_dist an
+    unrounded integer-ratio double — zero rounding anywhere.
+
+    Scale: the backbone build reduces facts once; per round the
+    frontier join shuffles on the node key and the visited union is
+    stats-reset via _materialized (each round's frame is consumed
+    twice — the localCheckpoint stats-squaring lesson); frame sizes
+    are bounded by reachable pairs, which the kNN degree cap bounds
+    geometrically per hop."""
+    _assert_node_radix(spark, sf_dir, 32, "graph_harmonic_centrality")
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    wk = Window.partitionBy("src").orderBy(
+        (F.col("w") * 32 + (31 - F.col("dst"))).desc()
+    )
+    knn = (
+        e.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _HC_TOP)
+        .select("src", "dst")
+    )
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nat = load(spark, sf_dir, "nation")
+    seen = nat.select(
+        F.col("n_nationkey").alias("src"),
+        F.col("n_nationkey").alias("node"),
+        F.lit(0).cast("bigint").alias("hop"),
+    )
+    for h in range(1, _HC_K + 1):
+        frontier = seen.filter(F.col("hop") == h - 1).select(
+            "src", F.col("node").alias("u")
+        )
+        cand = (
+            frontier.join(und, "u")
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        new = cand.join(seen, ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(h).cast("bigint").alias("hop")
+        )
+        seen = _materialized(seen.unionAll(new))
+    return (
+        seen.filter(F.col("hop") > 0)
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("src"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "src",
+        )
+        .groupBy("nation")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached"),
+            (
+                F.sum(F.expr("1000000 div hop")).cast("double") / 1e6
+            ).alias("harmonic"),
+            (F.sum("hop").cast("double") / F.count("*")).alias("avg_dist"),
+        )
+    )

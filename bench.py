@@ -112,6 +112,7 @@ HEADLINE = [
     "ts_holt_winters",
     "ml_woe_iv",
     "incr_bloom_merge",
+    "graph_harmonic_centrality",
 ]
 
 

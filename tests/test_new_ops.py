@@ -1706,3 +1706,71 @@ def test_bloom_merge_algebra_and_saturation(spark, sf_dir):
         assert r.cum_bits >= r.n_bits  # union contains the shard
         prev = r.cum_bits
     assert rows[-1].cum_bits == direct
+
+
+def test_harmonic_centrality_matches_pure_python(spark, sf_dir):
+    """graph_harmonic_centrality vs an independent pure-Python
+    all-sources BFS over the independently rebuilt kNN backbone —
+    n_reached, the 1e-6-lattice harmonic sum, and the exact-ratio
+    mean distance must all agree exactly (zero rounding in the
+    operator)."""
+    import collections
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).toPandas()
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    e = e[e.s_nationkey != e.c_nationkey]
+    und = collections.defaultdict(set)
+    for src, g in e.groupby("s_nationkey"):
+        g = g.assign(key=g.w * 32 + (31 - g.c_nationkey)).sort_values(
+            "key", ascending=False
+        )
+        for dst in g.c_nationkey.head(3):
+            und[int(src)].add(int(dst))
+            und[int(dst)].add(int(src))
+    want = {}
+    for src in nat.n_nationkey:
+        src = int(src)
+        dist = {src: 0}
+        frontier = {src}
+        for h in range(1, 5):
+            nxt = set()
+            for u in frontier:
+                for v in und[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        reached = [d for d in dist.values() if d > 0]
+        if reached:
+            name = nat[nat.n_nationkey == src].n_name.iloc[0]
+            want[name] = (
+                len(reached),
+                sum(1000000 // d for d in reached) / 1e6,
+                sum(reached) / len(reached),
+            )
+    got = {
+        r.nation: (r.n_reached, r.harmonic, r.avg_dist)
+        for r in _q("graph_harmonic_centrality")(spark, sf_dir).collect()
+    }
+    assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}

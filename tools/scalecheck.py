@@ -148,6 +148,7 @@ AUDITED = [
     "ml_gbm_stumps",  # corpus-once cell stats + bounded boosting rounds
     "graph_adamic_adar",  # neighbor-pair self-join blocked on w
     "ts_holt_winters",  # applyInPandas per-series seasonal recursion
+    "graph_harmonic_centrality",  # visited-set BFS expansion loop
     "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
 ]
 
