@@ -2220,3 +2220,160 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.sum("p") * F.sum("q")).cast("double")
         ).alias("auc"),
     )
+
+
+_LIFT_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT y, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score FROM z
+),
+g AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT score, n, pos,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(pos) OVER w AS BIGINT) AS cum_pos
+  FROM g
+  WINDOW w AS (ORDER BY score DESC ROWS UNBOUNDED PRECEDING)
+),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS tp
+  FROM g
+)
+SELECT LEAST(((c.cum_n - c.n) * 10) // t.nn, 9) AS decile,
+       CAST(SUM(c.n) AS BIGINT) AS n_rows,
+       CAST(SUM(c.pos) AS BIGINT) AS n_pos,
+       CAST(MAX(c.cum_pos) AS DOUBLE) / CAST(MAX(t.tp) AS DOUBLE)
+         AS capture_rate,
+       CAST(SUM(c.pos) * MAX(t.nn) AS DOUBLE)
+         / CAST(SUM(c.n) * MAX(t.tp) AS DOUBLE) AS lift,
+       CAST(MAX(c.cum_pos) * MAX(t.nn) AS DOUBLE)
+         / CAST(MAX(c.cum_n) * MAX(t.tp) AS DOUBLE) AS cum_lift
+FROM c CROSS JOIN t
+GROUP BY 1
+"""
+
+
+@query("ml_lift_gains", oracle=_LIFT_SQL)
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table — the TARGETING readout that completes
+    the classifier-eval suite (ml_auc_roc ranks, ml_calibration_ece
+    calibrates; lift answers the operator's actual question: if I act
+    on the top d deciles by score, what fraction of the positives do I
+    capture, and at how many times the base rate?). Same deterministic
+    md5-probe sigmoid score as its two siblings, so all three read one
+    classifier. Rows are bucketed into score-descending deciles by
+    CUMULATIVE POSITION — decile = (cum_before·10) div N on exact
+    BIGINTs — never by a per-row rank.
+
+    Determinism: the score is ROUND(6) before grouping; the cumulative
+    window rides the distinct-score grain ordered BY the score itself
+    (the key is the order — no tiebreaker needed); within a decile
+    cum_pos/cum_n are monotone so decile-end values are MAXes;
+    capture, lift, and cum_lift are single divisions of exact-BIGINT
+    cross-products — unrounded integer-ratio doubles.
+
+    Scale: one corpus scan for z, one (score) partial agg; the
+    cumulative window's input is post-aggregate and saturates at 1e6+1
+    lattice values (the grain-bounded exemption); the totals frame is
+    one row (broadcast — NESTED_LOOP_OK)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = x.select("vec_id", "y", "xi", probe_w.alias("w")).groupBy(
+        "vec_id", "y"
+    ).agg(
+        F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("z")
+    )
+    s = z.select(
+        "y", F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6).alias("score")
+    )
+    g = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "score",
+        "n",
+        "pos",
+        F.sum("n").over(w_cum).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w_cum).cast("bigint").alias("cum_pos"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("tp"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    return (
+        j.select(
+            F.least(
+                F.expr("((cum_n - n) * 10) div nn"), F.lit(9).cast("bigint")
+            ).alias("decile"),
+            "n",
+            "pos",
+            "cum_n",
+            "cum_pos",
+            "nn",
+            "tp",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (
+                F.max("cum_pos").cast("double") / F.max("tp").cast("double")
+            ).alias("capture_rate"),
+            (
+                (F.sum("pos") * F.max("nn")).cast("double")
+                / (F.sum("n") * F.max("tp")).cast("double")
+            ).alias("lift"),
+            (
+                (F.max("cum_pos") * F.max("nn")).cast("double")
+                / (F.max("cum_n") * F.max("tp")).cast("double")
+            ).alias("cum_lift"),
+        )
+    )

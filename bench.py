@@ -113,6 +113,7 @@ HEADLINE = [
     "ml_woe_iv",
     "incr_bloom_merge",
     "graph_harmonic_centrality",
+    "ml_lift_gains",
 ]
 
 

@@ -1282,3 +1282,59 @@ def test_woe_iv_separates_informative_from_flat(spark, tmp_path):
                 assert r.woe < -0.5, (r.bin, r.woe)
             if sep and r.bin >= 6:
                 assert r.woe > 0.5, (r.bin, r.woe)
+
+
+def test_lift_gains_separation_and_chance(spark, tmp_path):
+    """ml_lift_gains on the AUC fixtures' two regimes: perfectly
+    separated labels (~50% positive) must show top-decile lift near
+    the theoretical maximum N/TP ≈ 2 with capture saturating at 1.0
+    by mid-table and bottom deciles at zero lift; labels independent
+    of the score must hold lift ≈ 1 in every decile."""
+    import numpy as np
+
+    w = np.array(
+        [
+            (int(hashlib.md5(f"probe:{i}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(1, 65)
+        ]
+    )
+    sw2 = float(w @ w)
+    n = 3000
+    for name, sep in (("sep", True), ("rand", False)):
+        alt = tmp_path / f"lift_{name}"
+        alt.mkdir()
+        for t in _TABLES:
+            shutil.copy(
+                f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+            )
+        vecs, labels = [], []
+        for vid in range(n):
+            t = -4.0 + 8.0 * _noise("auc_t", vid)
+            if abs(t) < 0.01:
+                t = 0.01
+            vecs.append(((t / sw2) * w).astype(np.float32).tolist())
+            if sep:
+                labels.append(1 if t > 0 else 0)
+            else:
+                labels.append(1 if _noise("lift_y", vid) < 0.5 else 0)
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": vecs, "label": labels}
+        ).to_parquet(alt / "embeddings.parquet")
+        rows = sorted(
+            _q("ml_lift_gains")(spark, str(alt)).collect(),
+            key=lambda r: r.decile,
+        )
+        assert len(rows) == 10
+        assert sum(r.n_rows for r in rows) == n
+        tp = sum(r.n_pos for r in rows)
+        if sep:
+            assert rows[0].lift > 1.8 * tp / n * 2  # ≈ N/TP, tp/n ≈ 0.5
+            assert rows[0].capture_rate > 0.18
+            assert rows[5].capture_rate == 1.0  # all pos in top half
+            assert rows[9].n_pos == 0 and rows[9].lift == 0.0
+            assert rows[9].cum_lift == 1.0  # full table = base rate
+        else:
+            for r in rows:
+                assert 0.7 <= r.lift <= 1.3, (r.decile, r.lift)
+            assert abs(rows[9].capture_rate - 1.0) < 1e-12
