@@ -1824,7 +1824,8 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cf = base.groupBy("ck", "fold").agg(
         F.count("*").cast("bigint").alias("n_kf"),
         F.sum("y").cast("bigint").alias("sy_kf"),
-    )
+    ).localCheckpoint(eager=True)  # consumed by 3 branches (ct/gf/g):
+    # without this the fact scan + first agg re-run per branch
     ct = cf.groupBy("ck").agg(
         F.sum("n_kf").cast("bigint").alias("n_k"),
         F.sum("sy_kf").cast("bigint").alias("sy_k"),
