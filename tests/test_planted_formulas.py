@@ -226,3 +226,174 @@ def test_ewma_constant_series_and_step_response(spark, tmp_path):
     num = 200.0 + sum(_EWMA_R**k * 100.0 for k in range(1, _EWMA_TAPS))
     den = sum(_EWMA_R**k for k in range(_EWMA_TAPS))
     assert abs(step.ewma - num / den) < 1e-9
+
+
+def test_ttest_fires_on_planted_shift_with_correct_sign(spark, tmp_path):
+    """Welch t-test: users hash-split A/B with the operator's own md5
+    assignment (recomputed here); equal distributions must stay inside
+    |t| < 3 while a +5 shift on B must drive t far negative
+    (mean_a − mean_b < 0 — sign pinned, not just magnitude) with a
+    plausible Welch df."""
+    import hashlib
+
+    def variant(uid: int) -> str:
+        h = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8], 16)
+        return "A" if h % 2 == 0 else "B"
+
+    import tests.test_planted_signals as ps
+
+    for name, shift, check in (
+        ("null", 0.0, lambda r: abs(r.t_stat) < 3),
+        ("shift", 5.0, lambda r: r.t_stat < -10),
+    ):
+        types, values, days = [], [], []
+        i = 0
+        for uid in range(1, 201):
+            for k in range(10):
+                base = 50.0 + ps._noise("tt", i)
+                if variant(uid) == "B":
+                    base += shift
+                types.append("m")
+                values.append(base)
+                days.append(i % 30)
+                i += 1
+        alt = ps._planted(tmp_path, f"tt_{name}", types, values, days)
+        # _planted fixes user_id=1; rewrite with the real uid spread
+        ev = pd.read_parquet(f"{alt}/events.parquet")
+        ev["user_id"] = [1 + (j // 10) for j in range(len(ev))]
+        ev.to_parquet(f"{alt}/events.parquet", coerce_timestamps="us")
+        r = _q("agg_ttest_ab")(spark, alt).collect()[0]
+        assert r.n_a + r.n_b == 2000 and min(r.n_a, r.n_b) > 500
+        assert check(r), (name, r.t_stat)
+        assert r.df_welch > 100
+        if shift:
+            assert abs((r.mean_b - r.mean_a) - 5.0) < 0.2
+
+
+def _rebuild_edges(spark, sf_dir):
+    """Independent pandas rebuild of the nation trade edge list
+    (supplier nation → customer nation, line counts)."""
+    from agri_market_data_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).toPandas()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).toPandas()
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).toPandas()
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).toPandas()
+    nat = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).toPandas()
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(s, left_on="l_suppkey", right_on="s_suppkey")
+        .groupby(["s_nationkey", "c_nationkey"])
+        .size()
+        .reset_index(name="w")
+    )
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    return e, names
+
+
+def test_triangle_count_matches_pure_python(spark, sf_dir):
+    """graph_triangle_count vs a brute-force pure-Python triangle
+    enumeration over the independently rebuilt undirected edge set —
+    per-nation participation counts must match exactly (the oriented
+    edge-join must neither drop nor double-count any triangle)."""
+    import itertools
+
+    e, names = _rebuild_edges(spark, sf_dir)
+    und = set()
+    for src, dst in zip(e.s_nationkey, e.c_nationkey):
+        if src != dst:
+            und.add((min(int(src), int(dst)), max(int(src), int(dst))))
+    nodes = sorted({x for p in und for x in p})
+    part = {n: 0 for n in nodes}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in und and (y, z) in und and (x, z) in und:
+            part[x] += 1
+            part[y] += 1
+            part[z] += 1
+    want = {names[n]: c for n, c in part.items() if c > 0}
+    got = {
+        r.nation: r.n_triangles
+        for r in _q("graph_triangle_count")(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_degree_stats_match_pure_python(spark, sf_dir):
+    """graph_degree_stats vs the pandas rebuild: in/out degree and
+    weighted degree per nation, exact, including zero rows for
+    isolated nations."""
+    e, names = _rebuild_edges(spark, sf_dir)
+    out_d = e.groupby("s_nationkey").agg(deg=("w", "size"), w=("w", "sum"))
+    in_d = e.groupby("c_nationkey").agg(deg=("w", "size"), w=("w", "sum"))
+    got = {
+        r.nation: (r.deg_out, r.deg_in, r.w_out, r.w_in)
+        for r in _q("graph_degree_stats")(spark, sf_dir).collect()
+    }
+    assert set(got) == set(names.values())
+    for nk, nm in names.items():
+        wo = (
+            (int(out_d.loc[nk].deg), int(out_d.loc[nk].w))
+            if nk in out_d.index
+            else (0, 0)
+        )
+        wi = (
+            (int(in_d.loc[nk].deg), int(in_d.loc[nk].w))
+            if nk in in_d.index
+            else (0, 0)
+        )
+        assert got[nm] == (wo[0], wi[0], wo[1], wi[1]), (nm, got[nm], wo, wi)
+
+
+def test_rolling_slope_exact_on_planted_line(spark, tmp_path):
+    """win_rolling_slope on v = 5 + 2·d: every window spanning ≥ 2
+    days lies exactly on the line, so the OLS slope is exactly 2.0
+    (the integer-lattice sums make this bitwise, not approximate);
+    the first window (single point, zero x-variance) emits the
+    literal 0.0."""
+    import tests.test_planted_signals as ps
+
+    vals = [5.0 + 2.0 * d for d in range(30)]
+    alt = ps._planted(
+        tmp_path, "rsl", ["lin"] * 30, vals, list(range(30))
+    )
+    rows = sorted(
+        (r for r in _q("win_rolling_slope")(spark, alt).collect()
+         if r.event_type == "lin"),
+        key=lambda r: r.day_no,
+    )
+    assert len(rows) == 30
+    assert rows[0].slope == 0.0 and rows[0].n == 1
+    for r in rows[1:]:
+        assert r.slope == 2.0, (r.day_no, r.slope)
+
+
+def test_forecast_eval_seasonal_naive_hand_computed(spark, tmp_path):
+    """ts_forecast_eval's seasonal-naive WAPE/bias on a hand-built
+    two-year monthly series (year 1 all 100, year 2 all 110): exactly
+    12 scored months, WAPE = 120/1320 = 1/11, mean bias = +10."""
+    alt = _copy_tables(tmp_path, "fe")
+    prios, prices, dates = [], [], []
+    for m in range(24):
+        prios.append("FE")
+        prices.append(100.0 if m < 12 else 110.0)
+        dates.append(pd.Timestamp(f"{2023 + m // 12}-{m % 12 + 1:02d}-15"))
+    _orders(alt, prios, prices, dates)
+    r = [
+        x
+        for x in _q("ts_forecast_eval")(spark, str(alt)).collect()
+        if x.prio == "FE"
+    ][0]
+    assert r.n_scored == 12
+    assert r.wape == round(120.0 / 1320.0, 6)
+    assert r.mean_bias == 10.0
