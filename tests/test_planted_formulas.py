@@ -397,3 +397,64 @@ def test_forecast_eval_seasonal_naive_hand_computed(spark, tmp_path):
     assert r.n_scored == 12
     assert r.wape == round(120.0 / 1320.0, 6)
     assert r.mean_bias == 10.0
+
+
+def test_bootstrap_se_zero_on_constant_and_near_theory_on_uniform(
+    spark, tmp_path
+):
+    """Poisson-bootstrap anchors: a CONSTANT metric has zero resampling
+    variance (every replicate's weighted mean is the constant itself)
+    — se_cents must be exactly 0.0; on 2000 iid uniform[0,1] values
+    the SE of the mean is σ/√n ≈ 0.646 cents, and a B=20 bootstrap
+    estimate must land within its own sampling band of that truth."""
+    import tests.test_planted_signals as ps
+
+    n = 2000
+    const = ps._planted(
+        tmp_path, "bs_const", ["m"] * n, [2.0] * n, [i % 30 for i in range(n)]
+    )
+    r = _q("agg_bootstrap_se")(spark, const).collect()[0]
+    assert r.n == n and r.mean_cents == 200.0 and r.n_replicates == 20
+    assert r.se_cents == 0.0
+    uni = ps._planted(
+        tmp_path,
+        "bs_uni",
+        ["m"] * n,
+        [ps._noise("bs", i) for i in range(n)],
+        [i % 30 for i in range(n)],
+    )
+    r = _q("agg_bootstrap_se")(spark, uni).collect()[0]
+    theory = (1.0 / 12.0) ** 0.5 * 100.0 / n**0.5  # σ_cents/√n ≈ 0.6455
+    assert 0.4 * theory < r.se_cents < 1.8 * theory, (r.se_cents, theory)
+
+
+def test_jackknife_zero_se_on_homogeneous_buckets(spark, tmp_path):
+    """Delete-one-bucket jackknife anchors: if EVERY user has the
+    identical 3-in-10 purchase mix, every leave-one-out rate equals
+    0.3 and the jackknife SE is exactly 0; making half the users
+    5-in-10 must push the SE strictly positive while the overall rate
+    stays the exact pooled fraction."""
+    import tests.test_planted_signals as ps
+
+    for name, hetero in (("homo", False), ("het", True)):
+        types, values, days, users = [], [], [], []
+        n_users, per = 200, 10
+        total_p = 0
+        for uid in range(1, n_users + 1):
+            k = 5 if (hetero and uid % 2 == 0) else 3
+            total_p += k
+            for j in range(per):
+                types.append("purchase" if j < k else "click")
+                values.append(1.0)
+                days.append((uid * per + j) % 30)
+                users.append(uid)
+        alt = ps._planted(tmp_path, f"jk_{name}", types, values, days)
+        ev = pd.read_parquet(f"{alt}/events.parquet")
+        ev["user_id"] = users
+        ev.to_parquet(f"{alt}/events.parquet", coerce_timestamps="us")
+        r = _q("agg_jackknife_ci")(spark, alt).collect()[0]
+        assert r.rate == total_p / (n_users * per)
+        if hetero:
+            assert r.se_jackknife > 0.0
+        else:
+            assert r.se_jackknife == 0.0
