@@ -458,3 +458,86 @@ def test_jackknife_zero_se_on_homogeneous_buckets(spark, tmp_path):
             assert r.se_jackknife > 0.0
         else:
             assert r.se_jackknife == 0.0
+
+
+def _docs(alt, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(alt / "documents.parquet")
+
+
+def test_simhash_identity_locality_and_separation(spark, tmp_path):
+    """SimHash contracts: identical documents hash identically; a
+    one-token edit in a 40-token document moves few of the 16 bits;
+    an unrelated document sits at a much larger Hamming distance than
+    the near-duplicate (locality is the operator's entire point)."""
+    alt = _copy_tables(tmp_path, "sh")
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(
+        ("CHANGED" if i == 17 else f"tok{i}") for i in range(40)
+    )
+    far = " ".join(f"other{i}" for i in range(40))
+    _docs(alt, [base, base, near, far])
+    got = {
+        r.doc_id: r.simhash16
+        for r in _q("dedup_simhash")(spark, str(alt)).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert got[0] == got[1]  # identical text, identical hash
+    d_near = ham(got[0], got[2])
+    d_far = ham(got[0], got[3])
+    assert d_near <= 5, d_near
+    assert d_far > d_near, (d_far, d_near)
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
+    """text_zipf_fit on a corpus built to count(rank) = floor(1000 /
+    rank) for ranks 1..50 — an exact s = 1 Zipf law up to floor error
+    — must fit an exponent within a few percent of 1; a planted FLAT
+    distribution (every token 20×) must fit ≈ 0."""
+    for name, counts, lo, hi in (
+        ("zipf", [1000 // r for r in range(1, 51)], 0.93, 1.07),
+        ("flat", [20] * 50, -0.05, 0.05),
+    ):
+        alt = _copy_tables(tmp_path, f"zf_{name}")
+        words = []
+        for r, c in enumerate(counts, start=1):
+            words += [f"w{r:03d}"] * c
+        # spread across a few documents; tokenization is whitespace
+        texts = [
+            " ".join(words[i::7]) for i in range(7)
+        ]
+        _docs(alt, texts)
+        r = _q("text_zipf_fit")(spark, str(alt)).collect()[0]
+        assert r.n_types == 50
+        assert lo <= r.zipf_exponent <= hi, (name, r.zipf_exponent)
+
+
+def test_twap_hand_computed_irregular_intervals(spark, tmp_path):
+    """ts_twap on one hand-built day: 100 held 10 s, then 200 held
+    30 s, then a terminal quote that drops (left-closed convention) —
+    TWAP = (100·10 + 200·30)/40 = 175 exactly, n_intervals = 2."""
+    alt = _copy_tables(tmp_path, "twap")
+    t0 = pd.Timestamp("2024-01-05 10:00:00")
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [t0, t0 + pd.Timedelta(seconds=10),
+                   t0 + pd.Timedelta(seconds=40)],
+            "user_id": [1, 1, 1],
+            "event_type": ["q", "q", "q"],
+            "value": [100.0, 200.0, 999.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    ev.to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    r = _q("ts_twap")(spark, str(alt)).collect()
+    assert len(r) == 1
+    assert r[0].n_intervals == 2
+    assert r[0].twap == 175.0
