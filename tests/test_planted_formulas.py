@@ -541,3 +541,61 @@ def test_twap_hand_computed_irregular_intervals(spark, tmp_path):
     assert len(r) == 1
     assert r[0].n_intervals == 2
     assert r[0].twap == 175.0
+
+
+def test_percentiles_exact_on_integer_ladder(spark, tmp_path):
+    """Interpolated percentiles on values 1..101: rank p·(n−1) is an
+    exact integer for p ∈ {0.5, 0.9, 0.99}, so p50/p90/p99 must be
+    exactly 51/91/100 with zero interpolation residue."""
+    alt = _copy_tables(tmp_path, "pct")
+    vals = [float(v) for v in range(1, 102)]
+    _lineitem(alt, ["Q"] * len(vals), [1.0] * len(vals), vals)
+    r = [
+        x
+        for x in _q("agg_percentiles")(spark, str(alt)).collect()
+        if x.l_returnflag == "Q"
+    ][0]
+    assert (r.p50, r.p90, r.p99) == (51.0, 91.0, 100.0)
+
+
+def test_moving_median_hand_traced(spark, tmp_path):
+    """7-day moving median over the hand path 5,1,9,3,7 — the five
+    expanding frames have medians 5, 3, 5, 4, 5 (even frames average
+    the two middles; odd frames pick the exact element)."""
+    alt = _copy_tables(tmp_path, "mm")
+    path = [5.0, 1.0, 9.0, 3.0, 7.0]
+    dates = [
+        pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+        for d in range(len(path))
+    ]
+    _orders(alt, ["MM"] * len(path), path, dates)
+    rows = sorted(
+        (r for r in _q("win_moving_median")(spark, str(alt)).collect()
+         if r.o_orderpriority == "MM"),
+        key=lambda r: r.d,
+    )
+    assert [r.med7 for r in rows] == [5.0, 3.0, 5.0, 4.0, 5.0]
+
+
+def test_classical_decompose_attributes_line_to_trend(spark, tmp_path):
+    """Classical decomposition on a pure linear monthly series
+    (actual = 100·k, 36 months): a centered symmetric moving average
+    of a line IS the line, so trend == actual, seasonal == 0, and
+    residual == 0 on every interior month — the decomposition must
+    attribute everything to trend and nothing to seasonality."""
+    alt = _copy_tables(tmp_path, "dec")
+    prios, prices, dates = [], [], []
+    for k in range(36):
+        prios.append("LIN")
+        prices.append(100.0 * (k + 1))
+        dates.append(pd.Timestamp(f"{2021 + k // 12}-{k % 12 + 1:02d}-15"))
+    _orders(alt, prios, prices, dates)
+    rows = [
+        r
+        for r in _q("ts_classical_decompose")(spark, str(alt)).collect()
+        if r.prio == "LIN"
+    ]
+    assert len(rows) == 36 - 12  # 6 trimmed each end by the ±6 window
+    for r in rows:
+        assert r.trend == r.actual, (r.m, r.trend, r.actual)
+        assert r.seasonal == 0.0 and r.residual == 0.0, r
