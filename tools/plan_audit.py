@@ -151,6 +151,17 @@ AUDITED = [
     "win_rolling_slope",
     "dq_sequence_gaps",
     "pack_padding_waste",
+    # r9 additions (this session)
+    "ml_auc_roc",
+    "ml_target_encoding",
+    "graph_adamic_adar",
+    "graph_harmonic_centrality",
+    "dq_fd_violations",
+    "agg_time_decay",
+    "ts_holt_winters",
+    "ml_woe_iv",
+    "incr_bloom_merge",
+    "ml_lift_gains",
 ]
 
 
