@@ -1733,3 +1733,64 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionAll(one)
     return out
+
+
+_LDIV_L = 3  # required distinct sensitive values per class
+_LDIV_BAND = 5000.0  # balance band width for the second QI column
+
+_LDIV_SQL = f"""
+WITH cells AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(FLOOR(c_acctbal / {_LDIV_BAND}) AS BIGINT) AS bal_band,
+         c_mktsegment AS sens, COUNT(*) AS cnt
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT nation, bal_band,
+       CAST(SUM(cnt) AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       ROUND(ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt), 6) AS h_nats,
+       CAST(CASE WHEN COUNT(*) < {_LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+         AS violates_l
+FROM cells
+GROUP BY 1, 2
+"""
+
+
+@query("dq_l_diversity", oracle=_LDIV_SQL)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the attack
+    k-anonymity misses: a class can be large (k-anonymous) yet have
+    every member sharing ONE sensitive value, so membership alone
+    discloses the attribute (the homogeneity attack). Per
+    quasi-identifier class (nation × account-balance band), report the
+    DISTINCT count of the sensitive attribute (market segment), the
+    Shannon entropy of its within-class mix (entropy l-diversity
+    requires H ≥ ln l — the emitted h_nats against ln {_LDIV_L}), and
+    the distinct-l violation flag. Completes the privacy family:
+    text_pii_scrub (direct identifiers) → dq_k_anonymity (class size)
+    → THIS (class content) → dq_dp_counts (calibrated release).
+
+    Determinism: counts are exact integers; H = ln n − Σc·ln c / n
+    (agg_entropy's recipe) takes ROUND(6) (order-sensitive float sum
+    over ln terms — registry rule); a single-value class is H = 0 and
+    l = 1 exactly, never a log-of-zero.
+
+    Scale: one partial-agg pass to (QI, sensitive) cells — the only
+    fact-sized shuffle — then a cell-count-bounded second agg. Adding
+    QI columns multiplies cells, never rows."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / _LDIV_BAND).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sens"),
+    ).agg(F.count("*").alias("cnt"))
+    n = F.sum("cnt")
+    return cells.groupBy("nation", "bal_band").agg(
+        n.cast("long").alias("class_size"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.round(
+            F.log(n) - F.sum(F.col("cnt") * F.log("cnt")) / n, 6
+        ).alias("h_nats"),
+        (F.count("*") < _LDIV_L).cast("long").alias("violates_l"),
+    )

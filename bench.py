@@ -114,6 +114,7 @@ HEADLINE = [
     "incr_bloom_merge",
     "graph_harmonic_centrality",
     "ml_lift_gains",
+    "dq_l_diversity",
 ]
 
 

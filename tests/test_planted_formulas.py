@@ -599,3 +599,46 @@ def test_classical_decompose_attributes_line_to_trend(spark, tmp_path):
     for r in rows:
         assert r.trend == r.actual, (r.m, r.trend, r.actual)
         assert r.seasonal == 0.0 and r.residual == 0.0, r
+
+
+def test_l_diversity_homogeneity_attack_and_diverse_class(spark, tmp_path):
+    """dq_l_diversity's core contract: a class whose members ALL share
+    one sensitive value (the homogeneity attack k-anonymity misses)
+    must report l=1, H=0, violated; a uniformly 5-diverse class must
+    report l=5, H=ln 5, clean; a 2-value class sits at l=2 (still
+    violated at L=3) with the exact binary entropy."""
+    import math
+
+    alt = _copy_tables(tmp_path, "ldiv")
+    rows = []
+    # class (nation 1, band 0): 40 members, all segment 'AUTOMOBILE'
+    rows += [(1, 100.0, "AUTOMOBILE")] * 40
+    # class (nation 2, band 0): 50 members, 5 segments × 10
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    for i in range(50):
+        rows.append((2, 100.0, segs[i % 5]))
+    # class (nation 3, band 0): 30 members, 20/10 two-segment split
+    rows += [(3, 100.0, "BUILDING")] * 20 + [(3, 100.0, "FURNITURE")] * 10
+    pd.DataFrame(
+        {
+            "c_custkey": range(len(rows)),
+            "c_name": ["c"] * len(rows),
+            "c_nationkey": [r[0] for r in rows],
+            "c_acctbal": [r[1] for r in rows],
+            "c_mktsegment": [r[2] for r in rows],
+        }
+    ).to_parquet(alt / "customer.parquet")
+    got = {
+        (r.nation, r.bal_band): r
+        for r in _q("dq_l_diversity")(spark, str(alt)).collect()
+    }
+    homo = got[(1, 0)]
+    assert (homo.class_size, homo.l_distinct, homo.h_nats, homo.violates_l) \
+        == (40, 1, 0.0, 1)
+    div = got[(2, 0)]
+    assert (div.l_distinct, div.violates_l) == (5, 0)
+    assert div.h_nats == round(math.log(5), 6)
+    two = got[(3, 0)]
+    assert (two.l_distinct, two.violates_l) == (2, 1)
+    h = math.log(30) - (20 * math.log(20) + 10 * math.log(10)) / 30
+    assert abs(two.h_nats - h) < 2e-6
