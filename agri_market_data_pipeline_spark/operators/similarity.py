@@ -2377,3 +2377,135 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_lift"),
         )
     )
+
+
+def _silhouette_sql(rounds: int, k: int) -> str:
+    """DuckDB twin: the shared k-means CTE chain, then per-vector
+    best/second-best rounded cosines against the trained centroids
+    (the a{r} ranking shape), the simplified-silhouette ratio on the
+    lattice, and the per-cell reduce."""
+    ctes = _km_ctes(rounds, str(k))
+    fin = f"carr{rounds}"
+    ctes.append(
+        f"""sc AS (
+  SELECT e.vec_id, c.cell_id,
+         ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({sql_cosine('e.embedding', 'c.cvec')}, 6) DESC,
+                    c.cell_id) AS rn
+  FROM embeddings e CROSS JOIN {fin} c)"""
+    )
+    ctes.append(
+        """sil AS (
+  SELECT b.vec_id, b.cell_id,
+         CASE WHEN isnan(b.cos) OR isnan(s2.cos) OR 1 - s2.cos <= 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(FLOOR((b.cos - s2.cos) / (1 - s2.cos) * 1e9 + 0.5)
+                        AS BIGINT) END AS sl
+  FROM (SELECT vec_id, cell_id, cos FROM sc WHERE rn = 1) b
+  JOIN (SELECT vec_id, cos FROM sc WHERE rn = 2) s2 USING (vec_id))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cell_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(sl) AS DOUBLE) / (COUNT(*) * 1e9) AS mean_silhouette,
+       CAST(SUM(CASE WHEN sl < 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boundary
+FROM sil GROUP BY cell_id"""
+    )
+
+
+@query("ml_kmeans_silhouette", oracle=_silhouette_sql(_KMI_ROUNDS, _KM_K))
+def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette (Hruschka's centroid variant) of the
+    trained k-means clustering — the EVAL member the clustering family
+    lacked (ml_kmeans_refine trains, ml_kmeans_train_ivf serves;
+    nothing said whether the clusters are any GOOD): per vector,
+    a = cosine distance to its OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b) — which, with
+    distances 1 − cos and best ≥ second by construction, collapses to
+    (cos_own − cos_next)/(1 − cos_next) ∈ [0, 1]. Per cell: mean
+    silhouette and the count of BOUNDARY vectors (s < 0.01 — points
+    the clustering barely separates, the candidates a curation
+    pipeline re-routes or double-assigns). The full
+    all-pairs silhouette is O(n²); the centroid variant is the one
+    that exists at corpus scale, and against K centroids it costs the
+    assignment pass the trainer already runs.
+
+    Determinism: cosines ROUND(6) against bitwise-identical
+    integer-lattice centroids (the shared _km_ctes chain); s is IEEE
+    ops on lattice values, snapped to FLOOR(s·1e9 + 0.5) BIGINT before
+    the per-cell sum — order-independent; the mean divides the exact
+    sum by COUNT·1e9. Zero-norm degenerates (NaN cosine / coincident
+    centroids) emit the literal 0, guarded identically on both
+    engines.
+
+    Scale: training is _kmeans_cells (row-local broadcast-argmax
+    assignment, K×dim-row centroid shuffles); the silhouette pass is
+    ONE row-local fold over the broadcast centroid array — no shuffle
+    beyond the K-row per-cell reduce."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    cells = _kmeans_cells(e, _KMI_ROUNDS)
+    arr = _cells_arr(cells)
+    na = F.sqrt(vec_norm2(F.col("embedding")))
+    scored = e.join(F.broadcast(arr)).select(
+        "vec_id",
+        F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                F.nanvl(
+                    F.round(
+                        vec_dot(F.col("embedding"), c.cvec) / (na * c.cnrm), 6
+                    ),
+                    F.lit(float("inf")),
+                ).alias("cos"),
+                (-c.cell_id).alias("neg_id"),
+            ),
+        ).alias("scores"),
+    )
+    withbest = scored.select(
+        "vec_id", "scores", F.array_max("scores").alias("best")
+    )
+    second = F.array_max(
+        F.filter(
+            F.col("scores"),
+            lambda s: s.neg_id != F.col("best.neg_id"),
+        )
+    )
+    sil = withbest.select(
+        "vec_id",
+        (-F.col("best.neg_id")).cast("long").alias("cell_id"),
+        F.col("best.cos").alias("bestv"),
+        second.getField("cos").alias("secondv"),
+    ).select(
+        "vec_id",
+        "cell_id",
+        F.when(
+            (F.col("bestv") > 1.5)
+            | (F.col("secondv") > 1.5)
+            | (1 - F.col("secondv") <= 0),
+            F.lit(0).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                (F.col("bestv") - F.col("secondv"))
+                / (1 - F.col("secondv"))
+                * 1e9
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .alias("sl"),
+    )
+    return sil.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        (F.sum("sl").cast("double") / (F.count("*") * F.lit(1e9))).alias(
+            "mean_silhouette"
+        ),
+        F.sum((F.col("sl") < 10_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_boundary"),
+    )

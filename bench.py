@@ -115,6 +115,7 @@ HEADLINE = [
     "graph_harmonic_centrality",
     "ml_lift_gains",
     "dq_l_diversity",
+    "ml_kmeans_silhouette",
 ]
 
 

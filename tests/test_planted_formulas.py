@@ -642,3 +642,41 @@ def test_l_diversity_homogeneity_attack_and_diverse_class(spark, tmp_path):
     assert (two.l_distinct, two.violates_l) == (2, 1)
     h = math.log(30) - (20 * math.log(20) + 10 * math.log(10)) / 30
     assert abs(two.h_nats - h) < 2e-6
+
+
+def test_silhouette_separated_vs_overlapping_clusters(spark, tmp_path):
+    """ml_kmeans_silhouette direction pin: 8 planted orthogonal-axis
+    clusters (seeds vec_id 0..7 land one per cluster) must score mean
+    silhouette near 1 with zero boundary points; a single isotropic
+    blob forced into 8 cells must score near 0 with many boundary
+    points — the eval must actually distinguish good from meaningless
+    clusterings."""
+    import hashlib as _h
+    import numpy as np
+
+    def nz(tag, i):
+        return int(_h.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    n, d = 800, 64
+    for name, separated, check in (
+        ("sep", True, lambda r: r.mean_silhouette > 0.85 and r.n_boundary == 0),
+        ("blob", False, lambda r: r.mean_silhouette < 0.3),
+    ):
+        alt = _copy_tables(tmp_path, f"sil_{name}")
+        vecs = []
+        for i in range(n):
+            v = np.array([0.01 * nz(f"s{name}", i * d + j) for j in range(d)])
+            if separated:
+                v[i % 8] = 1.0  # vec_id 0..7 seed one cluster each
+            else:
+                v[0] = 1.0  # everyone on one axis: clusters meaningless
+            vecs.append(v.astype(np.float32).tolist())
+        pd.DataFrame(
+            {"vec_id": range(n), "embedding": vecs, "label": [0] * n}
+        ).to_parquet(alt / "embeddings.parquet")
+        rows = _q("ml_kmeans_silhouette")(spark, str(alt)).collect()
+        assert sum(r.n_members for r in rows) == n
+        if separated:
+            assert len(rows) == 8
+        for r in rows:
+            assert check(r), (name, r.cell_id, r.mean_silhouette, r.n_boundary)
