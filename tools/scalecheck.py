@@ -150,6 +150,7 @@ AUDITED = [
     "ts_holt_winters",  # applyInPandas per-series seasonal recursion
     "graph_harmonic_centrality",  # visited-set BFS expansion loop
     "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
+    "ml_kmeans_silhouette",  # kmeans training rounds + broadcast-fold eval pass
 ]
 
 
