@@ -680,3 +680,77 @@ def test_silhouette_separated_vs_overlapping_clusters(spark, tmp_path):
             assert len(rows) == 8
         for r in rows:
             assert check(r), (name, r.cell_id, r.mean_silhouette, r.n_boundary)
+
+
+def test_haversine_and_bearing_match_independent_formula(spark, sf_dir):
+    """fn_geo_haversine vs an independent Python great-circle
+    implementation evaluated on the operator's OWN emitted (lat, lon):
+    distance within 1e-3 km and bearing within 1e-3°, plus the two
+    textbook anchors — one degree of latitude ≈ 111.2 km and the
+    bearing from due south of Delhi is exactly 0° (north)."""
+    import math
+
+    from agri_market_data_pipeline_spark.operators.geo import (
+        _DELHI_LAT,
+        _DELHI_LON,
+        _EARTH_2R,
+    )
+
+    R = _EARTH_2R / 2.0
+    rows = _q("fn_geo_haversine")(spark, sf_dir).collect()
+    assert len(rows) > 0
+
+    def hav(lat, lon):
+        p1, p2 = math.radians(lat), math.radians(_DELHI_LAT)
+        dp = math.radians(_DELHI_LAT - lat)
+        dl = math.radians(_DELHI_LON - lon)
+        a = (
+            math.sin(dp / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * R * math.asin(min(1.0, math.sqrt(a)))
+
+    def bearing(lat, lon):
+        p1, p2 = math.radians(lat), math.radians(_DELHI_LAT)
+        dl = math.radians(_DELHI_LON - lon)
+        th = math.degrees(
+            math.atan2(
+                math.sin(dl) * math.cos(p2),
+                math.cos(p1) * math.sin(p2)
+                - math.sin(p1) * math.cos(p2) * math.cos(dl),
+            )
+        )
+        return th + 360.0 if th < 0 else th
+
+    for r in rows:
+        assert abs(r.dist_delhi_km - hav(r.lat, r.lon)) < 1e-3, r
+        assert abs(r.bearing_deg - bearing(r.lat, r.lon)) < 1e-3, r
+    # anchors: 1° of latitude ≈ πR/180 km; due south → bearing 0
+    assert abs(hav(_DELHI_LAT - 1.0, _DELHI_LON) - math.pi * R / 180) < 0.01
+    assert bearing(_DELHI_LAT - 1.0, _DELHI_LON) == 0.0
+
+
+def test_k_anonymity_planted_class_sizes(spark, tmp_path):
+    """dq_k_anonymity: a 3-member (nation, segment) class must be
+    flagged at k=8, a 20-member class must not, and both sizes are
+    exact — the QI grouping neither merges nor splits classes."""
+    alt = _copy_tables(tmp_path, "kanon")
+    rows = [(1, "AUTOMOBILE")] * 3 + [(2, "BUILDING")] * 20 + [(3, "FURNITURE")] * 8
+    pd.DataFrame(
+        {
+            "c_custkey": range(len(rows)),
+            "c_name": ["c"] * len(rows),
+            "c_nationkey": [r[0] for r in rows],
+            "c_acctbal": [0.0] * len(rows),
+            "c_mktsegment": [r[1] for r in rows],
+        }
+    ).to_parquet(alt / "customer.parquet")
+    got = {
+        (r.nation, r.segment): (r.class_size, r.violates_k)
+        for r in _q("dq_k_anonymity")(spark, str(alt)).collect()
+    }
+    assert got == {
+        (1, "AUTOMOBILE"): (3, 1),
+        (2, "BUILDING"): (20, 0),
+        (3, "FURNITURE"): (8, 0),  # exactly k is compliant
+    }
