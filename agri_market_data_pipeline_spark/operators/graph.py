@@ -1483,3 +1483,141 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("hop").cast("double") / F.count("*")).alias("avg_dist"),
         )
     )
+
+
+_ASSORT_TOP = 3  # kNN backbone grain (the dense trade graph is near-
+# complete at every SF — all degrees equal, assortativity undefined; the
+# backbone is where degree structure lives, as for khop/adamic-adar)
+
+_ASSORT_SQL = f"""
+WITH e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst),
+knn AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY w * 32 + (31 - dst) DESC) AS rk
+    FROM e) WHERE rk <= {_ASSORT_TOP}),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM knn
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+),
+ends AS (
+  SELECT da.deg AS j, db.deg AS k
+  FROM (SELECT a AS u, b AS v FROM und
+        UNION ALL SELECT b AS u, a AS v FROM und) e
+  JOIN deg da ON da.node = e.u
+  JOIN deg db ON db.node = e.v
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(j * k) AS BIGINT) AS sjk,
+         CAST(SUM(j * j) AS BIGINT) AS sjj,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM ends
+)
+SELECT m // 2 AS n_edges,
+       CAST(sj AS DOUBLE) / m AS mean_end_deg,
+       CASE WHEN m * sjj - sj * sj <= 0 OR m * skk - sk * sk <= 0 THEN NULL
+            ELSE ROUND(CAST(m * sjk - sj * sk AS DOUBLE)
+                       / SQRT(CAST(m * sjj - sj * sj AS DOUBLE))
+                       / SQRT(CAST(m * skk - sk * sk AS DOUBLE)), 6)
+       END AS assortativity
+FROM s
+"""
+
+
+@query("graph_assortativity", oracle=_ASSORT_SQL)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the kNN trade backbone
+    (the dense full graph is near-complete at every SF — zero degree
+    variance, r undefined; the backbone is where mixing structure
+    lives, the same grain khop/adamic-adar/harmonic measure) — the
+    one-number mixing diagnostic the family's other
+    members condition on but never measure: do high-degree nations
+    trade with each other (r > 0, assortative — robust core, fragile
+    to targeted removal) or with low-degree partners (r < 0,
+    disassortative — hub-and-spoke, the shape most infrastructure
+    graphs take)? Computed as the Pearson correlation of the degree
+    pairs at the ends of every edge, each undirected edge contributing
+    both orientations (the standard symmetrization, which makes the
+    two marginals equal).
+
+    Determinism: degrees are exact integer counts, all five power
+    sums exact BIGINTs; the correlation is two integer-exact
+    differences under a SQRT, so it takes ROUND(6) (the sqrt rule);
+    a regular graph (zero degree variance) yields NULL on both
+    engines, never a division error. mean_end_deg is an unrounded
+    integer-ratio double.
+
+    Scale: the edge build reduces facts once; degrees are one
+    partial agg of the edge list; the ends join shuffles edge-list-
+    cardinality frames on the node key — at any graph scale this is
+    two broadcast-or-hash joins of an edge list to a node-sized
+    degree table, the graph_degree_stats shape, then a 1-row reduce."""
+    _assert_node_radix(spark, sf_dir, 32, "graph_assortativity")
+    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    wk = Window.partitionBy("src").orderBy(
+        (F.col("w") * 32 + (31 - F.col("dst"))).desc()
+    )
+    knn = (
+        e.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _ASSORT_TOP)
+        .select("src", "dst")
+    )
+    und = (
+        knn.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg AND both ends legs
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    ends = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("j"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("k"))),
+            "v",
+        )
+    )
+    s = ends.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    m, sj, sk = F.col("m"), F.col("sj"), F.col("sk")
+    vj = m * F.col("sjj") - sj * sj
+    vk = m * F.col("skk") - sk * sk
+    cov = m * F.col("sjk") - sj * sk
+    return s.select(
+        F.expr("m div 2").cast("bigint").alias("n_edges"),
+        (sj.cast("double") / m).alias("mean_end_deg"),
+        F.when((vj <= 0) | (vk <= 0), F.lit(None))
+        .otherwise(
+            F.round(
+                cov.cast("double") / F.sqrt(vj.cast("double"))
+                / F.sqrt(vk.cast("double")),
+                6,
+            )
+        )
+        .alias("assortativity"),
+    )

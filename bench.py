@@ -116,6 +116,7 @@ HEADLINE = [
     "ml_lift_gains",
     "dq_l_diversity",
     "ml_kmeans_silhouette",
+    "graph_assortativity",
 ]
 
 

@@ -754,3 +754,44 @@ def test_k_anonymity_planted_class_sizes(spark, tmp_path):
         (2, "BUILDING"): (20, 0),
         (3, "FURNITURE"): (8, 0),  # exactly k is compliant
     }
+
+
+def test_assortativity_matches_pure_python(spark, sf_dir):
+    """graph_assortativity vs an independent Python Pearson over the
+    degree pairs of the independently rebuilt kNN backbone — edge
+    count exact, coefficient within the ROUND(6) grain; and the
+    coefficient must be a genuine correlation (inside [-1, 1])."""
+    import math
+
+    import tests.test_planted_formulas as _self
+
+    e, names = _rebuild_edges(spark, sf_dir)
+    e = e[e.s_nationkey != e.c_nationkey]
+    knn = set()
+    for src, g in e.groupby("s_nationkey"):
+        g = g.assign(key=g.w * 32 + (31 - g.c_nationkey)).sort_values(
+            "key", ascending=False
+        )
+        for dst in g.c_nationkey.head(3):
+            knn.add((int(src), int(dst)))
+    und = {(min(a, b), max(a, b)) for a, b in knn}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in und] + [
+        (deg[b], deg[a]) for a, b in und
+    ]
+    m = len(ends)
+    sj = sum(j for j, _ in ends)
+    sk = sum(k for _, k in ends)
+    sjk = sum(j * k for j, k in ends)
+    sjj = sum(j * j for j, _ in ends)
+    skk = sum(k * k for _, k in ends)
+    want = (m * sjk - sj * sk) / (
+        math.sqrt(m * sjj - sj * sj) * math.sqrt(m * skk - sk * sk)
+    )
+    r = _q("graph_assortativity")(spark, sf_dir).collect()[0]
+    assert r.n_edges == len(und)
+    assert abs(r.assortativity - want) < 2e-6, (r.assortativity, want)
+    assert -1.0 <= r.assortativity <= 1.0
