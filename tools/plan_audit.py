@@ -162,6 +162,9 @@ AUDITED = [
     "ml_woe_iv",
     "incr_bloom_merge",
     "ml_lift_gains",
+    "dq_l_diversity",
+    "ml_kmeans_silhouette",
+    "graph_assortativity",
 ]
 
 
