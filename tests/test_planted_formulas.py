@@ -795,3 +795,55 @@ def test_assortativity_matches_pure_python(spark, sf_dir):
     assert r.n_edges == len(und)
     assert abs(r.assortativity - want) < 2e-6, (r.assortativity, want)
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_levenshtein_pairs_planted_distances_and_blocking(spark, tmp_path):
+    """dedup_levenshtein: a pair sharing the (lang, first-token,
+    length-bucket) block with exactly 2 substitutions in the 60-char
+    prefix must surface with lev = 2; a doc differing only in its
+    FIRST token must not pair at all (the blocking contract), however
+    similar the rest is."""
+    alt = _copy_tables(tmp_path, "lev")
+    base = "alpha " + "x" * 54 + " tail common words here"
+    two_subs = "alpha " + "x" * 20 + "YZ" + "x" * 32 + " tail common words here"
+    other_block = "beta " + "x" * 55 + " tail common words here"
+    _docs(alt, [base, two_subs, other_block])
+    got = {
+        (r.doc_a, r.doc_b): r.lev
+        for r in _q("dedup_levenshtein")(spark, str(alt)).collect()
+    }
+    assert got.get((0, 1)) == 2, got
+    assert not any(2 in k for k in got), got
+
+
+def test_ngram_jaccard_exact_planted_overlap(spark, tmp_path):
+    """dedup_ngram_jaccard: docs 'a b c d e f' and 'a b c d x y'
+    share exactly the shingles {a b c, b c d} of each side's 4 — the
+    emitted Jaccard must be exactly round(2/6, 6); a disjoint doc
+    must produce no pair."""
+    alt = _copy_tables(tmp_path, "jac")
+    _docs(alt, ["a b c d e f", "a b c d x y", "p q r s t u"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _q("dedup_ngram_jaccard")(spark, str(alt)).collect()
+    }
+    assert got == {(0, 1): round(2 / 6, 6)}, got
+
+
+def test_containment_detects_quote_inclusion(spark, tmp_path):
+    """dedup_containment's reason to exist: a short document fully
+    quoted inside a long one must score containment(short→long) = 1.0
+    exactly while the symmetric Jaccard stays small — and the reverse
+    direction carries the long doc's own (smaller) denominator ratio."""
+    alt = _copy_tables(tmp_path, "cont")
+    short = "the quick brown fox jumps over"
+    long = short + " " + " ".join(f"filler{i}" for i in range(20))
+    _docs(alt, [short, long])
+    got = {
+        (r.doc_src, r.doc_dst): r.containment
+        for r in _q("dedup_containment")(spark, str(alt)).collect()
+    }
+    # short has 4 shingles, all inside long (26 tokens -> 24 shingles);
+    # the quote boundary adds 2 bridging shingles NOT in short
+    assert got[(0, 1)] == 1.0
+    assert abs(got.get((1, 0), 0.0) - 4 / 24) < 1e-12 or (1, 0) not in got
