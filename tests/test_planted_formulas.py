@@ -847,3 +847,24 @@ def test_containment_detects_quote_inclusion(spark, tmp_path):
     # the quote boundary adds 2 bridging shingles NOT in short
     assert got[(0, 1)] == 1.0
     assert abs(got.get((1, 0), 0.0) - 4 / 24) < 1e-12 or (1, 0) not in got
+
+
+def test_keyword_extract_tfidf_ranks_planted_rare_term(spark, tmp_path):
+    """text_keyword_extract: a term appearing 3× in ONE of five docs
+    (idf = ln 5) must top that doc's keywords with score exactly
+    3·round(ln 5, 6) on the micro lattice, while words common to ALL
+    docs score 0 (idf = ln 1) and can never outrank it."""
+    import math
+
+    alt = _copy_tables(tmp_path, "kw")
+    common = "the market price report today"
+    texts = [common + " zebra zebra zebra"] + [common] * 4
+    _docs(alt, texts)
+    rows = {
+        r.doc_id: r for r in _q("text_keyword_extract")(spark, str(alt)).collect()
+    }
+    kw = rows[0].keywords.split("|")
+    sc = [int(x) for x in rows[0].scores_micro.split("|")]
+    assert kw[0] == "zebra"
+    assert sc[0] == round(3 * round(math.log(5), 6) * 1e6)
+    assert all(s == 0 for s in sc[1:])  # everything else is corpus-wide
