@@ -2507,3 +2507,96 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend double, fc double"
         ),
     )
+
+
+_QL_LAG = 12  # seasonal-naive: same month last year (ts_forecast_eval)
+_QL_QS = (1, 5, 9)  # deci-quantiles: q = k/10
+
+_QL_SQL = f"""
+WITH monthly AS (
+  SELECT o_orderpriority AS prio,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                         AS DOUBLE) * 100 + 0.5) AS BIGINT) AS ac
+  FROM orders GROUP BY 1, 2
+),
+wf AS (
+  SELECT prio, m, ac,
+         LAG(ac, {_QL_LAG}) OVER (PARTITION BY prio ORDER BY m) AS fc
+  FROM monthly
+),
+d AS (
+  SELECT prio, ac - fc AS diff FROM wf WHERE fc IS NOT NULL
+),
+q AS (SELECT UNNEST(ARRAY[{", ".join(str(k) for k in _QL_QS)}]) AS k)
+SELECT d.prio, q.k,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(GREATEST(q.k * d.diff, (q.k - 10) * d.diff)) AS DOUBLE)
+         / (COUNT(*) * 1000.0) AS pinball
+FROM d CROSS JOIN q
+GROUP BY 1, 2
+"""
+
+
+@query("ts_quantile_loss", oracle=_QL_SQL)
+def ts_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast at
+    q ∈ {{0.1, 0.5, 0.9}} — the metric that completes the forecast-eval
+    pairing (ts_forecast_eval scores the POINT forecast with WAPE/bias;
+    real demand/price planning ships QUANTILE forecasts, and pinball
+    loss L_q = max(q·(y−ŷ), (q−1)·(y−ŷ)) is their proper scoring rule:
+    asymmetric penalties make over- vs under-forecasting visible, and
+    q = 0.5 recovers half the MAE as a consistency anchor the test
+    pins). Same forecast as ts_forecast_eval ({_QL_LAG}-month lag), so
+    the two tables read one model.
+
+    Determinism: monthly actuals snap to an exact cents BIGINT; the
+    loss is computed CROSS-MULTIPLIED — max(k·d, (k−10)·d) with k the
+    deci-quantile integer — so every term is an exact BIGINT (0.1 is
+    not binary-representable; k/10 as a double would seed ulp drift),
+    and the mean divides the exact sum by COUNT·1000 (cents × deci →
+    currency units): one IEEE division, bitwise both engines,
+    unrounded.
+
+    Scale: one fact rollup to the months×priority grain, the same lag
+    window as ts_forecast_eval, a 3-row quantile frame broadcast
+    (NESTED_LOOP_OK), one partial agg."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("ac")
+    )
+    w = Window.partitionBy("prio").orderBy("m")
+    d = (
+        monthly.withColumn("fc", F.lag("ac", _QL_LAG).over(w))
+        .filter(F.col("fc").isNotNull())
+        .select("prio", (F.col("ac") - F.col("fc")).alias("diff"))
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _QL_QS])).alias("k")
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        .groupBy("prio", "k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            (
+                F.sum(
+                    F.greatest(
+                        F.col("k") * F.col("diff"),
+                        (F.col("k") - 10) * F.col("diff"),
+                    )
+                ).cast("double")
+                / (F.count("*") * F.lit(1000.0))
+            ).alias("pinball"),
+        )
+    )

@@ -117,6 +117,7 @@ HEADLINE = [
     "dq_l_diversity",
     "ml_kmeans_silhouette",
     "graph_assortativity",
+    "ts_quantile_loss",
 ]
 
 

@@ -868,3 +868,30 @@ def test_keyword_extract_tfidf_ranks_planted_rare_term(spark, tmp_path):
     assert kw[0] == "zebra"
     assert sc[0] == round(3 * round(math.log(5), 6) * 1e6)
     assert all(s == 0 for s in sc[1:])  # everything else is corpus-wide
+
+
+def test_quantile_loss_asymmetry_and_median_anchor(spark, tmp_path):
+    """ts_quantile_loss on hand-built steps: an UNDER-forecast year
+    (actuals +10 above the seasonal-naive fc) must cost 1/5/9 at
+    q = .1/.5/.9 — the high quantile punishes under-forecasting —
+    while an OVER-forecast year reverses to 9/5/1; q = 0.5 equals
+    half the MAE (= 5) in both, the textbook consistency anchor."""
+    for name, year2, want in (
+        ("under", 110.0, {1: 1.0, 5: 5.0, 9: 9.0}),
+        ("over", 90.0, {1: 9.0, 5: 5.0, 9: 1.0}),
+    ):
+        alt = _copy_tables(tmp_path, f"ql_{name}")
+        prios, prices, dates = [], [], []
+        for m in range(24):
+            prios.append("QL")
+            prices.append(100.0 if m < 12 else year2)
+            dates.append(pd.Timestamp(f"{2023 + m // 12}-{m % 12 + 1:02d}-15"))
+        _orders(alt, prios, prices, dates)
+        got = {
+            r.k: r
+            for r in _q("ts_quantile_loss")(spark, str(alt)).collect()
+            if r.prio == "QL"
+        }
+        assert all(got[k].n_scored == 12 for k in (1, 5, 9))
+        for k, v in want.items():
+            assert got[k].pinball == v, (name, k, got[k].pinball, v)

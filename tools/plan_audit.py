@@ -194,6 +194,7 @@ NESTED_LOOP_OK = {
     "agg_time_decay",        # 1-row table-tip day frame
     "ml_woe_iv",             # 1-row min/max + totals frames
     "incr_bloom_merge",      # shard-count-bounded bit frames + 1-row proofs
+    "ts_quantile_loss",      # 3-row quantile frame broadcast
     "ml_lift_gains",         # 1-row totals frame over the score grain
     "agg_bootstrap_se",      # 1-row moment frame
     "text_unigram_logprob",  # 1-row corpus-total frame
