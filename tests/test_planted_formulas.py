@@ -895,3 +895,39 @@ def test_quantile_loss_asymmetry_and_median_anchor(spark, tmp_path):
         assert all(got[k].n_scored == 12 for k in (1, 5, 9))
         for k, v in want.items():
             assert got[k].pinball == v, (name, k, got[k].pinball, v)
+
+
+def test_funnel_latency_hand_built_cohort(spark, tmp_path):
+    """win_funnel_latency on a hand-built cohort: three converters at
+    10/20/30 s first-view→first-purchase (lower median 20 s, sum 60 s);
+    a purchase BEFORE the first view must not count as conversion (the
+    ordering contract), and a viewer who never purchases must not
+    appear among converters."""
+    alt = _copy_tables(tmp_path, "flat")
+    t0 = pd.Timestamp("2024-02-01 09:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # (user, type, t)
+        (1, "view", t0), (1, "purchase", t0 + 10 * s),
+        (2, "view", t0), (2, "purchase", t0 + 30 * s),
+        # user 3: a purchase BEFORE the view (excluded), real one at +20s
+        (3, "purchase", t0 - 100 * s), (3, "view", t0),
+        (3, "purchase", t0 + 20 * s),
+        (4, "view", t0),  # never converts
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[2] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    out = _q("win_funnel_latency")(spark, str(alt)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_converters == 3
+    assert r.p50_delta_us == 20_000_000
+    assert r.sum_delta_us == 60_000_000
