@@ -2613,3 +2613,122 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         extreme.cast("bigint").alias("n_extreme"),
         (extreme.cast("double") / _PERM_R).alias("p_value"),
     )
+
+
+_ATE_BAND = 5   # activity-stratum width (user event count, offset 45)
+_ATE_DEN = 14   # treatment odds denominator: P(T|s) = (3+s)/14
+
+_ATE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_u,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT user_id, n_u, sum_cents,
+         LEAST(GREATEST((n_u - 45) // {_ATE_BAND}, 0), 9) AS stratum,
+         CASE WHEN (CAST(('0x' || substring(md5('ate:' ||
+                      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)
+                   * {_ATE_DEN}
+                 < (3 + LEAST(GREATEST((n_u - 45) // {_ATE_BAND}, 0), 9))
+                   * 1000
+              THEN 1 ELSE 0 END AS t
+  FROM per_user
+)
+SELECT stratum,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(t) AS BIGINT) AS n_treat,
+       CAST(SUM(CASE WHEN t = 1 THEN n_u ELSE 0 END) AS BIGINT) AS n_ev_t,
+       CAST(SUM(CASE WHEN t = 0 THEN n_u ELSE 0 END) AS BIGINT) AS n_ev_c,
+       CAST(SUM(CASE WHEN t = 1 THEN sum_cents ELSE 0 END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN t = 1 THEN n_u ELSE 0 END), 0) / 100
+         AS mean_treat,
+       CAST(SUM(CASE WHEN t = 0 THEN sum_cents ELSE 0 END) AS DOUBLE)
+         / NULLIF(SUM(CASE WHEN t = 0 THEN n_u ELSE 0 END), 0) / 100
+         AS mean_ctrl
+FROM assigned
+GROUP BY stratum
+"""
+
+
+@query("ml_ate_stratified", oracle=_ATE_SQL)
+def ml_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average-treatment-effect table — the OBSERVATIONAL
+    causal-adjustment member beside the randomized-experiment readouts
+    (agg_ttest_ab / agg_permutation_test assume the assignment was
+    fair; real telemetry's 'treatment' correlates with activity, and
+    the naive treated-vs-control difference is then confounded).
+    Users stratify by activity (event-count bands) and the treatment
+    indicator is a deterministic md5 draw whose RATE RISES WITH THE
+    STRATUM — a planted confound standing in for self-selection; the
+    per-stratum means remove exactly that confound, and ATE =
+    Σ_s w_s·(mean_t(s) − mean_c(s)) (assembled by the caller from the
+    long form — the planted test pins that the stratified estimate
+    recovers a known effect the naive difference misstates).
+    Stratification on a discrete propensity IS inverse-propensity
+    weighting with the within-stratum empirical propensity — the
+    estimator every experimentation platform ships as 'segmented
+    lift'.
+
+    Determinism: per-user totals ride the cents lattice; strata and
+    the treatment draw are pure integer arithmetic (the threshold
+    compare is cross-multiplied — no 1/14 double); arm means are
+    single divisions of exact BIGINTs — unrounded integer-ratio
+    doubles; an empty arm yields NULL on both engines (NULLIF).
+
+    Scale: one partial-agg pass to per-user totals (the only
+    fact-sized shuffle), then a 10-key stratum agg — the
+    agg_jackknife_ci shape with a causal head."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_u"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    stratum = F.least(
+        F.greatest(F.expr(f"(n_u - 45) div {_ATE_BAND}"), F.lit(0)),
+        F.lit(9),
+    ).cast("bigint")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ate:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    assigned = per_user.select(
+        "n_u",
+        "sum_cents",
+        stratum.alias("stratum"),
+        F.when(draw * _ATE_DEN < (3 + stratum) * 1000, 1)
+        .otherwise(0)
+        .alias("t"),
+    )
+    t_ev = F.sum(F.when(F.col("t") == 1, F.col("n_u")).otherwise(0)).cast(
+        "bigint"
+    )
+    c_ev = F.sum(F.when(F.col("t") == 0, F.col("n_u")).otherwise(0)).cast(
+        "bigint"
+    )
+    t_sum = F.sum(
+        F.when(F.col("t") == 1, F.col("sum_cents")).otherwise(0)
+    ).cast("double")
+    c_sum = F.sum(
+        F.when(F.col("t") == 0, F.col("sum_cents")).otherwise(0)
+    ).cast("double")
+    return assigned.groupBy("stratum").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("t").cast("bigint").alias("n_treat"),
+        t_ev.alias("n_ev_t"),
+        c_ev.alias("n_ev_c"),
+        (t_sum / F.nullif(t_ev, F.lit(0)) / 100).alias("mean_treat"),
+        (c_sum / F.nullif(c_ev, F.lit(0)) / 100).alias("mean_ctrl"),
+    )

@@ -118,6 +118,7 @@ HEADLINE = [
     "ml_kmeans_silhouette",
     "graph_assortativity",
     "ts_quantile_loss",
+    "ml_ate_stratified",
 ]
 
 

@@ -931,3 +931,52 @@ def test_funnel_latency_hand_built_cohort(spark, tmp_path):
     assert r.n_converters == 3
     assert r.p50_delta_us == 20_000_000
     assert r.sum_delta_us == 60_000_000
+
+
+def test_ate_stratified_removes_planted_confound(spark, tmp_path):
+    """ml_ate_stratified: activity determines BOTH the outcome base
+    (105 low / 135 high) and — via the operator's own rising md5
+    rate — the treatment probability; the true effect is exactly +10.
+    The naive pooled treated-minus-control difference must OVERSTATE
+    it (treated pool skews to the high-outcome stratum), while each
+    stratum's mean_treat − mean_ctrl equals exactly 10.0 — the
+    adjustment does its one job."""
+    import hashlib
+
+    def treated(uid: int, stratum: int) -> bool:
+        d = int(hashlib.md5(f"ate:{uid}".encode()).hexdigest()[:8], 16) % 1000
+        return d * 14 < (3 + stratum) * 1000
+
+    alt = _copy_tables(tmp_path, "ate")
+    rows = []
+    eid = 0
+    for uid in range(1, 201):
+        lo = uid <= 100
+        n_ev, stratum, base = (50, 1, 105.0) if lo else (80, 7, 135.0)
+        y = base + (10.0 if treated(uid, stratum) else 0.0)
+        for j in range(n_ev):
+            rows.append((eid, uid, y))
+            eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [pd.Timestamp("2024-01-01")] * len(rows),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["m"] * len(rows),
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    out = {r.stratum: r for r in _q("ml_ate_stratified")(spark, str(alt)).collect()}
+    assert set(out) == {1, 7}
+    for s in (1, 7):
+        r = out[s]
+        assert r.n_users == 100
+        assert r.mean_treat - r.mean_ctrl == 10.0, (s, r)
+    # naive event-weighted pooled difference, from the same long form
+    t_sum = sum(out[s].mean_treat * out[s].n_ev_t for s in (1, 7))
+    c_sum = sum(out[s].mean_ctrl * out[s].n_ev_c for s in (1, 7))
+    naive = t_sum / sum(out[s].n_ev_t for s in (1, 7)) - c_sum / sum(
+        out[s].n_ev_c for s in (1, 7)
+    )
+    assert naive > 13.0, naive  # confounding inflates the naive readout
