@@ -980,3 +980,57 @@ def test_ate_stratified_removes_planted_confound(spark, tmp_path):
         out[s].n_ev_c for s in (1, 7)
     )
     assert naive > 13.0, naive  # confounding inflates the naive readout
+
+
+def test_lag_pct_change_hand_path(spark, tmp_path):
+    """Day-over-day percent change on 100 → 150 → 120: NULL, +0.5,
+    −0.2 exactly (integer-exact ratios of identical doubles)."""
+    alt = _copy_tables(tmp_path, "pct")
+    path = [100.0, 150.0, 120.0]
+    dates = [
+        pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+        for d in range(len(path))
+    ]
+    _orders(alt, ["PC"] * 3, path, dates)
+    rows = sorted(
+        (r for r in _q("win_lag_pct_change")(spark, str(alt)).collect()
+         if r.o_orderpriority == "PC"),
+        key=lambda r: r.d,
+    )
+    assert rows[0].pct_change is None
+    assert rows[1].pct_change == 0.5
+    assert rows[2].pct_change == -0.2
+
+
+def test_weighted_sample_always_keeps_dominant_weight(spark, tmp_path):
+    """Efraimidis–Spirakis contract: a document whose weight (token
+    count) dwarfs the rest has key ln(u)/w ≈ 0 — the maximum — and
+    must appear in EVERY draw; the sample is exactly k rows."""
+    alt = _copy_tables(tmp_path, "wk")
+    texts = ["w " * 5 for _ in range(100)] + ["w " * 2000]
+    _docs(alt, [t.strip() for t in texts])
+    rows = _q("sample_weighted_k")(spark, str(alt)).collect()
+    ids = {r.doc_id for r in rows}
+    assert 100 in ids  # the heavy doc
+    assert len(rows) == len(ids)
+
+
+def test_balanced_sample_equalizes_to_minority(spark, tmp_path):
+    """sample_balanced: langs with 30/10/5 docs all downsample to
+    exactly the minority count 5 — 15 rows, 5 per class."""
+    import collections
+
+    alt = _copy_tables(tmp_path, "bal")
+    langs = ["en"] * 30 + ["fr"] * 10 + ["de"] * 5
+    pd.DataFrame(
+        {
+            "doc_id": range(len(langs)),
+            "text": ["hello world"] * len(langs),
+            "lang": langs,
+            "source": ["web"] * len(langs),
+            "n_chars": [11] * len(langs),
+        }
+    ).to_parquet(alt / "documents.parquet")
+    rows = _q("sample_balanced")(spark, str(alt)).collect()
+    by = collections.Counter(r.lang for r in rows)
+    assert by == {"en": 5, "fr": 5, "de": 5}
