@@ -1034,3 +1034,53 @@ def test_balanced_sample_equalizes_to_minority(spark, tmp_path):
     rows = _q("sample_balanced")(spark, str(alt)).collect()
     by = collections.Counter(r.lang for r in rows)
     assert by == {"en": 5, "fr": 5, "de": 5}
+
+
+def test_scd2_build_hand_traced_versions(spark, tmp_path):
+    """dim_scd2_build on the journey A,A,B,A: repeated states collapse
+    (3 versions, not 4), each version's [valid_from, valid_to) chains
+    exactly to the next change, and only the last is current."""
+    alt = _copy_tables(tmp_path, "scd2")
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    rows = [("A", t0), ("A", t0 + h), ("B", t0 + 2 * h), ("A", t0 + 3 * h)]
+    pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": [r[1] for r in rows],
+            "user_id": [7] * 4,
+            "event_type": [r[0] for r in rows],
+            "value": [1.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    out = sorted(
+        (r for r in _q("dim_scd2_build")(spark, str(alt)).collect()
+         if r.user_id == 7),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.event_type for r in out] == ["A", "B", "A"]
+    assert pd.Timestamp(out[0].valid_from) == t0
+    assert pd.Timestamp(out[0].valid_to) == t0 + 2 * h  # A spans both rows
+    assert pd.Timestamp(out[1].valid_to) == t0 + 3 * h
+    assert out[2].valid_to is None
+    assert [r.is_current for r in out] == [0, 0, 1]
+
+
+def test_freshness_planted_staleness(spark, tmp_path):
+    """dq_freshness: a group whose newest order is exactly 9 days
+    behind the table tip reports stale_days = 9; the tip group
+    reports 0."""
+    alt = _copy_tables(tmp_path, "fresh")
+    tip = pd.Timestamp("2024-06-10")
+    _orders(
+        alt,
+        ["LIVE", "LIVE", "STALE", "STALE"],
+        [100.0] * 4,
+        [tip, tip - pd.Timedelta(days=3), tip - pd.Timedelta(days=9),
+         tip - pd.Timedelta(days=30)],
+    )
+    got = {r.prio: r for r in _q("dq_freshness")(spark, str(alt)).collect()}
+    assert got["LIVE"].stale_days == 0 and got["LIVE"].n_orders == 2
+    assert got["STALE"].stale_days == 9
+    assert pd.Timestamp(got["STALE"].latest) == tip - pd.Timedelta(days=9)
