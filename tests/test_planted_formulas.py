@@ -1084,3 +1084,51 @@ def test_freshness_planted_staleness(spark, tmp_path):
     assert got["LIVE"].stale_days == 0 and got["LIVE"].n_orders == 2
     assert got["STALE"].stale_days == 9
     assert pd.Timestamp(got["STALE"].latest) == tip - pd.Timedelta(days=9)
+
+
+def test_mode_tiebreak_and_topk_freq_order(spark, tmp_path):
+    """agg_mode: on a planted tie (qty 3 and qty 7 both ×5) the
+    documented deterministic tiebreak picks the SMALLER quantity; a
+    clear winner elsewhere is returned with its exact count.
+    agg_topk_freq on the same fixture must rank by count descending
+    with value-ascending ties, pipe-serialized in exactly that
+    order."""
+    alt = _copy_tables(tmp_path, "mode")
+    # brand/part plumbing: all lineitems hit one part of each brand
+    pd.DataFrame(
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["TIE", "CLEAR"],
+            "p_type": ["T", "T"],
+            "p_size": [1, 1],
+            "p_retailprice": [1.0, 1.0],
+        }
+    ).to_parquet(alt / "part.parquet")
+    qt = [3.0] * 5 + [7.0] * 5 + [1.0] * 2      # TIE part: 3 and 7 tied
+    qc = [4.0] * 6 + [9.0] * 3                   # CLEAR part: 4 wins
+    flags = ["T"] * len(qt) + ["C"] * len(qc)
+    pd.DataFrame(
+        {
+            "l_orderkey": range(len(flags)),
+            "l_linenumber": [1] * len(flags),
+            "l_partkey": [1] * len(qt) + [2] * len(qc),
+            "l_suppkey": [1] * len(flags),
+            "l_quantity": qt + qc,
+            "l_extendedprice": [10.0] * len(flags),
+            "l_discount": [0.0] * len(flags),
+            "l_tax": [0.0] * len(flags),
+            "l_returnflag": flags,
+            "l_shipdate": [pd.Timestamp("2024-01-01")] * len(flags),
+            "l_shipmode": ["AIR"] * len(flags),
+        }
+    ).to_parquet(alt / "lineitem.parquet", coerce_timestamps="us")
+    mode = {r.p_brand: r for r in _q("agg_mode")(spark, str(alt)).collect()}
+    assert (mode["TIE"].modal_qty, mode["TIE"].modal_n) == (3, 5)
+    assert (mode["CLEAR"].modal_qty, mode["CLEAR"].modal_n) == (4, 6)
+    tf = {
+        r.l_returnflag: r for r in _q("agg_topk_freq")(spark, str(alt)).collect()
+    }
+    assert tf["T"].top_values.split("|")[:3] == ["3", "7", "1"]
+    assert tf["T"].top_counts.split("|")[:3] == ["5", "5", "2"]
+    assert tf["C"].top_values.split("|")[:2] == ["4", "9"]
