@@ -1132,3 +1132,82 @@ def test_mode_tiebreak_and_topk_freq_order(spark, tmp_path):
     assert tf["T"].top_values.split("|")[:3] == ["3", "7", "1"]
     assert tf["T"].top_counts.split("|")[:3] == ["5", "5", "2"]
     assert tf["C"].top_values.split("|")[:2] == ["4", "9"]
+
+
+def _asof_fixture(tmp_path):
+    """Two index days (Jan 1 = 100, Jan 10 = 200, priority P) and four
+    probes: Jan 5 (between), Jan 10 (exact), Jan 15 (after last,
+    staleness 5), Dec 20 (before first)."""
+    alt = _copy_tables(tmp_path, "asof")
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_custkey": [1, 1],
+            "o_orderstatus": ["O", "O"],
+            "o_totalprice": [100.0, 200.0],
+            "o_orderdate": [pd.Timestamp("2024-01-01"),
+                            pd.Timestamp("2024-01-10")],
+            "o_orderpriority": ["P", "P"],
+        }
+    ).to_parquet(alt / "orders.parquet", coerce_timestamps="us")
+    ships = [
+        (1, 1, "2024-01-05"),
+        (2, 1, "2024-01-10"),
+        (2, 2, "2024-01-15"),
+        (1, 2, "2023-12-20"),
+    ]
+    pd.DataFrame(
+        {
+            "l_orderkey": [s[0] for s in ships],
+            "l_linenumber": [s[1] for s in ships],
+            "l_partkey": [1] * 4,
+            "l_suppkey": [1] * 4,
+            "l_quantity": [1.0] * 4,
+            "l_extendedprice": [1.0] * 4,
+            "l_discount": [0.0] * 4,
+            "l_tax": [0.0] * 4,
+            "l_returnflag": ["A"] * 4,
+            "l_shipdate": [pd.Timestamp(s[2]) for s in ships],
+            "l_shipmode": ["AIR"] * 4,
+        }
+    ).to_parquet(alt / "lineitem.parquet", coerce_timestamps="us")
+    return str(alt)
+
+
+def test_asof_family_hand_traced(spark, tmp_path):
+    """The four as-of semantics on ONE hand-built timeline (index
+    Jan 1 = 100, Jan 10 = 200): backward picks the latest ≤ sd and
+    drops pre-range probes; nearest is bidirectional with
+    earlier-wins ties and a ±7d band; tolerance NULLs a match staler
+    than 7 days but keeps the row (LEFT); forward picks the earliest
+    ≥ sd and drops probes past the last index day."""
+    fx = _asof_fixture(tmp_path)
+    key = lambda r: (r.l_orderkey, r.l_linenumber)
+
+    back = {key(r): r for r in _q("join_asof_prices")(spark, fx).collect()}
+    assert pd.Timestamp(back[(1, 1)].idx_date) == pd.Timestamp("2024-01-01")
+    assert back[(1, 1)].idx_val == 100.0
+    assert pd.Timestamp(back[(2, 1)].idx_date) == pd.Timestamp("2024-01-10")
+    assert back[(2, 1)].idx_val == 200.0
+    assert pd.Timestamp(back[(2, 2)].idx_date) == pd.Timestamp("2024-01-10")
+    assert (1, 2) not in back  # before the first index day: inner as-of
+
+    near = {key(r): r for r in _q("join_asof_nearest")(spark, fx).collect()}
+    n11 = near[(1, 1)]  # 4 days back beats 5 days forward
+    assert pd.Timestamp(n11.idx_date) == pd.Timestamp("2024-01-01")
+    assert n11.day_dist == 4
+    assert near[(2, 1)].day_dist == 0
+    assert near[(2, 2)].day_dist == 5  # Jan 10, within the ±7 band
+    assert (1, 2) not in near  # Dec 20 is 12 days from Jan 1: outside band
+
+    tol = {key(r): r for r in _q("join_asof_tolerance")(spark, fx).collect()}
+    assert tol[(1, 1)].idx_val == 100.0  # 4 days old: fresh enough
+    assert tol[(2, 2)].idx_val == 200.0  # 5 days old: fresh enough
+    assert (1, 2) in tol and tol[(1, 2)].idx_val is None  # LEFT keeps it
+
+    fwd = {key(r): r for r in _q("join_asof_forward")(spark, fx).collect()}
+    assert pd.Timestamp(fwd[(1, 1)].idx_date) == pd.Timestamp("2024-01-10")
+    assert fwd[(1, 1)].idx_val == 200.0
+    assert fwd[(2, 1)].idx_val == 200.0  # exact day counts as at-or-after
+    assert pd.Timestamp(fwd[(1, 2)].idx_date) == pd.Timestamp("2024-01-01")
+    assert (2, 2) not in fwd  # past the last index day
