@@ -2600,3 +2600,170 @@ def ts_quantile_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pinball"),
         )
     )
+
+
+_COINT_SQL = """
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+pair AS (
+  SELECT a.et AS ye, b.et AS xe, a.day_no, a.v AS y, b.v AS x
+  FROM daily a JOIN daily b
+    ON a.day_no = b.day_no AND a.et <> b.et
+),
+m1 AS (
+  SELECT ye, xe, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,15))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE) AS sxx
+  FROM pair GROUP BY 1, 2
+),
+coef AS (
+  SELECT ye, xe, n,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+  FROM m1 WHERE n > 3 AND n * sxx - sx * sx > 0
+),
+z AS (
+  SELECT p.ye, p.xe, p.day_no, p.y - c.a - c.b * p.x AS z
+  FROM pair p JOIN coef c ON c.ye = p.ye AND c.xe = p.xe
+),
+zl AS (
+  SELECT ye, xe, z,
+         LAG(z) OVER (PARTITION BY ye, xe ORDER BY day_no) AS zp
+  FROM z
+),
+m2 AS (
+  SELECT ye, xe, CAST(COUNT(*) AS BIGINT) AS n2,
+         CAST(SUM(CAST(zp * zp AS DECIMAL(30,15))) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(zp * (z - zp) AS DECIMAL(30,15))) AS DOUBLE) AS szd,
+         CAST(SUM(CAST((z - zp) * (z - zp) AS DECIMAL(30,15))) AS DOUBLE)
+           AS sdd
+  FROM zl WHERE zp IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT m2.ye AS y_series, m2.xe AS x_series,
+       m2.n2 AS n_obs,
+       ROUND(c.b, 6) AS beta,
+       ROUND((m2.szd / m2.szz)
+             / SQRT(GREATEST((m2.sdd - m2.szd * m2.szd / m2.szz)
+                             / (m2.n2 - 1), 0) / m2.szz + 1e-300), 6)
+         AS tau_eg
+FROM m2 JOIN coef c ON c.ye = m2.ye AND c.xe = m2.xe
+WHERE m2.szz > 0
+"""
+
+
+@query("ts_cointegration", oracle=_COINT_SQL)
+def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test per ordered series
+    pair — the LONG-RUN-EQUILIBRIUM member completing the pairwise
+    inference family (ts_granger_causality asks who PREDICTS whom;
+    this asks whether two non-stationary series share a common
+    stochastic trend, the pairs-trading / price-parity question:
+    regress y on x in levels, then Dickey-Fuller the residual — if
+    the residual mean-reverts (τ_EG far below ~-3.4), deviations from
+    the fitted long-run relation are temporary and the pair is
+    cointegrated; spurious-regression pairs leave a random-walk
+    residual, τ near 0).
+
+    Step 1 is the closed-form OLS (β, α) from DECIMAL-snapped moment
+    sums (the ridge/granger discipline); step 2 is the NO-INTERCEPT
+    Dickey-Fuller on the residual (residuals are mean-zero by
+    construction; ts_adf_unit_root keeps the intercept for raw
+    levels): ρ = Σz₋Δz / Σz₋², τ = ρ/SE from the same exact-moment
+    algebra, GREATEST-guarding the variance (CLAUDE.md sqrt rule).
+
+    Determinism: daily means are exact-ratio doubles; α, β are ratios
+    of order-exact DECIMAL sums — identical doubles both engines — so
+    every residual is the same IEEE expression; second-stage moments
+    snap to DECIMAL(30,15) before summation; both reported statistics
+    take ROUND(6) (the 17-digit DECIMAL→DOUBLE class).
+
+    Scale: the alignment self-join runs on the (type, day) grain —
+    K-series × calendar rows, the ts_granger_causality shape measured
+    sub-linear (SCALING.md) — and both moment passes are partial
+    aggs; the coefficient frame is K²-row broadcast."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    ).localCheckpoint(eager=True)  # feeds both sides of the alignment
+    # join and the residual pass
+    a = daily.select(
+        F.col("et").alias("ye"), "day_no", F.col("v").alias("y")
+    )
+    b = daily.select(
+        F.col("et").alias("xe"), F.col("day_no").alias("dn2"),
+        F.col("v").alias("x"),
+    )
+    pair = a.join(
+        b, (F.col("day_no") == F.col("dn2")) & (F.col("ye") != F.col("xe"))
+    ).select("ye", "xe", "day_no", "y", "x")
+
+    def exact(c):
+        return F.sum(c.cast("decimal(30,15)")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    m1 = pair.groupBy("ye", "xe").agg(
+        F.count("*").cast("bigint").alias("n"),
+        exact(x).alias("sx"),
+        exact(y).alias("sy"),
+        exact(x * y).alias("sxy"),
+        exact(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    bb = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / vx
+    coef = m1.filter((n > 3) & (vx > 0)).select(
+        "ye",
+        "xe",
+        bb.alias("b"),
+        ((F.col("sy") - bb * F.col("sx")) / n).alias("a"),
+    )
+    z = pair.join(F.broadcast(coef), ["ye", "xe"]).select(
+        "ye",
+        "xe",
+        "day_no",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("z"),
+    )
+    wz = Window.partitionBy("ye", "xe").orderBy("day_no")
+    zl = z.select(
+        "ye", "xe", "z", F.lag("z").over(wz).alias("zp")
+    ).filter(F.col("zp").isNotNull())
+    zp, zc = F.col("zp"), F.col("z")
+    m2 = zl.groupBy("ye", "xe").agg(
+        F.count("*").cast("bigint").alias("n2"),
+        exact(zp * zp).alias("szz"),
+        exact(zp * (zc - zp)).alias("szd"),
+        exact((zc - zp) * (zc - zp)).alias("sdd"),
+    )
+    rho = F.col("szd") / F.col("szz")
+    tau = rho / F.sqrt(
+        F.greatest(
+            (F.col("sdd") - F.col("szd") * F.col("szd") / F.col("szz"))
+            / (F.col("n2") - 1),
+            F.lit(0.0),
+        )
+        / F.col("szz")
+        + F.lit(1e-300)
+    )
+    return (
+        m2.filter(F.col("szz") > 0)
+        .join(F.broadcast(coef), ["ye", "xe"])
+        .select(
+            F.col("ye").alias("y_series"),
+            F.col("xe").alias("x_series"),
+            F.col("n2").alias("n_obs"),
+            F.round("b", 6).alias("beta"),
+            F.round(tau, 6).alias("tau_eg"),
+        )
+    )

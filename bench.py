@@ -119,6 +119,7 @@ HEADLINE = [
     "graph_assortativity",
     "ts_quantile_loss",
     "ml_ate_stratified",
+    "ts_cointegration",
 ]
 
 

@@ -1338,3 +1338,37 @@ def test_lift_gains_separation_and_chance(spark, tmp_path):
             for r in rows:
                 assert 0.7 <= r.lift <= 1.3, (r.decile, r.lift)
             assert abs(rows[9].capture_rate - 1.0) < 1e-12
+
+
+def test_cointegration_fires_on_shared_trend_not_independent_walks(
+    spark, tmp_path
+):
+    """ts_cointegration: y = 2x + small noise over a 250-day random
+    walk x shares x's stochastic trend — the Engle-Granger residual is
+    stationary and τ_EG must fall far below the ~-3.4 critical value
+    with β ≈ 2; an INDEPENDENT random walk regressed on x is the
+    spurious-regression case — the residual keeps a unit root and
+    τ_EG must stay above it."""
+    n = 250
+    x, yc, yi = [], [], []
+    ax = ai = 0.0
+    for i in range(n):
+        ax += _noise("cx", i) - 0.5
+        ai += _noise("ci", i) - 0.5
+        x.append(ax)
+        yc.append(2.0 * ax + 0.1 * (_noise("cy", i) - 0.5))
+        yi.append(ai)
+    types, values, days = _interleave({"walkx": x, "cox": yc, "indep": yi})
+    alt = _planted(tmp_path, "coint", types, values, days)
+    got = {
+        (r.y_series, r.x_series): r
+        for r in _q("ts_cointegration")(spark, alt).collect()
+    }
+    co = got[("cox", "walkx")]
+    assert abs(co.beta - 2.0) < 0.05, co.beta
+    assert co.tau_eg < -5.0, co.tau_eg
+    sp = got[("indep", "walkx")]
+    # spurious pairs spread left of plain-DF tails but must stay above
+    # the EG 5% critical value (~-3.9 at this n, coefficients estimated)
+    assert sp.tau_eg > -3.9, sp.tau_eg
+    assert co.tau_eg < sp.tau_eg - 5.0  # decisive separation

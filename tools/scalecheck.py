@@ -151,6 +151,7 @@ AUDITED = [
     "graph_harmonic_centrality",  # visited-set BFS expansion loop
     "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
     "ml_kmeans_silhouette",  # kmeans training rounds + broadcast-fold eval pass
+    "ts_cointegration",  # day-aligned pair self-join + residual window
 ]
 
 
