@@ -117,6 +117,8 @@ HEADLINE = [
     "dq_l_diversity",
     "ml_kmeans_silhouette",
     "graph_assortativity",
+    # r9 final additions after the close-gate pin runs — pins land next
+    # round per the two-run band rule
     "ts_quantile_loss",
     "ml_ate_stratified",
     "ts_cointegration",

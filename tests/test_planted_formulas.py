@@ -1211,3 +1211,37 @@ def test_asof_family_hand_traced(spark, tmp_path):
     assert fwd[(2, 1)].idx_val == 200.0  # exact day counts as at-or-after
     assert pd.Timestamp(fwd[(1, 2)].idx_date) == pd.Timestamp("2024-01-01")
     assert (2, 2) not in fwd  # past the last index day
+
+
+def test_interval_events_boundary_semantics(spark, tmp_path):
+    """join_interval_events' window bounds, pinned at the edges: a
+    purchase exactly AT the click instant is excluded (strict >), one
+    exactly at +5:00 is included (inclusive <=), one at +5:00.000001
+    is out; other users' purchases never count; a purchase-less click
+    still emits its zero row (LEFT)."""
+    alt = _copy_tables(tmp_path, "ivev")
+    t0 = pd.Timestamp("2024-04-01 12:00:00")
+    rows = [
+        (1, 1, "click", t0),
+        (2, 1, "purchase", t0),                               # excluded: ==
+        (3, 1, "purchase", t0 + pd.Timedelta(minutes=5)),     # included
+        (4, 1, "purchase",
+         t0 + pd.Timedelta(minutes=5, microseconds=1)),       # excluded
+        (5, 2, "purchase", t0 + pd.Timedelta(minutes=1)),     # other user
+        (6, 3, "click", t0),                                  # never buys
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[3] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(alt / "events.parquet", coerce_timestamps="us")
+    got = {
+        r.event_id: r.n_purchases_5m
+        for r in _q("join_interval_events")(spark, str(alt)).collect()
+    }
+    assert got == {1: 1, 6: 0}
