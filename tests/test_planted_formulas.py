@@ -1245,3 +1245,33 @@ def test_interval_events_boundary_semantics(spark, tmp_path):
         for r in _q("join_interval_events")(spark, str(alt)).collect()
     }
     assert got == {1: 1, 6: 0}
+
+
+def test_contamination_exact_hit_accounting(spark, tmp_path):
+    """dedup_contamination: benchmark doc 0 ('alpha beta gamma delta',
+    two 3-gram shingles) is quoted partially by one training doc and
+    fully by another — n_hit_shingles = 2 distinct, n_contaminating
+    = 2; benchmark doc 97 with unique text emits NO row (clean means
+    absent, not zero)."""
+    alt = _copy_tables(tmp_path, "contam")
+    texts = {}
+    texts[0] = "alpha beta gamma delta"                      # bench (0 % 97)
+    texts[97] = "unique benchmark content nothing shares"    # bench, clean
+    texts[1] = "intro words alpha beta gamma closing words"  # partial quote
+    texts[2] = "alpha beta gamma delta verbatim copy here"   # full quote
+    texts[3] = "completely unrelated training document text"
+    ids = sorted(texts)
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["web"] * len(ids),
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    ).to_parquet(alt / "documents.parquet")
+    got = {
+        r.bench_id: (r.n_hit_shingles, r.n_contaminating_docs)
+        for r in _q("dedup_contamination")(spark, str(alt)).collect()
+    }
+    assert got == {0: (2, 2)}
