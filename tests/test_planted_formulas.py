@@ -1275,3 +1275,28 @@ def test_contamination_exact_hit_accounting(spark, tmp_path):
         for r in _q("dedup_contamination")(spark, str(alt)).collect()
     }
     assert got == {0: (2, 2)}
+
+
+def test_padding_waste_exact_ledger_and_boundary(spark, tmp_path):
+    """pack_padding_waste: token counts 10 and 16 land in the 16-cap
+    bucket (an EXACT power of two stays in its own bucket — the <=
+    rule), 17 spills to 32, 100 to 128; padding sums and waste ratios
+    are exact integer arithmetic."""
+    alt = _copy_tables(tmp_path, "pw")
+    texts = [
+        " ".join(["w"] * 10),
+        " ".join(["w"] * 16),
+        " ".join(["w"] * 17),
+        " ".join(["w"] * 100),
+    ]
+    _docs(alt, texts)
+    got = {
+        r.bucket_cap: r
+        for r in _q("pack_padding_waste")(spark, str(alt)).collect()
+    }
+    assert set(got) == {16, 32, 128}
+    b16 = got[16]
+    assert (b16.n_docs, b16.sum_tokens, b16.sum_padding) == (2, 26, 6)
+    assert b16.waste_ratio == 6 / 32
+    assert (got[32].sum_padding, got[32].waste_ratio) == (15, 15 / 32)
+    assert (got[128].sum_padding, got[128].waste_ratio) == (28, 28 / 128)
