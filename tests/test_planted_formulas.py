@@ -1300,3 +1300,15 @@ def test_padding_waste_exact_ledger_and_boundary(spark, tmp_path):
     assert b16.waste_ratio == 6 / 32
     assert (got[32].sum_padding, got[32].waste_ratio) == (15, 15 / 32)
     assert (got[128].sum_padding, got[128].waste_ratio) == (28, 28 / 128)
+
+
+def test_normalized_dedup_collapses_case_and_whitespace(spark, tmp_path):
+    """dedup_exact_normalized: 'Hello  World', 'hello world', and
+    '  HELLO\\tWORLD ' are one normalized group (3 members, 3 raw
+    variants, keeper = min doc_id) that byte-exact hashing would treat
+    as three; an unrelated doc stays its own singleton."""
+    alt = _copy_tables(tmp_path, "norm")
+    _docs(alt, ["Hello  World", "hello world", "  HELLO\tWORLD ", "other"])
+    rows = _q("dedup_exact_normalized")(spark, str(alt)).collect()
+    groups = {r.keep_doc_id: (r.n_members, r.n_raw_variants) for r in rows}
+    assert groups == {0: (3, 3), 3: (1, 1)}
