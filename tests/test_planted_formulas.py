@@ -1312,3 +1312,38 @@ def test_normalized_dedup_collapses_case_and_whitespace(spark, tmp_path):
     rows = _q("dedup_exact_normalized")(spark, str(alt)).collect()
     groups = {r.keep_doc_id: (r.n_members, r.n_raw_variants) for r in rows}
     assert groups == {0: (3, 3), 3: (1, 1)}
+
+
+def test_cume_dist_and_ntile_hand_traced(spark, tmp_path):
+    """win_cume_dist on 4 distinct prices (> the 400k filter):
+    percent_rank = (rank−1)/(n−1) and cume_dist = rank/n land on the
+    exact quarter lattice. win_ntile_buckets on 23 customers in one
+    segment: NTILE(10) gives three 3-member deciles then seven of 2
+    (the remainder-first rule), with bucket min/max respecting the
+    descending balance order."""
+    alt = _copy_tables(tmp_path, "rankwin")
+    prices = [500000.0, 600000.0, 700000.0, 800000.0]
+    _orders(alt, ["R"] * 4, prices)
+    cd = {
+        r.o_orderkey: r for r in _q("win_cume_dist")(spark, str(alt)).collect()
+    }
+    assert [cd[k].pct_rank for k in sorted(cd)] == [0.0, 1 / 3, 2 / 3, 1.0]
+    assert [cd[k].cum_dist for k in sorted(cd)] == [0.25, 0.5, 0.75, 1.0]
+
+    n = 23
+    pd.DataFrame(
+        {
+            "c_custkey": range(n),
+            "c_name": ["c"] * n,
+            "c_nationkey": [1] * n,
+            "c_acctbal": [float(1000 - i) for i in range(n)],
+            "c_mktsegment": ["SEG"] * n,
+        }
+    ).to_parquet(alt / "customer.parquet")
+    rows = sorted(
+        _q("win_ntile_buckets")(spark, str(alt)).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.n_customers for r in rows] == [3, 3, 3] + [2] * 7
+    assert rows[0].max_bal == 1000.0 and rows[0].min_bal == 998.0
+    assert rows[-1].min_bal == 978.0  # the smallest balance, last decile
