@@ -1347,3 +1347,36 @@ def test_cume_dist_and_ntile_hand_traced(spark, tmp_path):
     assert [r.n_customers for r in rows] == [3, 3, 3] + [2] * 7
     assert rows[0].max_bal == 1000.0 and rows[0].min_bal == 998.0
     assert rows[-1].min_bal == 978.0  # the smallest balance, last decile
+
+
+def test_ngram_novelty_exact_fractions(spark, tmp_path):
+    """text_ngram_novelty: batch doc 7 shares exactly one of its three
+    3-grams with the corpus (novelty 2/3), doc 17 is fully novel
+    (1.0), doc 27 is a verbatim corpus copy (0.0) — the data-valuation
+    fractions are exact integer ratios."""
+    alt = _copy_tables(tmp_path, "nov")
+    texts = {
+        7: "a b c d e",                       # batch: abc shared
+        17: "p q r s t u",                    # batch: fully novel
+        27: "x y z w v",                      # batch: verbatim of doc 2
+        1: "a b c filler words here",         # corpus
+        2: "x y z w v",                       # corpus
+        3: "unrelated corpus content row",    # corpus
+    }
+    ids = sorted(texts)
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["web"] * len(ids),
+            "n_chars": [len(texts[i]) for i in ids],
+        }
+    ).to_parquet(alt / "documents.parquet")
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in _q("text_ngram_novelty")(spark, str(alt)).collect()
+    }
+    assert got[7] == (3, 2, 2 / 3)
+    assert got[17] == (4, 4, 1.0)
+    assert got[27] == (3, 0, 0.0)
