@@ -1380,3 +1380,22 @@ def test_ngram_novelty_exact_fractions(spark, tmp_path):
     assert got[7] == (3, 2, 2 / 3)
     assert got[17] == (4, 4, 1.0)
     assert got[27] == (3, 0, 0.0)
+
+
+def test_exact_substring_shared_span_accounting(spark, tmp_path):
+    """dedup_exact_substring: doc B copies a 9-token span of doc A —
+    exactly the two 8-token grams inside that span are shared on BOTH
+    sides (2/5 each with 12-token docs); an untouched doc reports
+    zero duplication."""
+    alt = _copy_tables(tmp_path, "sub")
+    a_toks = [f"w{i}" for i in range(1, 13)]
+    b_toks = a_toks[:9] + ["b10", "b11", "b12"]
+    c_toks = [f"c{i}" for i in range(1, 13)]
+    _docs(alt, [" ".join(a_toks), " ".join(b_toks), " ".join(c_toks)])
+    got = {
+        r.doc_id: (r.n_grams, r.n_shared, r.dup_fraction)
+        for r in _q("dedup_exact_substring")(spark, str(alt)).collect()
+    }
+    assert got[0] == (5, 2, 2 / 5)
+    assert got[1] == (5, 2, 2 / 5)
+    assert got[2] == (5, 0, 0.0)
