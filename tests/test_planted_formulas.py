@@ -1399,3 +1399,29 @@ def test_exact_substring_shared_span_accounting(spark, tmp_path):
     assert got[0] == (5, 2, 2 / 5)
     assert got[1] == (5, 2, 2 / 5)
     assert got[2] == (5, 0, 0.0)
+
+
+def test_rank_topk_dense_tie_window(spark, tmp_path):
+    """win_rank_topk with a planted three-way balance tie straddling
+    the k=5 boundary: the custkey tiebreaker in the ORDER makes ranks
+    unique and total, so exactly the 5 highest balances survive with
+    ties broken toward the smaller key — the cut is deterministic,
+    never a 6-or-7-row RANK spill."""
+    alt = _copy_tables(tmp_path, "topk")
+    bals = [900.0, 800.0, 700.0, 700.0, 700.0, 600.0, 500.0]
+    n = len(bals)
+    pd.DataFrame(
+        {
+            "c_custkey": range(n),
+            "c_name": ["c"] * n,
+            "c_nationkey": [1] * n,
+            "c_acctbal": bals,
+            "c_mktsegment": ["S"] * n,
+        }
+    ).to_parquet(alt / "customer.parquet")
+    rows = sorted(
+        _q("win_rank_topk")(spark, str(alt)).collect(), key=lambda r: r.rnk
+    )
+    assert [r.c_custkey for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[-1].c_acctbal == 700.0  # the 600/500 rows are out
