@@ -1425,3 +1425,33 @@ def test_rank_topk_dense_tie_window(spark, tmp_path):
     assert [r.c_custkey for r in rows] == [0, 1, 2, 3, 4]
     assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
     assert rows[-1].c_acctbal == 700.0  # the 600/500 rows are out
+
+
+def test_fingerprint_min_shingle_collision_property(spark, tmp_path):
+    """text_fingerprint's pre-cluster contract: two docs sharing their
+    minimum-hash 3-gram collide on min_shingle_hash even when their
+    full hashes differ; the min is verified against a direct Python
+    md5 over every shingle; a short (<3 token) doc falls back to its
+    full hash."""
+    import hashlib
+
+    alt = _copy_tables(tmp_path, "fp")
+    a = "alpha beta gamma delta epsilon"
+    b = "zzz alpha beta gamma yyy"  # shares shingle 'alpha beta gamma'
+    short = "two tokens"
+    _docs(alt, [a, b, short])
+    got = {
+        r.doc_id: r for r in _q("text_fingerprint")(spark, str(alt)).collect()
+    }
+
+    def min_shingle(text):
+        toks = text.split(" ")
+        sh = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        return min(hashlib.md5(s.encode()).hexdigest() for s in sh)
+
+    assert got[0].min_shingle_hash == min_shingle(a)
+    assert got[1].min_shingle_hash == min_shingle(b)
+    assert got[0].full_hash != got[1].full_hash
+    if min_shingle(a) == min_shingle(b):  # data-dependent, verify both ways
+        assert got[0].min_shingle_hash == got[1].min_shingle_hash
+    assert got[2].min_shingle_hash == hashlib.md5(short.encode()).hexdigest()
