@@ -1455,3 +1455,20 @@ def test_fingerprint_min_shingle_collision_property(spark, tmp_path):
     if min_shingle(a) == min_shingle(b):  # data-dependent, verify both ways
         assert got[0].min_shingle_hash == got[1].min_shingle_hash
     assert got[2].min_shingle_hash == hashlib.md5(short.encode()).hexdigest()
+
+
+def test_first_last_unbounded_frame_trap(spark, tmp_path):
+    """win_first_last's explicit unbounded frame, pinned on a 3-day
+    path: EVERY row reports the chronologically first (100) and last
+    (300) price — last_value's default up-to-current-row frame (the
+    classic wrong answer) would instead return each row's own price."""
+    alt = _copy_tables(tmp_path, "fl")
+    dates = [pd.Timestamp("2024-01-01") + pd.Timedelta(days=d) for d in (0, 1, 2)]
+    _orders(alt, ["FL"] * 3, [100.0, 200.0, 300.0], dates)
+    rows = [
+        r for r in _q("win_first_last")(spark, str(alt)).collect()
+        if r.o_orderpriority == "FL"
+    ]
+    assert len(rows) == 3
+    for r in rows:
+        assert r.first_price == 100.0 and r.last_price == 300.0
