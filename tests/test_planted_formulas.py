@@ -1472,3 +1472,35 @@ def test_first_last_unbounded_frame_trap(spark, tmp_path):
     assert len(rows) == 3
     for r in rows:
         assert r.first_price == 100.0 and r.last_price == 300.0
+
+
+def test_profile_exact_null_and_distinct_counts(spark, tmp_path):
+    """dq_profile on a hand-built lineitem: 2 planted nulls in
+    l_quantity and exactly 3 distinct return flags are counted
+    precisely; n_rows is constant across columns; min/max string
+    representations match the planted extremes."""
+    alt = _copy_tables(tmp_path, "prof")
+    n = 10
+    pd.DataFrame(
+        {
+            "l_orderkey": range(n),
+            "l_linenumber": [1] * n,
+            "l_partkey": [1] * n,
+            "l_suppkey": [1] * n,
+            "l_quantity": [float(i) for i in range(8)] + [None, None],
+            "l_extendedprice": [100.0 + i for i in range(n)],
+            "l_discount": [0.0] * n,
+            "l_tax": [0.0] * n,
+            "l_returnflag": ["A", "B", "C", "A", "B", "C", "A", "B", "C", "A"],
+            "l_shipdate": [pd.Timestamp("2024-01-01")] * n,
+            "l_shipmode": ["AIR"] * n,
+        }
+    ).to_parquet(alt / "lineitem.parquet", coerce_timestamps="us")
+    got = {r.col_name: r for r in _q("dq_profile")(spark, str(alt)).collect()}
+    assert all(got[c].n_rows == n for c in got)
+    q = got["l_quantity"]
+    assert (q.n_nulls, q.n_distinct) == (2, 8)
+    assert (q.min_repr, q.max_repr) == ("0.0", "7.0")
+    assert (got["l_returnflag"].n_distinct, got["l_returnflag"].n_nulls) \
+        == (3, 0)
+    assert got["l_orderkey"].n_distinct == n
