@@ -1504,3 +1504,31 @@ def test_profile_exact_null_and_distinct_counts(spark, tmp_path):
     assert (got["l_returnflag"].n_distinct, got["l_returnflag"].n_nulls) \
         == (3, 0)
     assert got["l_orderkey"].n_distinct == n
+
+
+def test_mix_domains_exact_language_quotas(spark, tmp_path):
+    """mix_domains' quota contract on an abundant planted corpus:
+    exactly floor(w·200) documents per language — en 80, the rest 30
+    — totaling the 200-doc slice, whatever the per-language surplus."""
+    import collections
+
+    base_rows = []
+    did = 0
+    for lang in ("en", "de", "es", "fr", "zh"):
+        for _ in range(120):
+            base_rows.append((did, lang))
+            did += 1
+    alt = _copy_tables(tmp_path, "mix")
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in base_rows],
+            "text": ["hello world"] * len(base_rows),
+            "lang": [r[1] for r in base_rows],
+            "source": ["web"] * len(base_rows),
+            "n_chars": [11] * len(base_rows),
+        }
+    ).to_parquet(alt / "documents.parquet")
+    rows = _q("mix_domains")(spark, str(alt)).collect()
+    by = collections.Counter(r.lang for r in rows)
+    assert by == {"en": 80, "de": 30, "es": 30, "fr": 30, "zh": 30}
+    assert sum(by.values()) == 200
