@@ -43,3 +43,27 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def spark_dot_expr(a: str, b: str) -> str:
+    """Spark-SQL string twin of vec_dot, for F.expr()/selectExpr.
+
+    Parses to the SAME Catalyst tree as vec_dot (zip_with cast-double
+    product, left-to-right aggregate fold from a double 0.0), so every
+    output double is bit-identical — but costs ONE py4j round-trip
+    instead of the ~10 a Python-lambda zip_with/aggregate pair makes.
+    Plan-construction time, not execution time: use in serve paths
+    that build many dot expressions per call (the ivfpq LUT builds 16)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (s, x) -> s + x)"
+    )
+
+
+def spark_cosine_expr(a: str, b: str) -> str:
+    """Spark-SQL string twin of vec_cosine (see spark_dot_expr)."""
+    return (
+        f"({spark_dot_expr(a, b)} / "
+        f"(sqrt({spark_dot_expr(a, a)}) * sqrt({spark_dot_expr(b, b)})))"
+    )

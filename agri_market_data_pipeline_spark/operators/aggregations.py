@@ -1883,7 +1883,17 @@ def incr_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: shingling is row-local; signatures partial-aggregate to
     (source, shard, component) grain before any exchange; everything
-    downstream is K-row algebra on sources x components."""
+    downstream is K-row algebra on sources x components.
+
+    r10 cost restructure (VERDICT r9 item 4 — this was the heaviest
+    headliner at 11.4 normalized): the shingle-distinct frame is
+    materialized ONCE (it fed four plan branches, each re-running the
+    explode+distinct), and the 16 hash components ride as WIDE columns
+    into 16 parallel MIN aggregates (the _minhash_bands discipline)
+    instead of a 16x row explode — the explode shuffled 16x the rows
+    through TWO groupBys for the same 16 minima. Only the tiny
+    aggregated frames (sources x shards x 16) are unpivoted. Every
+    hash value, min, and count is unchanged — same oracle hash."""
     d = load(spark, sf_dir, "documents").select("source", "doc_id", "text")
     x = d.withColumn("a", F.split(F.col("text"), " ")).filter(
         F.size("a") >= 3
@@ -1901,40 +1911,49 @@ def incr_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=True)  # feeds hashes, sets, cnt, inter
     )
-    hs = sh.select(
-        "source",
-        "shard",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat(
-                                        F.lit(f"mh{i}:"), F.col("s")
-                                    )
-                                ),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("bigint")
-                        .alias("h"),
-                    )
-                    for i in range(_MHM_H)
-                ]
+
+    def _h(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
             )
-        ).alias("ih"),
-    ).select("source", "shard", "ih.i", "ih.h")
-    pshard = hs.groupBy("source", "shard", "i").agg(F.min("h").alias("mn"))
+            .cast("bigint")
+            .alias(f"h{i}")
+        )
+
+    # One md5 pass over the distinct shingles, hashes as wide columns.
+    hw = sh.select(
+        "source", "shard", *[_h(i) for i in range(_MHM_H)]
+    ).localCheckpoint(eager=True)  # feeds pshard AND direct
+
+    def _unpivot(df: DataFrame, keys: list, out: str) -> DataFrame:
+        stack = ", ".join(f"{i}, h{i}" for i in range(_MHM_H))
+        return df.selectExpr(
+            *keys, f"stack({_MHM_H}, {stack}) AS (i, {out})"
+        )
+
+    pshard = _unpivot(
+        hw.groupBy("source", "shard").agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MHM_H)]
+        ),
+        ["source", "shard"],
+        "mn",
+    )
     merged = pshard.groupBy("source", "i").agg(F.min("mn").alias("sig"))
     merged = merged.localCheckpoint(eager=True)  # feeds eq + both est sides
-    direct = hs.groupBy("source", "i").agg(F.min("h").alias("sig"))
+    direct = _unpivot(
+        hw.groupBy("source").agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MHM_H)]
+        ),
+        ["source"],
+        "sig",
+    )
     eq = (
         merged.alias("m")
         .join(

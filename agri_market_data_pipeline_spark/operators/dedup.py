@@ -100,6 +100,9 @@ bands AS (
 """
 
 
+_MINHASH_BANDS_CACHE: dict = {}
+
+
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — one LSH bucket key per band per doc.
 
@@ -108,7 +111,33 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial map-side mins). Cost discipline: exactly ONE md5 per shingle;
     the k-hash family is k linear permutations of that value — the
     seed-explode formulation both shuffles 12× the rows and pays 12
-    md5s per shingle for the same answer."""
+    md5s per shingle for the same answer.
+
+    Memoized per (applicationId, sf_dir, documents fingerprint) and
+    localCheckpointed — the _pq_index pattern: in production the band
+    index is persisted at ingest time, so a consumer never re-shingles
+    the corpus. Matters doubly here because consumers reference the
+    frame several times in ONE plan (dedup_incremental probes it four
+    ways); without materialization each reference re-executes the
+    whole shingle→minhash pipeline (the r10 benchguard 1.8x breach)."""
+    from ..tables import source_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        source_fingerprint(sf_dir, "documents"),
+    )
+    hit = _MINHASH_BANDS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _MINHASH_BANDS_CACHE.clear()  # one live index at a time
+    out = _minhash_bands_build(spark, sf_dir).localCheckpoint(eager=True)
+    _MINHASH_BANDS_CACHE[key] = out
+    return out
+
+
+def _minhash_bands_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The uncached band-index build (see _minhash_bands)."""
     d = load_parallel(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(shingles3(tokens("text"))).alias("shingle")

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import (
+    spark_cosine_expr,
+    spark_dot_expr,
     sql_cosine,
     sql_dot,
     vec_cosine,
@@ -1433,8 +1435,9 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe = (
         cents.join(F.broadcast(q))
-        .select(
-            "cell_id", F.round(vec_cosine("cvec", "qvec"), 6).alias("c_cos")
+        .selectExpr(
+            "cell_id",
+            f"round({spark_cosine_expr('cvec', 'qvec')}, 6) AS c_cos",
         )
         .orderBy(F.desc("c_cos"), F.asc("cell_id"))
         .limit(_N_PROBE)
@@ -1446,25 +1449,23 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast row (cb<m> is code-sorted, so position code+1 IS that
     # code). The per-(m, code) values are the same vec_dot expressions
     # the per-candidate form evaluated, so every downstream double is
-    # bit-identical.
-    def _qdot_fn(qsub):
-        # factory, NOT a default-arg lambda: pyspark passes (element,
-        # index) to two-parameter lambdas, clobbering the default
-        return lambda c: vec_dot(qsub, c.cw)
-
-    lut_cols = []
+    # bit-identical. Built as ONE selectExpr of parsed-SQL strings
+    # (spark_dot_expr) rather than 16 Python-lambda transforms: the
+    # lambda form cost ~1 s of py4j plan-construction PER CALL — 2/3 of
+    # the whole serve path (r10, the benchguard 2.2x breach); the parsed
+    # form yields the identical Catalyst tree for ~40x fewer round-trips.
+    lut_exprs = []
     for m in range(_PQ_M):
-        qsub = F.slice("qvec", m * _PQ_DSUB + 1, _PQ_DSUB)
-        lut_cols.append(
-            F.transform(F.col(f"cb{m}"), _qdot_fn(qsub)).alias(f"qd{m}")
+        qsub = f"slice(qvec, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+        lut_exprs.append(
+            f"transform(cb{m}, c -> {spark_dot_expr(qsub, 'c.cw')}) AS qd{m}"
         )
-        lut_cols.append(
-            F.transform(F.col(f"cb{m}"), lambda c: vec_dot(c.cw, c.cw)).alias(
-                f"n2{m}"
-            )
+        lut_exprs.append(
+            f"transform(cb{m}, c -> {spark_dot_expr('c.cw', 'c.cw')})"
+            f" AS n2{m}"
         )
-    lut = cbrow.join(F.broadcast(q)).select(
-        *lut_cols, F.sqrt(vec_norm2("qvec")).alias("qnorm")
+    lut = cbrow.join(F.broadcast(q)).selectExpr(
+        *lut_exprs, f"sqrt({spark_dot_expr('qvec', 'qvec')}) AS qnorm"
     )
 
     # ADC over the codes table: fixed left-to-right fold over the M
@@ -1492,9 +1493,10 @@ def sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(F.broadcast(short.select("vec_id")), "vec_id")
         .join(F.broadcast(q))
-        .select(
+        .selectExpr(
             "vec_id",
-            F.round(vec_cosine("embedding", "qvec"), 6).alias("cos_sim"),
+            f"round({spark_cosine_expr('embedding', 'qvec')}, 6)"
+            " AS cos_sim",
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_TOP_K)
