@@ -165,6 +165,9 @@ AUDITED = [
     "dq_l_diversity",
     "ml_kmeans_silhouette",
     "graph_assortativity",
+    "ts_quantile_loss",
+    "ml_ate_stratified",
+    "ts_cointegration",
 ]
 
 
