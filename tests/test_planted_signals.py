@@ -1372,3 +1372,86 @@ def test_cointegration_fires_on_shared_trend_not_independent_walks(
     # the EG 5% critical value (~-3.9 at this n, coefficients estimated)
     assert sp.tau_eg > -3.9, sp.tau_eg
     assert co.tau_eg < sp.tau_eg - 5.0  # decisive separation
+
+
+def _planted_embeddings(tmp_path, name: str, n: int = 512, dim: int = 64):
+    """Copy the sf0.001 tables and overwrite embeddings with 16 planted
+    orthogonal clusters: vec c < 16 is the one-hot direction e_{4c}
+    (centroid AND, for c=0, the query); member v (16 <= v < n) sits on
+    direction v % 16 plus +-0.05 deterministic md5 noise. The exact
+    top-k of the query is therefore entirely inside cluster 0, the
+    coarse layer must route it to cell 0, and any probe/shortlist
+    tuning error that drops cluster-0 members shows up as recall < 1."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    vecs = []
+    for v in range(n):
+        c = v % 16
+        x = np.zeros(dim, dtype=np.float64)
+        x[4 * c] = 1.0
+        if v >= 16:
+            for d in range(dim):
+                x[d] += (_noise(f"ann{v}", d) - 0.5) * 0.1
+        vecs.append(np.asarray(x, dtype=np.float32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v % 7 for v in range(n)], pa.int32()),
+        }
+    )
+    papq.write_table(t, alt / "embeddings.parquet")
+    return str(alt), vecs
+
+
+def _exact_topk(vecs, k=20):
+    import numpy as np
+
+    q = np.asarray(vecs[0], dtype=np.float64)
+    sims = []
+    for v in range(1, len(vecs)):
+        x = np.asarray(vecs[v], dtype=np.float64)
+        c = float(x @ q / (np.linalg.norm(x) * np.linalg.norm(q)))
+        sims.append((round(c, 6), -v))
+    sims.sort(reverse=True)
+    return {-nv for _, nv in sims[:k]}
+
+
+def test_ann_recall_floor_on_planted_clusters(spark, tmp_path):
+    """VERDICT r9 item 5: the recall twins REPORT recall but nothing
+    asserted it — a probe/shortlist tuning error would pass the oracle
+    (both engines agree on the wrong recall). On planted well-separated
+    clusters the true neighbors all live in the query's own cell, so
+    the train-free IVF layer must be exact and the PQ-compressed layer
+    must clear a hard floor."""
+    alt, vecs = _planted_embeddings(tmp_path, "annrecall")
+    ivf = _q("sim_search_ivf_recall")(spark, alt).collect()[0]
+    assert ivf.recall == 1.0, f"IVF recall {ivf.recall} on planted clusters"
+    pq_r = _q("sim_search_ivfpq_recall")(spark, alt).collect()[0]
+    assert pq_r.recall >= 0.9, (
+        f"IVF-PQ recall {pq_r.recall} below floor on planted clusters"
+    )
+
+
+def test_trained_ivf_recall_floor_on_planted_clusters(spark, tmp_path):
+    """The TRAINED coarse layer (ml_kmeans_train_ivf: k-means-refined
+    centroids, then the same serve stage) must also clear a recall
+    floor on the planted clusters — computed here against the numpy
+    exact top-k since that query returns the search result itself."""
+    alt, vecs = _planted_embeddings(tmp_path, "annrecalltr")
+    exact = _exact_topk(vecs)
+    got = {
+        r.vec_id for r in _q("ml_kmeans_train_ivf")(spark, alt).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"trained-IVF recall {recall} on planted clusters"

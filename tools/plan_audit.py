@@ -226,6 +226,8 @@ NESTED_LOOP_OK = {
     "ml_gbm_stumps",         # 1-row best-split frame per boosting round
     #   (the lit-key equi-join constant-folds to a trivially-true
     #   condition, so Catalyst plans the one-row broadcast as BNLJ)
+    # r10:
+    "incr_ann_upsert",       # 1-row frozen-quantizer centroid-array frame
 }
 
 _JOIN_OPS = (

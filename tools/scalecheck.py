@@ -152,6 +152,7 @@ AUDITED = [
     "ml_auc_roc",  # per-fold cumulative window on the distinct-score grain
     "ml_kmeans_silhouette",  # kmeans training rounds + broadcast-fold eval pass
     "ts_cointegration",  # day-aligned pair self-join + residual window
+    "incr_ann_upsert",  # broadcast-argmax assignment audit, 16-cell grain
 ]
 
 
