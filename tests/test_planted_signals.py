@@ -1455,3 +1455,91 @@ def test_trained_ivf_recall_floor_on_planted_clusters(spark, tmp_path):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"trained-IVF recall {recall} on planted clusters"
+
+
+def _textbook_modularity(und_rows, label_of) -> float:
+    """Independent Newman modularity: Q = Σ_c [win_c/W − (deg_c/W)²]
+    summed with exact integer win/deg/W over the doubled undirected
+    edge list — the definition, not the operator's (W·Σwin − Σdeg²)/W²
+    rearrangement, so an algebra or join bug in the operator cannot
+    also live here."""
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    win = defaultdict(int)
+    W = 0
+    for u, v, w in und_rows:
+        cu, cv = label_of[u], label_of[v]
+        deg[cu] += w
+        W += w
+        if cu == cv:
+            win[cu] += w
+    return sum(
+        win[c] / W - (deg[c] / W) ** 2 for c in deg
+    )
+
+
+def test_textbook_modularity_on_two_cliques():
+    """Self-check of the reference implementation: two disconnected
+    equal cliques labeled by clique id have Q = 1/2 exactly."""
+    und = []
+    for base in (0, 10):
+        for a in range(base, base + 4):
+            for b in range(base, base + 4):
+                if a != b:
+                    und.append((a, b, 1))
+    labels = {n: n // 10 for n in range(20)}
+    assert abs(_textbook_modularity(und, labels) - 0.5) < 1e-12
+
+
+def test_community_modularity_matches_textbook_definition(spark, sf_dir):
+    """VERDICT r9 item 8: graph_community_modularity relied on
+    oracle-agreement alone — both engines share the rearranged
+    Q = (W·Σwin − Σdeg²)/W² formula, so a shared algebra error would
+    pass the hash gate. Replay Q from the textbook definition over the
+    operator's own doubled edge list and both label maps; the LPA
+    partition's documented collapse (every nation one community →
+    Q = 0 exactly) is asserted as the fires/abstains half."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _edges,
+        graph_community_modularity,
+        graph_label_propagation,
+    )
+
+    out = {
+        r.partitioning: r
+        for r in graph_community_modularity(spark, sf_dir).collect()
+    }
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = [
+        (r.u, r.v, r.w)
+        for r in (
+            edges.select(
+                F.col("src").alias("u"), F.col("dst").alias("v"), "w"
+            )
+            .unionAll(
+                edges.select(
+                    F.col("dst").alias("u"), F.col("src").alias("v"), "w"
+                )
+            )
+            .groupBy("u", "v")
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .collect()
+        )
+    ]
+    nat = {
+        r.n_name: (r.n_nationkey, int(r.n_regionkey))
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet").collect()
+    }
+    lpa_lbl = {
+        nat[r.nation][0]: r.community
+        for r in graph_label_propagation(spark, sf_dir).collect()
+    }
+    region_lbl = {k: reg for k, reg in nat.values()}
+    for part, labels in (("lpa", lpa_lbl), ("region", region_lbl)):
+        expect = _textbook_modularity(und, labels)
+        got = out[part].q_modularity
+        assert abs(got - expect) < 1e-12, (part, got, expect)
+    assert out["lpa"].q_modularity == 0.0  # the documented collapse
