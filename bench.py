@@ -122,6 +122,9 @@ HEADLINE = [
     "ts_quantile_loss",
     "ml_ate_stratified",
     "ts_cointegration",
+    # r10: incremental ANN maintenance (pin lands next round per the
+    # two-run band rule)
+    "incr_ann_upsert",
 ]
 
 

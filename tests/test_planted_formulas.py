@@ -17,6 +17,9 @@ import shutil
 
 import pandas as pd
 
+from agri_market_data_pipeline_spark.operators.reshape import (
+    _NEYMAN_BUDGET,
+)
 from agri_market_data_pipeline_spark.registry import all_queries
 
 _TABLES = (
@@ -1532,3 +1535,124 @@ def test_mix_domains_exact_language_quotas(spark, tmp_path):
     by = collections.Counter(r.lang for r in rows)
     assert by == {"en": 80, "de": 30, "es": 30, "fr": 30, "zh": 30}
     assert sum(by.values()) == 200
+
+
+def test_pit_features_never_leak_same_instant_or_future(spark, tmp_path):
+    """Formula pin for ml_pit_features' leakage contract: a purchase
+    label must see ONLY strictly-before history. Planted traps: a
+    same-instant sibling event (must be excluded — 'ts < label.ts',
+    not '<='), a future high-value event (must be invisible), and a
+    first-ever-event purchase (all-zero features, not a peek at
+    itself)."""
+    alt = _copy_tables(tmp_path, "pitleak")
+    base = pd.Timestamp("2024-03-01")
+    rows = [
+        # user 1: view day0 (v=10), PURCHASE day1 (label), view day2
+        # (v=10000 — future, must not leak)
+        (100, base, 1, "view", 10.0),
+        (101, base + pd.Timedelta(days=1), 1, "purchase", 999.0),
+        (102, base + pd.Timedelta(days=2), 1, "view", 10000.0),
+        # user 2: PURCHASE and a sibling view at the SAME microsecond —
+        # both are same-instant, so features must be all zero
+        (200, base, 2, "purchase", 5.0),
+        (201, base, 2, "view", 7.0),
+        # user 3: purchase 10 days after a view — outside the 7d window
+        # but inside lifetime
+        (300, base, 3, "view", 50.0),
+        (301, base + pd.Timedelta(days=10), 3, "purchase", 1.0),
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    ev.to_parquet(f"{alt}/events.parquet", coerce_timestamps="us")
+    out = {
+        r.event_id: r for r in _q("ml_pit_features")(spark, alt).collect()
+    }
+    assert set(out) == {101, 200, 301}
+    r1 = out[101]  # sees ONLY the day-0 view
+    assert (r1.n_prior, r1.sum_prior, r1.n_7d) == (1, 10.0, 1)
+    assert r1.day_idx == 1
+    r2 = out[200]  # same-instant sibling excluded -> all zeros
+    assert (r2.n_prior, r2.sum_prior, r2.n_7d) == (0, 0.0, 0)
+    assert r2.day_idx == 0
+    r3 = out[301]  # lifetime sees the view, the 7d window does not
+    assert (r3.n_prior, r3.sum_prior, r3.n_7d) == (1, 50.0, 0)
+    assert r3.day_idx == 10
+
+
+def test_ridge_closed_form_matches_numpy_solver(spark, sf_dir):
+    """Formula pin for ml_ridge_closed_form: both engines share the
+    centered-normal-equations algebra, so a shared derivation error
+    would pass the oracle. numpy solves the same ridge problem
+    ((Xc'Xc + lambda I) beta = Xc'y on centered features) from the raw
+    rows; coefficients and intercept must agree to the operator's
+    ROUND(6)."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+        )
+        .collect()
+    )
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.l_returnflag, []).append(
+            (float(r.l_quantity), float(r.l_discount),
+             float(r.l_extendedprice))
+        )
+    out = {r.grp: r for r in _q("ml_ridge_closed_form")(spark, sf_dir).collect()}
+    assert set(out) == set(by_grp)
+    for grp, data in by_grp.items():
+        a = np.array(data, dtype=np.float64)
+        X, y = a[:, :2], a[:, 2]
+        Xc = X - X.mean(axis=0)
+        yc = y - y.mean()
+        beta = np.linalg.solve(Xc.T @ Xc + 10.0 * np.eye(2), Xc.T @ yc)
+        intercept = (y.sum() - beta[0] * X[:, 0].sum()
+                     - beta[1] * X[:, 1].sum()) / len(y)
+        r = out[grp]
+        assert abs(r.beta1 - beta[0]) < 1e-4, (grp, r.beta1, beta[0])
+        assert abs(r.beta2 - beta[1]) < 1e-4, (grp, r.beta2, beta[1])
+        assert abs(r.intercept - intercept) < 1e-4
+
+
+def test_neyman_allocation_proportional_to_nh_sigma(spark, sf_dir):
+    """Formula pin for sample_neyman: the allocation must be the
+    Neyman optimum n_h = round(B * N_h*sd_h / sum(N*sd)) with the
+    TEXTBOOK sample sd (ddof=1), replayed in numpy from the raw rows;
+    realized counts must equal the allocation exactly."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.l_returnflag, []).append(
+            float(r.l_extendedprice)
+        )
+    out = {r.grp: r for r in _q("sample_neyman")(spark, sf_dir).collect()}
+    w = {
+        g: len(v) * round(float(np.std(v, ddof=1)), 6)
+        for g, v in by_grp.items()
+    }
+    tot = sum(w.values())
+    for g, r in out.items():
+        assert r.n_pop == len(by_grp[g])
+        assert abs(r.sd - round(float(np.std(by_grp[g], ddof=1)), 6)) < 2e-6
+        expect = int(np.floor(
+            _NEYMAN_BUDGET * (w[g] / tot) + 0.5
+        ))
+        assert r.alloc_n == expect, (g, r.alloc_n, expect)
+        assert r.n_sampled == r.alloc_n
