@@ -1774,3 +1774,53 @@ def test_harmonic_centrality_matches_pure_python(spark, sf_dir):
         for r in _q("graph_harmonic_centrality")(spark, sf_dir).collect()
     }
     assert got == want, {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)}
+
+
+def test_auc_2u_accumulation_headroom_is_guarded(spark):
+    """ADVICE r9: ml_auc_roc's 2U = SUM(2*p*q_below + p*q) approaches
+    BIGINT range for very large folds — the docstring documents a
+    DECIMAL(38,0) migration point but nothing exercised the boundary.
+    Replay the aggregation shape on synthetic counts at the documented
+    ~1e9-rows-per-fold scale under ANSI mode: within the boundary the
+    BIGINT sum must be exact (verified against Python int arithmetic),
+    and past it Spark must fail LOUDLY (ANSI overflow), never wrap."""
+    from pyspark.sql import functions as F
+
+    def two_u(p, q_below, q):
+        df = spark.createDataFrame(
+            [(int(a), int(b), int(c)) for a, b, c in zip(p, q_below, q)],
+            "p long, q_below long, q long",
+        )
+        return df.agg(
+            F.sum(
+                2 * F.col("p") * F.col("q_below") + F.col("p") * F.col("q")
+            ).alias("u2")
+        ).collect()[0].u2
+
+    # A 1e9-row fold split over two score groups: p*q_below terms are
+    # ~5e17 each — inside int64 (9.2e18), and the sum must be EXACT.
+    p = [500_000_000, 2]
+    qb = [499_999_998, 500_000_000]
+    q = [2, 1]
+    expect = sum(2 * a * b + a * c for a, b, c in zip(p, qb, q))
+    assert expect < 2**63 - 1
+    assert two_u(p, qb, q) == expect
+
+    # Past the boundary (a single term overflows int64): ANSI mode
+    # must raise, not silently wrap — the loud failure the migration
+    # note relies on.
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        raised = False
+        try:
+            bad = two_u([4_000_000_000], [4_000_000_000], [0])
+        except Exception:
+            raised = True
+        # ANSI must raise; if a future non-ANSI session sneaks in, the
+        # wrap must at least be detectable (negative 2U is impossible
+        # for valid counts) — silent plausible garbage is the only
+        # unacceptable outcome.
+        assert raised or bad < 0, "overflow neither raised nor wrapped"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
