@@ -2767,3 +2767,136 @@ def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tau, 6).alias("tau_eg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman filter (local-level model) — the adaptive-gain member of the
+# smoothing family
+
+_KAL_Q = 1.0  # process variance (level random walk step)
+_KAL_R = 4.0  # observation variance
+# Riccati fixed point: P'inf = (Q + sqrt(Q^2 + 4QR)) / 2, Kinf = P'/(P'+R)
+
+_KALMAN_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et,
+         CAST(CAST(FLOOR(v * 1e6 + 0.5) AS BIGINT) AS DOUBLE) / 1e6 AS z,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n
+  FROM daily
+),
+rec AS (
+  SELECT et, rk, n, z AS x, CAST({_KAL_R} AS DOUBLE) AS p,
+         CAST(0 AS DOUBLE) AS k
+  FROM lat WHERE rk = 1
+  UNION ALL
+  SELECT d.et, d.rk, d.n,
+         r.x + ((r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R}))
+               * (d.z - r.x) AS x,
+         (1.0 - (r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R}))
+           * (r.p + {_KAL_Q}) AS p,
+         (r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R}) AS k
+  FROM rec r JOIN lat d ON d.et = r.et AND d.rk = r.rk + 1
+)
+SELECT et AS event_type, n AS n_days,
+       CAST(FLOOR(x * 1e6 + 0.5) AS BIGINT) AS level_lat,
+       CAST(FLOOR(p * 1e9 + 0.5) AS BIGINT) AS pvar_lat,
+       CAST(FLOOR(k * 1e9 + 0.5) AS BIGINT) AS gain_lat,
+       CAST(FLOOR(
+         ((({_KAL_Q} + sqrt({_KAL_Q} * {_KAL_Q}
+                            + 4.0 * {_KAL_Q} * {_KAL_R})) / 2.0)
+          / ((({_KAL_Q} + sqrt({_KAL_Q} * {_KAL_Q}
+                               + 4.0 * {_KAL_Q} * {_KAL_R})) / 2.0)
+             + {_KAL_R})) * 1e9 + 0.5) AS BIGINT) AS gain_steady_lat
+FROM rec WHERE rk = n
+"""
+
+
+@query("ts_kalman_filter", oracle=_KALMAN_SQL)
+def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter per daily series — the ADAPTIVE-GAIN
+    member of the smoothing family: ts_ewma is the fixed-gain limit
+    and ts_holt_forecast fixes α/β forever, but the Kalman recursion
+    carries a variance state P_t and re-derives the gain each step
+    (K_t = P'_t/(P'_t+R), P'_t = P_{t-1}+Q), so early observations are
+    trusted more while the filter is uncertain and the gain CONVERGES
+    to the Riccati fixed point K∞ = P'∞/(P'∞+R), P'∞ = (Q+√(Q²+4QR))/2
+    — emitted alongside (gain_steady_lat) so the terminal adaptive
+    gain is auditable against the analytic limit it must approach.
+
+    Determinism: observations enter on the 1e-6 lattice (FLOOR half-up
+    of the exact-ratio daily mean); every recursion step is a FIXED
+    sequential chain of IEEE basic ops (+,−,×,÷ — correctly rounded
+    identically in Python binary64 and DuckDB DOUBLE; no transcendental,
+    no reordering freedom), so x/P/K are bitwise identical across
+    engines at every step; outputs snap to integer lattices
+    (FLOOR(x·10^k+0.5) — the CLAUDE.md half-tie rule) only for hash
+    hygiene. √ in the steady-state gain is IEEE-exact too.
+
+    Sequential by nature (the gain feeds back through P): Spark runs
+    applyInPandas over the calendar-bounded per-series grain, the
+    oracle a RECURSIVE CTE advancing all series in rank lockstep —
+    ts_holt_forecast's sanctioned pattern (CLAUDE.md).
+
+    Scale: facts reduce to (type, day) in one partial agg; state is
+    three doubles per series; series parallelize across executors and
+    each recursion touches only its own ≤n_days rows."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    lat = daily.select(
+        "et",
+        "day_no",
+        (
+            F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("bigint")
+            .cast("double")
+            / 1e6
+        ).alias("z"),
+    )
+    q_, r_ = _KAL_Q, _KAL_R
+    pp_inf = (q_ + (q_ * q_ + 4.0 * q_ * r_) ** 0.5) / 2.0
+    k_inf = pp_inf / (pp_inf + r_)
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_no")
+        zs = [float(z) for z in pdf["z"]]
+        x, p, k = zs[0], r_, 0.0
+        for z in zs[1:]:
+            pp = p + q_
+            k = pp / (pp + r_)
+            x = x + k * (z - x)
+            p = (1.0 - k) * pp
+        import math
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["et"].iloc[0]],
+                "n_days": [len(zs)],
+                "level_lat": [int(math.floor(x * 1e6 + 0.5))],
+                "pvar_lat": [int(math.floor(p * 1e9 + 0.5))],
+                "gain_lat": [int(math.floor(k * 1e9 + 0.5))],
+                "gain_steady_lat": [int(math.floor(k_inf * 1e9 + 0.5))],
+            }
+        )
+
+    return lat.groupBy("et").applyInPandas(
+        kalman,
+        schema=(
+            "event_type string, n_days long, level_lat long, "
+            "pvar_lat long, gain_lat long, gain_steady_lat long"
+        ),
+    )

@@ -1543,3 +1543,33 @@ def test_community_modularity_matches_textbook_definition(spark, sf_dir):
         got = out[part].q_modularity
         assert abs(got - expect) < 1e-12, (part, got, expect)
     assert out["lpa"].q_modularity == 0.0  # the documented collapse
+
+
+def test_kalman_filter_constant_series_and_steady_state_gain(
+    spark, tmp_path
+):
+    """ts_kalman_filter pins: (1) on a constant series the filtered
+    level IS the constant (any smoother must be exact there); (2) the
+    terminal adaptive gain has converged to the analytic Riccati
+    fixed point K_inf = P'/(P'+R), P' = (Q+sqrt(Q^2+4QR))/2, within
+    one 1e-9 lattice step after 60 days (geometric convergence); (3) a
+    step change moves the level strictly toward, but not onto, the new
+    value (gain < 1 — the filter SMOOTHS, never copies)."""
+    days = list(range(60))
+    types = (["flat"] * 60) + (["step"] * 60)
+    values = [100.0] * 60 + [100.0] * 30 + [200.0] * 30
+    alt = _planted(
+        tmp_path, "kalman", types, values, days + days
+    )
+    out = {r.event_type: r for r in _q("ts_kalman_filter")(spark, alt).collect()}
+    q_, r_ = 1.0, 4.0
+    pp = (q_ + (q_ * q_ + 4 * q_ * r_) ** 0.5) / 2
+    k_inf = pp / (pp + r_)
+    flat = out["flat"]
+    assert flat.level_lat == 100_000_000  # exactly the constant
+    assert abs(flat.gain_lat - round(k_inf * 1e9)) <= 1
+    assert flat.gain_steady_lat == int((k_inf * 1e9) + 0.5)
+    step = out["step"]
+    lvl = step.level_lat / 1e6
+    assert 100.0 < lvl < 200.0  # moved toward the step...
+    assert lvl > 199.0  # ...and nearly converged after 30 post-step days
