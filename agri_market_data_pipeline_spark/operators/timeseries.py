@@ -2900,3 +2900,162 @@ def ts_kalman_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pvar_lat long, gain_lat long, gain_steady_lat long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy decomposition
+
+_HAAR_LEVELS = 5  # dyadic scales: 2, 4, 8, 16, 32 observations
+
+
+def _haar_sql() -> str:
+    """DuckDB twin: per level ℓ, pair level-(ℓ−1) full-block sums by
+    rank parity and square the difference; only FULL blocks (both
+    halves complete) contribute, so series length never biases a
+    level. All-integer until the final integer-ratio divisions."""
+    lvl_ctes = [
+        """b0 AS (
+  SELECT et, (rk - 1) AS blk, lv AS s, 1 AS full_blk
+  FROM lat)"""
+    ]
+    for lv in range(1, _HAAR_LEVELS + 1):
+        lvl_ctes.append(
+            f"""b{lv} AS (
+  SELECT et, blk // 2 AS blk,
+         CAST(SUM(s) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN blk % 2 = 0 THEN s ELSE -s END) AS BIGINT)
+           AS d,
+         CAST(COUNT(*) = 2 AND MIN(full_blk) = 1 AS INT) AS full_blk
+  FROM b{lv - 1} GROUP BY et, blk // 2)"""
+        )
+    unions = "\n  UNION ALL\n".join(
+        f"""  SELECT et, {lv} AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(d * d) AS BIGINT) AS energy_lat
+  FROM b{lv} WHERE full_blk = 1 GROUP BY et"""
+        for lv in range(1, _HAAR_LEVELS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY 1, 2
+),
+lat AS (
+  SELECT et, CAST(FLOOR(v * 1e3 + 0.5) AS BIGINT) AS lv,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk
+  FROM daily
+),
+{','.join(lvl_ctes)},
+lvl AS (
+{unions}
+),
+tot AS (
+  SELECT et, CAST(SUM(energy_lat) AS BIGINT) AS te FROM lvl GROUP BY et
+)
+SELECT l.et AS event_type, l.level, l.n_blocks,
+       CAST(l.energy_lat AS DOUBLE) / 1e6 AS energy,
+       CASE WHEN t.te > 0
+            THEN CAST(l.energy_lat AS DOUBLE) / CAST(t.te AS DOUBLE)
+            ELSE 0.0 END AS energy_share
+FROM lvl l JOIN tot t ON t.et = l.et
+"""
+
+
+@query("ts_wavelet_haar", oracle=_haar_sql())
+def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet multi-resolution ENERGY decomposition of each daily
+    series: at every dyadic scale 2^ℓ (ℓ = 1..5), the detail
+    coefficient of a full block is (first-half sum − second-half sum)
+    of the level-below block sums, and the per-level energy Σd² says
+    WHERE the series' variance lives — fast scales = noise/spikes,
+    slow scales = regime drift (Percival & Walden's wavelet variance;
+    a Haar periodogram). The frequency-domain member the decomposition
+    family lacked: ts_classical_decompose explains structure at ONE
+    fixed period, this ranks ALL dyadic bands at once. Blocks pair by
+    observation RANK and only FULL blocks (both halves complete)
+    contribute, so series length never biases a level.
+
+    Determinism: observations on a 1e-3 BIGINT lattice (millis of
+    value — wavelet energies don't need µ-precision, and the coarser
+    lattice keeps Σd² inside exact BIGINT with ~2 digits of headroom
+    at tested SFs); every block sum, difference, and energy is an
+    exact integer (each level is one GROUP BY blk div 2 — L
+    declarative levels, no recursion, no window beyond the initial
+    rank); energy and share are integer-ratio doubles
+    (BIGINT→DOUBLE is correctly rounded on both engines), deliberately
+    UNROUNDED per the CLAUDE.md integer-ratio rule. Headroom: Σd²
+    grows ~linearly in series length; past ~1e16 (≈ SF 10 daily
+    grain) migrate the energy sum to DECIMAL(38,0) + ROUND — until
+    then ANSI mode fails loudly, never wraps (the ml_auc_roc
+    discipline).
+
+    Scale: one partial agg to (type, day), then L = 5 tiny groupBys
+    over halving block grains — total extra rows < 2n per series, each
+    a map-side-combinable sum keyed by (series, blk div 2); no
+    iteration state, no skew (grain is the bounded calendar)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("v")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    cur = daily.select(
+        "et",
+        (F.row_number().over(w) - 1).alias("blk"),
+        F.floor(F.col("v") * 1e3 + F.lit(0.5)).cast("bigint").alias("s"),
+        F.lit(1).alias("full_blk"),
+    )
+    levels = []
+    for lv in range(1, _HAAR_LEVELS + 1):
+        cur = cur.groupBy("et", F.expr("blk div 2").alias("blk2")).agg(
+            F.sum("s").cast("bigint").alias("s"),
+            F.sum(
+                F.when(F.col("blk") % 2 == 0, F.col("s")).otherwise(
+                    -F.col("s")
+                )
+            )
+            .cast("bigint")
+            .alias("d"),
+            ((F.count("*") == 2) & (F.min("full_blk") == 1))
+            .cast("int")
+            .alias("full_blk"),
+        ).select(
+            "et", F.col("blk2").alias("blk"), "s", "d", "full_blk"
+        )
+        levels.append(
+            cur.filter(F.col("full_blk") == 1)
+            .groupBy("et")
+            .agg(
+                F.lit(lv).cast("int").alias("level"),
+                F.count("*").cast("bigint").alias("n_blocks"),
+                F.sum(F.col("d") * F.col("d"))
+                .cast("bigint")
+                .alias("energy_lat"),
+            )
+        )
+    lvl = levels[0]
+    for x in levels[1:]:
+        lvl = lvl.unionByName(x)
+    tot = lvl.groupBy("et").agg(
+        F.sum("energy_lat").cast("bigint").alias("te")
+    )
+    return lvl.join(F.broadcast(tot), "et").select(
+        F.col("et").alias("event_type"),
+        "level",
+        "n_blocks",
+        (F.col("energy_lat").cast("double") / F.lit(1e6)).alias("energy"),
+        # te = 0 (a series constant at every scale) must yield share 0,
+        # not an ANSI divide-by-zero — guarded identically both engines
+        F.when(
+            F.col("te") > 0,
+            F.col("energy_lat").cast("double") / F.col("te").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("energy_share"),
+    )

@@ -1573,3 +1573,45 @@ def test_kalman_filter_constant_series_and_steady_state_gain(
     lvl = step.level_lat / 1e6
     assert 100.0 < lvl < 200.0  # moved toward the step...
     assert lvl > 199.0  # ...and nearly converged after 30 post-step days
+
+
+def test_wavelet_haar_localizes_planted_frequencies(spark, tmp_path):
+    """ts_wavelet_haar pins: a ±1 alternating series (period 2) puts
+    its energy at level 1 and ZERO at every coarser level (each pair
+    of adjacent block sums cancels exactly); a period-32 square wave
+    (16 high then 16 low) cancels at every level whose blocks sit
+    inside a constant run and concentrates its share at level 5 (the
+    only scale whose half-blocks straddle a transition); and every
+    level's energy matches a pure-Python Haar replay exactly."""
+    n = 128
+    types = ["fast"] * n + ["slow"] * n
+    fast = [100.0 + (1.0 if i % 2 == 0 else -1.0) for i in range(n)]
+    slow = [100.0 + (10.0 if (i // 16) % 2 == 0 else -10.0) for i in range(n)]
+    alt = _planted(
+        tmp_path, "haar", types, fast + slow, list(range(n)) * 2
+    )
+    rows = _q("ts_wavelet_haar")(spark, alt).collect()
+    out = {(r.event_type, r.level): r for r in rows}
+
+    def replay(vals):
+        s = [int(v * 1000 + 0.5) for v in vals]
+        energies = {}
+        for lv in range(1, 6):
+            d = [s[2 * i] - s[2 * i + 1] for i in range(len(s) // 2)]
+            s = [s[2 * i] + s[2 * i + 1] for i in range(len(s) // 2)]
+            energies[lv] = sum(x * x for x in d)
+        return energies
+
+    for et, vals in (("fast", fast), ("slow", slow)):
+        exp = replay(vals)
+        for lv in range(1, 6):
+            got = out[(et, lv)]
+            assert got.energy * 1e6 == exp[lv], (et, lv, got.energy, exp[lv])
+    # localization: the alternating series is PURE level-1 detail
+    assert out[("fast", 1)].energy_share == 1.0
+    for lv in range(2, 6):
+        assert out[("fast", lv)].energy == 0.0
+    # the period-64 square wave's dominant band is level 5
+    shares = {lv: out[("slow", lv)].energy_share for lv in range(1, 6)}
+    assert max(shares, key=shares.get) == 5
+    assert shares[5] > 0.9
