@@ -122,9 +122,11 @@ HEADLINE = [
     "ts_quantile_loss",
     "ml_ate_stratified",
     "ts_cointegration",
-    # r10: incremental ANN maintenance (pin lands next round per the
-    # two-run band rule)
+    # r10: incremental ANN maintenance, the adaptive-gain filter, and
+    # the wavelet spectrum (pins land next round per the two-run rule)
     "incr_ann_upsert",
+    "ts_kalman_filter",
+    "ts_wavelet_haar",
 ]
 
 

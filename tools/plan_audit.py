@@ -168,6 +168,10 @@ AUDITED = [
     "ts_quantile_loss",
     "ml_ate_stratified",
     "ts_cointegration",
+    # r10 additions
+    "incr_ann_upsert",
+    "ts_kalman_filter",
+    "ts_wavelet_haar",
 ]
 
 
