@@ -221,3 +221,48 @@ def _geo_lemma_body(lat1, lon1, lat2, lon2):
     cx2 = math.floor((lon2 - _LON_BASE) / _CELL_LON_DEG)
     assert abs(cy1 - cy2) <= 1, (lat1, lat2, d)
     assert abs(cx1 - cx2) <= 1, (lon1, lon2, d)
+
+
+def test_spark_dot_expr_bit_identical_to_vec_dot(spark):
+    """spark_dot_expr/spark_cosine_expr (parsed-SQL twins used by the
+    ivfpq serve path for plan-build speed) must produce BIT-identical
+    doubles to the Python-lambda vec_dot/vec_cosine forms — the r10
+    rewrite's correctness contract. Checked on adversarial vectors:
+    negatives, zeros, subnormal-ish magnitudes; the zero-norm vector
+    is dot-only (under ANSI a double /0 raises on both forms alike —
+    the serve paths never divide by an unguarded norm on real data)."""
+    from pyspark.sql import functions as F
+
+    from agri_market_data_pipeline_spark.functions.vectors import (
+        spark_cosine_expr,
+        spark_dot_expr,
+        vec_cosine,
+        vec_dot,
+    )
+
+    vecs = [
+        ([1.0, 2.0, -3.5, 0.25], [4.0, -1.0, 2.0, 8.0]),
+        ([0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]),
+        ([1e-30, -1e30, 3.14159, -2.71828], [1e30, 1e-30, 1.0, -1.0]),
+        ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(list(map(float, a)), list(map(float, b))) for a, b in vecs],
+        "a array<float>, b array<float>",
+    )
+    import struct
+
+    def bits(x):
+        return struct.pack("<d", x) if x is not None else None
+
+    for r in df.select(
+        vec_dot("a", "b").alias("dot_py"),
+        F.expr(spark_dot_expr("a", "b")).alias("dot_sql"),
+    ).collect():
+        assert bits(r.dot_py) == bits(r.dot_sql), (r.dot_py, r.dot_sql)
+    nz = df.filter(F.expr("aggregate(a, 0.0D, (s, x) -> s + abs(x)) > 0"))
+    for r in nz.select(
+        vec_cosine("a", "b").alias("cos_py"),
+        F.expr(spark_cosine_expr("a", "b")).alias("cos_sql"),
+    ).collect():
+        assert bits(r.cos_py) == bits(r.cos_sql), (r.cos_py, r.cos_sql)
