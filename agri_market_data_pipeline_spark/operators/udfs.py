@@ -245,3 +245,67 @@ def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(li.groupBy("prio"))
         .applyInPandas(reconcile, "prio string, n_orders long, n_lines long")
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+SELECT l_returnflag AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(FLOOR(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_lat,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(FLOOR(l_discount * 10000) AS BIGINT)))
+            AS DOUBLE) / COUNT(*) AS avg_revenue_lat
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the ZERO-COPY member completing the Python UDF
+    surface: the batch iterator yields raw `pyarrow.RecordBatch`es
+    (no pandas materialization at all, unlike mapInPandas /
+    applyInPandas), the right tool when the Python side is itself
+    Arrow-native (pyarrow.compute, polars, DuckDB-in-process,
+    Arrow-backed feature stores). Here each batch computes the
+    discount-adjusted revenue on an exact integer lattice entirely in
+    pyarrow.compute kernels — cents(price) × (10000 − bp(discount)) —
+    and ships back only (grp, micro) columns; Spark then aggregates
+    JVM-side (map-side partial sums), so Python touches each row once
+    and no group state ever crosses the boundary.
+
+    Determinism: FLOOR(x·100)/FLOOR(x·10000) lattice casts are the
+    same IEEE ops in pyarrow and DuckDB; products and sums are exact
+    BIGINTs (≈1e11/row — SUM overflows int64 past ~1e7 rows/group;
+    ANSI fails loudly there, migrate to DECIMAL(38,0) then);
+    avg_revenue_lat is an unrounded integer-ratio double.
+
+    Scale: map-only (zero shuffle before the final partial agg);
+    Arrow batches stream through the Python worker at
+    maxRecordsPerBatch grain, memory bounded per task."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def adj_revenue(batches):
+        for b in batches:
+            price = pc.cast(b.column("l_extendedprice"), pa.float64())
+            disc = pc.cast(b.column("l_discount"), pa.float64())
+            cents = pc.cast(pc.floor(pc.multiply(price, 100.0)), pa.int64())
+            bp = pc.cast(pc.floor(pc.multiply(disc, 10000.0)), pa.int64())
+            micro = pc.multiply(cents, pc.subtract(10000, bp))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("l_returnflag"), micro], ["grp", "micro"]
+            )
+
+    li = load_parallel(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    out = li.mapInArrow(adj_revenue, "grp string, micro long")
+    return out.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("micro").cast("bigint").alias("revenue_lat"),
+        (F.sum("micro").cast("double") / F.count("*")).alias(
+            "avg_revenue_lat"
+        ),
+    )
