@@ -1621,3 +1621,274 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One synchronized Louvain move pass (modularity-guided optimization)
+
+
+def _louvain_sql() -> str:
+    """DuckDB twin: shared edge/und CTEs, region start labels, per-node
+    candidate gains on the exact BIGINT ΔQ·W² lattice, window argmax
+    with smallest-community tie-break, then Q before/after via the
+    modularity integer formula."""
+    return f"""
+WITH e AS MATERIALIZED (SELECT * FROM ({_EDGE_SQL}) WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w
+  FROM (SELECT src AS u, dst AS v, w FROM e
+        UNION ALL SELECT dst AS u, src AS v, w FROM e)
+  GROUP BY 1, 2),
+lbl0 AS (
+  SELECT n_nationkey AS node, CAST(n_regionkey AS BIGINT) AS c
+  FROM nation),
+deg AS (SELECT u AS node, CAST(SUM(w) AS BIGINT) AS d FROM und GROUP BY 1),
+w2 AS (SELECT CAST(SUM(d) AS BIGINT) AS w2 FROM deg),
+ctot AS (
+  SELECT l.c, CAST(SUM(d.d) AS BIGINT) AS cdeg
+  FROM lbl0 l JOIN deg d ON d.node = l.node GROUP BY 1),
+kuc AS (
+  SELECT und.u AS node, lv.c, CAST(SUM(und.w) AS BIGINT) AS k
+  FROM und JOIN lbl0 lv ON lv.node = und.v
+  GROUP BY 1, 2),
+own AS (
+  SELECT l.node, l.c AS a, d.d, ca.cdeg AS adeg,
+         COALESCE(k.k, 0) AS ka
+  FROM lbl0 l
+  JOIN deg d ON d.node = l.node
+  JOIN ctot ca ON ca.c = l.c
+  LEFT JOIN kuc k ON k.node = l.node AND k.c = l.c),
+cand AS (
+  SELECT o.node, o.a, o.d, o.ka, kc.c AS b, kc.k AS kb,
+         2 * (kc.k - o.ka) * w2.w2
+         + 2 * o.d * (o.adeg - cb.cdeg - o.d) AS gain_lat,
+         ROW_NUMBER() OVER (
+           PARTITION BY o.node
+           ORDER BY 2 * (kc.k - o.ka) * w2.w2
+                    + 2 * o.d * (o.adeg - cb.cdeg - o.d) DESC,
+                    kc.c) AS rn
+  FROM own o
+  JOIN kuc kc ON kc.node = o.node AND kc.c <> o.a
+  JOIN ctot cb ON cb.c = kc.c
+  CROSS JOIN w2),
+best AS (
+  SELECT node, a, b, gain_lat FROM cand WHERE rn = 1),
+moves AS (
+  SELECT o.node, o.a AS c_before,
+         CASE WHEN b.gain_lat > 0 THEN b.b ELSE o.a END AS c_after,
+         CAST(CASE WHEN b.gain_lat > 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS moved,
+         CAST(CASE WHEN b.gain_lat > 0 THEN b.gain_lat ELSE 0 END
+              AS BIGINT) AS gain_lat
+  FROM own o LEFT JOIN best b ON b.node = o.node),
+qof AS (
+  SELECT part, (CAST(SUM(cdeg) AS DOUBLE) * CAST(SUM(cwin) AS DOUBLE)
+          - CAST(SUM(cdeg * cdeg) AS DOUBLE))
+         / (CAST(SUM(cdeg) AS DOUBLE) * CAST(SUM(cdeg) AS DOUBLE)) AS q
+  FROM (
+    SELECT part, cc, CAST(SUM(w) AS BIGINT) AS cdeg,
+           CAST(COALESCE(SUM(w) FILTER (WHERE cu = cv), 0) AS BIGINT)
+             AS cwin
+    FROM (
+      SELECT 'before' AS part, und.u, und.w, mu.c_before AS cu,
+             mv.c_before AS cv, mu.c_before AS cc
+      FROM und JOIN moves mu ON mu.node = und.u
+               JOIN moves mv ON mv.node = und.v
+      UNION ALL
+      SELECT 'after' AS part, und.u, und.w, mu.c_after AS cu,
+             mv.c_after AS cv, mu.c_after AS cc
+      FROM und JOIN moves mu ON mu.node = und.u
+               JOIN moves mv ON mv.node = und.v)
+    GROUP BY part, cc)
+  GROUP BY part)
+SELECT n.n_name AS nation, m.c_before AS community_before,
+       m.c_after AS community_after, m.moved, m.gain_lat,
+       qb.q AS q_before, qa.q AS q_after
+FROM moves m
+JOIN nation n ON n.n_nationkey = m.node
+JOIN qof qb ON qb.part = 'before'
+JOIN qof qa ON qa.part = 'after'
+"""
+
+
+@query("graph_louvain_move", oracle=_louvain_sql())
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONIZED Louvain move pass — the OPTIMIZER member
+    completing the community-detection triad: LPA proposes a partition
+    by label frequency, graph_community_modularity SCORES partitions,
+    and Louvain (Blondel et al. 2008) is the move rule that MAXIMIZES
+    that score. Starting from the geographic (region) partition, every
+    node evaluates moving to each NEIGHBOR community and takes the
+    best strictly-positive modularity gain — ties to the smallest
+    community id; the pass emits each node's move, its exact gain, and
+    Q before/after so the optimization is auditable in-query. The
+    synchronized (all nodes decide on the OLD labels) variant is the
+    standard distributed rendering — sequential node order, which
+    classic Louvain uses, has no stable parallel meaning; synchronized
+    sweeps are what Spark/Giraph implementations iterate.
+
+    Determinism: the gain is computed on an exact integer lattice —
+    ΔQ·W² = 2·(k_b − k_a)·W + 2·d_u·(deg_a − deg_b − d_u) with every
+    term a BIGINT over integer edge weights (W = Σdeg over the doubled
+    edge list), so the argmax and the >0 move test are exact on both
+    engines (no float Q ever feeds a decision); Q itself is the
+    modularity op's (W·Σwin − Σdeg²)/W² integer-ratio double,
+    deliberately unrounded. Headroom: k·W ≤ W² stays in int64 until
+    W ≈ 3e9 (≈1.5e9 fact lines); past that, DECIMAL(38,0) — ANSI
+    fails loudly until then.
+
+    Scale: facts reduce to the ≤n² nation edge list once (the
+    graph-family discipline); degrees/community totals are K-row aggs;
+    candidate gains live on the (node × neighbor-community) grain —
+    bounded by the edge list, never materializing non-neighbor
+    options; the scalar W rides a one-row broadcast (plan_audit
+    NESTED_LOOP_OK). A planted two-clique test pins that a
+    misassigned node moves home with the textbook gain and that Q
+    strictly improves."""
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"), "w"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)  # feeds deg, kuc, and both Q passes
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("c"),
+    )
+    lbl0 = nat.select("node", "c")
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("d")
+    )
+    w2 = deg.agg(F.sum("d").cast("bigint").alias("w2"))
+    ctot = (
+        lbl0.join(deg, "node")
+        .groupBy("c")
+        .agg(F.sum("d").cast("bigint").alias("cdeg"))
+    )
+    kuc = (
+        und.join(
+            F.broadcast(lbl0.select(F.col("node").alias("v"), "c")), "v"
+        )
+        .groupBy(F.col("u").alias("node"), "c")
+        .agg(F.sum("w").cast("bigint").alias("k"))
+    )
+    own = (
+        lbl0.select("node", F.col("c").alias("a"))
+        .join(deg, "node")
+        .join(
+            F.broadcast(
+                ctot.select(F.col("c").alias("a"), F.col("cdeg").alias("adeg"))
+            ),
+            "a",
+        )
+        .join(
+            kuc.select(
+                "node", F.col("c").alias("a"), F.col("k").alias("ka")
+            ),
+            ["node", "a"],
+            "left",
+        )
+        .fillna({"ka": 0})
+    )
+    gain = (
+        2 * (F.col("k") - F.col("ka")) * F.col("w2")
+        + 2 * F.col("d") * (F.col("adeg") - F.col("cdeg") - F.col("d"))
+    ).alias("gain_lat")
+    cand = (
+        own.join(
+            kuc.filter(F.col("c").isNotNull()).select(
+                "node", F.col("c").alias("b"), F.col("k")
+            ),
+            "node",
+        )
+        .filter(F.col("b") != F.col("a"))
+        .join(
+            F.broadcast(ctot.select(F.col("c").alias("b"), "cdeg")), "b"
+        )
+        .join(F.broadcast(w2))
+        .select("node", "a", "b", gain)
+    )
+    wbest = Window.partitionBy("node").orderBy(
+        F.desc("gain_lat"), F.asc("b")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select("node", "b", "gain_lat")
+    )
+    moved = F.col("gain_lat") > 0
+    moves = (
+        lbl0.select("node", F.col("c").alias("c_before"))
+        .join(F.broadcast(best), "node", "left")
+        .select(
+            "node",
+            "c_before",
+            F.when(moved, F.col("b"))
+            .otherwise(F.col("c_before"))
+            .alias("c_after"),
+            F.coalesce(moved.cast("bigint"), F.lit(0)).alias("moved"),
+            F.coalesce(
+                F.when(moved, F.col("gain_lat")).otherwise(F.lit(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("gain_lat"),
+        )
+        .localCheckpoint(eager=True)  # feeds output + both Q passes
+    )
+
+    def q_of(col: str):
+        mu = moves.select(
+            F.col("node").alias("u"), F.col(col).alias("cu")
+        )
+        mv = moves.select(
+            F.col("node").alias("v"), F.col(col).alias("cv")
+        )
+        cm = (
+            und.join(F.broadcast(mu), "u")
+            .join(F.broadcast(mv), "v")
+            .groupBy(F.col("cu").alias("cc"))
+            .agg(
+                F.sum("w").cast("bigint").alias("cdeg"),
+                F.coalesce(
+                    F.sum(F.when(F.col("cu") == F.col("cv"), F.col("w"))),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("cwin"),
+            )
+        )
+        d_, wn = F.col("cdeg"), F.col("cwin")
+        return cm.agg(
+            (
+                (
+                    F.sum(d_).cast("double") * F.sum(wn).cast("double")
+                    - F.sum(d_ * d_).cast("double")
+                )
+                / (F.sum(d_).cast("double") * F.sum(d_).cast("double"))
+            ).alias("q")
+        )
+
+    qb = q_of("c_before").select(F.col("q").alias("q_before"))
+    qa = q_of("c_after").select(F.col("q").alias("q_after"))
+    return (
+        moves.join(F.broadcast(nat.select("node", "n_name")), "node")
+        .join(F.broadcast(qb))
+        .join(F.broadcast(qa))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_before").alias("community_before"),
+            F.col("c_after").alias("community_after"),
+            "moved",
+            "gain_lat",
+            "q_before",
+            "q_after",
+        )
+    )

@@ -127,6 +127,8 @@ HEADLINE = [
     "incr_ann_upsert",
     "ts_kalman_filter",
     "ts_wavelet_haar",
+    "udf_map_in_arrow",
+    "graph_louvain_move",
 ]
 
 

@@ -1615,3 +1615,117 @@ def test_wavelet_haar_localizes_planted_frequencies(spark, tmp_path):
     shares = {lv: out[("slow", lv)].energy_share for lv in range(1, 6)}
     assert max(shares, key=shares.get) == 5
     assert shares[5] > 0.9
+
+
+def test_louvain_move_reunites_planted_two_clique(spark, tmp_path):
+    """graph_louvain_move on a planted two-clique trade graph with one
+    misassigned node: nations {0,1,2} trade only among themselves, as
+    do {3,4,5}, but the REGION start partition puts node 2 with the
+    wrong clique. Exactly node 2 must move home, with the hand-computed
+    textbook gain DQ*W^2 = 2*(k_b - k_a)*W + 2*d*(deg_a - deg_b - d)
+    = 2*(20-0)*120 + 2*20*(80-40-20) = 5600, and Q must go from
+    1600/14400 to exactly 0.5 (one move, so DQ = 5600/14400 closes the
+    books)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / "louvain"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    papq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(6), pa.int32()),
+                "n_name": [f"N{i}" for i in range(6)],
+                "n_regionkey": pa.array([0, 0, 1, 1, 1, 1], pa.int32()),
+            }
+        ),
+        alt / "nation.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([100 + i for i in range(6)], pa.int64()),
+                "c_name": [f"C{i}" for i in range(6)],
+                "c_nationkey": pa.array(range(6), pa.int32()),
+                "c_acctbal": pa.array([0.0] * 6),
+                "c_mktsegment": ["BUILDING"] * 6,
+            }
+        ),
+        alt / "customer.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([200 + i for i in range(6)], pa.int64()),
+                "s_name": [f"S{i}" for i in range(6)],
+                "s_nationkey": pa.array(range(6), pa.int32()),
+                "s_acctbal": pa.array([0.0] * 6),
+            }
+        ),
+        alt / "supplier.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([300 + i for i in range(6)], pa.int64()),
+                "o_custkey": pa.array([100 + i for i in range(6)], pa.int64()),
+                "o_orderstatus": ["F"] * 6,
+                "o_totalprice": pa.array([1.0] * 6),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * 6,
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": ["1-URGENT"] * 6,
+            }
+        ),
+        alt / "orders.parquet",
+    )
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    rows = []
+    ln = 0
+    for s, c in edges:
+        for _ in range(10):
+            ln += 1
+            rows.append((300 + c, 1, 200 + s, ln))
+    papq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([1.0] * len(rows)),
+                "l_extendedprice": pa.array([1.0] * len(rows)),
+                "l_discount": pa.array([0.0] * len(rows)),
+                "l_tax": pa.array([0.0] * len(rows)),
+                "l_returnflag": ["N"] * len(rows),
+                "l_linestatus": ["O"] * len(rows),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-02")] * len(rows),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        alt / "lineitem.parquet",
+    )
+    out = {
+        r.nation: r
+        for r in _q("graph_louvain_move")(spark, str(alt)).collect()
+    }
+    assert set(out) == {f"N{i}" for i in range(6)}
+    mover = out["N2"]
+    assert (mover.moved, mover.community_before, mover.community_after) == (
+        1, 1, 0,
+    )
+    assert mover.gain_lat == 5600
+    for n in ("N0", "N1", "N3", "N4", "N5"):
+        assert out[n].moved == 0 and out[n].gain_lat == 0
+        assert out[n].community_after == out[n].community_before
+    r = mover
+    assert r.q_before == 1600 / 14400
+    assert r.q_after == 0.5
+    assert r.q_after - r.q_before == r.gain_lat / 14400

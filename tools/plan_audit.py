@@ -172,6 +172,8 @@ AUDITED = [
     "incr_ann_upsert",
     "ts_kalman_filter",
     "ts_wavelet_haar",
+    "udf_map_in_arrow",
+    "graph_louvain_move",
 ]
 
 
@@ -232,6 +234,7 @@ NESTED_LOOP_OK = {
     #   condition, so Catalyst plans the one-row broadcast as BNLJ)
     # r10:
     "incr_ann_upsert",       # 1-row frozen-quantizer centroid-array frame
+    "graph_louvain_move",    # 1-row W scalar + 1-row Q-before/after frames
 }
 
 _JOIN_OPS = (

@@ -153,6 +153,8 @@ AUDITED = [
     "ml_kmeans_silhouette",  # kmeans training rounds + broadcast-fold eval pass
     "ts_cointegration",  # day-aligned pair self-join + residual window
     "incr_ann_upsert",  # broadcast-argmax assignment audit, 16-cell grain
+    "graph_louvain_move",  # K-row community algebra over the reduced edge list
+    "udf_map_in_arrow",  # map-only Arrow batches + JVM partial agg
 ]
 
 
