@@ -2544,7 +2544,7 @@ m AS (
          CAST(SUM(CASE WHEN vec_id % {_UPS_MOD} = {_UPS_REM}
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
          CAST(COUNT(*) AS BIGINT) AS n_total,
-         SUM(f) AS fp_total
+         CAST(SUM(f) AS BIGINT) AS fp_total
   FROM asg GROUP BY cell_id)
 SELECT cell_id, n_stored, n_upserts, n_total,
        n_total AS n_rebuilt, fp_total, fp_total AS fp_rebuilt,
