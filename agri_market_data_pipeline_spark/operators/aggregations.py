@@ -1798,6 +1798,14 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MHM_H = 16      # signature components
 _MHM_SHARDS = 8  # ingest shards the merge property is proven over
+# ONE md5 per shingle; the 16-hash family is 16 linear permutations of
+# that value (the _minhash_bands cost discipline — r10: the per-i md5
+# form paid 16 md5s/shingle, ~2.2 s of the query's own 5 s)
+_MHM_P = 2_147_483_647
+_MHM_A = (7, 13, 31, 61, 127, 251, 509, 1021,
+          2039, 4093, 8191, 16381, 32749, 65521, 131071, 262139)
+_MHM_B = (3, 17, 29, 47, 71, 89, 101, 131,
+          149, 173, 191, 211, 223, 227, 229, 233)
 
 
 _MHM_SQL = f"""
@@ -1810,13 +1818,12 @@ sh AS (
   FROM x, LATERAL (SELECT UNNEST(generate_series(1, len(a) - 2)) AS i) g(i)
   WHERE len(a) >= 3
 ),
+ab (i, a, b) AS (VALUES (0, 7, 3), (1, 13, 17), (2, 31, 29), (3, 61, 47), (4, 127, 71), (5, 251, 89), (6, 509, 101), (7, 1021, 131), (8, 2039, 149), (9, 4093, 173), (10, 8191, 191), (11, 16381, 211), (12, 32749, 223), (13, 65521, 227), (14, 131071, 229), (15, 262139, 233)),
 hs AS (
-  SELECT source, shard, i,
-         CAST('0x' || substring(
-           md5('mh' || CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)
-           AS h
-  FROM sh, LATERAL (SELECT UNNEST(generate_series(0, {_MHM_H - 1})) AS i)
-    hh(i)
+  SELECT source, shard, ab.i,
+         (ab.a * CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) + ab.b)
+           % {_MHM_P} AS h
+  FROM sh CROSS JOIN ab
 ),
 pshard AS (
   SELECT source, shard, i, MIN(h) AS mn FROM hs GROUP BY 1, 2, 3
@@ -1914,23 +1921,24 @@ def incr_minhash_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # feeds hashes, sets, cnt, inter
     )
 
+    hv = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+
     def _h(i: int):
         return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("s"))), 1, 15
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias(f"h{i}")
-        )
+            (F.lit(_MHM_A[i]) * F.col("hv") + F.lit(_MHM_B[i])) % _MHM_P
+        ).alias(f"h{i}")
 
-    # One md5 pass over the distinct shingles, hashes as wide columns.
-    hw = sh.select(
-        "source", "shard", *[_h(i) for i in range(_MHM_H)]
-    ).localCheckpoint(eager=True)  # feeds pshard AND direct
+    # ONE md5 pass over the distinct shingles; the 16 components are
+    # linear permutations of it, as wide columns.
+    hw = (
+        sh.select("source", "shard", hv)
+        .select("source", "shard", *[_h(i) for i in range(_MHM_H)])
+        .localCheckpoint(eager=True)  # feeds pshard AND direct
+    )
 
     def _unpivot(df: DataFrame, keys: list, out: str) -> DataFrame:
         stack = ", ".join(f"{i}, h{i}" for i in range(_MHM_H))
