@@ -1976,3 +1976,211 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         woe.alias("woe"),
         ((p_pos - p_neg) * woe).alias("iv_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-fold cross-validated ridge — leave-fold-out sufficient statistics
+
+_CV_K = 5  # folds (deterministic: fold = l_orderkey % _CV_K)
+
+_KFOLD_SQL = f"""
+WITH sf AS (
+  SELECT l_returnflag AS grp, l_orderkey % {_CV_K} AS fold,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS sx1,
+         SUM(CAST(l_discount AS DECIMAL(30,6))) AS sx2,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sy,
+         SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sx1x1,
+         SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS sx2x2,
+         SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS sx1x2,
+         SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sx1y,
+         SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6))) AS sx2y
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (
+  SELECT grp, SUM(n) AS n, SUM(sx1) AS sx1, SUM(sx2) AS sx2,
+         SUM(sy) AS sy, SUM(sx1x1) AS sx1x1, SUM(sx2x2) AS sx2x2,
+         SUM(sx1x2) AS sx1x2, SUM(sx1y) AS sx1y, SUM(sx2y) AS sx2y
+  FROM sf GROUP BY 1
+),
+tr AS (
+  SELECT f.grp, f.fold,
+         t.n - f.n AS n,
+         CAST(t.sx1 - f.sx1 AS DOUBLE) AS sx1,
+         CAST(t.sx2 - f.sx2 AS DOUBLE) AS sx2,
+         CAST(t.sy - f.sy AS DOUBLE) AS sy,
+         CAST(t.sx1x1 - f.sx1x1 AS DOUBLE) AS sx1x1,
+         CAST(t.sx2x2 - f.sx2x2 AS DOUBLE) AS sx2x2,
+         CAST(t.sx1x2 - f.sx1x2 AS DOUBLE) AS sx1x2,
+         CAST(t.sx1y - f.sx1y AS DOUBLE) AS sx1y,
+         CAST(t.sx2y - f.sx2y AS DOUBLE) AS sx2y
+  FROM sf f JOIN tot t ON t.grp = f.grp
+),
+c AS (
+  SELECT grp, fold, n,
+         sx1x1 - sx1 * sx1 / n + {_RIDGE_LAMBDA} AS a11,
+         sx2x2 - sx2 * sx2 / n + {_RIDGE_LAMBDA} AS a22,
+         sx1x2 - sx1 * sx2 / n AS a12,
+         sx1y - sx1 * sy / n AS c1,
+         sx2y - sx2 * sy / n AS c2,
+         sx1, sx2, sy
+  FROM tr
+),
+b AS (
+  SELECT grp, fold, n AS n_train,
+         ROUND((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 6)
+           AS beta1,
+         ROUND((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 6)
+           AS beta2
+  FROM c
+),
+bi AS (
+  SELECT b.grp, b.fold, b.n_train, b.beta1, b.beta2,
+         ROUND((c.sy - b.beta1 * c.sx1 - b.beta2 * c.sx2) / c.n, 6)
+           AS intercept
+  FROM b JOIN c ON c.grp = b.grp AND c.fold = b.fold
+),
+ev AS (
+  SELECT l.l_returnflag AS grp, l.l_orderkey % {_CV_K} AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CAST(FLOOR(
+           (l.l_extendedprice
+            - (m.intercept + m.beta1 * l.l_quantity
+               + m.beta2 * l.l_discount))
+           * (l.l_extendedprice
+              - (m.intercept + m.beta1 * l.l_quantity
+                 + m.beta2 * l.l_discount)) * 100 + 0.5) AS BIGINT))
+           AS BIGINT) AS sse_lat
+  FROM lineitem l
+  JOIN bi m ON m.grp = l.l_returnflag
+           AND m.fold = l.l_orderkey % {_CV_K}
+  GROUP BY 1, 2
+)
+SELECT m.grp, CAST(m.fold AS BIGINT) AS fold,
+       CAST(m.n_train AS BIGINT) AS n_train, e.n_test,
+       m.beta1, m.beta2, m.intercept,
+       sqrt((CAST(e.sse_lat AS DOUBLE) / 100.0) / e.n_test) AS rmse
+FROM bi m JOIN ev e ON e.grp = m.grp AND e.fold = m.fold
+"""
+
+
+@query("ml_kfold_cv", oracle=_KFOLD_SQL)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated ridge regression where ALL k trainings
+    cost ONE fact scan: the model is closed-form in nine sufficient
+    statistics (ml_ridge_closed_form), and fold f's TRAINING moments
+    are the group totals MINUS fold f's moments — the leave-fold-out
+    subtraction trick (agg_jackknife_ci's identity lifted from a mean
+    to a full regression). The EVALUATION layer ml_pit_features guards
+    in time, this guards in expectation: per (group, fold) the
+    held-out RMSE of a model that never saw the fold — the number that
+    exposes overfitting where a train-set RMSE cannot. Fold assignment
+    is deterministic (l_orderkey % {_CV_K}), so the split itself is
+    reproducible and oracle-checkable.
+
+    Determinism: per-(group, fold) moments accumulate in DECIMAL and
+    the complements are DECIMAL SUBTRACTIONS — exact, so 'total minus
+    fold' equals the moments a separate train-side scan would produce,
+    with no float cancellation; betas/intercepts take the ridge op's
+    ROUND(6); held-out squared residuals snap to a FLOOR(r²·100+0.5)
+    BIGINT lattice per row (exact integer SSE — double accumulation
+    order would diverge cross-engine); RMSE is sqrt of an
+    integer-ratio double (IEEE-exact, unrounded). SSE headroom:
+    ~1e12/row·cell — int64-safe past SF 10 per cell; ANSI loud beyond.
+
+    Scale: scan 1 partial-aggregates to the (group, fold) moment grain
+    (K·folds rows); training is closed-form algebra on that frame;
+    scan 2 joins the 15-row broadcast model table and
+    partial-aggregates the SSE — two fact passes total, zero
+    shuffles beyond the two aggregations, independent of k."""
+    li = load_parallel(spark, sf_dir, "lineitem")
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+    fold = (F.col("l_orderkey") % _CV_K).alias("fold")
+
+    def dec(expr: Column, p: int, name: str) -> Column:
+        return F.sum(expr.cast(f"decimal({p},6)")).alias(name)
+
+    sf_ = li.groupBy(F.col("l_returnflag").alias("grp"), fold).agg(
+        F.count("*").alias("n"),
+        dec(x1, 30, "sx1"),
+        dec(x2, 30, "sx2"),
+        dec(y, 30, "sy"),
+        dec(x1 * x1, 38, "sx1x1"),
+        dec(x2 * x2, 38, "sx2x2"),
+        dec(x1 * x2, 38, "sx1x2"),
+        dec(x1 * y, 38, "sx1y"),
+        dec(x2 * y, 38, "sx2y"),
+    )
+    mom = ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y"]
+    tot = sf_.groupBy("grp").agg(
+        F.sum("n").alias("tn"), *[F.sum(m).alias(f"t{m}") for m in mom]
+    )
+    tr = sf_.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "fold",
+        (F.col("tn") - F.col("n")).alias("n"),
+        *[
+            (F.col(f"t{m}") - F.col(m)).cast("double").alias(m)
+            for m in mom
+        ],
+    )
+    n = F.col("n")
+    a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n + F.lit(
+        _RIDGE_LAMBDA
+    )
+    a22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n + F.lit(
+        _RIDGE_LAMBDA
+    )
+    a12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    beta1 = F.round((a22 * c1 - a12 * c2) / det, 6)
+    beta2 = F.round((a11 * c2 - a12 * c1) / det, 6)
+    model = tr.select(
+        "grp",
+        "fold",
+        n.alias("n_train"),
+        beta1.alias("beta1"),
+        beta2.alias("beta2"),
+        F.round(
+            (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n,
+            6,
+        ).alias("intercept"),
+    )
+    resid = y - (
+        F.col("intercept") + F.col("beta1") * x1 + F.col("beta2") * x2
+    )
+    ev = (
+        li.select(F.col("l_returnflag").alias("grp"), fold, x1, x2, y)
+        .join(F.broadcast(model), ["grp", "fold"])
+        .select(
+            "grp",
+            "fold",
+            F.floor(resid * resid * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("r2lat"),
+        )
+        .groupBy("grp", "fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum("r2lat").cast("bigint").alias("sse_lat"),
+        )
+    )
+    return model.join(ev, ["grp", "fold"]).select(
+        "grp",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        "n_test",
+        "beta1",
+        "beta2",
+        "intercept",
+        F.sqrt(
+            (F.col("sse_lat").cast("double") / F.lit(100.0))
+            / F.col("n_test")
+        ).alias("rmse"),
+    )

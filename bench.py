@@ -129,6 +129,7 @@ HEADLINE = [
     "ts_wavelet_haar",
     "udf_map_in_arrow",
     "graph_louvain_move",
+    "ml_kfold_cv",
 ]
 
 

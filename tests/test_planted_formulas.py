@@ -1656,3 +1656,62 @@ def test_neyman_allocation_proportional_to_nh_sigma(spark, sf_dir):
         ))
         assert r.alloc_n == expect, (g, r.alloc_n, expect)
         assert r.n_sampled == r.alloc_n
+
+
+def test_kfold_cv_matches_numpy_per_fold_fit_and_heldout_rmse(
+    spark, sf_dir
+):
+    """Formula pin for ml_kfold_cv: the leave-fold-out sufficient-
+    statistics subtraction must yield EXACTLY the model a direct
+    train-rows-only numpy fit produces, and the held-out RMSE must
+    match numpy's on the same fold — proving no row leaks between
+    train and test and the DECIMAL complement algebra is lossless."""
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_returnflag", "l_orderkey", "l_quantity", "l_discount",
+            "l_extendedprice",
+        )
+        .collect()
+    )
+    data = {}
+    for r in rows:
+        data.setdefault((r.l_returnflag, r.l_orderkey % 5), []).append(
+            (float(r.l_quantity), float(r.l_discount),
+             float(r.l_extendedprice))
+        )
+    out = {
+        (r.grp, r.fold): r for r in _q("ml_kfold_cv")(spark, sf_dir).collect()
+    }
+    grps = {g for g, _ in data}
+    for g in grps:
+        for f in range(5):
+            if (g, f) not in out:
+                continue
+            train = np.array(
+                [x for (gg, ff), v in data.items()
+                 if gg == g and ff != f for x in v]
+            )
+            test = np.array(data[(g, f)])
+            X, yv = train[:, :2], train[:, 2]
+            Xc = X - X.mean(axis=0)
+            beta = np.linalg.solve(
+                Xc.T @ Xc + 10.0 * np.eye(2), Xc.T @ (yv - yv.mean())
+            )
+            icept = (
+                yv.sum() - beta[0] * X[:, 0].sum() - beta[1] * X[:, 1].sum()
+            ) / len(yv)
+            r = out[(g, f)]
+            assert r.n_train == len(train) and r.n_test == len(test)
+            assert abs(r.beta1 - beta[0]) < 1e-4
+            assert abs(r.beta2 - beta[1]) < 1e-4
+            assert abs(r.intercept - icept) < 1e-4
+            # held-out RMSE with the op's ROUNDED betas (its contract)
+            pred = r.intercept + r.beta1 * test[:, 0] + r.beta2 * test[:, 1]
+            sse = sum(
+                int(np.floor(e * e * 100 + 0.5))
+                for e in (test[:, 2] - pred)
+            )
+            assert abs(r.rmse - ((sse / 100.0) / len(test)) ** 0.5) < 1e-9

@@ -174,6 +174,7 @@ AUDITED = [
     "ts_wavelet_haar",
     "udf_map_in_arrow",
     "graph_louvain_move",
+    "ml_kfold_cv",
 ]
 
 

@@ -155,6 +155,7 @@ AUDITED = [
     "incr_ann_upsert",  # broadcast-argmax assignment audit, 16-cell grain
     "graph_louvain_move",  # K-row community algebra over the reduced edge list
     "udf_map_in_arrow",  # map-only Arrow batches + JVM partial agg
+    "ml_kfold_cv",  # two fact passes, 15-row model broadcast between
 ]
 
 
