@@ -2633,8 +2633,11 @@ def incr_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_total") == F.col("n_rebuilt"))
         & (F.col("fp_total") == F.col("fp_rebuilt"))
     )
+    # full outer (membership must be provable missing on EITHER side);
+    # broadcast hints don't apply to full-outer builds — the 16-row
+    # cell grain makes the sort-merge trivially cheap at any scale
     return (
-        m.join(F.broadcast(r), "cell_id", "full")
+        m.join(r, "cell_id", "full")
         .select(
             "cell_id",
             "n_stored",
