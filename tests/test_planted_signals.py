@@ -1729,3 +1729,21 @@ def test_louvain_move_reunites_planted_two_clique(spark, tmp_path):
     assert r.q_before == 1600 / 14400
     assert r.q_after == 0.5
     assert r.q_after - r.q_before == r.gain_lat / 14400
+
+
+def test_ann_upsert_routes_planted_batch_to_its_cells(spark, tmp_path):
+    """incr_ann_upsert on the planted 16-cluster fixture: the audit
+    must hold on every cell (delta-maintained == rebuilt), the batch
+    split must land vec_id % 10 == 7 rows as upserts, and each cell's
+    membership must be exactly its planted cluster (vectors sit on
+    orthogonal directions, so any misrouting breaks the counts)."""
+    alt, vecs = _planted_embeddings(tmp_path, "annups")
+    rows = _q("incr_ann_upsert")(spark, alt).collect()
+    assert len(rows) == 16
+    n = len(vecs)
+    for r in rows:
+        assert r.index_equal == 1, r
+        assert r.n_total == r.n_rebuilt == r.n_stored + r.n_upserts
+        members = [v for v in range(n) if v % 16 == r.cell_id]
+        assert r.n_total == len(members), (r.cell_id, r.n_total)
+        assert r.n_upserts == sum(1 for v in members if v % 10 == 7)
