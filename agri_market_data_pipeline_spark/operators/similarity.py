@@ -2649,3 +2649,181 @@ def incr_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             eq.cast("bigint").alias("index_equal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold tuning: argmax-F1 operating point over the score grain
+
+_THR_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT vec_id % {_AUC_FOLDS} AS fold, y,
+         ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score
+  FROM z
+),
+g AS (
+  SELECT fold, score,
+         CAST(SUM(y) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+  FROM s GROUP BY 1, 2
+),
+c AS (
+  SELECT fold, score,
+         CAST(SUM(p) OVER w AS BIGINT) AS tp,
+         CAST(SUM(q) OVER w AS BIGINT) AS fp,
+         CAST(SUM(p) OVER (PARTITION BY fold) - SUM(p) OVER w AS BIGINT)
+           AS fn
+  FROM g
+  WINDOW w AS (PARTITION BY fold ORDER BY score DESC
+               ROWS UNBOUNDED PRECEDING)
+),
+f AS (
+  SELECT fold, score, tp, fp, fn,
+         CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+         ROW_NUMBER() OVER (
+           PARTITION BY fold
+           ORDER BY CAST(2 * tp AS DOUBLE)
+                    / CAST(2 * tp + fp + fn AS DOUBLE) DESC,
+                    score) AS rn
+  FROM c
+)
+SELECT fold, score AS threshold, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+            ELSE 0.0 END AS precision_at,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+            ELSE 0.0 END AS recall_at,
+       f1
+FROM f WHERE rn = 1
+"""
+
+
+@query("ml_threshold_tuning", oracle=_THR_SQL)
+def ml_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-F1 threshold selection — the OPERATING-POINT member of
+    the classifier-eval family, answering the question the others
+    leave open: ml_auc_roc says whether the scores RANK well
+    (threshold-free), ml_calibration_ece whether they mean what they
+    say, ml_lift_gains how deep to mail a decile — this picks the
+    actual cutoff a quality FILTER would deploy. Same deterministic
+    md5-probe sigmoid classifier and vec_id-mod folds as its siblings
+    (all four read ONE model). Per fold: cumulate TP/FP from the top
+    of the score grain (predict positive iff score ≥ t for each
+    distinct score t), F1 = 2TP/(2TP+FP+FN), argmax with
+    smallest-threshold tie-break.
+
+    Determinism: scores are ROUND(6) lattice keys (transcendental
+    rule); TP/FP/FN are exact BIGINTs from one cumulative window over
+    the per-fold DISTINCT-score grain (grain-bounded — value support
+    saturates at 1e6+1 lattice points, the ml_auc_roc exemption);
+    precision/recall/F1 are integer-ratio doubles (bitwise both
+    engines, deliberately unrounded), so the DESC ordering and the
+    row_number argmax agree exactly cross-engine.
+
+    Scale: one corpus scan to (fold, score) partial aggregates;
+    everything after lives on the bounded score grain — the sweep
+    evaluates EVERY threshold in one window pass instead of K probe
+    queries."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = x.select("vec_id", "y", "xi", probe_w.alias("w")).groupBy(
+        "vec_id", "y"
+    ).agg(
+        F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+        .cast("double")
+        .alias("z")
+    )
+    s = z.select(
+        (F.col("vec_id") % _AUC_FOLDS).alias("fold"),
+        "y",
+        F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6).alias("score"),
+    )
+    g = s.groupBy("fold", "score").agg(
+        F.sum("y").cast("bigint").alias("p"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("q"),
+    )
+    w_top = (
+        Window.partitionBy("fold")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("fold")
+    c = g.select(
+        "fold",
+        "score",
+        F.sum("p").over(w_top).cast("bigint").alias("tp"),
+        F.sum("q").over(w_top).cast("bigint").alias("fp"),
+        (F.sum("p").over(w_all) - F.sum("p").over(w_top))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    f1 = (2 * F.col("tp")).cast("double") / (
+        2 * F.col("tp") + F.col("fp") + F.col("fn")
+    ).cast("double")
+    ranked = c.select(
+        "fold", "score", "tp", "fp", "fn", f1.alias("f1")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("fold").orderBy(F.desc("f1"), F.asc("score"))
+        ),
+    )
+    # a fold with zero predicted-positives / zero actual-positives has
+    # an undefined precision / recall — define both as 0.0 (identical
+    # CASE both engines) instead of an ANSI divide-by-zero
+    def _safe_ratio(num, den):
+        return F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return ranked.filter(F.col("rn") == 1).select(
+        "fold",
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        _safe_ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias(
+            "precision_at"
+        ),
+        _safe_ratio(F.col("tp"), F.col("tp") + F.col("fn")).alias(
+            "recall_at"
+        ),
+        "f1",
+    )

@@ -130,6 +130,7 @@ HEADLINE = [
     "udf_map_in_arrow",
     "graph_louvain_move",
     "ml_kfold_cv",
+    "ml_threshold_tuning",
 ]
 
 

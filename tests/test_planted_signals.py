@@ -1747,3 +1747,66 @@ def test_ann_upsert_routes_planted_batch_to_its_cells(spark, tmp_path):
         members = [v for v in range(n) if v % 16 == r.cell_id]
         assert r.n_total == len(members), (r.cell_id, r.n_total)
         assert r.n_upserts == sum(1 for v in members if v % 10 == 7)
+
+
+def test_threshold_tuning_finds_perfect_cut_on_separable_scores(
+    spark, tmp_path
+):
+    """ml_threshold_tuning on planted perfectly-separable data: every
+    positive's probe score is pushed to ~1 and every negative's to ~0
+    (one-hot embeddings aligned with a known probe weight), so the
+    argmax-F1 sweep must return F1 = 1.0 with zero FP/FN in every fold
+    and tp = the fold's positive count — any off-by-one in the
+    cumulative TP/FP window or the argmax tie-break breaks it."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    # the operator's probe weight for dimension i
+    def w_of(i):
+        h = int(_hl.md5(f"probe:{i}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    k = next(i for i in range(1, 65) if abs(w_of(i)) >= 0.1)
+    wk = w_of(k)
+    alt = tmp_path / "thr"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    n = 200
+    vecs, labels = [], []
+    for v in range(n):
+        x = np.zeros(64, dtype=np.float32)
+        mag = np.float32(8.0 / wk)
+        y = (v // 4) % 2  # alternates WITHIN each vec_id%4 fold
+        x[k - 1] = mag if y == 1 else -mag
+        vecs.append(x)
+        labels.append(y)
+    papq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        alt / "embeddings.parquet",
+    )
+    rows = _q("ml_threshold_tuning")(spark, str(alt)).collect()
+    assert len(rows) == 4
+    for r in rows:
+        n_pos_fold = sum(
+            1 for v in range(n) if v % 4 == r.fold and (v // 4) % 2 == 1
+        )
+        assert r.f1 == 1.0, r
+        assert r.fp == 0 and r.fn == 0
+        assert r.tp == n_pos_fold
+        assert r.precision_at == 1.0 and r.recall_at == 1.0
+        assert r.threshold > 0.9  # the cut sits at the positive cluster

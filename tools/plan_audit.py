@@ -175,6 +175,7 @@ AUDITED = [
     "udf_map_in_arrow",
     "graph_louvain_move",
     "ml_kfold_cv",
+    "ml_threshold_tuning",
 ]
 
 

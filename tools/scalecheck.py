@@ -156,6 +156,7 @@ AUDITED = [
     "graph_louvain_move",  # K-row community algebra over the reduced edge list
     "udf_map_in_arrow",  # map-only Arrow batches + JVM partial agg
     "ml_kfold_cv",  # two fact passes, 15-row model broadcast between
+    "ml_threshold_tuning",  # one scan to the score grain + bounded window
 ]
 
 
