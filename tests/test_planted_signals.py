@@ -1810,3 +1810,36 @@ def test_threshold_tuning_finds_perfect_cut_on_separable_scores(
         assert r.tp == n_pos_fold
         assert r.precision_at == 1.0 and r.recall_at == 1.0
         assert r.threshold > 0.9  # the cut sits at the positive cluster
+
+
+def test_embedding_cosine_dedup_finds_exactly_the_planted_clusters(
+    spark, tmp_path
+):
+    """dedup_embedding_cosine on the planted orthogonal clusters: the
+    emitted pair set must be EXACTLY the numpy-computed ground truth —
+    same label block AND rounded cosine > 0.3, which by construction
+    means same planted cluster (intra-cluster cosine ~0.99,
+    cross-cluster bounded by the ±0.05 noise, far below the
+    threshold). Any blocking bug, threshold drift, or pair-order slip
+    changes the set."""
+    import numpy as np
+
+    alt, vecs = _planted_embeddings(tmp_path, "embdedup")
+    n = len(vecs)
+    X = np.array([np.asarray(v, np.float64) for v in vecs])
+    norms = np.linalg.norm(X, axis=1)
+    expected = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if a % 7 != b % 7:  # label block
+                continue
+            c = round(float(X[a] @ X[b] / (norms[a] * norms[b])), 6)
+            if c > 0.3:
+                expected.add((a, b))
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _q("dedup_embedding_cosine")(spark, alt).collect()
+    }
+    assert got == expected
+    # sanity on the fixture itself: every expected pair is same-cluster
+    assert all(a % 16 == b % 16 for a, b in expected) and expected
