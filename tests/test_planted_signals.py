@@ -1843,3 +1843,50 @@ def test_embedding_cosine_dedup_finds_exactly_the_planted_clusters(
     assert got == expected
     # sanity on the fixture itself: every expected pair is same-cluster
     assert all(a % 16 == b % 16 for a, b in expected) and expected
+
+
+def test_similarity_text_join_blocks_and_verifies_planted_variants(
+    spark, tmp_path
+):
+    """join_similarity_text on planted name variants: a pair sharing
+    its blocking token (2nd word) within edit distance 4 must join
+    with the exact levenshtein; a same-block pair beyond 4 must be
+    VERIFIED away; a near-identical pair whose 2nd token differs must
+    be BLOCKED away (the documented prefilter recall tradeoff — it
+    never reaches the verifier)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / "simjoin"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    names = [
+        "fresh tomato hybrid",      # joins with the next (lev 2)
+        "freshh tomato hybridd",
+        "dried tomato powder",      # same block, lev to others > 4
+        "fresh tomatoo hybrid",     # lev 1 to [0] but 2nd token differs
+        "green chilli",             # <2 tokens after split? 2 tokens
+    ]
+    papq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(len(names)), pa.int64()),
+                "p_name": names,
+                "p_brand": ["B"] * len(names),
+                "p_type": ["T"] * len(names),
+                "p_size": pa.array([1] * len(names), pa.int32()),
+                "p_retailprice": pa.array([1.0] * len(names)),
+            }
+        ),
+        alt / "part.parquet",
+    )
+    got = {
+        (r.name_a, r.name_b): r.lev
+        for r in _q("join_similarity_text")(spark, str(alt)).collect()
+    }
+    assert got == {
+        ("fresh tomato hybrid", "freshh tomato hybridd"): 2
+    }, got
