@@ -1890,3 +1890,22 @@ def test_similarity_text_join_blocks_and_verifies_planted_variants(
     assert got == {
         ("fresh tomato hybrid", "freshh tomato hybridd"): 2
     }, got
+
+
+def test_semantic_cluster_components_equal_planted_crt_classes(
+    spark, tmp_path
+):
+    """dedup_semantic_cluster on the planted fixture has a fully
+    predictable component structure: edges exist iff same planted
+    cluster (v mod 16) AND same label block (v mod 7), i.e. iff
+    v mod 112 matches (CRT). With n = 512 every residue class has 4 or
+    5 members, so the output must be exactly 112 components labeled by
+    their residue, sizes 5 (r < 64) or 4, keeper = the residue itself
+    — any transitive-closure or min-label bug reshapes this."""
+    alt, _ = _planted_embeddings(tmp_path, "semclu")
+    rows = _q("dedup_semantic_cluster")(spark, alt).collect()
+    got = {r.cluster_id: (r.cluster_size, r.keep_vec_id) for r in rows}
+    expect = {
+        r: ((5 if r < 64 else 4), r) for r in range(112)
+    }
+    assert got == expect
