@@ -139,7 +139,7 @@ def main() -> int:
     # Ingestion throughput first, in its own JVM, before the query
     # session exists — the two workloads contend for all 32 cores and
     # measuring either in the other's shadow swings results 3-5×.
-    ingest_rps = _ingest_throughput_isolated()
+    ingest_rps, ingest_rows_per_calib = _ingest_throughput_isolated()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -222,26 +222,26 @@ def main() -> int:
     # to 0.4% on normalized_total (95.9 vs 96.2) where absolute totals
     # drifted 4.3% — compare normalized_total round-over-round.
     def calib_run() -> float:
-        t0 = time.time()
-        (
-            spark.range(0, 20_000_000, 1, 32)
-            .selectExpr(
-                "id % 1024 AS k",
-                # mod keeps the ANSI sum far from int64 overflow
-                "xxhash64(id) % 1000003 AS h1",
-                "xxhash64(id + 1) % 97 AS h2",
-            )
-            .groupBy("k")
-            .agg({"h1": "sum", "h2": "max"})
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        return time.time() - t0
+        return _calib_run(spark)
 
     calib_samples: list[float] = []
 
     calib_run()  # plan-shape warm-up
+
+    # Settle loop (VERDICT r10 item 1): the driver's r10 run recorded its
+    # first three probes at 1.03/1.16/1.29 s against a 0.47 s run median —
+    # the ingest subprocess's JVM teardown and the warm-up phase's GC
+    # residue contend with suite slots 1-3, and a run-median normalizer
+    # can't absorb a transient that only touches the first slots. Spin
+    # untimed probes until two consecutive samples agree within 20%
+    # (bounded at 8 attempts), so slot 1 starts from the same
+    # neighborhood every later slot enjoys.
+    prev = calib_run()
+    for _ in range(7):
+        cur_probe = calib_run()
+        if max(prev, cur_probe) / max(min(prev, cur_probe), 1e-9) < 1.2:
+            break
+        prev = cur_probe
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -280,9 +280,38 @@ def main() -> int:
 
     calib_samples.append(calib_run())  # suite end
     calib = statistics.median(calib_samples)
+    # Per-slot normalization (VERDICT r10 item 1): query i sits between
+    # probes i and i+1, so a transient neighborhood shift (GC storm,
+    # co-tenant burst) that inflates a few consecutive slots inflates
+    # their adjacent probes identically — dividing by the RUN median
+    # leaves that inflation in the normalized value (r10: slots 1-3
+    # breached pins on the driver's run while a probe-adjacent re-run
+    # put all three at/below pin). Median over the 4-probe window
+    # centered on the slot boundary pair (probes i-1..i+2) tracks the
+    # local neighborhood; a single probe is ±20% noisy, the 4-median is
+    # ~±9% — a fair trade against the 2.5x error it removes. Edge
+    # windows are re-widened to 4 samples.
+    def slot_calib(i: int) -> float:
+        lo = max(0, i - 1)
+        hi = min(len(calib_samples), i + 3)
+        window = calib_samples[lo:hi]
+        # widen clipped edge windows back to >=4 samples where possible
+        while len(window) < 4 and (lo > 0 or hi < len(calib_samples)):
+            if lo > 0:
+                lo -= 1
+            elif hi < len(calib_samples):
+                hi += 1
+            window = calib_samples[lo:hi]
+        return statistics.median(window)
+
     normalized = {
-        n: round(t / calib, 3) for n, t in timings.items()
+        n: round(t / slot_calib(i), 3)
+        for i, (n, t) in enumerate(timings.items())
     }
+    # normalized_total is the sum of the per-slot values so it stays
+    # consistent with queries_normalized (and with benchguard's view);
+    # with stable probes it agrees with total/run-median to ~1%.
+    normalized_total = round(sum(normalized.values()), 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -318,9 +347,12 @@ def main() -> int:
                 "calibration_samples": [round(c, 3) for c in calib_samples],
                 "queries_samples": samples,
                 "queries_normalized": normalized,
-                "normalized_total": round(total / calib, 3),
+                "normalized_total": normalized_total,
                 "sf": sf_val,
                 "ingest_rows_per_sec": ingest_rps,
+                # drift-proof ingest figure: rows/s x same-JVM probe-sec
+                # (compare THIS round-over-round, not the raw rows/s)
+                "ingest_rows_per_calib": ingest_rows_per_calib,
             },
             f,
             indent=1,
@@ -333,9 +365,10 @@ def main() -> int:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "calibration_sec": round(calib, 3),
-                "normalized_total": round(total / calib, 3),
+                "normalized_total": normalized_total,
                 "sf": sf_val,
                 "ingest_rows_per_sec": ingest_rps,
+                "ingest_rows_per_calib": ingest_rows_per_calib,
                 "detail": "BENCH_DETAIL.json",
             }
         )
@@ -343,7 +376,38 @@ def main() -> int:
     return 0
 
 
-def _ingest_throughput_isolated() -> float:
+def _calib_run(spark) -> float:
+    """Fixed synthetic probe (range → hash project → shuffle agg): cost
+    depends only on the machine's current CPU/JVM neighborhood, never on
+    testdata or code under test. Shared by the query suite and the
+    ingest subprocess so both metrics normalize against the same unit."""
+    t0 = time.time()
+    (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr(
+            "id % 1024 AS k",
+            # mod keeps the ANSI sum far from int64 overflow
+            "xxhash64(id) % 1000003 AS h1",
+            "xxhash64(id + 1) % 97 AS h2",
+        )
+        .groupBy("k")
+        .agg({"h1": "sum", "h2": "max"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.time() - t0
+
+
+def _ingest_throughput_isolated() -> tuple[float, float]:
+    """Run the ingest benchmark in its own JVM; return (rows/s, rows
+    per calib-second). The raw rows/s figure swings 2-3x across rounds
+    on identical code (driver r9 676k vs r10 255k — VERDICT r10 item 4)
+    because the whole subprocess inherits whatever neighborhood it
+    lands in; the subprocess therefore also runs the same calibration
+    probe the query suite uses, and rows_per_calib = rps x calib_sec is
+    the machine-drift-proof number to compare round-over-round (exactly
+    the queries_normalized treatment, inverted for a throughput)."""
     import subprocess
 
     try:
@@ -353,12 +417,18 @@ def _ingest_throughput_isolated() -> float:
             text=True,
             timeout=600,
         )
-        for line in reversed(out.stdout.strip().splitlines()):
+        rps = calib = -1.0
+        for line in out.stdout.strip().splitlines():
             if line.startswith("INGEST_RPS="):
-                return float(line.split("=", 1)[1])
+                rps = float(line.split("=", 1)[1])
+            elif line.startswith("INGEST_CALIB="):
+                calib = float(line.split("=", 1)[1])
+        if rps > 0 and calib > 0:
+            return rps, round(rps * calib, 1)
+        return rps, -1.0
     except Exception:
         pass
-    return -1.0
+    return -1.0, -1.0
 
 
 def _ingest_throughput(spark, n_rows: int = 1_000_000, limit: int = 1000) -> float:
@@ -407,9 +477,19 @@ if __name__ == "__main__":
         _spark.sparkContext.setLogLevel("ERROR")
         _spark.range(1).count()
         _ingest_throughput(_spark, n_rows=64_000)  # warm the worker pool
+        _calib_run(_spark)  # probe plan-shape warm-up
         # Median of 3 full passes: a single 1M-row pass is only a few
         # seconds, short enough that one GC pause or page-cache miss
         # swings the number 2-3× (r1 435k vs r2 74k was mostly this).
-        print(f"INGEST_RPS={_st.median(_ingest_throughput(_spark) for _ in range(3))}")
+        # A calibration probe brackets each pass so the reported number
+        # can be neighborhood-normalized by the parent (VERDICT r10
+        # item 4: 255k vs 676k rows/s across rounds on identical code).
+        _rps: list[float] = []
+        _cal: list[float] = [_calib_run(_spark)]
+        for _ in range(3):
+            _rps.append(_ingest_throughput(_spark))
+            _cal.append(_calib_run(_spark))
+        print(f"INGEST_RPS={_st.median(_rps)}")
+        print(f"INGEST_CALIB={round(_st.median(_cal), 4)}")
         raise SystemExit(0)
     raise SystemExit(main())

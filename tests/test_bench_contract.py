@@ -22,7 +22,9 @@ def test_bench_emits_driver_contract_json(monkeypatch, tmp_path):
     monkeypatch.setattr(
         bench, "HEADLINE", ["scan_parquet", "agg_price_stats", "dedup_exact"]
     )
-    monkeypatch.setattr(bench, "_ingest_throughput_isolated", lambda: -1.0)
+    monkeypatch.setattr(
+        bench, "_ingest_throughput_isolated", lambda: (-1.0, -1.0)
+    )
 
     cap = io.StringIO()
     old = sys.stdout
