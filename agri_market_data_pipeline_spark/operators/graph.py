@@ -1824,8 +1824,15 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "b", "gain_lat")
     )
     moved = F.col("gain_lat") > 0
+    # Base = nodes WITH degree (inner join deg), matching the oracle's
+    # own CTE: a node whose only edges are self-loops is dropped by the
+    # src<>dst filter, has no degree, no neighbor communities, and no
+    # modularity mass — emitting it from one engine only is the
+    # SF-sensitive divergence class (ADVICE r10: latent at all shipped
+    # SFs, where every nation has a cross-nation trade edge).
     moves = (
-        lbl0.select("node", F.col("c").alias("c_before"))
+        lbl0.join(deg.select("node"), "node")
+        .select("node", F.col("c").alias("c_before"))
         .join(F.broadcast(best), "node", "left")
         .select(
             "node",

@@ -3010,7 +3010,14 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) - 1).alias("blk"),
         F.floor(F.col("v") * 1e3 + F.lit(0.5)).cast("bigint").alias("s"),
         F.lit(1).alias("full_blk"),
-    )
+    ).localCheckpoint(eager=True)
+    # Each level's frame is referenced TWICE (its energy branch + the
+    # next level's groupBy) and Spark shares no subplan results across
+    # references — unmaterialized, every levels[ℓ] branch would replay
+    # the events scan + daily agg + ℓ groupBys (ADVICE r10). The
+    # lattice frames are tiny (grain halves per level, ≤ types×days
+    # rows), so one eager localCheckpoint per level pins the whole
+    # decomposition to ONE events pass.
     levels = []
     for lv in range(1, _HAAR_LEVELS + 1):
         cur = cur.groupBy("et", F.expr("blk div 2").alias("blk2")).agg(
@@ -3027,7 +3034,7 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("full_blk"),
         ).select(
             "et", F.col("blk2").alias("blk"), "s", "d", "full_blk"
-        )
+        ).localCheckpoint(eager=True)
         levels.append(
             cur.filter(F.col("full_blk") == 1)
             .groupBy("et")
@@ -3042,6 +3049,8 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl = levels[0]
     for x in levels[1:]:
         lvl = lvl.unionByName(x)
+    # lvl (types×levels rows) feeds tot AND the final join — one copy
+    lvl = lvl.localCheckpoint(eager=True)
     tot = lvl.groupBy("et").agg(
         F.sum("energy_lat").cast("bigint").alias("te")
     )

@@ -2114,7 +2114,10 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(x1 * x2, 38, "sx1x2"),
         dec(x1 * y, 38, "sx1y"),
         dec(x2 * y, 38, "sx2y"),
-    )
+    ).localCheckpoint(eager=True)  # 15-row moment frame, fed to tot AND tr
+    # — Spark shares no subplan results across references (ADVICE r10:
+    # without this the lineitem moment aggregation can run up to 4x in
+    # one plan), so the fold-moment scan is pinned to exactly one pass.
     mom = ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y"]
     tot = sf_.groupBy("grp").agg(
         F.sum("n").alias("tn"), *[F.sum(m).alias(f"t{m}") for m in mom]
@@ -2151,7 +2154,8 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n,
             6,
         ).alias("intercept"),
-    )
+    ).localCheckpoint(eager=True)  # referenced by ev's broadcast AND the
+    # final join — materialize the 15 rows once
     resid = y - (
         F.col("intercept") + F.col("beta1") * x1 + F.col("beta2") * x2
     )
