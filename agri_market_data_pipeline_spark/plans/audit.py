@@ -86,6 +86,51 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     return out
 
 
+def _subtree_bound_kind(node) -> str:
+    """Strongest claim provable for every path from `node` to a leaf:
+    'limit' (every path hits a limit or a literal leaf before anything
+    else), 'aggregate' (bounded, but at least one path's bounding node
+    is an Aggregate — the bound is then |grouping keys|, which is only
+    a real bound when the key grain is constant-cardinality), or
+    'unbounded'."""
+    name = node.getClass().getSimpleName()
+    if name in ("GlobalLimit", "LocalLimit"):
+        return "limit"
+    if name == "Aggregate":
+        return "aggregate"
+    n = node.children().size()
+    if n == 0:
+        return "limit" if name in _BOUNDED_LEAVES else "unbounded"
+    kinds = {_subtree_bound_kind(node.children().apply(i)) for i in range(n)}
+    if "unbounded" in kinds:
+        return "unbounded"
+    return "aggregate" if "aggregate" in kinds else "limit"
+
+
+def global_window_bounds(df: DataFrame) -> list[tuple[str, str]]:
+    """(bound_kind, node description) for every zero-partition Window in
+    the optimized plan. 'unbounded' is always a violation (the existing
+    invariant); 'aggregate' is only safe when the grouping grain is a
+    DOCUMENTED constant-cardinality bound (value lattice, score grain,
+    day grain) — plan_audit enforces that via the GLOBAL_WINDOW_OK
+    allowlist (VERDICT r10 item 6: the exemption used to live in
+    per-op docstrings, so a future op could silently inherit it)."""
+    out: list[tuple[str, str]] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().size() == 0:
+            out.append(
+                (_subtree_bound_kind(node.children().apply(0)),
+                 node.simpleString(25))
+            )
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle Exchange nodes (broadcast exchanges excluded) —
     the scale-cost signature of a plan."""

@@ -301,21 +301,43 @@ def test_sim_knn_join_recall_reuses_trained_quantizer(spark, sf_dir):
 
 
 def test_no_registered_query_has_unbounded_global_window(spark):
-    """Engine-wide invariant (VERDICT r3 item 3): an empty-partition
-    Window may only rank a limit/aggregate-bounded frame — over a fact
-    scan it is a latent single-task global sort at 100 TB. Walks the
-    optimized logical plan of every registered query."""
+    """Engine-wide invariant (VERDICT r3 item 3 + r10 item 6): an
+    empty-partition Window may only rank a limit/aggregate-bounded
+    frame — over a fact scan it is a latent single-task global sort at
+    100 TB — and an AGGREGATE-bounded one must additionally appear in
+    plan_audit's GLOBAL_WINDOW_OK allowlist naming its
+    constant-cardinality grain (|grouping keys| is only a bound when
+    the grain saturates; a future op must not silently inherit the
+    exemption). Walks the optimized logical plan of every registered
+    query."""
+    import importlib.util
+    import os
+
     import __spark_entry__ as entrymod
     from agri_market_data_pipeline_spark.plans.audit import (
-        unbounded_global_windows,
+        global_window_bounds,
     )
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_tool",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
 
     bad = []
     for name, fn in sorted(entrymod.queries().items()):
         df = fn(spark, "/root/testdata/sf0.001")
-        for w in unbounded_global_windows(df):
-            bad.append(f"{name}: {w}")
-    assert not bad, f"unbounded global windows: {bad}"
+        kinds = global_window_bounds(df)
+        for kind, w in kinds:
+            if kind == "unbounded":
+                bad.append(f"{name}: unbounded {w}")
+        if any(k == "aggregate" for k, _ in kinds) and (
+            name not in pa.GLOBAL_WINDOW_OK
+        ):
+            bad.append(f"{name}: aggregate-bounded global window not in "
+                       "GLOBAL_WINDOW_OK")
+    assert not bad, f"global-window violations: {bad}"
 
 
 def test_unbounded_global_window_detector_catches_globalized_sort(spark, sf_dir):

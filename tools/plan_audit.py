@@ -25,9 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from agri_market_data_pipeline_spark.plans.audit import (  # noqa: E402
     explain_str,
+    global_window_bounds,
     has_partial_agg,
     pushed_filters,
-    unbounded_global_windows,
 )
 from agri_market_data_pipeline_spark.registry import all_queries  # noqa: E402
 from agri_market_data_pipeline_spark.session import get_spark  # noqa: E402
@@ -239,6 +239,35 @@ NESTED_LOOP_OK = {
     "graph_louvain_move",    # 1-row W scalar + 1-row Q-before/after frames
 }
 
+# Queries allowed to carry a zero-partition window whose input is
+# bounded only by an AGGREGATE (VERDICT r10 item 6): |grouping keys| is
+# a real bound ONLY when the grain has ~constant cardinality, so each
+# entry names its bound — a new op with a global window over an
+# unlisted aggregate fails the audit instead of silently inheriting
+# the exemption from a docstring. Limit-bounded global windows (top-k
+# after LIMIT) need no listing.
+GLOBAL_WINDOW_OK = {
+    "agg_ks_test":            # pooled value-support grain (distinct
+        "value lattice",      #   observed values; binned at 100 TB)
+    "agg_mannwhitney_u":      # same value-support rank walk
+        "value lattice",
+    "dq_sequence_gaps":       # (key div 4096) block-summary frame,
+        "block summary",      #   data/4096 rows, recurses at scale
+    "ml_lift_gains":          # distinct-score grain, saturates at
+        "score grain",        #   1e6+1 lattice values
+    "text_zipf_fit":          # token-frequency ranks over the vocab
+        "vocab grain",        #   (Heaps-law saturation)
+    "ts_ljung_box":           # lag algebra over the daily aggregate
+        "day grain",
+    "ts_session_concurrency": # K = #days window after per-day split
+        "day grain",          #   with carried offsets
+    "ts_survival_km":         # |distinct lifetimes| <= span days
+        "lifetime support",
+    "win_pareto_share":       # post-agg brand leaderboard
+        "group-key grain",    #   (K = brand cardinality)
+}
+
+
 _JOIN_OPS = (
     "BroadcastHashJoin",
     "SortMergeJoin",
@@ -302,13 +331,27 @@ def main() -> int:
     ]
     violations: list[str] = []
     sweep_rows: list[str] = []
-    for name in AUDITED:
-        df = qs[name](spark, sf_dir)
+    def check_global_windows(name: str, df) -> None:
         # Hard invariant (VERDICT r3): an empty-partition WindowExec may
         # only rank a limit/aggregate-bounded frame — anything else is a
-        # latent single-task global sort at 100 TB.
-        for w in unbounded_global_windows(df):
-            violations.append(f"{name}: {w}")
+        # latent single-task global sort at 100 TB. Aggregate-bounded
+        # ones additionally require a GLOBAL_WINDOW_OK entry naming the
+        # constant-cardinality grain (VERDICT r10 item 6).
+        kinds = global_window_bounds(df)
+        for kind, w in kinds:
+            if kind == "unbounded":
+                violations.append(f"{name}: unbounded global window {w}")
+        if any(k == "aggregate" for k, _ in kinds) and (
+            name not in GLOBAL_WINDOW_OK
+        ):
+            violations.append(
+                f"{name}: aggregate-bounded global window outside "
+                "GLOBAL_WINDOW_OK — name the grain bound or partition it"
+            )
+
+    for name in AUDITED:
+        df = qs[name](spark, sf_dir)
+        check_global_windows(name, df)
         txt = explain_str(df, "simple")
         out.append(f"## {name}")
         out.append("")
@@ -334,8 +377,7 @@ def main() -> int:
         except Exception as e:  # a query that cannot build IS a finding
             violations.append(f"{name}: failed to build ({e})")
             continue
-        for w in unbounded_global_windows(df):
-            violations.append(f"{name}: {w}")
+        check_global_windows(name, df)
         txt = explain_str(df, "simple")
         r = sweep_row(name, txt)
         if r is None:
@@ -362,7 +404,7 @@ def main() -> int:
         fh.write("\n".join(out))
     print(f"PLANS.md written ({len(AUDITED)} queries)")
     if violations:
-        print("UNBOUNDED GLOBAL WINDOWS (fail):")
+        print("PLAN AUDIT VIOLATIONS (fail):")
         for v in violations:
             print(f"  {v}")
         return 1
