@@ -29,8 +29,14 @@ def vec_norm2(a: Column | str) -> Column:
 
 
 def vec_cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity dot/(‖a‖·‖b‖); sqrt is IEEE-exact."""
-    return vec_dot(a, b) / (F.sqrt(vec_norm2(a)) * F.sqrt(vec_norm2(b)))
+    """Cosine similarity dot/(‖a‖·‖b‖); sqrt is IEEE-exact. A zero
+    vector has no direction — its similarity to anything is defined as
+    0.0 (ranks last, never errors). The guard is mandatory: Spark ANSI
+    throws DIVIDE_BY_ZERO on DOUBLE division too, and DuckDB yields
+    NULL, so an unguarded zero norm either crashes or hash-diverges
+    (degencheck's zero-norm embedding pins this)."""
+    denom = F.sqrt(vec_norm2(a)) * F.sqrt(vec_norm2(b))
+    return F.when(denom > 0, vec_dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def sql_dot(a: str, b: str) -> str:
@@ -42,7 +48,12 @@ def sql_dot(a: str, b: str) -> str:
 
 
 def sql_cosine(a: str, b: str) -> str:
-    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+    """DuckDB twin of vec_cosine — same zero-norm → 0.0 contract."""
+    denom = f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+    return (
+        f"(CASE WHEN {denom} > 0 THEN {sql_dot(a, b)} / {denom} "
+        f"ELSE 0.0 END)"
+    )
 
 
 def spark_dot_expr(a: str, b: str) -> str:
@@ -62,8 +73,12 @@ def spark_dot_expr(a: str, b: str) -> str:
 
 
 def spark_cosine_expr(a: str, b: str) -> str:
-    """Spark-SQL string twin of vec_cosine (see spark_dot_expr)."""
+    """Spark-SQL string twin of vec_cosine (see spark_dot_expr) —
+    same zero-norm → 0.0 contract."""
+    denom = (
+        f"(sqrt({spark_dot_expr(a, a)}) * sqrt({spark_dot_expr(b, b)}))"
+    )
     return (
-        f"({spark_dot_expr(a, b)} / "
-        f"(sqrt({spark_dot_expr(a, a)}) * sqrt({spark_dot_expr(b, b)})))"
+        f"(CASE WHEN {denom} > 0 THEN {spark_dot_expr(a, b)} / {denom} "
+        f"ELSE 0.0D END)"
     )

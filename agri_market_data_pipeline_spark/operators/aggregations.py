@@ -278,28 +278,71 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_corr_covar",
     oracle="""
+WITH m AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
-FROM lineitem
-GROUP BY l_returnflag
+       CASE WHEN n > 1 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+         ROUND((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+       END AS qty_price_corr,
+       CASE WHEN n > 1 THEN
+         ROUND((sxy - sx * sy / n) / (n - 1), 4)
+       END AS qty_price_covar
+FROM m
 """,
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics (Pearson correlation + sample covariance) per
     group — the "do arrivals move prices" question over the agmarknet
-    fact table. Both are single-pass partial-aggregable moments (sum, sum
-    of squares, co-moment), so they parallelize exactly like SUM — no
-    second pass, no sort. ROUND on both sides absorbs the order-dependent
-    float tail of the co-moment accumulation (registry.py rules)."""
+    fact table. Computed from five exact DECIMAL moments (one
+    partial-aggregable pass — parallelizes exactly like SUM), NOT the
+    built-in corr/covar_samp: under ANSI those THROW DIVIDE_BY_ZERO
+    inside the aggregate on a zero-variance or single-row group (no
+    projection-level guard can reach them — degencheck's constant
+    lineitem pins this), while explicit moments let both engines guard
+    the ratios identically: corr is NULL when either variance is zero
+    or n = 1, covar NULL when n = 1. The products carry <= 4 decimal
+    digits so the DECIMAL(38,6) casts are exact; the final formula is
+    the same IEEE tree on identical doubles, with ROUND absorbing the
+    ~1-ulp decimal->double conversion drift of the wide sums."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
-            "qty_price_corr"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "qty_price_covar"
-        ),
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.sum(x.cast("decimal(30,6)")).alias("dsx"),
+        F.sum(y.cast("decimal(30,6)")).alias("dsy"),
+        F.sum((x * y).cast("decimal(38,6)")).alias("dsxy"),
+        F.sum((x * x).cast("decimal(38,6)")).alias("dsxx"),
+        F.sum((y * y).cast("decimal(38,6)")).alias("dsyy"),
+    )
+    n = F.col("cnt").cast("double")
+    sx, sy = F.col("dsx").cast("double"), F.col("dsy").cast("double")
+    sxy = F.col("dsxy").cast("double")
+    sxx, syy = F.col("dsxx").cast("double"), F.col("dsyy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    null_d = F.lit(None).cast("double")
+    return g.select(
+        "l_returnflag",
+        F.when(
+            (n > 1) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6),
+        )
+        .otherwise(null_d)
+        .alias("qty_price_corr"),
+        F.when(n > 1, F.round((sxy - sx * sy / n) / (n - 1), 4))
+        .otherwise(null_d)
+        .alias("qty_price_covar"),
     )
 
 

@@ -1696,7 +1696,15 @@ def _chi2_sql() -> str:
             col = " + ".join(f"c_{tt}_{v}" for tt in _CHI_TYPES)
             row = f"(c_{t}_0 + c_{t}_1)"
             e = f"({row} * CAST(({col}) AS DOUBLE) / n)"
-            terms.append(f"(c_{t}_{v} - {e}) * (c_{t}_{v} - {e}) / {e}")
+            # zero expected count (empty row/column margin, or an
+            # entirely empty table where n = 0): the cell contributes
+            # 0 — the CASE keeps the /n and /e divisions unevaluated
+            # (lazy on both engines; ANSI throws, DuckDB NULLs)
+            terms.append(
+                f"(CASE WHEN {row} * ({col}) > 0 THEN "
+                f"(c_{t}_{v} - {e}) * (c_{t}_{v} - {e}) / {e} "
+                f"ELSE 0.0 END)"
+            )
     chi = " + ".join(terms)
     return f"""
 WITH assigned AS (
@@ -1774,7 +1782,11 @@ def agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = F.col(f"c_{tt}_{vv}")
                 colsum = c if colsum is None else colsum + c
             e = row * colsum.cast("double") / F.col("n")
-            term = (F.col(f"c_{t}_{vv}") - e) * (F.col(f"c_{t}_{vv}") - e) / e
+            # zero expected count → cell contributes 0 (oracle's CASE)
+            term = F.when(
+                row * colsum > 0,
+                (F.col(f"c_{t}_{vv}") - e) * (F.col(f"c_{t}_{vv}") - e) / e,
+            ).otherwise(F.lit(0.0))
             chi = term if chi is None else chi + term
     return w.select(
         F.col("n").cast("long").alias("n"),
@@ -2493,8 +2505,10 @@ g AS (
   FROM assigned),
 d AS (
   SELECT n_a, n_all - n_a AS n_b,
-         CAST(s_a AS DOUBLE) / {lat} / n_a
-           - CAST(s_all - s_a AS DOUBLE) / {lat} / (n_all - n_a) AS diff_obs,
+         CASE WHEN n_a > 0 AND n_all > n_a THEN
+           CAST(s_a AS DOUBLE) / {lat} / n_a
+             - CAST(s_all - s_a AS DOUBLE) / {lat} / (n_all - n_a)
+         END AS diff_obs,
          s_all, n_all,
 {diffs}
   FROM g)
@@ -2576,9 +2590,17 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     g = assigned.agg(*aggs)
     s_all, n_all = F.col("s_all"), F.col("n_all")
-    diff_obs = F.col("s_a").cast("double") / lat / F.col("n_a") - (
-        s_all - F.col("s_a")
-    ).cast("double") / lat / (n_all - F.col("n_a"))
+    # an empty arm (every row hashed to one variant — degencheck's
+    # 23-row events table does this) has no defined mean difference:
+    # NULL on both engines, and the d_r >= |NULL| indicators all
+    # evaluate false so n_extreme/p_value stay 0 identically
+    diff_obs = F.when(
+        (F.col("n_a") > 0) & (n_all > F.col("n_a")),
+        F.col("s_a").cast("double") / lat / F.col("n_a")
+        - (s_all - F.col("s_a")).cast("double")
+        / lat
+        / (n_all - F.col("n_a")),
+    ).otherwise(F.lit(None).cast("double"))
     d = g.select(
         F.col("n_a"),
         (n_all - F.col("n_a")).alias("n_b"),

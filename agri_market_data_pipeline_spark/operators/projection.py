@@ -101,8 +101,9 @@ SELECT 'rows_kept', CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
 FROM lineitem
 UNION ALL
 SELECT 'qty_kept_sum',
-       CAST(SUM(CASE WHEN l_quantity >= 25
-                     THEN CAST(floor(l_quantity) AS BIGINT) END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN l_quantity >= 25
+                     THEN CAST(floor(l_quantity) AS BIGINT) END), 0)
+            AS BIGINT)
 FROM lineitem
 """,
 )
@@ -136,9 +137,13 @@ def obs_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one action drives the pipeline and populates both observations
     staged.write.format("noop").mode("overwrite").save()
+    # SUM over zero surviving rows observes as None (SQL NULL) — report
+    # 0, mirrored by the oracle's COALESCE (degencheck: every
+    # degenerate-lineitem quantity is below the filter)
+    qty = obs_kept.get["qty_kept_sum"]
     rows = [
         ("rows_in", int(obs_in.get["rows_in"])),
         ("rows_kept", int(obs_kept.get["rows_kept"])),
-        ("qty_kept_sum", int(obs_kept.get["qty_kept_sum"])),
+        ("qty_kept_sum", 0 if qty is None else int(qty)),
     ]
     return spark.createDataFrame(rows, "metric string, value long")

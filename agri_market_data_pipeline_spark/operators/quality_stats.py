@@ -724,8 +724,15 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucketed(df):
         j = df.join(F.broadcast(cuts))
+        # WHEN/OTHERWISE, not a bare boolean cast: an EMPTY baseline
+        # window yields NULL cuts, and (v > NULL)::int is NULL — the
+        # current rows then vanish into a NULL bucket while the
+        # oracle's CASE counts them in bucket 0 (degencheck: all
+        # degenerate orders sit past the cutoff). NULL-safe form puts
+        # everything in bucket 0 and the PSI alarm fires, as it should
+        # when the baseline is missing.
         bkt = sum(
-            (F.col("v") > F.col(f"c{x}")).cast("int")
+            F.when(F.col("v") > F.col(f"c{x}"), 1).otherwise(0)
             for x in range(1, _PSI_BUCKETS)
         )
         return j.select(bkt.alias("bkt")).groupBy("bkt").agg(

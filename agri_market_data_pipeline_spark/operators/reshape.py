@@ -318,19 +318,23 @@ WITH s AS (
 ),
 w AS (
   SELECT grp, n_pop,
-         ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
-           AS sd,
-         n_pop * CAST(FLOOR(
+         CASE WHEN n_pop > 1 THEN
            ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
+         ELSE 0.0 END AS sd,
+         n_pop * CAST(FLOOR(
+           CASE WHEN n_pop > 1 THEN
+             ROUND(SQRT(GREATEST((sxx - sx * sx / n_pop) / (n_pop - 1), 0)), 6)
+           ELSE 0.0 END
            * 1e6 + 0.5) AS BIGINT) AS wt
   FROM s
 ),
 alloc AS (
   SELECT grp, n_pop, sd,
-         CAST(FLOOR({_NEYMAN_BUDGET} * (CAST(wt AS DOUBLE)
-                    / CAST(CAST((SELECT SUM(wt) FROM w) AS BIGINT)
-                           AS DOUBLE)) + 0.5) AS BIGINT)
-           AS alloc_n
+         CASE WHEN (SELECT SUM(wt) FROM w) > 0 THEN
+           CAST(FLOOR({_NEYMAN_BUDGET} * (CAST(wt AS DOUBLE)
+                      / CAST(CAST((SELECT SUM(wt) FROM w) AS BIGINT)
+                             AS DOUBLE)) + 0.5) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS alloc_n
   FROM w
 ),
 ranked AS (
@@ -397,16 +401,21 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
         F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
     )
-    sd = F.round(
-        F.sqrt(
-            F.greatest(
-                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_pop"))
-                / (F.col("n_pop") - 1),
-                F.lit(0.0),
-            )
+    # single-row stratum: sample sd undefined (n-1 = 0 divides) →
+    # define 0 (it contributes no Neyman weight) on both engines
+    sd = F.when(
+        F.col("n_pop") > 1,
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_pop"))
+                    / (F.col("n_pop") - 1),
+                    F.lit(0.0),
+                )
+            ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(0.0))
     # Allocation denominator on an exact BIGINT lattice (ADVICE r7):
     # Σ(n_pop·sd) as a raw double SUM is order-dependent (Spark's
     # partial-agg order is nondeterministic, DuckDB sums in scan
@@ -426,12 +435,18 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp",
         "n_pop",
         "sd",
-        F.floor(
-            F.lit(float(_NEYMAN_BUDGET))
-            * (F.col("wt").cast("double") / F.col("t").cast("double"))
-            + F.lit(0.5)
+        # zero total weight (every stratum zero-variance): Neyman
+        # allocation undefined → allocate nothing, identically guarded
+        # in the oracle
+        F.when(
+            F.col("t") > 0,
+            F.floor(
+                F.lit(float(_NEYMAN_BUDGET))
+                * (F.col("wt").cast("double") / F.col("t").cast("double"))
+                + F.lit(0.5)
+            ).cast("bigint"),
         )
-        .cast("bigint")
+        .otherwise(F.lit(0).cast("bigint"))
         .alias("alloc_n"),
     )
     rk = F.md5(

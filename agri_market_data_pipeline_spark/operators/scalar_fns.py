@@ -216,10 +216,14 @@ def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
 SELECT event_id,
-       array_to_string(json_keys(props), ',') AS keys_csv,
+       -- COALESCEs: DuckDB's array_to_string/list_sum return NULL on
+       -- an EMPTY list where Spark's array_join/aggregate return
+       -- ''/0 — an empty props map ({}) must read as empty, not
+       -- missing, on both engines (degencheck)
+       COALESCE(array_to_string(json_keys(props), ','), '') AS keys_csv,
        CAST(len(json_keys(props)) AS INT) AS n_keys,
-       CAST(list_sum(list_transform(json_keys(props),
-            kk -> CAST(json_extract_string(props, '$.' || kk) AS BIGINT)))
+       CAST(COALESCE(list_sum(list_transform(json_keys(props),
+            kk -> CAST(json_extract_string(props, '$.' || kk) AS BIGINT))), 0)
         AS BIGINT) AS sum_values
 FROM events
 """,

@@ -78,6 +78,11 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+-- Spark's binaryFile source silently DROPS zero-byte files (measured:
+-- a 0-byte .bin never reaches the scan) — the oracle mirrors the
+-- source's real contract so an empty asset reads as absent on both
+-- engines (degencheck's empty-text document)
+WHERE octet_length(encode(text)) > 0
 """,
 )
 def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:

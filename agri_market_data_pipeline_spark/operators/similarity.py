@@ -110,8 +110,8 @@ def _ivf_sql(rounds: int, k: int) -> str:
     refined by `rounds` k-means rounds UNROLLED into a CTE chain
     (carr0 → a1/cent1/carr1 → …), then the serve stage probes the
     final centroids. Determinism rules: integer-lattice centroid
-    means, ROUND(6) cosines before every rank boundary (NaN cosines
-    sort first under DESC on both engines)."""
+    means, ROUND(6) cosines before every rank boundary (zero-norm
+    cosines are 0.0 on both engines — sql_cosine's CASE guard)."""
     ctes = _km_ctes(rounds, str(k))
     fin = f"carr{rounds}"
     ctes.append(
@@ -157,8 +157,8 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_search_ivf_recall` vs the brute-force baseline). The whole
     index build + probe is oracle-checked: assignment and probe rank on
     ROUND(6) cosines with cell_id tie-breaks, so rank boundaries are
-    engine-portable (NaN cosines sort first under DESC on both
-    engines).
+    engine-portable (zero-norm cosines are 0.0 on both engines —
+    sql_cosine's CASE guard).
 
     At 100 TB the cell id becomes a *partition column* of the stored
     table, so a query prunes to nprobe partitions at the file level."""
@@ -450,13 +450,23 @@ _KNN_K_SQL = (
 )
 
 
+def _safe_round_cos(dot: Column, denom: Column) -> Column:
+    """ROUND(6) cosine with vec_cosine's zero-norm → 0.0 contract, for
+    sites that factor the norms out of the per-pair fold (dot/(na·nb)
+    with denom = na·nb precomputed). The guard is mandatory under ANSI:
+    Spark throws DIVIDE_BY_ZERO on DOUBLE division, DuckDB yields NULL
+    — the old NaN→+inf mapping never executed once ANSI was on
+    (degencheck's zero-norm embedding pins this)."""
+    return F.when(denom > 0, F.round(dot / denom, 6)).otherwise(F.lit(0.0))
+
+
 def _top_cells(cells_col: str, vec_col: str, nrm_col: str, p: int):
     """Row-local top-p cells over the broadcast (cell_id, cvec, cnrm)
     array — the multiprobe generalization of _argmax_cell: sort
     (rounded cos, -cell_id) structs descending and slice p. Reversed
     ascending struct sort yields cos DESC then cell_id ASC, exactly the
-    oracle's ROW_NUMBER ordering; NaN cosines map to +inf (same
-    rationale as _argmax_cell). Norms are PRE-computed (`nrm_col` per
+    oracle's ROW_NUMBER ordering; zero-norm cosines are 0.0 (same
+    contract as _argmax_cell). Norms are PRE-computed (`nrm_col` per
     row, `cnrm` per centroid) so each pair costs one dot fold instead
     of three — dot/(na·nb) is the same float expression as vec_cosine,
     just with the sqrt factored out of the inner loop, so results are
@@ -466,13 +476,9 @@ def _top_cells(cells_col: str, vec_col: str, nrm_col: str, p: int):
             F.transform(
                 F.col(cells_col),
                 lambda c: F.struct(
-                    F.nanvl(
-                        F.round(
-                            vec_dot(F.col(vec_col), c.cvec)
-                            / (F.col(nrm_col) * c.cnrm),
-                            6,
-                        ),
-                        F.lit(float("inf")),
+                    _safe_round_cos(
+                        vec_dot(F.col(vec_col), c.cvec),
+                        F.col(nrm_col) * c.cnrm,
                     ).alias("cos"),
                     (-c.cell_id).alias("neg_id"),
                 ),
@@ -626,9 +632,10 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             # dot/(na·nb): vec_cosine with the sqrts hoisted — same
             # float ops, bitwise-equal to the oracle's full expression
-            F.round(
-                vec_dot("embedding", "n_emb") / (F.col("nrm") * F.col("n_nrm")),
-                6,
+            # (zero-norm pairs → 0.0, the shared guard contract)
+            _safe_round_cos(
+                vec_dot("embedding", "n_emb"),
+                F.col("nrm") * F.col("n_nrm"),
             ).alias("cos_sim"),
         )
         .withColumn(
@@ -672,8 +679,10 @@ exact AS (
 SELECT CAST((SELECT COUNT(*) FROM approx JOIN exact
              USING (vec_id, neighbor_id)) AS BIGINT) AS n_hits,
        CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
-       (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id, neighbor_id))
-         / (SELECT COUNT(*) FROM exact) AS recall
+       CASE WHEN (SELECT COUNT(*) FROM exact) > 0 THEN
+         (SELECT COUNT(*) FROM approx JOIN exact USING (vec_id, neighbor_id))
+           / (SELECT COUNT(*) FROM exact)
+       ELSE 1.0 END AS recall
 """,
 )
 def sim_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +725,13 @@ def sim_knn_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(F.broadcast(n_ex)).select(
         F.col("n_hits").cast("long").alias("n_hits"),
         F.col("n_exact").cast("long").alias("n_exact"),
-        (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        # empty sampled query set → vacuously perfect recall, guarded
+        # identically in the oracle (ANSI throws on 0/0, DuckDB NULLs)
+        F.when(
+            F.col("n_exact") > 0, F.col("n_hits") / F.col("n_exact")
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall"),
     )
 
 
@@ -834,10 +849,8 @@ def _argmax_cell(cells_col: str, vec_col: str, nrm_col: str | None = None):
     (cnrm stored per centroid; pass `nrm_col` to reuse a per-row norm
     column) — the same float expression as vec_cosine, so bitwise-
     equal to the oracle's full form at a third of the per-pair cost.
-    NaN cosines (zero-norm vector or centroid) are mapped to +inf,
-    matching the oracle: DuckDB sorts NaN above +inf, so ROW_NUMBER
-    ... ORDER BY cos DESC picks the NaN cell with the smallest id,
-    exactly what +inf yields here."""
+    Zero-norm cosines (vector or centroid) are 0.0 — vec_cosine's
+    guard, matching the oracle's sql_cosine CASE."""
     na = (
         F.col(nrm_col)
         if nrm_col is not None
@@ -847,11 +860,8 @@ def _argmax_cell(cells_col: str, vec_col: str, nrm_col: str | None = None):
         F.transform(
             F.col(cells_col),
             lambda c: F.struct(
-                F.nanvl(
-                    F.round(
-                        vec_dot(F.col(vec_col), c.cvec) / (na * c.cnrm), 6
-                    ),
-                    F.lit(float("inf")),
+                _safe_round_cos(
+                    vec_dot(F.col(vec_col), c.cvec), na * c.cnrm
                 ).alias("cos"),
                 (-c.cell_id).alias("neg_id"),
             ),
@@ -2127,8 +2137,10 @@ c AS (
 SELECT fold,
        CAST(SUM(p) AS BIGINT) AS n_pos,
        CAST(SUM(q) AS BIGINT) AS n_neg,
-       CAST(SUM(2 * p * q_below + p * q) AS DOUBLE)
-         / CAST(2 * SUM(p) * SUM(q) AS DOUBLE) AS auc
+       CASE WHEN SUM(p) > 0 AND SUM(q) > 0 THEN
+         CAST(SUM(2 * p * q_below + p * q) AS DOUBLE)
+           / CAST(2 * SUM(p) * SUM(q) AS DOUBLE)
+       END AS auc
 FROM c GROUP BY fold
 """
 
@@ -2216,11 +2228,18 @@ def ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("fold").agg(
         F.sum("p").cast("bigint").alias("n_pos"),
         F.sum("q").cast("bigint").alias("n_neg"),
-        (
-            F.sum(2 * F.col("p") * F.col("q_below") + F.col("p") * F.col("q"))
-            .cast("double")
-            / (2 * F.sum("p") * F.sum("q")).cast("double")
-        ).alias("auc"),
+        # a single-class fold (no positives or no negatives — the
+        # degenerate fixture's 5-vector corpus) has no rankable pairs:
+        # AUC is undefined → NULL, guarded identically in the oracle
+        F.when(
+            (F.sum("p") > 0) & (F.sum("q") > 0),
+            F.sum(
+                2 * F.col("p") * F.col("q_below") + F.col("p") * F.col("q")
+            ).cast("double")
+            / (2 * F.sum("p") * F.sum("q")).cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("auc"),
     )
 
 
@@ -2442,9 +2461,9 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-lattice centroids (the shared _km_ctes chain); s is IEEE
     ops on lattice values, snapped to FLOOR(s·1e9 + 0.5) BIGINT before
     the per-cell sum — order-independent; the mean divides the exact
-    sum by COUNT·1e9. Zero-norm degenerates (NaN cosine / coincident
-    centroids) emit the literal 0, guarded identically on both
-    engines.
+    sum by COUNT·1e9. Zero-norm degenerates (zero-norm cosine /
+    coincident centroids) emit the literal 0, guarded identically on
+    both engines.
 
     Scale: training is _kmeans_cells (row-local broadcast-argmax
     assignment, K×dim-row centroid shuffles); the silhouette pass is
@@ -2459,11 +2478,8 @@ def ml_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.col("cells"),
             lambda c: F.struct(
-                F.nanvl(
-                    F.round(
-                        vec_dot(F.col("embedding"), c.cvec) / (na * c.cnrm), 6
-                    ),
-                    F.lit(float("inf")),
+                _safe_round_cos(
+                    vec_dot(F.col("embedding"), c.cvec), na * c.cnrm
                 ).alias("cos"),
                 (-c.cell_id).alias("neg_id"),
             ),

@@ -935,8 +935,10 @@ w AS (
 )
 SELECT event_type, day_no,
        COUNT(*) AS n_intervals,
-       ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(CAST(dt_us AS DECIMAL(30,6))) AS DOUBLE), 6) AS twap
+       CASE WHEN SUM(CAST(dt_us AS DECIMAL(30,6))) > 0 THEN
+         ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(dt_us AS DECIMAL(30,6))) AS DOUBLE), 6)
+       END AS twap
 FROM w
 GROUP BY 1, 2
 """
@@ -985,12 +987,19 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return iv.groupBy("event_type", "day_no").agg(
         F.count("*").alias("n_intervals"),
-        F.round(
-            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
-            .cast("double")
-            / F.sum(F.col("dt_us").cast("decimal(30,6)")).cast("double"),
-            6,
-        ).alias("twap"),
+        # a group whose only intervals are zero-length (duplicate
+        # timestamps) spans no time: TWAP undefined → NULL both sides
+        F.when(
+            F.sum(F.col("dt_us").cast("decimal(30,6)")) > 0,
+            F.round(
+                F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum(F.col("dt_us").cast("decimal(30,6)")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("twap"),
     )
 
 

@@ -1695,6 +1695,13 @@ def ml_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         brow = best.first()
+        if brow is None:
+            # no valid split anywhere (every feature constant → one
+            # bucket per axis, nl < nt never holds): boosting stops.
+            # The oracle's best{m} CTE goes empty the same round and
+            # every later round inherits the empty state, so both
+            # engines emit exactly the rounds that trained.
+            break
         thr_lo, thr_hi = lo_hi[brow["f"]]
         outs.append(
             {
@@ -2015,6 +2022,9 @@ tr AS (
          CAST(t.sx1y - f.sx1y AS DOUBLE) AS sx1y,
          CAST(t.sx2y - f.sx2y AS DOUBLE) AS sx2y
   FROM sf f JOIN tot t ON t.grp = f.grp
+  WHERE t.n > f.n  -- a fold holding ALL of its group's rows has an
+                   -- empty training complement: nothing to train, the
+                   -- fold is dropped (both engines; /n guard)
 ),
 c AS (
   SELECT grp, fold, n,
@@ -2122,14 +2132,21 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = sf_.groupBy("grp").agg(
         F.sum("n").alias("tn"), *[F.sum(m).alias(f"t{m}") for m in mom]
     )
-    tr = sf_.join(F.broadcast(tot), "grp").select(
-        "grp",
-        "fold",
-        (F.col("tn") - F.col("n")).alias("n"),
-        *[
-            (F.col(f"t{m}") - F.col(m)).cast("double").alias(m)
-            for m in mom
-        ],
+    tr = (
+        sf_.join(F.broadcast(tot), "grp")
+        # empty training complement (the fold holds ALL of its group's
+        # rows — degencheck's single-row returnflag group) → no model;
+        # drop the fold on both engines before the /n moment algebra
+        .filter(F.col("tn") > F.col("n"))
+        .select(
+            "grp",
+            "fold",
+            (F.col("tn") - F.col("n")).alias("n"),
+            *[
+                (F.col(f"t{m}") - F.col(m)).cast("double").alias(m)
+                for m in mom
+            ],
+        )
     )
     n = F.col("n")
     a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n + F.lit(
