@@ -2754,3 +2754,151 @@ def ml_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t_sum / F.nullif(t_ev, F.lit(0)) / 100).alias("mean_treat"),
         (c_sum / F.nullif(c_ev, F.lit(0)) / 100).alias("mean_ctrl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (feature relevance)
+
+_MI_RF = ("A", "N", "R")   # l_returnflag values (TPC-H-fixed enum)
+_MI_LS = ("F", "O")        # l_linestatus values
+
+
+def _mi_sql() -> str:
+    """DuckDB twin: the same 6 named cell counts in one row (the
+    agg_chi2_independence pattern), then MI/H from the identity
+    N·MI = xlnx(N) + Σ xlnx(c_xy) − Σ xlnx(row) − Σ xlnx(col) as a
+    fixed-order literal expression tree — identical IEEE/libm calls on
+    identical integers, ROUND(6) on the transcendental outputs."""
+
+    def xlnx(c: str) -> str:
+        return f"(CASE WHEN {c} > 0 THEN {c} * ln(CAST({c} AS DOUBLE)) ELSE 0.0 END)"
+
+    cells = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN l_returnflag = '{x}' AND l_linestatus = '{y}'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS c_{x}_{y}"
+        for x in _MI_RF
+        for y in _MI_LS
+    )
+    rows = {x: " + ".join(f"c_{x}_{y}" for y in _MI_LS) for x in _MI_RF}
+    cols = {y: " + ".join(f"c_{x}_{y}" for x in _MI_RF) for y in _MI_LS}
+    n = " + ".join(f"c_{x}_{y}" for x in _MI_RF for y in _MI_LS)
+    sum_cells = " + ".join(xlnx(f"c_{x}_{y}") for x in _MI_RF for y in _MI_LS)
+    sum_rows = " + ".join(xlnx(f"({rows[x]})") for x in _MI_RF)
+    sum_cols = " + ".join(xlnx(f"({cols[y]})") for y in _MI_LS)
+    return f"""
+WITH cells AS (
+  SELECT {cells}
+  FROM lineitem
+),
+w AS (SELECT *, CAST(({n}) AS BIGINT) AS n FROM cells),
+m AS (
+  SELECT n,
+         CASE WHEN n > 0 THEN
+           ({xlnx('n')} + ({sum_cells}) - ({sum_rows}) - ({sum_cols})) / n
+         ELSE 0.0 END AS mi,
+         CASE WHEN n > 0 THEN ({xlnx('n')} - ({sum_rows})) / n
+         ELSE 0.0 END AS h_x,
+         CASE WHEN n > 0 THEN ({xlnx('n')} - ({sum_cols})) / n
+         ELSE 0.0 END AS h_y
+  FROM w)
+SELECT n, ROUND(mi, 6) AS mi, ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
+       CASE WHEN h_x > 0 AND h_y > 0
+            THEN ROUND(mi / sqrt(h_x * h_y), 6) END AS nmi
+FROM m
+"""
+
+
+@query("ml_mutual_info", oracle=_mi_sql())
+def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between return flag and line status,
+    with marginal entropies and normalized MI — the FEATURE-RELEVANCE
+    member of the dependence family: agg_corr_covar sees only LINEAR
+    numeric association, agg_chi2_independence tests H₀ yes/no, while
+    MI measures the strength of ANY categorical dependence on a
+    [0, min(H_X, H_Y)] scale — the standard feature-selection score
+    (and the filter a training pipeline runs before one-hot-encoding
+    a high-cardinality column; ml_woe_iv is its supervised binary
+    sibling). NMI = MI/√(H_X·H_Y) rescales to [0,1].
+
+    Determinism: the 6 cell counts are exact BIGINTs as NAMED columns
+    of one aggregation row, and N·MI = xlnx(N) + Σxlnx(cell) −
+    Σxlnx(row) − Σxlnx(col) is a literal fixed-order expression tree
+    over them (the chi2 rule — no aggregation of ln terms, so no
+    cross-engine fold-order drift); ln is libm → ROUND(6) on every
+    emitted statistic. Degenerate guards both sides: empty table →
+    MI/H = 0 (xlnx(0) = 0 by the CASE), a constant column (H = 0,
+    degencheck's all-'O' linestatus) → NMI NULL, never a divide
+    error.
+
+    Scale: one partial-aggregable scan into 6 conditional counts plus
+    scalar algebra — the cheapest dependence measure at any SF (the
+    chi2 shape). Open-ended category sets swap the named cells for a
+    (x, y) groupBy and an xlnx aggregation with ROUND — same plan,
+    one more exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = li.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("l_returnflag") == x) & (F.col("l_linestatus") == y),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c_{x}_{y}")
+            for x in _MI_RF
+            for y in _MI_LS
+        ]
+    )
+
+    def xlnx(c):
+        return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    n = None
+    for x in _MI_RF:
+        for y in _MI_LS:
+            c = F.col(f"c_{x}_{y}")
+            n = c if n is None else n + c
+    w = cells.withColumn("n", n.cast("long"))
+    rows = {
+        x: sum(F.col(f"c_{x}_{y}") for y in _MI_LS[1:]) + F.col(f"c_{x}_{_MI_LS[0]}")
+        for x in _MI_RF
+    }
+    cols = {
+        y: sum(F.col(f"c_{x}_{y}") for x in _MI_RF[1:]) + F.col(f"c_{_MI_RF[0]}_{y}")
+        for y in _MI_LS
+    }
+    sum_cells = None
+    for x in _MI_RF:
+        for y in _MI_LS:
+            t = xlnx(F.col(f"c_{x}_{y}"))
+            sum_cells = t if sum_cells is None else sum_cells + t
+    sum_rows = None
+    for x in _MI_RF:
+        t = xlnx(rows[x])
+        sum_rows = t if sum_rows is None else sum_rows + t
+    sum_cols = None
+    for y in _MI_LS:
+        t = xlnx(cols[y])
+        sum_cols = t if sum_cols is None else sum_cols + t
+    nn = F.col("n")
+    mi = F.when(
+        nn > 0, (xlnx(nn) + sum_cells - sum_rows - sum_cols) / nn
+    ).otherwise(F.lit(0.0))
+    h_x = F.when(nn > 0, (xlnx(nn) - sum_rows) / nn).otherwise(F.lit(0.0))
+    h_y = F.when(nn > 0, (xlnx(nn) - sum_cols) / nn).otherwise(F.lit(0.0))
+    m = w.select(
+        "n", mi.alias("mi_raw"), h_x.alias("hx_raw"), h_y.alias("hy_raw")
+    )
+    return m.select(
+        "n",
+        F.round("mi_raw", 6).alias("mi"),
+        F.round("hx_raw", 6).alias("h_x"),
+        F.round("hy_raw", 6).alias("h_y"),
+        F.when(
+            (F.col("hx_raw") > 0) & (F.col("hy_raw") > 0),
+            F.round(
+                F.col("mi_raw") / F.sqrt(F.col("hx_raw") * F.col("hy_raw")), 6
+            ),
+        ).alias("nmi"),
+    )

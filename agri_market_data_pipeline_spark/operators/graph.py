@@ -1899,3 +1899,98 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (per-node triadic closure)
+
+_LCC_SQL = f"""
+WITH e AS ({_EDGE_SQL}),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM e WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM e WHERE src <> dst)),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+tri AS (
+  SELECT a.u AS node, CAST(COUNT(*) AS BIGINT) AS t
+  FROM und a
+  JOIN und b ON b.u = a.u AND b.v > a.v
+  JOIN und c ON c.u = a.v AND c.v = b.v
+  GROUP BY 1)
+SELECT n.n_name AS nation, d.d AS degree,
+       COALESCE(t.t, 0) AS triangles,
+       CASE WHEN d.d > 1 THEN
+         CAST(2 * COALESCE(t.t, 0) AS DOUBLE) / (d.d * (d.d - 1))
+       ELSE 0.0 END AS lcc
+FROM deg d
+JOIN nation n ON n.n_nationkey = d.node
+LEFT JOIN tri t ON t.node = d.node
+"""
+
+
+@query("graph_clustering_coefficient", oracle=_LCC_SQL)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation — the TRIADIC-CLOSURE
+    profile of the trade graph: for each node, what fraction of its
+    neighbor pairs trade with each other, lcc = 2T(u)/(d(u)(d(u)−1)).
+    graph_triangle_count answers 'how many triangles exist' globally;
+    this localizes them (hub nations with low lcc are brokers between
+    otherwise-unconnected partners — Burt's structural holes;
+    uniformly high lcc means a clique-like bloc). ΣT(u) = 3·triangles
+    is the cross-operator identity a test pins.
+
+    Determinism: pure integer counting on the simple undirected
+    adjacency (DISTINCT pairs, self-loops dropped); lcc is one
+    integer-ratio double — bitwise cross-engine, UNROUNDED; the
+    isolated/degree-1 case (no neighbor pairs) is defined 0.0 on both
+    engines, never an ANSI divide error.
+
+    Scale: facts reduce to the ≤n² edge list once (the module
+    discipline); the triangle join is the sorted-orientation wedge
+    join (neighbor lists joined on the shared endpoint with v-ordering
+    so each triangle counts once per corner) — the same
+    skew-controlled shape as graph_triangle_count, equi-join keyed,
+    AQE-skew-safe; degree caps are unnecessary at the nation grain and
+    at larger grains the standard high-degree-vertex split applies."""
+    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds deg + three wedge-join sides
+    )
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    a = und.select(F.col("u").alias("node"), F.col("v").alias("x"))
+    b = und.select(F.col("u").alias("node"), F.col("v").alias("y"))
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = (
+        a.join(b, "node")
+        .filter(F.col("y") > F.col("x"))
+        .join(closing, ["x", "y"])
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    t = F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+    d = F.col("d")
+    return (
+        deg.join(F.broadcast(nat), "node")
+        .join(tri, "node", "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            d.alias("degree"),
+            t.alias("triangles"),
+            F.when(
+                d > 1, (2 * t).cast("double") / (d * (d - 1))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )

@@ -2843,3 +2843,184 @@ def ml_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "f1",
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier score + Murphy decomposition (calibration vs discrimination)
+
+_BRIER_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT y,
+         CAST(FLOOR(ROUND(1.0 / (1.0 + EXP(-z)), 6) * 1e6 + 0.5) AS BIGINT)
+           AS s_lat
+  FROM z
+),
+b AS (
+  SELECT LEAST(s_lat * {_ECE_BINS} // 1000000, {_ECE_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(y) AS BIGINT) AS pk,
+         CAST(SUM(s_lat) AS BIGINT) AS slk,
+         CAST(SUM((s_lat - y * 1000000) * (s_lat - y * 1000000)) AS BIGINT)
+           AS d2k
+  FROM s GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(pk) AS BIGINT) AS p,
+         CAST(SUM(d2k) AS BIGINT) AS d2
+  FROM b
+),
+terms AS (
+  SELECT CAST(SUM(CAST(FLOOR(
+           CAST((pk * 1000000 - slk) AS DOUBLE)
+           * CAST((pk * 1000000 - slk) AS DOUBLE) / nk + 0.5) AS BIGINT))
+         AS BIGINT) AS rel_lat,
+         CAST(SUM(CAST(FLOOR(
+           CAST((pk * t.n - t.p * nk) AS DOUBLE)
+           * CAST((pk * t.n - t.p * nk) AS DOUBLE) / nk + 0.5) AS BIGINT))
+         AS BIGINT) AS res_lat
+  FROM b, tot t
+)
+SELECT t.n, CAST(t.p AS BIGINT) AS n_pos,
+       CAST(t.d2 AS DOUBLE) / 1e12 / t.n AS brier,
+       CAST(r.rel_lat AS DOUBLE) / 1e12 / t.n AS reliability,
+       CAST(r.res_lat AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n * t.n)
+         AS resolution,
+       CAST(t.p * (t.n - t.p) AS DOUBLE) / (CAST(t.n AS DOUBLE) * t.n)
+         AS uncertainty
+FROM tot t, terms r
+"""
+
+
+@query("ml_brier_decomposition", oracle=_BRIER_SQL)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty) — the PROPER-SCORING member of the
+    classifier-eval triad: ml_auc_roc ranks (discrimination),
+    ml_calibration_ece diagrams calibration per bin, and the Brier
+    decomposition says WHERE a probabilistic score loses points —
+    miscalibration (reliability, lower better), failure to separate
+    outcomes (resolution, higher better), or irreducible base-rate
+    noise (uncertainty). Same fixed md5-probe sigmoid score and
+    y = label % 2 as ECE/AUC, so all three read ONE classifier; the
+    same {_ECE_BINS} equal-width confidence bins as ECE.
+
+    Determinism: the score snaps to its ROUND(6) 1e-6 BIGINT lattice
+    before anything else, so the per-row Brier term (s_lat − y·1e6)²
+    and every per-bin count/sum are exact integers; the two
+    decomposition sums lattice each bin's term with FLOOR(x + 0.5) of
+    an identical IEEE expression (exact e_k²/n_k and g_k²/n_k
+    quotients — both engines floor the same double), making the
+    cross-bin sums order-independent BIGINTs; every emitted statistic
+    is an integer-ratio double — bitwise, UNROUNDED (CLAUDE.md).
+    Headroom: res_lat ≈ N²·n_k sums overflow int64 near N ≈ 1e6 rows
+    per fold-free corpus — past that, rescale g_k by 1/N (document
+    says: move the N³ normalizer inside the floor) or DECIMAL(38,0);
+    ANSI fails loudly until then.
+
+    Scale: one corpus scan (explode × broadcast 64-row probe), one
+    {_ECE_BINS}-key partial agg, scalar algebra on a ≤{_ECE_BINS}-row
+    frame — scan-bound at any corpus size, like ECE."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = (
+        x.select("vec_id", "y", "xi", probe_w.alias("w"))
+        .groupBy("vec_id", "y")
+        .agg(
+            F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    s = z.select(
+        "y",
+        F.floor(F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6) * 1e6 + F.lit(0.5))
+        .cast("bigint")
+        .alias("s_lat"),
+    )
+    d = F.col("s_lat") - F.col("y") * 1000000
+    b = (
+        s.groupBy(
+            F.least(
+                F.expr(f"s_lat * {_ECE_BINS} div 1000000"),
+                F.lit(_ECE_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum("y").cast("bigint").alias("pk"),
+            F.sum("s_lat").cast("bigint").alias("slk"),
+            F.sum(d * d).cast("bigint").alias("d2k"),
+        )
+        .localCheckpoint(eager=True)  # feeds tot AND terms — one scan
+    )
+    tot = b.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("pk").cast("bigint").alias("p"),
+        F.sum("d2k").cast("bigint").alias("d2"),
+    ).localCheckpoint(eager=True)
+    e_k = (F.col("pk") * 1000000 - F.col("slk")).cast("double")
+    g_k = (F.col("pk") * F.col("n") - F.col("p") * F.col("nk")).cast("double")
+    terms = (
+        b.join(F.broadcast(tot))
+        .agg(
+            F.sum(F.floor(e_k * e_k / F.col("nk") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("rel_lat"),
+            F.sum(F.floor(g_k * g_k / F.col("nk") + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("res_lat"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return tot.join(F.broadcast(terms)).select(
+        "n",
+        F.col("p").cast("bigint").alias("n_pos"),
+        (F.col("d2").cast("double") / 1e12 / F.col("n")).alias("brier"),
+        (F.col("rel_lat").cast("double") / 1e12 / F.col("n")).alias(
+            "reliability"
+        ),
+        (F.col("res_lat").cast("double") / (n_d * n_d * n_d)).alias(
+            "resolution"
+        ),
+        (
+            (F.col("p") * (F.col("n") - F.col("p"))).cast("double")
+            / (n_d * n_d)
+        ).alias("uncertainty"),
+    )

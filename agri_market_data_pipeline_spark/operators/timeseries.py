@@ -3077,3 +3077,220 @@ def ts_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("energy_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin–Levinson), the AR-order diagnostic
+
+_PACF_K = 4  # lags 1..4 — AR order identification rarely needs more
+
+
+def _pacf_sql() -> str:
+    """DuckDB twin: identical lattice daily series, the same rank-lag
+    co-moment aggregates, and the same UNROLLED Durbin–Levinson scalar
+    tree — every r_k and φ input is an exact integer or an IEEE
+    expression over exact integers, so the recursion is bitwise
+    cross-engine and only the emitted pacf takes ROUND(6)."""
+    pair_aggs = ",\n".join(
+        f"""         CAST(SUM(s * l{k}) AS BIGINT) AS p{k},
+         CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN s END) AS BIGINT) AS a{k},
+         CAST(SUM(l{k}) AS BIGINT) AS b{k},
+         CAST(COUNT(l{k}) AS BIGINT) AS m{k}"""
+        for k in range(1, _PACF_K + 1)
+    )
+    leads = ",\n".join(
+        f"         LEAD(s, {k}) OVER (PARTITION BY et ORDER BY day_no) AS l{k}"
+        for k in range(1, _PACF_K + 1)
+    )
+    rs = ",\n".join(
+        f"""       CASE WHEN c0 > 0 AND m{k} > 0 THEN
+         (CAST(p{k} AS DOUBLE) - mu * (CAST(a{k} AS DOUBLE)
+            + CAST(b{k} AS DOUBLE)) + CAST(m{k} AS DOUBLE) * mu * mu) / c0
+       END AS r{k}"""
+        for k in range(1, _PACF_K + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR((CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / COUNT(*)) * 1e3 + 0.5) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT et, s,
+{leads}
+  FROM daily),
+g AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS s1,
+         CAST(SUM(s * s) AS BIGINT) AS s2,
+{pair_aggs}
+  FROM lagged GROUP BY et),
+base AS (
+  SELECT *, CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)
+           * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS c0
+  FROM g),
+acf AS (
+  SELECT et,
+{rs}
+  FROM base),
+dl AS (
+  SELECT et, r1, r2, r3, r4,
+         r1 AS f11,
+         CASE WHEN 1 - r1 * r1 <> 0
+              THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS f22
+  FROM acf),
+dl2 AS (
+  SELECT *, f11 - f22 * f11 AS f21 FROM dl),
+dl3 AS (
+  SELECT *,
+         CASE WHEN 1 - (f21 * r1 + f22 * r2) <> 0
+              THEN (r3 - (f21 * r2 + f22 * r1))
+                   / (1 - (f21 * r1 + f22 * r2)) END AS f33
+  FROM dl2),
+dl4 AS (
+  SELECT *, f21 - f33 * f22 AS f31, f22 - f33 * f21 AS f32 FROM dl3),
+dl5 AS (
+  SELECT *,
+         CASE WHEN 1 - (f31 * r1 + f32 * r2 + f33 * r3) <> 0
+              THEN (r4 - (f31 * r3 + f32 * r2 + f33 * r1))
+                   / (1 - (f31 * r1 + f32 * r2 + f33 * r3)) END AS f44
+  FROM dl4)
+SELECT et AS event_type, CAST(k AS BIGINT) AS lag, ROUND(f, 6) AS pacf
+FROM (
+  SELECT et, 1 AS k, f11 AS f FROM dl5
+  UNION ALL SELECT et, 2, f22 FROM dl5
+  UNION ALL SELECT et, 3, f33 FROM dl5
+  UNION ALL SELECT et, 4, f44 FROM dl5
+) t
+"""
+
+
+@query("ts_pacf", oracle=_pacf_sql())
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function (lags 1..4) of each daily event
+    series via the Durbin–Levinson recursion — the AR-ORDER diagnostic
+    that completes the correlogram pair: ts_autocorr/ts_ljung_box read
+    the RAW autocorrelation (which an AR(1) smears across every lag),
+    while PACF removes the shorter-lag explanation at each step, so an
+    AR(p) series shows exactly p significant spikes (Box–Jenkins model
+    identification — the plot you read before picking a forecaster
+    like ts_holt_forecast).
+
+    Determinism: the daily series is the wavelet op's FLOOR(mean·1e3)
+    BIGINT lattice; the lag-k co-moments (Σs·s₊ₖ, pair sums/counts)
+    are exact BIGINTs from ONE multi-lead window pass; each ACF value
+    r_k and the whole unrolled Durbin–Levinson tree are fixed IEEE
+    expressions over those exact integers — bitwise identical
+    cross-engine — and the emitted pacf takes ROUND(6) (the final
+    quotient is full-mantissa, tie risk measure-zero). Degenerate
+    guards both engines: a constant series (c0 = 0) or a series
+    shorter than the lag (no pairs) yields NULL r_k, and each
+    recursion denominator 1 − Σφr = 0 (a unit-root boundary) yields
+    NULL for that and deeper lags — never an ANSI divide error
+    (degencheck's constant/lone series pin this).
+
+    Scale: one partial-aggregable scan to the (type, day) grain, one
+    lead window per event_type partition over the calendar-bounded
+    daily frame (grain-bounded, same exemption as ts_ljung_box), one
+    per-type aggregate, then pure scalar algebra on a |types|-row
+    frame. Fact rows are touched exactly once."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.floor(
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            )
+            * 1e3
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    lagged = daily.select(
+        "et",
+        "s",
+        *[F.lead("s", k).over(w).alias(f"l{k}") for k in range(1, _PACF_K + 1)],
+    )
+    pair_aggs = []
+    for k in range(1, _PACF_K + 1):
+        lk = F.col(f"l{k}")
+        pair_aggs += [
+            F.sum(F.col("s") * lk).cast("bigint").alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("s")))
+            .cast("bigint")
+            .alias(f"a{k}"),
+            F.sum(lk).cast("bigint").alias(f"b{k}"),
+            F.count(lk).cast("bigint").alias(f"m{k}"),
+        ]
+    g = lagged.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s1"),
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("s2"),
+        *pair_aggs,
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    c0 = F.col("s2").cast("double") - F.col("n").cast("double") * mu * mu
+    rcols = {}
+    for k in range(1, _PACF_K + 1):
+        rcols[k] = F.when(
+            (c0 > 0) & (F.col(f"m{k}") > 0),
+            (
+                F.col(f"p{k}").cast("double")
+                - mu
+                * (F.col(f"a{k}").cast("double") + F.col(f"b{k}").cast("double"))
+                + F.col(f"m{k}").cast("double") * mu * mu
+            )
+            / c0,
+        )
+    acf = g.select("et", *[rcols[k].alias(f"r{k}") for k in range(1, _PACF_K + 1)])
+    r1, r2 = F.col("r1"), F.col("r2")
+    dl = acf.select(
+        "et",
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        r1.alias("f11"),
+        F.when(1 - r1 * r1 != 0, (r2 - r1 * r1) / (1 - r1 * r1)).alias("f22"),
+    )
+    dl2 = dl.withColumn("f21", F.col("f11") - F.col("f22") * F.col("f11"))
+    f21, f22, r3 = F.col("f21"), F.col("f22"), F.col("r3")
+    den3 = 1 - (f21 * F.col("r1") + f22 * F.col("r2"))
+    dl3 = dl2.withColumn(
+        "f33",
+        F.when(den3 != 0, (r3 - (f21 * F.col("r2") + f22 * F.col("r1"))) / den3),
+    )
+    dl4 = dl3.withColumn(
+        "f31", F.col("f21") - F.col("f33") * F.col("f22")
+    ).withColumn("f32", F.col("f22") - F.col("f33") * F.col("f21"))
+    f31, f32, f33, r4 = F.col("f31"), F.col("f32"), F.col("f33"), F.col("r4")
+    den4 = 1 - (f31 * F.col("r1") + f32 * F.col("r2") + f33 * F.col("r3"))
+    dl5 = dl4.withColumn(
+        "f44",
+        F.when(
+            den4 != 0,
+            (r4 - (f31 * F.col("r3") + f32 * F.col("r2") + f33 * F.col("r1")))
+            / den4,
+        ),
+    )
+    # the 4-lag union references this |types|-row frame 4x — pin the
+    # events scan + window to ONE execution (the r10 ADVICE rule)
+    dl5 = dl5.localCheckpoint(eager=True)
+    parts = [
+        dl5.select(
+            F.col("et").alias("event_type"),
+            F.lit(k).cast("bigint").alias("lag"),
+            F.round(F.col(f"f{k}{k}"), 6).alias("pacf"),
+        )
+        for k in range(1, _PACF_K + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2205,3 +2205,187 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_test")
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-model SHAP attributions (explainability over the ridge model)
+
+_SHAP_SQL = f"""
+WITH s AS (
+  SELECT l_returnflag AS grp,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx1,
+         CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx1x1,
+         CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx2x2,
+         CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+           AS sx1x2,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sx1y,
+         CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS sx2y
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT grp, n, sx1 / n AS mu1, sx2 / n AS mu2,
+         sx1x1 - sx1 * sx1 / n + {_RIDGE_LAMBDA} AS a11,
+         sx2x2 - sx2 * sx2 / n + {_RIDGE_LAMBDA} AS a22,
+         sx1x2 - sx1 * sx2 / n AS a12,
+         sx1y - sx1 * sy / n AS c1,
+         sx2y - sx2 * sy / n AS c2
+  FROM s
+),
+model AS (
+  SELECT grp, n, mu1, mu2,
+         ROUND((a22 * c1 - a12 * c2) / (a11 * a22 - a12 * a12), 6) AS beta1,
+         ROUND((a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12), 6) AS beta2
+  FROM c
+),
+dev AS (
+  SELECT l.l_returnflag AS grp,
+         CAST(SUM(CAST(FLOOR(ABS(l.l_quantity - m.mu1) * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sad1,
+         CAST(SUM(CAST(FLOOR(ABS(l.l_discount - m.mu2) * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS sad2
+  FROM lineitem l JOIN model m ON m.grp = l.l_returnflag
+  GROUP BY 1
+),
+mas AS (
+  SELECT m.grp, m.n, m.beta1, m.beta2,
+         ABS(m.beta1) * (CAST(d.sad1 AS DOUBLE) / 1e6 / m.n) AS mas1,
+         ABS(m.beta2) * (CAST(d.sad2 AS DOUBLE) / 1e6 / m.n) AS mas2
+  FROM model m JOIN dev d ON d.grp = m.grp
+)
+SELECT grp, feature, beta, mean_abs_shap,
+       CASE WHEN mas1 + mas2 > 0 THEN mean_abs_shap / (mas1 + mas2) END
+         AS share
+FROM (
+  SELECT grp, 'quantity' AS feature, beta1 AS beta, mas1 AS mean_abs_shap,
+         mas1, mas2 FROM mas
+  UNION ALL
+  SELECT grp, 'discount', beta2, mas2, mas1, mas2 FROM mas
+) t
+"""
+
+
+@query("ml_linear_shap", oracle=_SHAP_SQL)
+def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature SHAP attributions of the closed-form ridge model —
+    the EXPLAINABILITY layer the training family lacked: for a linear
+    model the exact Shapley value of feature j on a row is
+    βⱼ·(xⱼ − μⱼ) (independence-form SHAP — Lundberg & Lee's linear
+    case), so global feature importance is mean|SHAP| =
+    |βⱼ|·mean|xⱼ − μⱼ| and `share` ranks features on a [0,1] scale.
+    Same model as ml_ridge_closed_form (price on quantity+discount per
+    return flag), so the attribution is auditable against its betas;
+    the analogous tree path would read ml_gbm_stumps' split gains.
+
+    Determinism: moments are exact decimals (the ridge recipe); betas
+    take the ridge op's ROUND(6); μⱼ is an exact-sum / count double —
+    identical both engines — so each row's FLOOR(|x − μ|·1e6 + 0.5)
+    lattice term is the same integer and the per-group sum is an
+    order-independent BIGINT; mean|SHAP| and share are fixed IEEE
+    trees over those (share guarded: a group with zero total
+    attribution — both features constant, degencheck — yields NULL,
+    never a divide error).
+
+    Scale: two fact passes (one partial-aggregable moment scan, one
+    deviation scan against the broadcast 3-row model), the k-fold
+    discipline without the folds; everything after is algebra on
+    K-row frames."""
+    li = load_parallel(spark, sf_dir, "lineitem")
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+
+    def dec(expr: Column, p: int, name: str) -> Column:
+        return F.sum(expr.cast(f"decimal({p},6)")).cast("double").alias(name)
+
+    s = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"),
+        dec(x1, 30, "sx1"),
+        dec(x2, 30, "sx2"),
+        dec(y, 30, "sy"),
+        dec(x1 * x1, 38, "sx1x1"),
+        dec(x2 * x2, 38, "sx2x2"),
+        dec(x1 * x2, 38, "sx1x2"),
+        dec(x1 * y, 38, "sx1y"),
+        dec(x2 * y, 38, "sx2y"),
+    )
+    n = F.col("n")
+    a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n + F.lit(
+        _RIDGE_LAMBDA
+    )
+    a22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n + F.lit(
+        _RIDGE_LAMBDA
+    )
+    a12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = a11 * a22 - a12 * a12
+    model = s.select(
+        "grp",
+        "n",
+        (F.col("sx1") / n).alias("mu1"),
+        (F.col("sx2") / n).alias("mu2"),
+        F.round((a22 * c1 - a12 * c2) / det, 6).alias("beta1"),
+        F.round((a11 * c2 - a12 * c1) / det, 6).alias("beta2"),
+    ).localCheckpoint(eager=True)  # 3 rows; feeds the dev scan AND mas
+    dev = (
+        li.select(F.col("l_returnflag").alias("grp"), x1, x2)
+        .join(F.broadcast(model.select("grp", "mu1", "mu2")), "grp")
+        .select(
+            "grp",
+            F.floor(F.abs(x1 - F.col("mu1")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ad1"),
+            F.floor(F.abs(x2 - F.col("mu2")) * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ad2"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("ad1").cast("bigint").alias("sad1"),
+            F.sum("ad2").cast("bigint").alias("sad2"),
+        )
+    )
+    mas = (
+        model.join(dev, "grp")
+        .select(
+            "grp",
+            "beta1",
+            "beta2",
+            (
+                F.abs(F.col("beta1"))
+                * (F.col("sad1").cast("double") / 1e6 / F.col("n"))
+            ).alias("mas1"),
+            (
+                F.abs(F.col("beta2"))
+                * (F.col("sad2").cast("double") / 1e6 / F.col("n"))
+            ).alias("mas2"),
+        )
+        .localCheckpoint(eager=True)  # 3 rows; referenced by both features
+    )
+    tot = F.col("mas1") + F.col("mas2")
+    parts = [
+        mas.select(
+            "grp",
+            F.lit("quantity").alias("feature"),
+            F.col("beta1").alias("beta"),
+            F.col("mas1").alias("mean_abs_shap"),
+            F.when(tot > 0, F.col("mas1") / tot).alias("share"),
+        ),
+        mas.select(
+            "grp",
+            F.lit("discount").alias("feature"),
+            F.col("beta2").alias("beta"),
+            F.col("mas2").alias("mean_abs_shap"),
+            F.when(tot > 0, F.col("mas2") / tot).alias("share"),
+        ),
+    ]
+    return parts[0].unionByName(parts[1])

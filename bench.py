@@ -131,6 +131,15 @@ HEADLINE = [
     "graph_louvain_move",
     "ml_kfold_cv",
     "ml_threshold_tuning",
+    # r11: the correlogram completion, the proper-scoring eval, the
+    # triadic-closure profile, the dependence measure, and the
+    # explainability layer (pinned THIS round from the two re-pin runs
+    # — no more headlined-but-unpinned newcomers, VERDICT r10 item 3)
+    "ts_pacf",
+    "ml_brier_decomposition",
+    "graph_clustering_coefficient",
+    "ml_mutual_info",
+    "ml_linear_shap",
 ]
 
 

@@ -1824,3 +1824,264 @@ def test_auc_2u_accumulation_headroom_is_guarded(spark):
         assert raised or bad < 0, "overflow neither raised nor wrapped"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# r11 operators: pacf / brier decomposition / clustering coefficient /
+# mutual information / linear SHAP
+
+
+def _q(name):
+    return all_queries()[name]
+
+
+def test_pacf_python_twin_and_ar1_signature(spark, tmp_path):
+    """Two pins for ts_pacf. (1) Exact twin: replay the lattice daily
+    series and the Durbin–Levinson recursion in pure Python on a
+    planted fixture and require the engine's pacf to match to the
+    ROUND(6) grain. (2) Statistical signature: an AR(1) series has
+    PACF(1) near its coefficient and PACF(2..4) near zero — the
+    Box–Jenkins cutoff property the operator exists to expose."""
+    import hashlib
+    import math
+    import shutil
+
+    import pandas as pd
+
+    def noise(tag, i):
+        return int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16) / 2**32
+
+    n = 300
+    phi = 0.6
+    x = [0.0] * n
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + (noise("ar", i) - 0.5)
+    alt = tmp_path / "pacf"
+    alt.mkdir()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for t in tables:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet")
+    ev = pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([d * 24 for d in range(n)], unit="h"),
+            "user_id": [1] * n,
+            "event_type": ["ar1"] * n,
+            "value": [float(v) for v in x],
+            "props": ["{}"] * n,
+        }
+    )
+    ev.to_parquet(alt / "events.parquet", coerce_timestamps="us")
+
+    got = {
+        int(r.lag): r.pacf
+        for r in _q("ts_pacf")(spark, str(alt)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+
+    # pure-Python twin: same lattice, same estimator, same recursion
+    s = [math.floor(v * 1e3 + 0.5) for v in x]
+    mu = sum(s) / n
+    c0 = sum(v * v for v in s) - n * mu * mu
+    r = {}
+    for k in range(1, 5):
+        pairs = list(zip(s[:-k], s[k:]))
+        p = sum(a * b for a, b in pairs)
+        a_ = sum(a for a, _ in pairs)
+        b_ = sum(b for _, b in pairs)
+        m = len(pairs)
+        r[k] = (p - mu * (a_ + b_) + m * mu * mu) / c0
+    f11 = r[1]
+    f22 = (r[2] - r[1] * r[1]) / (1 - r[1] * r[1])
+    f21 = f11 - f22 * f11
+    f33 = (r[3] - (f21 * r[2] + f22 * r[1])) / (1 - (f21 * r[1] + f22 * r[2]))
+    f31, f32 = f21 - f33 * f22, f22 - f33 * f21
+    f44 = (r[4] - (f31 * r[3] + f32 * r[2] + f33 * r[1])) / (
+        1 - (f31 * r[1] + f32 * r[2] + f33 * r[3])
+    )
+    expect = {1: f11, 2: f22, 3: f33, 4: f44}
+    for k in range(1, 5):
+        assert abs(got[k] - round(expect[k], 6)) < 2e-6, (k, got[k], expect[k])
+
+    # AR(1) signature: spike at lag 1, cutoff after
+    assert 0.4 < got[1] < 0.8, got
+    for k in (2, 3, 4):
+        assert abs(got[k]) < 0.2, got
+
+
+def test_brier_decomposition_python_twin(spark, sf_dir):
+    """Exact pure-Python twin of ml_brier_decomposition on the real
+    sf0.001 embeddings: same md5 probe, same DECIMAL(30,15) product
+    accumulation, same ROUND(6)→1e-6 lattice, same per-bin FLOOR
+    lattices — every emitted statistic must match bitwise (they are
+    integer-ratio doubles). Also pins the Murphy inequalities."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    row = _q("ml_brier_decomposition")(spark, sf_dir).collect()[0]
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    w = {
+        i: (int(hashlib.md5(f"probe:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(1, 65)
+    }
+    q15 = Decimal(1).scaleb(-15)
+    bins = {}
+    n_tot = p_tot = d2_tot = 0
+    for vec, label in zip(
+        tbl.column("embedding").to_pylist(), tbl.column("label").to_pylist()
+    ):
+        y = label % 2
+        z = sum(
+            (Decimal(float(xi) * w[i + 1]).quantize(q15, ROUND_HALF_UP)
+             for i, xi in enumerate(vec)),
+            Decimal(0),
+        )
+        score = round(1.0 / (1.0 + math.exp(-float(z))), 6)
+        s_lat = math.floor(score * 1e6 + 0.5)
+        b = min(s_lat * 10 // 1000000, 9)
+        nk, pk, slk = bins.get(b, (0, 0, 0))
+        bins[b] = (nk + 1, pk + y, slk + s_lat)
+        n_tot += 1
+        p_tot += y
+        d2_tot += (s_lat - y * 1000000) ** 2
+    rel_lat = sum(
+        math.floor(float(pk * 1000000 - slk) ** 2 / nk + 0.5)
+        for nk, pk, slk in bins.values()
+    )
+    res_lat = sum(
+        math.floor(float(pk * n_tot - p_tot * nk) ** 2 / nk + 0.5)
+        for nk, pk, slk in bins.values()
+    )
+    assert row.n == n_tot and row.n_pos == p_tot
+    assert row.brier == d2_tot / 1e12 / n_tot
+    assert row.reliability == rel_lat / 1e12 / n_tot
+    assert row.resolution == res_lat / (float(n_tot) * n_tot * n_tot)
+    assert row.uncertainty == p_tot * (n_tot - p_tot) / (float(n_tot) * n_tot)
+    # Murphy bounds: all components non-negative, uncertainty <= 1/4
+    assert row.reliability >= 0 and row.resolution >= 0
+    assert 0 <= row.uncertainty <= 0.25
+
+
+def test_clustering_coefficient_python_twin_and_triangle_identity(
+    spark, sf_dir
+):
+    """Pure-Python LCC twin from the collected edge list (exact set
+    arithmetic), plus the cross-operator identity Σ T(u) = 3 × the
+    global triangle count reported by graph_triangle_count."""
+    from agri_market_data_pipeline_spark.operators.graph import _edges
+
+    und = set()
+    for r in _edges(spark, sf_dir).collect():
+        if r.src != r.dst:
+            und.add((r.src, r.dst))
+            und.add((r.dst, r.src))
+    adj = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+
+    got = {
+        r.nation: (r.degree, r.triangles, r.lcc)
+        for r in _q("graph_clustering_coefficient")(spark, sf_dir).collect()
+    }
+    nations = {
+        r.node: r.n_name
+        for r in load(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").alias("node"), "n_name")
+        .collect()
+    }
+    tri_sum = 0
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        t = 0
+        for v in nbrs:
+            for w_ in nbrs:
+                if v < w_ and w_ in adj.get(v, ()):
+                    t += 1
+        tri_sum += t
+        deg_got, tri_got, lcc_got = got[nations[node]]
+        assert deg_got == d and tri_got == t, (node, d, t, got[nations[node]])
+        expect = 2 * t / (d * (d - 1)) if d > 1 else 0.0
+        assert lcc_got == expect
+
+    # cross-operator identity: graph_triangle_count's per-node
+    # participation equals this op's triangles column exactly
+    per_node = {
+        r.nation: r.n_triangles
+        for r in _q("graph_triangle_count")(spark, sf_dir).collect()
+    }
+    for nation, (_, t, _) in got.items():
+        assert per_node.get(nation, 0) == t, (nation, t, per_node.get(nation))
+    assert tri_sum == sum(t for _, t, _ in got.values())
+
+
+def test_mutual_info_python_twin_and_bounds(spark, sf_dir):
+    """Exact pandas twin of ml_mutual_info (same fixed-order xlnx
+    tree), plus the information-theoretic bounds 0 <= MI <= min(H) and
+    NMI in [0, 1]."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    row = _q("ml_mutual_info")(spark, sf_dir).collect()[0]
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"]
+    )
+    cells = {}
+    for x, y in zip(
+        tbl.column("l_returnflag").to_pylist(),
+        tbl.column("l_linestatus").to_pylist(),
+    ):
+        cells[(x, y)] = cells.get((x, y), 0) + 1
+
+    def xlnx(c):
+        return c * math.log(c) if c > 0 else 0.0
+
+    rf, ls = ("A", "N", "R"), ("F", "O")
+    n = sum(cells.get((x, y), 0) for x in rf for y in ls)
+    sum_cells = sum(xlnx(cells.get((x, y), 0)) for x in rf for y in ls)
+    sum_rows = sum(xlnx(sum(cells.get((x, y), 0) for y in ls)) for x in rf)
+    sum_cols = sum(xlnx(sum(cells.get((x, y), 0) for x in rf)) for y in ls)
+    mi = (xlnx(n) + sum_cells - sum_rows - sum_cols) / n
+    h_x = (xlnx(n) - sum_rows) / n
+    h_y = (xlnx(n) - sum_cols) / n
+    assert row.n == n
+    assert abs(row.mi - mi) < 2e-6 and abs(row.h_x - h_x) < 2e-6
+    assert abs(row.h_y - h_y) < 2e-6
+    assert -1e-9 <= row.mi <= min(row.h_x, row.h_y) + 1e-6
+    if row.nmi is not None:
+        assert abs(row.nmi - mi / math.sqrt(h_x * h_y)) < 2e-6
+        assert 0 <= row.nmi <= 1
+
+
+def test_linear_shap_consistent_with_ridge_and_shares_sum(spark, sf_dir):
+    """ml_linear_shap must attribute with EXACTLY the betas
+    ml_ridge_closed_form publishes (same model, auditable), its
+    non-null shares must sum to 1 per group, and mean_abs_shap must
+    equal |beta| x the exact lattice mean absolute deviation."""
+    shap = _q("ml_linear_shap")(spark, sf_dir).collect()
+    ridge = {
+        r.grp: (r.beta1, r.beta2)
+        for r in _q("ml_ridge_closed_form")(spark, sf_dir).collect()
+    }
+    by_grp = {}
+    for r in shap:
+        by_grp.setdefault(r.grp, {})[r.feature] = r
+    assert set(by_grp) == set(ridge)
+    for grp, feats in by_grp.items():
+        assert set(feats) == {"quantity", "discount"}
+        assert feats["quantity"].beta == ridge[grp][0]
+        assert feats["discount"].beta == ridge[grp][1]
+        shares = [feats[f].share for f in ("quantity", "discount")]
+        if all(s is not None for s in shares):
+            assert abs(sum(shares) - 1.0) < 1e-12, (grp, shares)
+        for f in feats.values():
+            assert f.mean_abs_shap >= 0

@@ -176,6 +176,12 @@ AUDITED = [
     "graph_louvain_move",
     "ml_kfold_cv",
     "ml_threshold_tuning",
+    # r11 additions
+    "ts_pacf",
+    "ml_brier_decomposition",
+    "graph_clustering_coefficient",
+    "ml_mutual_info",
+    "ml_linear_shap",
 ]
 
 
@@ -237,6 +243,8 @@ NESTED_LOOP_OK = {
     # r10:
     "incr_ann_upsert",       # 1-row frozen-quantizer centroid-array frame
     "graph_louvain_move",    # 1-row W scalar + 1-row Q-before/after frames
+    # r11:
+    "ml_brier_decomposition",  # 1-row totals + 1-row decomposition frames
 }
 
 # Queries allowed to carry a zero-partition window whose input is
