@@ -138,6 +138,11 @@ AUDITED = [
     "sample_reservoir_k",
     "sample_weighted_k",
     "ml_pca_power",  # corpus-once sufficient stats + d^3 squaring loop
+    # r11, join-bearing per the policy: the wedge SELF-JOIN behind the
+    # clustering coefficient (edge-list grain) and the SHAP deviation
+    # scan's fact-to-broadcast-model join.
+    "graph_clustering_coefficient",
+    "ml_linear_shap",
     "dq_table_diff",  # full-outer key join of two snapshot versions
     "ts_var_cvar",    # per-series rank window (calendar grain-bounded)
     "join_point_in_polygon",  # inverted-cell-list candidate equi-join
