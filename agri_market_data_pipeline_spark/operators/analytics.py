@@ -2902,3 +2902,207 @@ def ml_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("nmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with between/within decomposition
+
+_THEIL_SQL = """
+WITH g AS (
+  SELECT p_brand AS grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS sg
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s FROM g
+),
+mu AS (
+  SELECT g.grp, g.ng, t.n,
+         CAST(g.sg AS DOUBLE) / g.ng AS mug,
+         CAST(t.s AS DOUBLE) / t.n AS mu
+  FROM g, tot t
+),
+rowterms AS (
+  SELECT m.grp,
+         CAST(SUM(CAST(FLOOR(
+           CASE WHEN l.l_extendedprice > 0 AND m.mug > 0 THEN
+             (l.l_extendedprice / m.mug) * ln(l.l_extendedprice / m.mug)
+           ELSE 0.0 END * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ltg,
+         CAST(SUM(CAST(FLOOR(
+           CASE WHEN l.l_extendedprice > 0 AND m.mu > 0 THEN
+             (l.l_extendedprice / m.mu) * ln(l.l_extendedprice / m.mu)
+           ELSE 0.0 END * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS ltt
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN mu m ON m.grp = p.p_brand
+  GROUP BY 1
+),
+per_grp AS (
+  SELECT m.grp, m.ng, m.n, m.mug, m.mu,
+         CAST(r.ltg AS DOUBLE) / 1e9 / m.ng AS tg,
+         r.ltt AS ltt
+  FROM mu m JOIN rowterms r ON r.grp = m.grp
+),
+lat AS (
+  SELECT
+    CAST(SUM(CAST(FLOOR(
+      (CAST(ng AS DOUBLE) / n) * (CASE WHEN mu > 0 THEN mug / mu ELSE 0.0 END)
+      * tg * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS within_lat,
+    CAST(SUM(CAST(FLOOR(
+      CASE WHEN mu > 0 AND mug > 0 THEN
+        (CAST(ng AS DOUBLE) / n) * (mug / mu) * ln(mug / mu)
+      ELSE 0.0 END * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS between_lat,
+    CAST(SUM(ltt) AS BIGINT) AS ltt_lat,
+    MAX(n) AS n
+  FROM per_grp
+)
+SELECT component, CAST(n AS BIGINT) AS n, ROUND(value, 6) AS theil
+FROM (
+  SELECT 'total' AS component, n,
+         CAST(ltt_lat AS DOUBLE) / 1e9 / n AS value FROM lat
+  UNION ALL
+  SELECT 'within', n, CAST(within_lat AS DOUBLE) / 1e12 FROM lat
+  UNION ALL
+  SELECT 'between', n, CAST(between_lat AS DOUBLE) / 1e12 FROM lat
+) t
+"""
+
+
+@query("agg_theil_decomposition", oracle=_THEIL_SQL)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of line revenue with the between-brand /
+    within-brand decomposition — the capability agg_gini LACKS: Gini is
+    not group-decomposable (its between/within split leaves an overlap
+    residual), while Theil's T = T_between + Σ wg·T_within,g EXACTLY,
+    so 'is price inequality driven by brand mix or within-brand
+    dispersion' has a well-posed answer (the GE(1) member of the
+    generalized-entropy family; the identity is a pinned test, not a
+    claim). Emits three rows: total, within, between.
+
+    Determinism: every per-row term (x/μ)·ln(x/μ) is one IEEE
+    expression over identical doubles (group means from exact-DECIMAL
+    sums), snapped to a FLOOR(t·1e9 + 0.5) BIGINT lattice — per-group
+    sums are order-independent exact integers; the ~|brands|-row
+    between/within reductions snap the same way at 1e12; only the
+    emitted index takes ROUND(6) (per-row ln is libm). Guards both
+    engines: x ≤ 0 or a zero mean contributes 0 (lim x→0 x·ln x = 0,
+    degencheck's constant/zero fixtures), no unguarded division.
+    Headroom: row terms ≤ ~1e11 each — the BIGINT sum holds to ~1e8
+    rows per group; past that drop the row lattice to 1e6 or sum
+    DECIMAL(38,0) (ANSI fails loudly until then).
+
+    Scale: two fact scans (one for group moments, one for row terms —
+    both partial-aggregable, part dim broadcast both times), then
+    scalar algebra on the brand-grain frame. The decomposition never
+    shuffles more than |brands| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    x = F.col("l_extendedprice")
+    facts = li.join(
+        F.broadcast(p.select("p_partkey", F.col("p_brand").alias("grp"))),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    g = facts.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum(x.cast("decimal(30,6)")).alias("sg"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("bigint").alias("n"), F.sum("sg").alias("s")
+    )
+    mu = (
+        g.join(F.broadcast(tot))
+        .select(
+            "grp",
+            "ng",
+            "n",
+            (F.col("sg").cast("double") / F.col("ng")).alias("mug"),
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        )
+        .localCheckpoint(eager=True)  # brand-grain frame; feeds the row
+        # scan AND the final reductions — one group-moment pass total
+    )
+
+    def lat_term(mean_col: str) -> Column:
+        m = F.col(mean_col)
+        return F.floor(
+            F.when((x > 0) & (m > 0), (x / m) * F.log(x / m))
+            .otherwise(F.lit(0.0))
+            * 1e9
+            + F.lit(0.5)
+        ).cast("bigint")
+
+    rowterms = (
+        facts.join(F.broadcast(mu.select("grp", "mug", "mu")), "grp")
+        .select("grp", lat_term("mug").alias("ltg"), lat_term("mu").alias("ltt"))
+        .groupBy("grp")
+        .agg(
+            F.sum("ltg").cast("bigint").alias("ltg"),
+            F.sum("ltt").cast("bigint").alias("ltt"),
+        )
+    )
+    per_grp = mu.join(rowterms, "grp").select(
+        "grp",
+        "ng",
+        "n",
+        "mug",
+        "mu",
+        (F.col("ltg").cast("double") / 1e9 / F.col("ng")).alias("tg"),
+        "ltt",
+    )
+    wg = F.col("ng").cast("double") / F.col("n")
+    within_lat = F.sum(
+        F.floor(
+            wg
+            * F.when(F.col("mu") > 0, F.col("mug") / F.col("mu")).otherwise(
+                F.lit(0.0)
+            )
+            * F.col("tg")
+            * 1e12
+            + F.lit(0.5)
+        ).cast("bigint")
+    ).cast("bigint")
+    between_lat = F.sum(
+        F.floor(
+            F.when(
+                (F.col("mu") > 0) & (F.col("mug") > 0),
+                wg * (F.col("mug") / F.col("mu"))
+                * F.log(F.col("mug") / F.col("mu")),
+            ).otherwise(F.lit(0.0))
+            * 1e12
+            + F.lit(0.5)
+        ).cast("bigint")
+    ).cast("bigint")
+    lat = per_grp.agg(
+        within_lat.alias("within_lat"),
+        between_lat.alias("between_lat"),
+        F.sum("ltt").cast("bigint").alias("ltt_lat"),
+        F.max("n").alias("n"),
+    ).localCheckpoint(eager=True)  # 1 row; referenced by three outputs
+    parts = [
+        lat.select(
+            F.lit("total").alias("component"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("ltt_lat").cast("double") / 1e9 / F.col("n"), 6
+            ).alias("theil"),
+        ),
+        lat.select(
+            F.lit("within").alias("component"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("within_lat").cast("double") / 1e12, 6).alias(
+                "theil"
+            ),
+        ),
+        lat.select(
+            F.lit("between").alias("component"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("between_lat").cast("double") / 1e12, 6).alias(
+                "theil"
+            ),
+        ),
+    ]
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out

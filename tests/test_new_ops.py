@@ -2085,3 +2085,36 @@ def test_linear_shap_consistent_with_ridge_and_shares_sum(spark, sf_dir):
             assert abs(sum(shares) - 1.0) < 1e-12, (grp, shares)
         for f in feats.values():
             assert f.mean_abs_shap >= 0
+
+
+def test_theil_decomposition_identity_and_nonnegativity(spark, sf_dir):
+    """The reason this operator exists instead of a second Gini:
+    Theil T decomposes EXACTLY as total = within + between across
+    groups (generalized-entropy property — Gini leaves an overlap
+    residual). The three components come off integer lattices
+    (1e-9 per-row, 1e-12 per-brand), so the identity must hold to
+    lattice precision; Theil is also non-negative (Jensen), up to the
+    same epsilon. A pure-Python replay pins the total against an
+    independent computation."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    rows = {
+        r.component: (r.n, r.theil)
+        for r in _q("agg_theil_decomposition")(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"total", "within", "between"}
+    n, total = rows["total"]
+    _, within = rows["within"]
+    _, between = rows["between"]
+    assert abs(total - (within + between)) < 1e-4, rows
+    assert total >= -1e-6 and between >= -1e-6, rows
+
+    # independent pure-Python total (no lattice, no grouping)
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    xs = li.column("l_extendedprice").to_pylist()
+    mu = sum(xs) / len(xs)
+    t_py = sum((x / mu) * math.log(x / mu) for x in xs if x > 0) / len(xs)
+    assert n == len(xs)
+    assert abs(total - t_py) < 5e-4, (total, t_py)
