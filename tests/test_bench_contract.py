@@ -115,3 +115,32 @@ def test_benchguard_flags_regressions(tmp_path):
     with open("/root/repo/BENCH_DETAIL.json") as f:
         d = json.load(f)
     assert d["n_queries"] >= 50
+
+
+def test_slot_calib_absorbs_early_suite_contention():
+    """Unit pin for the r11 normalization fix (VERDICT r10 item 1):
+    the per-slot probe window must track a transient that inflates the
+    first slots, where the run median cannot. The fixture is the
+    ACTUAL r10 driver data shape — probes 0-2 at 1.03/1.16/1.29 s
+    against a 0.47 s run median, which falsely breached slots 1-3."""
+    import statistics
+
+    import bench
+
+    # r10 driver run: first probes hot, rest settled around 0.47
+    cs = [1.032, 1.158, 1.287, 0.578] + [0.47] * 50 + [0.419]
+    run_median = statistics.median(cs)
+    assert run_median < 0.5
+    # slot 0 (agg_price_stats) sits between probes 0 and 1: its local
+    # calibration must reflect the hot neighborhood (>2x run median)
+    assert bench.slot_calib(cs, 0) > 2 * run_median
+    # retro-check with the real r10 medians: 4.054s at slot 0 breached
+    # its 3.80 pin under run-median (8.59 normalized) and is green
+    # under per-slot (< 3.80)
+    assert 4.054 / run_median > 3.80
+    assert 4.054 / bench.slot_calib(cs, 0) < 3.80
+    # mid-suite slots are unaffected: local median == settled value
+    assert bench.slot_calib(cs, 20) == 0.47
+    # edge windows re-widen to 4 samples and never raise
+    assert bench.slot_calib(cs, len(cs) - 2) > 0
+    assert bench.slot_calib([0.5, 0.6], 0) == 0.55
