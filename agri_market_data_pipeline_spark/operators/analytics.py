@@ -2801,9 +2801,10 @@ m AS (
          CASE WHEN n > 0 THEN ({xlnx('n')} - ({sum_cols})) / n
          ELSE 0.0 END AS h_y
   FROM w)
-SELECT n, ROUND(mi, 6) AS mi, ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
-       CASE WHEN h_x > 0 AND h_y > 0
-            THEN ROUND(mi / sqrt(h_x * h_y), 6) END AS nmi
+SELECT n, ROUND(m.mi, 6) AS mi, ROUND(m.h_x, 6) AS h_x,
+       ROUND(m.h_y, 6) AS h_y,
+       CASE WHEN m.h_x > 0 AND m.h_y > 0
+            THEN ROUND(m.mi / sqrt(m.h_x * m.h_y), 6) END AS nmi
 FROM m
 """
 

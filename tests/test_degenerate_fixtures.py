@@ -71,8 +71,14 @@ def _load_tool(name: str):
 
 @pytest.fixture(scope="module")
 def degen_dir(tmp_path_factory):
+    dc = _load_tool("degencheck")
+    if not os.path.isdir(dc.SRC_SF):
+        pytest.skip(
+            f"degenerate-fixture dims source {dc.SRC_SF} absent — set "
+            "SPARK_GRAFT_DEGEN_SRC to a generated sf dir"
+        )
     out = str(tmp_path_factory.mktemp("degen") / "sf")
-    _load_tool("degencheck").build_fixture(out)
+    dc.build_fixture(out)
     return out
 
 

@@ -332,11 +332,14 @@ def test_no_registered_query_has_unbounded_global_window(spark):
         for kind, w in kinds:
             if kind == "unbounded":
                 bad.append(f"{name}: unbounded {w}")
-        if any(k == "aggregate" for k, _ in kinds) and (
-            name not in pa.GLOBAL_WINDOW_OK
-        ):
+        n_agg = sum(1 for k, _ in kinds if k == "aggregate")
+        if n_agg and name not in pa.GLOBAL_WINDOW_OK:
             bad.append(f"{name}: aggregate-bounded global window not in "
                        "GLOBAL_WINDOW_OK")
+        elif n_agg and n_agg > pa.GLOBAL_WINDOW_OK[name][1]:
+            bad.append(
+                f"{name}: {n_agg} aggregate-bounded global windows vs "
+                f"{pa.GLOBAL_WINDOW_OK[name][1]} documented")
     assert not bad, f"global-window violations: {bad}"
 
 

@@ -51,7 +51,9 @@ import sys
 import pandas as pd
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SRC_SF = "/root/testdata/sf0.001"
+# Dim tables are copied verbatim from a real SF dir; overridable so the
+# sweep (and the pytest fixture built on it) can run off-box.
+SRC_SF = os.environ.get("SPARK_GRAFT_DEGEN_SRC", "/root/testdata/sf0.001")
 COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
 
 # Self-asserting operators whose oracle is a CONSTANT claim about

