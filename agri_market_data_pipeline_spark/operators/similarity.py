@@ -3024,3 +3024,176 @@ def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * n_d)
         ).alias("uncertainty"),
     )
+
+
+# Isotonic calibration (pool-adjacent-violators) of the shared probe score
+
+_ISO_BINS = 20
+
+_ISO_SQL = f"""
+WITH probe AS (
+  SELECT i,
+         (CAST(('0x' || substring(md5('probe:' || CAST(i AS VARCHAR)),
+                1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM (SELECT UNNEST(generate_series(1, 64)) AS i)
+),
+z AS (
+  SELECT e.vec_id, CAST(e.label % 2 AS BIGINT) AS y,
+         CAST(SUM(CAST(x.xi * p.w AS DECIMAL(30,15))) AS DOUBLE) AS z
+  FROM embeddings e,
+       LATERAL (SELECT generate_subscripts(e.embedding, 1) AS i,
+                       CAST(UNNEST(e.embedding) AS DOUBLE) AS xi) x
+  JOIN probe p ON p.i = x.i
+  GROUP BY 1, 2
+),
+b AS MATERIALIZED (
+  SELECT LEAST(CAST(FLOOR(ROUND(1.0 / (1.0 + EXP(-z)), 6) * {_ISO_BINS})
+                    AS BIGINT), {_ISO_BINS - 1}) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(y) AS BIGINT) AS pk
+  FROM z GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT bin,
+         CAST(SUM(nk) OVER w AS BIGINT) AS cn,
+         CAST(SUM(pk) OVER w AS BIGINT) AS cp,
+         CAST(SUM(nk) OVER w - nk AS BIGINT) AS xn,
+         CAST(SUM(pk) OVER w - pk AS BIGINT) AS xp
+  FROM b
+  WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+iv AS MATERIALIZED (
+  SELECT s.bin AS i, e.bin AS j,
+         CAST(e.cp - s.xp AS DOUBLE) / CAST(e.cn - s.xn AS DOUBLE) AS iavg
+  FROM cum s JOIN cum e ON s.bin <= e.bin
+),
+mn AS (
+  SELECT k.bin AS bin, iv.i AS i, MIN(iv.iavg) AS m
+  FROM b k JOIN iv ON iv.i <= k.bin AND k.bin <= iv.j
+  GROUP BY 1, 2
+),
+iso AS (SELECT bin, MAX(m) AS iso_score FROM mn GROUP BY bin)
+SELECT b.bin, b.nk AS n_rows,
+       CAST(b.pk AS DOUBLE) / b.nk AS frac_pos,
+       iso.iso_score AS iso_score
+FROM b JOIN iso USING (bin)
+"""
+
+
+@query("ml_isotonic_calibration", oracle=_ISO_SQL)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the shared
+    md5-probe sigmoid score — the CALIBRATION-FIT member of the
+    classifier-eval family: ml_calibration_ece measures the gap per
+    confidence bin, ml_brier_decomposition attributes the loss, and
+    this op produces the monotone remapping a serving pipeline applies
+    to the raw score (the standard post-hoc calibrator beside Platt
+    scaling; sklearn's IsotonicRegression is the single-node twin).
+    Emits, per occupied score bin, the raw positive rate and the
+    pool-adjacent-violators fit.
+
+    PAV without sequential pooling: the isotonic fit has the exact
+    minimax closed form f(k) = max_{{i<=k}} min_{{j>=k}} avg(y over
+    bins i..j) (Robertson-Wright-Dykstra 1988, the standard
+    order-restricted-inference identity), so the whole fit is prefix
+    sums + a bounded interval enumeration — no iterative pooling, no
+    driver loop. Interval averages are ratios of exact BIGINT prefix
+    sums (integer-ratio doubles — bitwise cross-engine, CLAUDE.md), so
+    MIN/MAX agree unrounded; the score itself snaps to ROUND(6) before
+    binning (the ECE rule: transcendental rounds precede comparison).
+
+    Scale: one corpus scan (explode x broadcast 64-row probe) into a
+    {_ISO_BINS}-key partial agg; everything after is algebra on
+    <= {_ISO_BINS}-row frames (intervals {_ISO_BINS}^2/2, minimax
+    {_ISO_BINS}^3/6 rows — constants independent of corpus size). The
+    tiny theta self-joins broadcast (NESTED_LOOP_OK: score-bin grain);
+    the one global window rides the same bounded grain
+    (GLOBAL_WINDOW_OK: score-bin grain)."""
+    e = load_parallel(spark, sf_dir, "embeddings")
+    probe_w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("probe:"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    ) / F.lit(1000.0)
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.posexplode("embedding").alias("i0", "xf"),
+    ).select(
+        "vec_id",
+        "y",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("xi"),
+    )
+    z = (
+        x.select("vec_id", "y", "xi", probe_w.alias("w"))
+        .groupBy("vec_id", "y")
+        .agg(
+            F.sum((F.col("xi") * F.col("w")).cast("decimal(30,15)"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    b = (
+        z.select(
+            "y",
+            F.least(
+                F.floor(
+                    F.round(1.0 / (1.0 + F.exp(-F.col("z"))), 6) * _ISO_BINS
+                ).cast("bigint"),
+                F.lit(_ISO_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("nk"),
+            F.sum("y").cast("bigint").alias("pk"),
+        )
+        .localCheckpoint(eager=True)  # feeds cum, the k frame, and output
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = b.select(
+        "bin",
+        F.sum("nk").over(w).cast("bigint").alias("cn"),
+        F.sum("pk").over(w).cast("bigint").alias("cp"),
+        (F.sum("nk").over(w) - F.col("nk")).cast("bigint").alias("xn"),
+        (F.sum("pk").over(w) - F.col("pk")).cast("bigint").alias("xp"),
+    ).localCheckpoint(eager=True)  # referenced twice by the interval join
+    starts = cum.select(F.col("bin").alias("i"), "xn", "xp")
+    ends = cum.select(F.col("bin").alias("j"), "cn", "cp")
+    iv = starts.join(F.broadcast(ends), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cp") - F.col("xp")).cast("double")
+            / (F.col("cn") - F.col("xn")).cast("double")
+        ).alias("iavg"),
+    )
+    ks = b.select(F.col("bin").alias("k"))
+    mn = (
+        iv.join(
+            F.broadcast(ks),
+            (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("iavg").alias("m"))
+    )
+    iso = mn.groupBy("k").agg(F.max("m").alias("iso_score"))
+    return b.join(
+        F.broadcast(iso), F.col("bin") == F.col("k")
+    ).select(
+        "bin",
+        F.col("nk").alias("n_rows"),
+        (F.col("pk").cast("double") / F.col("nk")).alias("frac_pos"),
+        "iso_score",
+    )

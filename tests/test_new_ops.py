@@ -2118,3 +2118,51 @@ def test_theil_decomposition_identity_and_nonnegativity(spark, sf_dir):
     t_py = sum((x / mu) * math.log(x / mu) for x in xs if x > 0) / len(xs)
     assert n == len(xs)
     assert abs(total - t_py) < 5e-4, (total, t_py)
+
+
+def test_isotonic_calibration_matches_sequential_pav(spark, sf_dir):
+    """The minimax closed form f(k) = max_{i<=k} min_{j>=k} avg(i..j)
+    must coincide with the classic sequential pool-adjacent-violators
+    stack algorithm on the same weighted bin stats (the
+    Robertson-Wright-Dykstra identity) — a property the cross-engine
+    oracle cannot express (both engines run the same minimax). Values
+    are integer-ratio doubles, so the comparison is exact up to the
+    float division order: PAV pools carry exact integer (p, n) sums,
+    matching the query's prefix-sum differences bitwise. Also pins
+    monotonicity and the pool-mean-preservation invariant."""
+    rows = sorted(
+        _q("ml_isotonic_calibration")(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert rows, "no occupied score bins"
+    # reconstruct exact integer (n, p) per bin from the emitted ratios
+    stats = [(r.bin, r.n_rows, round(r.frac_pos * r.n_rows)) for r in rows]
+    # sequential PAV: pool while the last block mean exceeds the next
+    blocks = []  # (n, p) per maximal pooled block, in bin order
+    for _, n, p in stats:
+        cn, cp = n, p
+        while blocks and blocks[-1][1] * cn >= cp * blocks[-1][0]:
+            bn, bp = blocks.pop()
+            cn, cp = cn + bn, cp + bp
+        blocks.append((cn, cp))
+    # expand blocks back over bins (each block covers consecutive bins
+    # whose n sums to the block's n)
+    expanded = []
+    it = iter(stats)
+    for bn, bp in blocks:
+        acc = 0
+        while acc < bn:
+            _, n, _ = next(it)
+            acc += n
+            expanded.append(bp / bn)
+        assert acc == bn, "block boundaries must align with bins"
+    assert len(expanded) == len(rows)
+    for r, want in zip(rows, expanded):
+        assert r.iso_score == want, (r.bin, r.iso_score, want)
+    # monotone non-decreasing
+    iso = [r.iso_score for r in rows]
+    assert all(a <= b for a, b in zip(iso, iso[1:]))
+    # pool-mean preservation: weighted mean of fit == global positive rate
+    n_tot = sum(n for _, n, _ in stats)
+    p_tot = sum(p for _, _, p in stats)
+    assert abs(sum(r.iso_score * r.n_rows for r in rows) - p_tot) < 1e-6 * n_tot

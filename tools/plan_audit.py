@@ -245,6 +245,9 @@ NESTED_LOOP_OK = {
     "graph_louvain_move",    # 1-row W scalar + 1-row Q-before/after frames
     # r11:
     "ml_brier_decomposition",  # 1-row totals + 1-row decomposition frames
+    # r12:
+    "ml_isotonic_calibration",  # <=20-row score-bin frames (PAV minimax
+    #   interval enumeration — bounded by the bin constant, never data)
 }
 
 # Queries allowed to carry a zero-partition window whose input is
@@ -266,6 +269,8 @@ GLOBAL_WINDOW_OK = {
         ("value lattice", 1),
     "dq_sequence_gaps":            # (key div 4096) block-summary frame,
         ("block summary", 1),      #   data/4096 rows, recurses at scale
+    "ml_isotonic_calibration":     # prefix sums over the <=20-row
+        ("score-bin grain", 1),    #   occupied-bin frame (PAV minimax)
     "ml_lift_gains":               # distinct-score grain, saturates at
         ("score grain", 1),        #   1e6+1 lattice values
     "text_zipf_fit":               # token-frequency ranks over the vocab
