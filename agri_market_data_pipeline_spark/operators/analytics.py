@@ -3107,3 +3107,169 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pp in parts[1:]:
         out = out.unionByName(pp)
     return out
+
+
+# Kendall tau-b rank correlation with ties, via the joint value lattice
+
+_KENDALL_SQL = """
+WITH cells AS MATERIALIZED (
+  SELECT l_returnflag AS rf,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM lineitem GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.rf,
+         CAST(SUM(CASE WHEN a.y < b.y THEN a.f * b.f ELSE 0 END)
+              AS BIGINT) AS conc,
+         CAST(SUM(CASE WHEN a.y > b.y THEN a.f * b.f ELSE 0 END)
+              AS BIGINT) AS disc
+  FROM cells a JOIN cells b ON a.rf = b.rf AND a.x < b.x
+  GROUP BY 1
+),
+txs AS (
+  SELECT rf, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1
+  FROM (SELECT rf, x, SUM(f) AS t FROM cells GROUP BY 1, 2) GROUP BY 1
+),
+tys AS (
+  SELECT rf, CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+  FROM (SELECT rf, y, SUM(f) AS t FROM cells GROUP BY 1, 2) GROUP BY 1
+),
+tot AS (
+  SELECT rf, CAST(SUM(f) AS BIGINT) AS n,
+         CAST(SUM(f) * (SUM(f) - 1) // 2 AS BIGINT) AS n0
+  FROM cells GROUP BY 1
+)
+SELECT t.rf, t.n,
+       COALESCE(p.conc, 0) AS concordant,
+       COALESCE(p.disc, 0) AS discordant,
+       x.n1 AS ties_x, y.n2 AS ties_y,
+       CASE WHEN t.n0 > x.n1 AND t.n0 > y.n2 THEN
+         ROUND(CAST(COALESCE(p.conc, 0) - COALESCE(p.disc, 0) AS DOUBLE)
+               / (sqrt(CAST(t.n0 - x.n1 AS DOUBLE))
+                  * sqrt(CAST(t.n0 - y.n2 AS DOUBLE))), 6)
+       END AS tau_b
+FROM tot t
+JOIN txs x ON x.rf = t.rf
+JOIN tys y ON y.rf = t.rf
+LEFT JOIN pairs p ON p.rf = t.rf
+"""
+
+
+@query("agg_kendall_tau", oracle=_KENDALL_SQL)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (with tie correction) between
+    quantity and discount per return flag — the RANK member of the
+    dependence family: agg_corr_covar is linear (Pearson),
+    ml_mutual_info is categorical, and tau-b captures MONOTONE
+    association on heavily tied discrete columns, which is what a
+    feature-screening pass actually wants on lattice-valued features
+    (where Pearson is distorted by marginal shape and ties).
+
+    Never O(n^2) over rows: both columns live on saturating value
+    lattices (quantity 1..50, discount 0..10 cents), so pair counting
+    collapses onto the joint-cell frame — concordant/discordant counts
+    are cell-pair products Σ f(x,y)·f(x',y') over x<x' (≤ (50·11)^2/2
+    cell pairs, a CONSTANT independent of corpus size), and the tie
+    terms n1/n2 come from the marginal counts. tau_b =
+    (C−D)/(√(n0−n1)·√(n0−n2)) with n0 = n(n−1)/2.
+
+    Determinism: every count is an exact BIGINT (integer `div` for the
+    halvings — nonneg, so Spark div == DuckDB //); C−D and the two
+    radicands convert to DOUBLE exactly below 2^53 (headroom: n ≈ 1e8
+    rows per group — past that, bin the lattice or rescale; ANSI
+    overflow fails loudly first). sqrt/division are IEEE
+    correctly-rounded on identical inputs, ROUND(6) caps the
+    measure-zero tie risk. Zero-variance guard BOTH sides (degencheck's
+    constant-column fixture): n0 <= n1 or n0 <= n2 -> NULL.
+
+    Scale: one fact scan into a partial-aggable (rf, x, y) groupBy;
+    the cell self-join is equi on rf with lattice-bounded sides —
+    broadcastable, shuffle-free on the fact."""
+    li = load(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_returnflag").alias("rf"),
+            F.floor(F.col("l_quantity") + 0.5).cast("bigint").alias("x"),
+            F.floor(F.col("l_discount") * 100 + 0.5)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .localCheckpoint(eager=True)  # feeds pairs, margins, totals
+    )
+    a = cells.select(
+        F.col("rf"), F.col("x"), F.col("y").alias("ya"), F.col("f").alias("fa")
+    )
+    b = cells.select(
+        F.col("rf").alias("rfb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("f").alias("fb"),
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("rf") == F.col("rfb")) & (F.col("x") < F.col("xb")),
+        )
+        .groupBy("rf")
+        .agg(
+            F.sum(
+                F.when(F.col("ya") < F.col("yb"), F.col("fa") * F.col("fb"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("conc"),
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), F.col("fa") * F.col("fb"))
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("disc"),
+        )
+    )
+    half = lambda c: F.expr(f"{c} * ({c} - 1) div 2")  # noqa: E731
+    txs = (
+        cells.groupBy("rf", "x")
+        .agg(F.sum("f").alias("t"))
+        .groupBy("rf")
+        .agg(F.sum(half("t")).cast("bigint").alias("n1"))
+    )
+    tys = (
+        cells.groupBy("rf", "y")
+        .agg(F.sum("f").alias("t"))
+        .groupBy("rf")
+        .agg(F.sum(half("t")).cast("bigint").alias("n2"))
+    )
+    tot = cells.groupBy("rf").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.expr("sum(f) * (sum(f) - 1) div 2").cast("bigint").alias("n0"),
+    )
+    conc = F.coalesce(F.col("conc"), F.lit(0)).cast("bigint")
+    disc = F.coalesce(F.col("disc"), F.lit(0)).cast("bigint")
+    tau = F.when(
+        (F.col("n0") > F.col("n1")) & (F.col("n0") > F.col("n2")),
+        F.round(
+            (conc - disc).cast("double")
+            / (
+                F.sqrt((F.col("n0") - F.col("n1")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("n2")).cast("double"))
+            ),
+            6,
+        ),
+    )
+    return (
+        tot.join(F.broadcast(txs), "rf")
+        .join(F.broadcast(tys), "rf")
+        .join(F.broadcast(pairs), "rf", "left")
+        .select(
+            "rf",
+            "n",
+            conc.alias("concordant"),
+            disc.alias("discordant"),
+            F.col("n1").alias("ties_x"),
+            F.col("n2").alias("ties_y"),
+            tau.alias("tau_b"),
+        )
+    )

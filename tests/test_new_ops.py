@@ -2166,3 +2166,56 @@ def test_isotonic_calibration_matches_sequential_pav(spark, sf_dir):
     n_tot = sum(n for _, n, _ in stats)
     p_tot = sum(p for _, _, p in stats)
     assert abs(sum(r.iso_score * r.n_rows for r in rows) - p_tot) < 1e-6 * n_tot
+
+
+def test_kendall_tau_python_twin_and_bounds(spark, sf_dir):
+    """Pure-Python twin of agg_kendall_tau on sf0.001: same lattice
+    snap, same cell-pair concordance counting, same tie algebra —
+    counts must match exactly and tau_b to the same ROUND(6). Also
+    pins |tau_b| <= 1 and the pair identity C + D <= n0 - n1 (pairs
+    tied in x are neither concordant nor discordant)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    rows = {r.rf: r for r in _q("agg_kendall_tau")(spark, sf_dir).collect()}
+
+    tbl = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    cells = Counter()
+    for rf, q, d in zip(
+        tbl.column("l_returnflag").to_pylist(),
+        tbl.column("l_quantity").to_pylist(),
+        tbl.column("l_discount").to_pylist(),
+    ):
+        cells[(rf, math.floor(q + 0.5), math.floor(d * 100 + 0.5))] += 1
+    for rf in {k[0] for k in cells}:
+        g = {(x, y): f for (r, x, y), f in cells.items() if r == rf}
+        conc = disc = 0
+        for (x1, y1), f1 in g.items():
+            for (x2, y2), f2 in g.items():
+                if x1 < x2 and y1 < y2:
+                    conc += f1 * f2
+                elif x1 < x2 and y1 > y2:
+                    disc += f1 * f2
+        n = sum(g.values())
+        n0 = n * (n - 1) // 2
+        tx = Counter()
+        ty = Counter()
+        for (x, y), f in g.items():
+            tx[x] += f
+            ty[y] += f
+        n1 = sum(t * (t - 1) // 2 for t in tx.values())
+        n2 = sum(t * (t - 1) // 2 for t in ty.values())
+        r = rows[rf]
+        assert (r.n, r.concordant, r.discordant) == (n, conc, disc)
+        assert (r.ties_x, r.ties_y) == (n1, n2)
+        want = round(
+            (conc - disc) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2)), 6
+        )
+        assert r.tau_b == want
+        assert abs(r.tau_b) <= 1.0
+        assert conc + disc <= n0 - n1
