@@ -3197,3 +3197,193 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pk").cast("double") / F.col("nk")).alias("frac_pos"),
         "iso_score",
     )
+
+
+# Split-conformal prediction intervals with empirical test coverage
+
+_CONF_KEY = ("'cf:' || CAST(l_orderkey AS VARCHAR) || '|' || "
+             "CAST(l_linenumber AS VARCHAR) || '|' || "
+             "CAST(l_partkey AS VARCHAR) || '|' || "
+             "CAST(l_suppkey AS VARCHAR)")
+
+_CONF_SQL = f"""
+WITH base AS (
+  SELECT p.p_brand AS brand, l.l_extendedprice AS price,
+         CAST(('0x' || substring(md5({_CONF_KEY}), 1, 8)) AS BIGINT) % 5 AS h
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+mu AS MATERIALIZED (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM base WHERE h <= 2 GROUP BY 1
+),
+cells AS MATERIALIZED (
+  SELECT b.brand, b.h = 3 AS is_cal,
+         CAST(FLOOR(ABS(b.price - mu.m) * 100 + 0.5) AS BIGINT) AS lat,
+         CAST(COUNT(*) AS BIGINT) AS f
+  FROM base b JOIN mu ON mu.brand = b.brand
+  WHERE b.h >= 3 GROUP BY 1, 2, 3
+),
+cal AS MATERIALIZED (
+  SELECT brand, lat, f,
+         SUM(f) OVER (PARTITION BY brand ORDER BY lat
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(f) OVER (PARTITION BY brand) AS n_cal
+  FROM cells WHERE is_cal
+),
+qhat AS (
+  SELECT brand, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         CAST(MIN(CASE WHEN cum >= (9 * (n_cal + 1) + 9) // 10
+                       THEN lat END) AS BIGINT) AS qlat
+  FROM cal GROUP BY 1
+),
+tst AS (
+  SELECT c.brand, CAST(SUM(c.f) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN q.qlat IS NOT NULL AND c.lat <= q.qlat
+                       THEN c.f ELSE 0 END) AS BIGINT) AS hits
+  FROM cells c LEFT JOIN qhat q ON q.brand = c.brand
+  WHERE NOT c.is_cal GROUP BY 1
+)
+SELECT mu.brand, mu.n_train,
+       COALESCE(q.n_cal, 0) AS n_cal,
+       COALESCE(t.n_test, 0) AS n_test,
+       CAST(q.qlat AS DOUBLE) / 100 AS qhat,
+       CASE WHEN COALESCE(t.n_test, 0) = 0 THEN NULL
+            WHEN q.qlat IS NULL THEN 1.0
+            ELSE CAST(t.hits AS DOUBLE) / t.n_test END AS coverage
+FROM mu
+LEFT JOIN qhat q ON q.brand = mu.brand
+LEFT JOIN tst t ON t.brand = mu.brand
+"""
+
+
+@query("ml_conformal_interval", oracle=_CONF_SQL)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per brand — the
+    DISTRIBUTION-FREE uncertainty member of the eval family:
+    ml_kfold_cv scores point accuracy, agg_jackknife_ci/agg_bootstrap_se
+    bound a MEAN, while conformal wraps ANY point predictor with a
+    finite-sample marginal-coverage guarantee (Vovk et al.; split
+    variant of Lei et al. 2018). Disjoint md5-hash splits (train 60% /
+    calibration 20% / test 20%); the predictor is the train-split brand
+    mean (swap any scorer — the conformal machinery is the operator);
+    q_hat = the ceil((n_cal+1)(1-alpha))-th smallest absolute
+    calibration residual at alpha = 0.1, and coverage = the test
+    fraction inside +-q_hat (expected >= 0.9 marginally).
+
+    Determinism: the train mean is exact-DECIMAL-sum / count (~15-digit
+    headroom, CLAUDE.md); residuals snap to a 1-cent FLOOR lattice
+    (pure IEEE ops, identical both engines) so the order statistic and
+    every comparison run on exact BIGINTs; rank selection is a
+    cumulative-count walk, the ceil is integer arithmetic (nonneg div);
+    coverage is an integer-ratio double — unrounded bitwise. Guards
+    (degencheck): k > n_cal (including an empty calibration split) is
+    the infinite-interval contract -> qhat NULL, coverage 1.0
+    (vacuous); empty test split -> coverage NULL; untrained brands
+    cannot be scored and do not emit.
+
+    Scale: TWO fact scans (train moments; cal+test residual cells in
+    one pass — the dim join broadcasts), everything after runs on the
+    per-brand residual-VALUE-SUPPORT grain (cents lattice, saturating;
+    bin coarser at 100 TB exactly like agg_ks_test). The rank walk
+    partitions by brand — constant cardinality, so it is
+    scalecheck-watched; the window input is the grouped cell frame,
+    never fact rows."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    key = F.concat(
+        F.lit("cf:"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("|"),
+        F.col("l_partkey").cast("string"),
+        F.lit("|"),
+        F.col("l_suppkey").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 5
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").alias("price"),
+        h.alias("h"),
+    )
+    mu = (
+        base.filter(F.col("h") <= 2)
+        .groupBy("brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            (
+                F.sum(F.col("price").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("m"),
+        )
+        .localCheckpoint(eager=True)  # joined into the cell scan + output
+    )
+    cells = (
+        base.filter(F.col("h") >= 3)
+        .join(F.broadcast(mu.select("brand", "m")), "brand")
+        .groupBy(
+            "brand",
+            (F.col("h") == 3).alias("is_cal"),
+            F.floor(F.abs(F.col("price") - F.col("m")) * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("lat"),
+        )
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .localCheckpoint(eager=True)  # feeds the cal walk AND test scoring
+    )
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy("lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("brand")
+    cal = cells.filter("is_cal").select(
+        "brand",
+        "lat",
+        F.sum("f").over(wcum).alias("cum"),
+        F.sum("f").over(wall).alias("n_cal"),
+    )
+    k = F.expr("(9 * (n_cal + 1) + 9) div 10")
+    qhat = cal.groupBy("brand").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.min(F.when(F.col("cum") >= k, F.col("lat")))
+        .cast("bigint")
+        .alias("qlat"),
+    )
+    tst = (
+        cells.filter(~F.col("is_cal"))
+        .join(F.broadcast(qhat.select("brand", "qlat")), "brand", "left")
+        .groupBy("brand")
+        .agg(
+            F.sum("f").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("qlat").isNotNull()
+                    & (F.col("lat") <= F.col("qlat")),
+                    F.col("f"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("hits"),
+        )
+    )
+    n_test = F.coalesce(F.col("n_test"), F.lit(0)).cast("bigint")
+    coverage = (
+        F.when(n_test == 0, F.lit(None).cast("double"))
+        .when(F.col("qlat").isNull(), F.lit(1.0))
+        .otherwise(F.col("hits").cast("double") / F.col("n_test"))
+    )
+    return (
+        mu.select("brand", "n_train")
+        .join(F.broadcast(qhat), "brand", "left")
+        .join(F.broadcast(tst), "brand", "left")
+        .select(
+            "brand",
+            "n_train",
+            F.coalesce(F.col("n_cal"), F.lit(0)).cast("bigint").alias("n_cal"),
+            n_test.alias("n_test"),
+            (F.col("qlat").cast("double") / 100).alias("qhat"),
+            coverage.alias("coverage"),
+        )
+    )

@@ -2219,3 +2219,76 @@ def test_kendall_tau_python_twin_and_bounds(spark, sf_dir):
         assert r.tau_b == want
         assert abs(r.tau_b) <= 1.0
         assert conc + disc <= n0 - n1
+
+
+def test_conformal_interval_python_twin_and_coverage(spark, sf_dir):
+    """Exact pure-Python twin of ml_conformal_interval at sf0.001:
+    same md5 splits, same DECIMAL(30,6)-exact train mean, same 1-cent
+    residual lattice, same ceil((n+1)*0.9) order statistic — every
+    emitted column must match exactly. Also pins the marginal coverage
+    guarantee: pooled test coverage >= 0.85 (finite-sample slack under
+    the >= 0.9 expectation)."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    rows = {
+        r.brand: r
+        for r in _q("ml_conformal_interval")(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT p.p_brand, l.l_extendedprice, l.l_orderkey,
+                   l.l_linenumber, l.l_partkey, l.l_suppkey
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    con.close()
+    splits = {}
+    for brand, price, ok, ln, pk, sk in raw:
+        hh = int(
+            hashlib.md5(f"cf:{ok}|{ln}|{pk}|{sk}".encode()).hexdigest()[:8],
+            16,
+        ) % 5
+        splits.setdefault(brand, ([], [], []))[
+            0 if hh <= 2 else 1 if hh == 3 else 2
+        ].append(price)
+    q6 = Decimal(1).scaleb(-6)
+    tot_hits = tot_test = 0
+    for brand, (tr, ca, te) in splits.items():
+        if not tr:
+            assert brand not in rows
+            continue
+        r = rows[brand]
+        m = float(
+            sum(
+                (Decimal(x).quantize(q6, ROUND_HALF_UP) for x in tr),
+                Decimal(0),
+            )
+        ) / len(tr)
+        lat_ca = sorted(math.floor(abs(x - m) * 100 + 0.5) for x in ca)
+        k = (9 * (len(ca) + 1) + 9) // 10
+        qlat = lat_ca[k - 1] if k <= len(lat_ca) else None
+        hits = (
+            sum(
+                1
+                for x in te
+                if math.floor(abs(x - m) * 100 + 0.5) <= qlat
+            )
+            if qlat is not None
+            else len(te)
+        )
+        assert (r.n_train, r.n_cal, r.n_test) == (len(tr), len(ca), len(te))
+        assert r.qhat == (qlat / 100 if qlat is not None else None)
+        if not te:
+            assert r.coverage is None
+        elif qlat is None:
+            assert r.coverage == 1.0
+        else:
+            assert r.coverage == hits / len(te)
+        tot_hits += hits
+        tot_test += len(te)
+    assert tot_test > 0 and tot_hits / tot_test >= 0.85
