@@ -3387,3 +3387,171 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             coverage.alias("coverage"),
         )
     )
+
+
+# NDCG@10 ranking-quality evaluation
+
+# 1e12-lattice position discounts round(1e12 / log2(pos+1)): computed
+# ONCE in Python and embedded as identical BIGINT literals in both
+# engines, so DCG is an exact integer dot product — no engine log2 in
+# the hot path and no float fold-order drift.
+_NDCG_K = 10
+_NDCG_W = [
+    1000000000000, 630929753571, 500000000000, 430676558073,
+    386852807235, 356207187108, 333333333333, 315464876786,
+    301029995664, 289064826318,
+]
+_NDCG_GAIN = "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 " \
+             "WHEN 3 THEN 7 ELSE 15 END"
+
+
+def _ndcg_w_case(pos: str) -> str:
+    arms = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    return f"CASE {pos} {arms} ELSE 0 END"
+
+
+_NDCG_SQL = f"""
+WITH r AS (
+  SELECT o_custkey,
+         LEAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT), 4) AS rel,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(('0x' || substring(
+                    md5('rk:' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) DESC, o_orderkey) AS pos,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY LEAST(CAST(FLOOR(o_totalprice / 100000) AS BIGINT), 4)
+                    DESC, o_orderkey) AS ipos
+  FROM orders
+),
+percust AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN pos <= {_NDCG_K}
+                  THEN ({_NDCG_GAIN}) * {_ndcg_w_case('pos')}
+                  ELSE 0 END) AS BIGINT) AS dcg_lat,
+         CAST(SUM(CASE WHEN ipos <= {_NDCG_K}
+                  THEN ({_NDCG_GAIN}) * {_ndcg_w_case('ipos')}
+                  ELSE 0 END) AS BIGINT) AS idcg_lat
+  FROM r GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         CASE WHEN idcg_lat > 0 THEN
+           CAST(FLOOR(CAST(dcg_lat AS DOUBLE) / idcg_lat * 1e9 + 0.5)
+                AS BIGINT)
+         END AS nlat
+  FROM percust
+)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(nlat) AS BIGINT) AS n_scored,
+       CASE WHEN COUNT(nlat) > 0 THEN
+         CAST(SUM(nlat) AS DOUBLE) / COUNT(nlat) / 1e9
+       END AS avg_ndcg10
+FROM scored s JOIN customer c ON c.c_custkey = s.o_custkey
+GROUP BY 1
+"""
+
+
+@query("ml_ndcg_ranking", oracle=_NDCG_SQL)
+def ml_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking quality per market segment — the
+    LISTWISE retrieval-eval member beside the pointwise classifier
+    readouts (ml_auc_roc ranks pairs, ml_lift_gains cumulates, NDCG
+    scores whole ranked lists with graded relevance and position
+    discount — the standard search/recsys eval a retrieval-augmented
+    training pipeline runs on its retriever). Each customer is a
+    query; the ranker is a fixed md5 score (deterministic stand-in —
+    swap any score column), relevance the price-graded 0..4 label;
+    ideal ranking sorts the same lists by relevance.
+
+    Determinism: the position discounts 1/log2(pos+1) are PYTHON-
+    precomputed 1e12-lattice BIGINT literals embedded identically in
+    both engines (no engine log2 anywhere), gains (2^rel - 1) are CASE
+    integers, so per-query DCG/IDCG are exact BIGINT dot products and
+    NDCG an integer-ratio double snapped to a 1e-9 FLOOR lattice
+    before the segment average (itself an exact integer ratio —
+    unrounded). Window tiebreak o_orderkey is unique per customer.
+    Guards: an all-zero-relevance list (IDCG = 0) has undefined NDCG
+    -> excluded from the average (n_scored counts the rest); a
+    segment with no scored lists -> NULL (degencheck).
+
+    Scale: two per-customer windows (natural partition key, bounded
+    lists), one partial-aggable groupBy per customer, then a
+    segment-grain rollup; the customer dim join carries only
+    (custkey, segment). No global windows, no self-joins."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rel = F.least(
+        F.floor(F.col("o_totalprice") / 100000).cast("bigint"), F.lit(4)
+    )
+    score = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("rk:"), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    wpos = Window.partitionBy("o_custkey").orderBy(
+        F.desc("score"), "o_orderkey"
+    )
+    wipos = Window.partitionBy("o_custkey").orderBy(
+        F.desc("rel"), "o_orderkey"
+    )
+    r = o.select(
+        "o_custkey",
+        rel.alias("rel"),
+        score.alias("score"),
+        "o_orderkey",
+    ).select(
+        "o_custkey",
+        "rel",
+        F.row_number().over(wpos).alias("pos"),
+        F.row_number().over(wipos).alias("ipos"),
+    )
+    gain = F.expr(_NDCG_GAIN)
+    dcg = F.sum(
+        F.when(
+            F.col("pos") <= _NDCG_K,
+            gain * F.expr(_ndcg_w_case("pos")),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    idcg = F.sum(
+        F.when(
+            F.col("ipos") <= _NDCG_K,
+            gain * F.expr(_ndcg_w_case("ipos")),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    percust = r.groupBy("o_custkey").agg(
+        dcg.alias("dcg_lat"), idcg.alias("idcg_lat")
+    )
+    scored = percust.select(
+        "o_custkey",
+        F.when(
+            F.col("idcg_lat") > 0,
+            F.floor(
+                F.col("dcg_lat").cast("double")
+                / F.col("idcg_lat")
+                * 1e9
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("nlat"),
+    )
+    avg = F.when(
+        F.count("nlat") > 0,
+        F.sum("nlat").cast("double") / F.count("nlat") / 1e9,
+    )
+    return (
+        scored.join(c, scored.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.count("nlat").cast("bigint").alias("n_scored"),
+            avg.alias("avg_ndcg10"),
+        )
+    )

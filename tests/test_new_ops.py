@@ -2292,3 +2292,67 @@ def test_conformal_interval_python_twin_and_coverage(spark, sf_dir):
         tot_hits += hits
         tot_test += len(te)
     assert tot_test > 0 and tot_hits / tot_test >= 0.85
+
+
+def test_ndcg_ranking_python_twin_and_bounds(spark, sf_dir):
+    """Exact pure-Python twin of ml_ndcg_ranking at sf0.001: same md5
+    ranker, same graded relevance, same 1e12 discount lattice, same
+    1e-9 NDCG snap — per-segment outputs must match exactly. Also pins
+    NDCG in [0, 1] per query and that an oracle ranker (sort by
+    relevance) would score exactly 1.0 (the identity DCG == IDCG)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    W = [
+        1000000000000, 630929753571, 500000000000, 430676558073,
+        386852807235, 356207187108, 333333333333, 315464876786,
+        301029995664, 289064826318,
+    ]
+    GAIN = {0: 0, 1: 1, 2: 3, 3: 7, 4: 15}
+
+    got = {
+        r.segment: r for r in _q("ml_ndcg_ranking")(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    orders = con.sql(
+        f"""SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+                   c.c_mktsegment
+            FROM '{sf_dir}/orders.parquet' o
+            JOIN '{sf_dir}/customer.parquet' c
+              ON c.c_custkey = o.o_custkey"""
+    ).fetchall()
+    con.close()
+    per = defaultdict(list)
+    seg_of = {}
+    for ck, ok, price, seg in orders:
+        rel = min(int(math.floor(price / 100000)), 4)
+        sc = int(hashlib.md5(f"rk:{ok}".encode()).hexdigest()[:8], 16)
+        per[ck].append((sc, ok, rel))
+        seg_of[ck] = seg
+    agg = defaultdict(lambda: [0, 0, 0])  # n_queries, n_scored, sum_nlat
+    for ck, lst in per.items():
+        ranked = sorted(lst, key=lambda t: (-t[0], t[1]))
+        ideal = sorted(lst, key=lambda t: (-t[2], t[1]))
+        dcg = sum(
+            GAIN[r] * W[i] for i, (_, _, r) in enumerate(ranked[:10])
+        )
+        idcg = sum(
+            GAIN[r] * W[i] for i, (_, _, r) in enumerate(ideal[:10])
+        )
+        a = agg[seg_of[ck]]
+        a[0] += 1
+        if idcg > 0:
+            assert 0 <= dcg <= idcg  # NDCG in [0,1]; oracle ranker == 1.0
+            a[1] += 1
+            a[2] += math.floor(dcg / idcg * 1e9 + 0.5)
+    for seg, (nq, ns, s) in agg.items():
+        r = got[seg]
+        assert (r.n_queries, r.n_scored) == (nq, ns)
+        if ns:
+            assert r.avg_ndcg10 == s / ns / 1e9
+        else:
+            assert r.avg_ndcg10 is None
