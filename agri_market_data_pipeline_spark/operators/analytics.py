@@ -3273,3 +3273,208 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             tau.alias("tau_b"),
         )
     )
+
+
+# Benjamini-Hochberg FDR control over per-brand two-arm z-tests
+
+# 1 - erf(x) via Abramowitz & Stegun 7.1.26 (|eps| <= 1.5e-7): a pure
+# literal polynomial * exp(-x^2) — identical IEEE arithmetic in both
+# engines; two-sided p = (1 - erf(|z|/sqrt(2))), ROUND(6) before any
+# BH comparison. sqrt(2) is embedded as its exact double literal.
+_BH_ALPHA = "0.10"
+_SQRT2 = "1.4142135623730951"
+
+
+def _bh_p_expr(z: str) -> str:
+    x = f"(ABS({z}) / {_SQRT2})"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t})"
+    )
+    return f"ROUND({poly} * EXP(-({x} * {x})), 6)"
+
+
+_FDR_SQL = f"""
+WITH lv AS (
+  SELECT p.p_brand AS brand, l.l_returnflag AS arm,
+         CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_returnflag IN ('R', 'N')
+),
+g AS (
+  SELECT brand, arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         SUM(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS sq
+  FROM lv GROUP BY 1, 2
+),
+stats AS (
+  SELECT brand, arm, n,
+         CAST(sv AS DOUBLE) / 100 / n AS mean,
+         GREATEST((CAST(sq AS DOUBLE) / 10000
+                   - (CAST(sv AS DOUBLE) / 100)
+                     * (CAST(sv AS DOUBLE) / 100) / n) / (n - 1),
+                  0) AS var
+  FROM g WHERE n > 1
+),
+w AS (
+  SELECT r.brand, r.n AS n_r, nn.n AS n_n,
+         CASE WHEN r.var / r.n + nn.var / nn.n > 0
+              THEN (r.mean - nn.mean)
+                   / sqrt(r.var / r.n + nn.var / nn.n) END AS z
+  FROM (SELECT * FROM stats WHERE arm = 'R') r
+  JOIN (SELECT * FROM stats WHERE arm = 'N') nn ON nn.brand = r.brand
+),
+pv AS (
+  SELECT brand, n_r, n_n, ROUND(z, 4) AS z_stat, {_bh_p_expr('z')} AS p
+  FROM w WHERE z IS NOT NULL
+),
+ranked AS MATERIALIZED (
+  SELECT brand, n_r, n_n, z_stat, p,
+         ROW_NUMBER() OVER (ORDER BY p, brand) AS rk,
+         COUNT(*) OVER () AS m
+  FROM pv
+),
+kk AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= rk * {_BH_ALPHA} / m THEN rk END), 0)
+         AS kstar
+  FROM ranked
+)
+SELECT r.brand, r.n_r, r.n_n, r.z_stat, r.p AS p_value,
+       CAST(r.rk AS BIGINT) AS bh_rank, CAST(r.m AS BIGINT) AS m_tests,
+       CAST(CASE WHEN r.rk <= k.kstar THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected
+FROM ranked r, kk k
+"""
+
+
+@query("agg_fdr_bh", oracle=_FDR_SQL)
+def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a FAMILY
+    of hypothesis tests — the MULTIPLE-TESTING member of the inference
+    family: agg_ttest_ab / agg_permutation_test read ONE comparison,
+    but a screening pass (which brands moved? which features matter?)
+    runs dozens at once and naive per-test alpha inflates false
+    positives; BH (1995) rejects the k* smallest p-values where
+    p_(k) <= k*alpha/m, controlling FDR at alpha = 0.10. Tests
+    here: per-brand returned-vs-kept (R vs N) price z-tests from
+    integer-lattice power sums (the agg_ttest_ab discipline; Welch df
+    is thousands at every SF, so the normal tail is the right
+    reference).
+
+    Determinism: moments are exact cent-lattice BIGINT / DECIMAL(38,0)
+    sums, so z is bit-identical; the normal tail 1 - erf(|z|/sqrt2)
+    uses the A&S 7.1.26 literal polynomial x exp(-x^2) — identical
+    arithmetic both engines, ROUND(6) BEFORE the BH comparisons (the
+    transcendental-rounds-precede-comparison rule; exp ulp drift is
+    measure-zero against the 1e-6 lattice). The BH walk is a
+    row_number + count + max over the <=|brands|-row p-value frame
+    (GLOBAL_WINDOW_OK: brand grain); the 1-row k* frame broadcasts
+    (NESTED_LOOP_OK). Guards (degencheck): single-row or
+    zero-variance arms and missing arms are untestable -> excluded
+    before ranking (m counts real tests only).
+
+    Scale: one fact scan into a (brand, arm) partial agg; everything
+    after is algebra on the brand-grain frame."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    v = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    g = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("l_returnflag").alias("arm"),
+            v.alias("v"),
+        )
+        .groupBy("brand", "arm")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sv"),
+            F.sum(
+                F.col("v").cast("decimal(19,0)")
+                * F.col("v").cast("decimal(19,0)")
+            ).alias("sq"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    mean = F.col("sv").cast("double") / 100 / F.col("n")
+    var = F.greatest(
+        (
+            F.col("sq").cast("double") / 10000
+            - (F.col("sv").cast("double") / 100)
+            * (F.col("sv").cast("double") / 100)
+            / F.col("n")
+        )
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    stats = g.select("brand", "arm", "n", mean.alias("mean"), var.alias("var"))
+    r = stats.filter(F.col("arm") == "R").select(
+        "brand",
+        F.col("n").alias("n_r"),
+        F.col("mean").alias("mean_r"),
+        (F.col("var") / F.col("n")).alias("vr"),
+    )
+    nn = stats.filter(F.col("arm") == "N").select(
+        F.col("brand").alias("brand_n"),
+        F.col("n").alias("n_n"),
+        F.col("mean").alias("mean_n"),
+        (F.col("var") / F.col("n")).alias("vn"),
+    )
+    vsum = F.col("vr") + F.col("vn")
+    z = F.when(
+        vsum > 0, (F.col("mean_r") - F.col("mean_n")) / F.sqrt(vsum)
+    )
+    pv = (
+        r.join(F.broadcast(nn), F.col("brand") == F.col("brand_n"))
+        .select(
+            "brand",
+            "n_r",
+            "n_n",
+            z.alias("z"),
+        )
+        .filter(F.col("z").isNotNull())
+        .select(
+            "brand",
+            "n_r",
+            "n_n",
+            F.round("z", 4).alias("z_stat"),
+            F.expr(_bh_p_expr("z")).alias("p"),
+        )
+    )
+    ranked = pv.select(
+        "brand",
+        "n_r",
+        "n_n",
+        "z_stat",
+        "p",
+        F.row_number().over(Window.orderBy("p", "brand")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    ).localCheckpoint(eager=True)  # feeds the k* scan AND the output
+    alpha = float(_BH_ALPHA)
+    kk = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rk") * alpha / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return ranked.join(F.broadcast(kk)).select(
+        "brand",
+        "n_r",
+        "n_n",
+        "z_stat",
+        F.col("p").alias("p_value"),
+        F.col("rk").cast("bigint").alias("bh_rank"),
+        F.col("m").cast("bigint").alias("m_tests"),
+        F.when(F.col("rk") <= F.col("kstar"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rejected"),
+    )

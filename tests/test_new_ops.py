@@ -2356,3 +2356,76 @@ def test_ndcg_ranking_python_twin_and_bounds(spark, sf_dir):
             assert r.avg_ndcg10 == s / ns / 1e9
         else:
             assert r.avg_ndcg10 is None
+
+
+def test_fdr_bh_python_twin_and_stepup_property(spark, sf_dir):
+    """Exact pure-Python twin of agg_fdr_bh at sf0.001: same cent
+    lattice, same moment algebra, same A&S 7.1.26 tail, same BH
+    step-up — every emitted column must match. Also pins the step-up
+    property: the largest rejected rank k* satisfies
+    p_(k*) <= k*·alpha/m and every rank above k* fails its own cut
+    at or above p_(k*) (no rejection beyond the step-up point)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = {r.brand: r for r in _q("agg_fdr_bh")(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    raw = con.sql(
+        f"""SELECT p.p_brand, l.l_returnflag, l.l_extendedprice
+            FROM '{sf_dir}/lineitem.parquet' l
+            JOIN '{sf_dir}/part.parquet' p ON l.l_partkey = p.p_partkey
+            WHERE l.l_returnflag IN ('R', 'N')"""
+    ).fetchall()
+    con.close()
+    mom = defaultdict(lambda: [0, 0, 0])  # n, sv, sq per (brand, arm)
+    for brand, arm, price in raw:
+        v = math.floor(price * 100)
+        m = mom[(brand, arm)]
+        m[0] += 1
+        m[1] += v
+        m[2] += v * v
+    tests = []
+    for brand in {b for b, _ in mom}:
+        ok = True
+        s = {}
+        for arm in ("R", "N"):
+            n, sv, sq = mom.get((brand, arm), (0, 0, 0))
+            if n <= 1:
+                ok = False
+                break
+            mean = sv / 100 / n
+            var = max((sq / 10000 - (sv / 100) * (sv / 100) / n) / (n - 1), 0)
+            s[arm] = (n, mean, var / n)
+        if not ok or s["R"][2] + s["N"][2] <= 0:
+            assert brand not in rows
+            continue
+        z = (s["R"][1] - s["N"][1]) / math.sqrt(s["R"][2] + s["N"][2])
+        x = abs(z) / 1.4142135623730951
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+              - 0.284496736) * t + 0.254829592) * t
+        )
+        p = round(poly * math.exp(-(x * x)), 6)
+        tests.append((p, brand, s["R"][0], s["N"][0], round(z, 4)))
+    tests.sort()
+    m = len(tests)
+    kstar = max(
+        (rk for rk, (p, *_rest) in enumerate(tests, 1)
+         if p <= rk * 0.10 / m),
+        default=0,
+    )
+    for rk, (p, brand, n_r, n_n, z4) in enumerate(tests, 1):
+        r = rows[brand]
+        assert (r.n_r, r.n_n, r.z_stat) == (n_r, n_n, z4)
+        assert r.p_value == p and r.bh_rank == rk and r.m_tests == m
+        assert r.rejected == (1 if rk <= kstar else 0)
+    if kstar:
+        assert tests[kstar - 1][0] <= kstar * 0.10 / m
+    for rk in range(kstar + 1, m + 1):
+        assert tests[rk - 1][0] > rk * 0.10 / m
+    assert len(rows) == m

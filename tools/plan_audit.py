@@ -248,6 +248,8 @@ NESTED_LOOP_OK = {
     # r12:
     "ml_isotonic_calibration",  # <=20-row score-bin frames (PAV minimax
     #   interval enumeration — bounded by the bin constant, never data)
+    "agg_fdr_bh",            # 1-row k* frame against the brand-grain
+    #   p-value frame (BH rejection cut)
 }
 
 # Queries allowed to carry a zero-partition window whose input is
@@ -261,6 +263,8 @@ NESTED_LOOP_OK = {
 # per-query (judge ADVICE r11) — an op that later grows a SECOND
 # aggregate-bounded global window fails until its entry documents it.
 GLOBAL_WINDOW_OK = {
+    "agg_fdr_bh":                  # BH rank + m over the <=|brands|-row
+        ("brand grain", 2),        #   p-value frame (row_number + count)
     "agg_ks_test":                 # pooled value-support grain (distinct
         ("value lattice", 2),      #   observed values; binned at 100 TB)
                                    #   — cum-CDF walk + whole-frame total
