@@ -3294,3 +3294,158 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Dynamic time warping distance between daily event-type series
+
+_DTW_BIG = 1 << 60  # unreachable-cell sentinel (path sums stay < 2^40)
+
+_DTW_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                    / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS lv
+  FROM events GROUP BY 1, 2
+),
+ser AS MATERIALIZED (
+  SELECT et, list(lv ORDER BY day_no) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+),
+pairs AS MATERIALIZED (
+  SELECT a.et AS ta, b.et AS tb, a.arr AS aa, b.arr AS bb,
+         a.n AS n, b.n AS m
+  FROM ser a JOIN ser b ON a.et < b.et
+),
+rec AS (
+  SELECT ta, tb, aa, bb, n, m, CAST(2 AS BIGINT) AS d,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> CASE WHEN i = 1 THEN ABS(aa[1] - bb[1])
+                     ELSE {_DTW_BIG} END) AS cur,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> {_DTW_BIG}) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT ta, tb, aa, bb, n, m, d + 1,
+         list_transform(generate_series(1, CAST(n AS INTEGER)),
+           i -> CASE WHEN d + 1 - i BETWEEN 1 AND m THEN
+                  ABS(aa[i] - bb[d + 1 - i])
+                  + LEAST(CASE WHEN i > 1 THEN cur[i - 1]
+                               ELSE {_DTW_BIG} END,
+                          cur[i],
+                          CASE WHEN i > 1 THEN prev[i - 1]
+                               ELSE {_DTW_BIG} END)
+                ELSE {_DTW_BIG} END) AS cur,
+         cur AS prev
+  FROM rec WHERE d < n + m
+)
+SELECT ta AS type_a, tb AS type_b, n AS n_a, m AS n_b,
+       CAST(cur[CAST(n AS INTEGER)] AS DOUBLE) / 1e6 AS dtw,
+       CAST(cur[CAST(n AS INTEGER)] AS DOUBLE) / (n + m) / 1e6
+         AS dtw_per_step
+FROM rec WHERE d = n + m
+"""
+
+
+@query("ts_dtw_distance", oracle=_DTW_SQL)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance between every pair of daily
+    event-type series — the ELASTIC similarity member of the
+    series-comparison family: ts_cross_correlation needs aligned
+    clocks, ts_cointegration tests a linear long-run tie, while DTW
+    matches series that run the same SHAPE at locally varying speed
+    (the standard series-matching/clustering distance a curation
+    pipeline uses to group near-duplicate metric streams). Classic
+    O(n·m) Sakoe-Chiba DP (band unnecessary here: the day grain
+    saturates at ~30 points per series, so the full grid is a
+    constant ~900 cells per pair).
+
+    Determinism: series values are exact 1e-6-lattice BIGINTs (the
+    ts_holt_forecast daily-mean recipe), costs |a_i - b_j| and every
+    DP cell are therefore exact BIGINTs — the distance matches
+    bitwise with NO rounding anywhere. Spark runs the genuinely
+    sequential DP vectorized over anti-diagonals in pandas (the
+    sanctioned applyInPandas-family path for recurrences); the oracle
+    is a DuckDB RECURSIVE CTE advancing one anti-diagonal per round
+    with the two previous diagonals carried as BIGINT lists — cell
+    (i, j) on diagonal d reads (i-1, j), (i, j-1) from diagonal d-1
+    and (i-1, j-1) from d-2, so one list_transform computes a whole
+    diagonal with no intra-round dependency.
+
+    Scale: facts reduce to (type, day) in one partial agg; the pair
+    frame is |types|^2/2 rows of <=|days|-length arrays (both
+    saturating grains — NESTED_LOOP_OK); each DP is O(days^2) integer
+    work, parallel across pairs. Fact cost is the scan, always."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lv")
+    )
+    ser = daily.groupBy("et").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_no, lv))),"
+            " s -> s.lv)"
+        ).alias("arr"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    a = ser.select(
+        F.col("et").alias("type_a"),
+        F.col("arr").alias("aa"),
+        F.col("n").alias("n_a"),
+    )
+    b = ser.select(
+        F.col("et").alias("type_b"),
+        F.col("arr").alias("bb"),
+        F.col("n").alias("n_b"),
+    )
+
+    def _dtw_batch(aa, bb):
+        out = []
+        for av, bv in zip(aa, bb):
+            x = np.asarray(av, dtype=np.int64)
+            y = np.asarray(bv, dtype=np.int64)
+            n, m = len(x), len(y)
+            big = np.int64(_DTW_BIG)
+            dp = np.full((n + 1, m + 1), big, dtype=np.int64)
+            dp[0, 0] = 0
+            cost = np.abs(x[:, None] - y[None, :])
+            for d in range(2, n + m + 1):
+                i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+                j = d - i
+                pred = np.minimum(
+                    np.minimum(dp[i - 1, j], dp[i, j - 1]), dp[i - 1, j - 1]
+                )
+                dp[i, j] = cost[i - 1, j - 1] + pred
+            out.append(int(dp[n, m]))
+        return pd.Series(out, dtype="int64")
+
+    dtw_lat = F.pandas_udf(_dtw_batch, "long")
+
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .withColumn("lat", dtw_lat("aa", "bb"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("lat").cast("double") / 1e6).alias("dtw"),
+            (
+                F.col("lat").cast("double")
+                / (F.col("n_a") + F.col("n_b"))
+                / 1e6
+            ).alias("dtw_per_step"),
+        )
+    )

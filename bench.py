@@ -140,6 +140,15 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "ml_mutual_info",
     "ml_linear_shap",
+    # r12: the calibration fit, the rank-dependence measure, the
+    # conformal wrap, the listwise retrieval eval, and the
+    # multiple-testing layer (pinned this round from two runs per the
+    # two-run band rule)
+    "ml_isotonic_calibration",
+    "agg_kendall_tau",
+    "ml_conformal_interval",
+    "ml_ndcg_ranking",
+    "agg_fdr_bh",
 ]
 
 

@@ -2429,3 +2429,54 @@ def test_fdr_bh_python_twin_and_stepup_property(spark, sf_dir):
     for rk in range(kstar + 1, m + 1):
         assert tests[rk - 1][0] > rk * 0.10 / m
     assert len(rows) == m
+
+
+def test_dtw_python_twin_and_alignment_bounds(spark, sf_dir):
+    """Row-wise pure-Python DP twin of ts_dtw_distance at sf0.001 —
+    a DIFFERENT evaluation order than the operator's anti-diagonal
+    vectorization and the oracle's diagonal recursion, so agreement
+    pins the recurrence itself. Also pins DTW >= 0 and, for
+    equal-length pairs, DTW <= the no-warp alignment cost."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in _q("ts_dtw_distance")(spark, sf_dir).collect()
+    }
+    assert rows
+
+    con = duckdb.connect()
+    daily = con.sql(
+        f"""SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+                   CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                              AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2"""
+    ).fetchall()
+    con.close()
+    ser = defaultdict(list)
+    for et, _, lv in daily:
+        ser[et].append(lv)
+    BIG = 1 << 60
+    for (ta, tb), r in rows.items():
+        x, y = ser[ta], ser[tb]
+        n, m = len(x), len(y)
+        assert (r.n_a, r.n_b) == (n, m)
+        dp = [[BIG] * (m + 1) for _ in range(n + 1)]
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = abs(x[i - 1] - y[j - 1]) + min(
+                    dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]
+                )
+        lat = dp[n][m]
+        assert r.dtw == lat / 1e6 and r.dtw >= 0
+        assert r.dtw_per_step == lat / (n + m) / 1e6
+        if n == m:
+            nowarp = sum(abs(a - b) for a, b in zip(x, y))
+            assert lat <= nowarp
+    assert set(rows) == {
+        (a, b) for a in ser for b in ser if a < b
+    }

@@ -250,6 +250,8 @@ NESTED_LOOP_OK = {
     #   interval enumeration — bounded by the bin constant, never data)
     "agg_fdr_bh",            # 1-row k* frame against the brand-grain
     #   p-value frame (BH rejection cut)
+    "ts_dtw_distance",       # |types|-row series frames (type_a <
+    #   type_b pair enumeration over a saturating grain)
 }
 
 # Queries allowed to carry a zero-partition window whose input is
