@@ -149,6 +149,7 @@ HEADLINE = [
     "ml_conformal_interval",
     "ml_ndcg_ranking",
     "agg_fdr_bh",
+    "ts_dtw_distance",
 ]
 
 
