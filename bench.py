@@ -150,6 +150,7 @@ HEADLINE = [
     "ml_ndcg_ranking",
     "agg_fdr_bh",
     "ts_dtw_distance",
+    "ts_garch_volatility",
 ]
 
 

@@ -1909,3 +1909,51 @@ def test_semantic_cluster_components_equal_planted_crt_classes(
         r: ((5 if r < 64 else 4), r) for r in range(112)
     }
     assert got == expect
+
+
+def test_garch_separates_planted_burst_and_matches_exact_recursion(
+    spark, tmp_path
+):
+    """ts_garch_volatility on two planted 120-day series: 'calm' =
+    50 +/- 0.1 jitter throughout; 'burst' = the same calm first half,
+    then +/-12 uniform swings. The burst's conditional variance must
+    land near its steady state 2*omega + E[r^2]/2 (diff of two
+    uniform(-12,12) draws has variance 2*48 = 96, so sigma2 ~ 48)
+    while the calm twin stays under 0.1; and because the whole filter
+    is an exact BIGINT recursion, h_last/h_next must equal a pure-
+    Python replay of it bit-for-bit (any drift in the lattice, the
+    alpha/beta shifts, or the init breaks equality, not a tolerance)."""
+    from agri_market_data_pipeline_spark.operators.timeseries import (
+        _GARCH_W,
+    )
+
+    n = 120
+    calm = [50.0 + 0.2 * _noise("gc", i) for i in range(n)]
+    burst = [
+        50.0 + 0.2 * _noise("gb", i)
+        if i < n // 2
+        else 50.0 + 24.0 * (_noise("gb", i) - 0.5)
+        for i in range(n)
+    ]
+    types, values, days = _interleave({"burst": burst, "calm": calm})
+    alt = _planted(tmp_path, "garch", types, values, days)
+    got = {
+        r.event_type: r
+        for r in _q("ts_garch_volatility")(spark, alt).collect()
+    }
+    assert set(got) == {"burst", "calm"}
+    b, c = got["burst"], got["calm"]
+    assert b.n_ret == n - 1 and c.n_ret == n - 1
+    assert c.sigma2 < 0.1, c.sigma2
+    assert 10.0 < b.sigma2 < 200.0, b.sigma2
+    assert b.sigma2 > 100 * c.sigma2
+    for name, series in (("burst", burst), ("calm", calm)):
+        lvs = [int((v * 1e6 + 0.5) // 1)for v in series]
+        rs = [y - x for x, y in zip(lvs, lvs[1:])]
+        h = rs[0] * rs[0]
+        for r_prev in rs[:-1]:
+            h = _GARCH_W + (r_prev * r_prev) // 4 + h // 2
+        r = got[name]
+        assert r.h_last == h, name
+        assert r.h_next == _GARCH_W + (rs[-1] * rs[-1]) // 4 + h // 2
+        assert r.sigma2 == h / 1e12
