@@ -1994,3 +1994,157 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lcc"),
         )
     )
+
+
+# HITS hubs & authorities on the directed nation trade graph
+
+_HITS_ROUNDS = 4
+_HITS_UNIT = 1_000_000
+
+
+def _hits_sql(rounds: int) -> str:
+    """DuckDB twin: the mutual hub/authority recursion unrolled into a
+    MATERIALIZED CTE chain (each a{i}/h{i} is referenced twice — by the
+    next half-round AND by its own MAX normalization scalar subquery —
+    so MATERIALIZED is load-bearing, the graph_kcore lesson). All
+    arithmetic is BIGINT; `//` floors but every value is nonnegative,
+    so it agrees with Spark's truncating `div`."""
+    ctes = [
+        f"e AS MATERIALIZED ({_EDGE_SQL})",
+        "n0 AS (SELECT n_nationkey AS node FROM nation)",
+        f"h0 AS (SELECT node, CAST({_HITS_UNIT} AS BIGINT) AS hu FROM n0)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(SUM(e.w * h.hu), 0) AS BIGINT) AS s
+  FROM n0 n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN h{i - 1} h ON h.node = e.src
+  GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT MAX(s) FROM ar{i}) > 0
+    THEN (s * {_HITS_UNIT}) // (SELECT MAX(s) FROM ar{i})
+    ELSE CAST(0 AS BIGINT) END AS au
+  FROM ar{i})"""
+        )
+        ctes.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT n.node, CAST(COALESCE(SUM(e.w * a.au), 0) AS BIGINT) AS s
+  FROM n0 n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY n.node)"""
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT MAX(s) FROM hr{i}) > 0
+    THEN (s * {_HITS_UNIT}) // (SELECT MAX(s) FROM hr{i})
+    ELSE CAST(0 AS BIGINT) END AS hu
+  FROM hr{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT nat.n_name AS nation, h.hu AS hub_u, a.au AS auth_u,
+       CAST(h.hu AS DOUBLE) / {_HITS_UNIT} AS hub,
+       CAST(a.au AS DOUBLE) / {_HITS_UNIT} AS auth
+FROM h{rounds} h
+JOIN a{rounds} a ON a.node = h.node
+JOIN nation nat ON nat.n_nationkey = h.node"""
+    )
+
+
+@query("graph_hits", oracle=_hits_sql(_HITS_ROUNDS))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed nation trade graph —
+    the MUTUAL-recursion centrality beside graph_pagerank's single
+    random-surfer fixed point: a nation is a strong HUB if it supplies
+    (out-edges into) strong authorities, a strong AUTHORITY if strong
+    hubs supply it — the two scores are different rankings on any
+    asymmetric graph (import-heavy vs export-heavy nations), which is
+    exactly what the one-score pagerank cannot express.
+
+    {_HITS_ROUNDS} rounds of auth(v) = Σ_in w·hub(u) then
+    hub(u) = Σ_out w·auth(v), each half-round L∞-normalized to the
+    {_HITS_UNIT} micro-unit lattice by s·UNIT // max(s) — integer
+    floor of nonnegative BIGINTs, so truncating `div` and flooring
+    `//` agree and every round is bit-identical across engines (the
+    graph_pagerank discipline; max-normalization is the classical HITS
+    choice and keeps the lattice from overflow: Σ w·state ≤
+    UNIT·Σw = UNIT·|lineitem|, and ·UNIT again stays under int64 up to
+    ~6e6 facts per SF — beyond that, pre-scale w, the docstring
+    contract). A zero max (empty edge set) floors both scores to 0 via
+    the same CASE guard both engines.
+
+    Scale shape: fact-side work is ONE edge-list aggregation
+    (localCheckpointed so the loop never re-reads facts); each
+    half-round is a nation-sized join + aggregate; the per-round MAX
+    rides a 1-row frame cross-joined back (constant-folds to the
+    allowlisted bounded BroadcastNestedLoopJoin — see
+    NESTED_LOOP_OK)."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    hub = nodes.withColumn("hu", F.lit(_HITS_UNIT).cast("long"))
+    for _ in range(_HITS_ROUNDS):
+        inbox = (
+            e.join(
+                F.broadcast(hub.withColumnRenamed("node", "hn")),
+                e.src == F.col("hn"),
+            )
+            .select("dst", (F.col("w") * F.col("hu")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ar = nodes.join(inbox, nodes.node == inbox.dst, "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
+        )
+        mx = ar.agg(F.max("s").alias("mx"))
+        auth = ar.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(
+                f"CASE WHEN mx > 0 THEN (s * {_HITS_UNIT}) div mx "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("au"),
+        )
+        auth = auth.localCheckpoint(eager=True)
+        outbox = (
+            e.join(
+                F.broadcast(auth.withColumnRenamed("node", "an")),
+                e.dst == F.col("an"),
+            )
+            .select("src", (F.col("w") * F.col("au")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        hr = nodes.join(outbox, nodes.node == outbox.src, "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
+        )
+        mx2 = hr.agg(F.max("s").alias("mx"))
+        hub = hr.crossJoin(F.broadcast(mx2)).select(
+            "node",
+            F.expr(
+                f"CASE WHEN mx > 0 THEN (s * {_HITS_UNIT}) div mx "
+                "ELSE CAST(0 AS BIGINT) END"
+            ).alias("hu"),
+        )
+        hub = hub.localCheckpoint(eager=True)
+    nat = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return (
+        hub.join(auth, "node")
+        .join(F.broadcast(nat), "node")
+        .select(
+            "nation",
+            F.col("hu").alias("hub_u"),
+            F.col("au").alias("auth_u"),
+            (F.col("hu").cast("double") / _HITS_UNIT).alias("hub"),
+            (F.col("au").cast("double") / _HITS_UNIT).alias("auth"),
+        )
+    )

@@ -151,6 +151,7 @@ HEADLINE = [
     "agg_fdr_bh",
     "ts_dtw_distance",
     "ts_garch_volatility",
+    "graph_hits",
 ]
 
 

@@ -1957,3 +1957,158 @@ def test_garch_separates_planted_burst_and_matches_exact_recursion(
         assert r.h_last == h, name
         assert r.h_next == _GARCH_W + (rs[-1] * rs[-1]) // 4 + h // 2
         assert r.sigma2 == h / 1e12
+
+
+def _planted_trade_graph(tmp_path, name: str, n_nodes: int, edges):
+    """Planted trade-graph fixture (the louvain-test recipe, factored):
+    nation/customer/supplier/orders rebuilt so nation i trades exactly
+    the given directed (src, dst, weight) edges — weight = lineitem
+    multiplicity."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    papq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(n_nodes), pa.int32()),
+                "n_name": [f"N{i}" for i in range(n_nodes)],
+                "n_regionkey": pa.array([0] * n_nodes, pa.int32()),
+            }
+        ),
+        alt / "nation.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(
+                    [100 + i for i in range(n_nodes)], pa.int64()
+                ),
+                "c_name": [f"C{i}" for i in range(n_nodes)],
+                "c_nationkey": pa.array(range(n_nodes), pa.int32()),
+                "c_acctbal": pa.array([0.0] * n_nodes),
+                "c_mktsegment": ["BUILDING"] * n_nodes,
+            }
+        ),
+        alt / "customer.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(
+                    [200 + i for i in range(n_nodes)], pa.int64()
+                ),
+                "s_name": [f"S{i}" for i in range(n_nodes)],
+                "s_nationkey": pa.array(range(n_nodes), pa.int32()),
+                "s_acctbal": pa.array([0.0] * n_nodes),
+            }
+        ),
+        alt / "supplier.parquet",
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    [300 + i for i in range(n_nodes)], pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    [100 + i for i in range(n_nodes)], pa.int64()
+                ),
+                "o_orderstatus": ["F"] * n_nodes,
+                "o_totalprice": pa.array([1.0] * n_nodes),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * n_nodes,
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": ["1-URGENT"] * n_nodes,
+            }
+        ),
+        alt / "orders.parquet",
+    )
+    rows = []
+    ln = 0
+    for s, c, w in edges:
+        for _ in range(w):
+            ln += 1
+            rows.append((300 + c, 1, 200 + s, ln))
+    papq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([1.0] * len(rows)),
+                "l_extendedprice": pa.array([1.0] * len(rows)),
+                "l_discount": pa.array([0.0] * len(rows)),
+                "l_tax": pa.array([0.0] * len(rows)),
+                "l_returnflag": ["N"] * len(rows),
+                "l_linestatus": ["O"] * len(rows),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-02")] * len(rows),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        alt / "lineitem.parquet",
+    )
+    return alt
+
+
+def test_hits_ranks_planted_hub_authority_structure(spark, tmp_path):
+    """graph_hits on a planted 4-nation graph: N0 supplies BOTH
+    consumers (the super-hub), N1 supplies one; N2 is consumed-from by
+    both hubs (the super-authority), N3 by one. The operator must (a)
+    rank hub N0 > N1 > N2 = N3 = 0 and auth N2 > N3 > N0 = 0 — the
+    two-sided structure pagerank's single score cannot express — and
+    (b) match a pure-Python replay of the exact integer recursion
+    bit-for-bit (normalization floors included)."""
+    from agri_market_data_pipeline_spark.operators.graph import (
+        _HITS_ROUNDS,
+        _HITS_UNIT,
+    )
+
+    edges = [(0, 2, 10), (0, 3, 10), (1, 2, 10)]
+    alt = _planted_trade_graph(tmp_path, "hits", 4, edges)
+    out = {
+        r.nation: r for r in _q("graph_hits")(spark, str(alt)).collect()
+    }
+    assert set(out) == {"N0", "N1", "N2", "N3"}
+
+    ew = {(s, d): w for s, d, w in edges}
+    hub = {n: _HITS_UNIT for n in range(4)}
+    auth = {}
+    for _ in range(_HITS_ROUNDS):
+        raw = {
+            n: sum(w * hub[s] for (s, d), w in ew.items() if d == n)
+            for n in range(4)
+        }
+        mx = max(raw.values())
+        auth = {
+            n: (raw[n] * _HITS_UNIT) // mx if mx > 0 else 0 for n in range(4)
+        }
+        raw = {
+            n: sum(w * auth[d] for (s, d), w in ew.items() if s == n)
+            for n in range(4)
+        }
+        mx = max(raw.values())
+        hub = {
+            n: (raw[n] * _HITS_UNIT) // mx if mx > 0 else 0 for n in range(4)
+        }
+    for i in range(4):
+        r = out[f"N{i}"]
+        assert r.hub_u == hub[i], (i, r.hub_u, hub[i])
+        assert r.auth_u == auth[i], (i, r.auth_u, auth[i])
+        assert r.hub == hub[i] / _HITS_UNIT
+        assert r.auth == auth[i] / _HITS_UNIT
+    assert out["N0"].hub_u == _HITS_UNIT
+    assert 0 < out["N1"].hub_u < _HITS_UNIT
+    assert out["N2"].hub_u == 0 and out["N3"].hub_u == 0
+    assert out["N2"].auth_u == _HITS_UNIT
+    assert 0 < out["N3"].auth_u < _HITS_UNIT
+    assert out["N0"].auth_u == 0 and out["N1"].auth_u == 0

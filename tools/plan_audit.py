@@ -252,6 +252,8 @@ NESTED_LOOP_OK = {
     #   p-value frame (BH rejection cut)
     "ts_dtw_distance",       # |types|-row series frames (type_a <
     #   type_b pair enumeration over a saturating grain)
+    "graph_hits",            # 1-row L-inf max frame per half-round
+    #   (normalization scalar cross-joined back onto the nation frame)
 }
 
 # Queries allowed to carry a zero-partition window whose input is
