@@ -3585,3 +3585,162 @@ def ts_garch_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h_last").cast("double") / 1e12).alias("sigma2"),
         (F.col("h_next").cast("double") / 1e12).alias("sigma2_next"),
     )
+
+
+# SAX symbolic approximation of daily event-type series
+
+_SAX_W = 5  # days per PAA segment
+
+
+_SAX_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                    / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS lv
+  FROM events GROUP BY 1, 2
+),
+rk AS (
+  SELECT et, lv,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) - 1 AS r
+  FROM daily
+),
+mom AS (
+  SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(lv) AS s1, SUM(lv * lv) AS s2
+  FROM rk GROUP BY 1
+),
+seg AS (
+  SELECT et, r // {_SAX_W} AS sg,
+         CAST(SUM(lv) AS DOUBLE) / COUNT(*) AS paa
+  FROM rk GROUP BY 1, 2
+),
+z AS (
+  SELECT s.et, s.sg,
+         CASE WHEN (CAST(m.s2 AS DOUBLE) / m.n
+                    - (CAST(m.s1 AS DOUBLE) / m.n)
+                      * (CAST(m.s1 AS DOUBLE) / m.n)) > 0
+              THEN (s.paa - CAST(m.s1 AS DOUBLE) / m.n)
+                   / SQRT(CAST(m.s2 AS DOUBLE) / m.n
+                          - (CAST(m.s1 AS DOUBLE) / m.n)
+                            * (CAST(m.s1 AS DOUBLE) / m.n))
+              ELSE 0.0 END AS z
+  FROM seg s JOIN mom m ON m.et = s.et
+),
+sym AS (
+  SELECT et, sg,
+         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS c
+  FROM z
+)
+SELECT s.et AS event_type, MAX(m.n) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       string_agg(c, '' ORDER BY sg) AS sax_word,
+       CAST(SUM(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN c = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       CAST(SUM(CASE WHEN c = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_d
+FROM sym s JOIN mom m ON m.et = s.et
+GROUP BY s.et
+"""
+
+
+@query("ts_sax_symbolic", oracle=_SAX_SQL)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation) word per daily
+    event-type series — the SYMBOLIC member of the series family:
+    ts_dtw_distance compares raw shapes elastically, ts_wavelet_haar
+    localizes energy by scale, while SAX compresses each series to a
+    {_SAX_W}-day-PAA, 4-letter-alphabet string (Lin/Keogh's standard
+    representation) that downstream motif mining, indexing, and
+    hashing treat as text — the bridge from the ts_* family into the
+    text/dedup machinery (a SAX word can feed dedup_exact or
+    text_ngrams unchanged).
+
+    Pipeline (classical SAX, engine-deterministic at every step):
+    daily means on the exact 1e-6 BIGINT lattice (ts_holt_forecast
+    recipe) → per-series moments from EXACT integer sums Σlv, Σlv²
+    (lv² ≤ 1e16·|days| stays inside int64) → PAA = exact-ratio segment
+    mean (bitwise double) → z = (paa − μ)/σ with both μ and σ the same
+    IEEE expressions both engines → symbols by the N(0,1) quartile
+    breakpoints ±0.6745/0 (a|b|c|d). A zero-variance (constant)
+    series takes the z = 0 → all-'c' contract via the same CASE guard
+    both engines — no division ever fires on σ = 0 (the degencheck
+    class). Ordered concatenation: DuckDB string_agg(... ORDER BY sg)
+    ↔ Spark concat_ws over transform(array_sort(collect_list(
+    struct))) — the CLAUDE.md ordered-agg idiom; segment index
+    r div {_SAX_W} is nonnegative, so truncation and floor agree.
+
+    Scale: facts reduce to (type, day) in one partial agg; the rank
+    window rides the saturating per-series calendar grain
+    (grain-bounded exemption); segments and words are K-row frames.
+    The SAX word is a plain string column — atomic output."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lv")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    rk = daily.select(
+        "et", "lv", (F.row_number().over(w) - 1).alias("r")
+    )
+    mom = rk.groupBy("et").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lv").alias("s1"),
+        F.sum(F.col("lv") * F.col("lv")).alias("s2"),
+    )
+    seg = rk.groupBy(
+        "et", F.expr(f"r div {_SAX_W}").alias("sg")
+    ).agg(
+        (F.sum("lv").cast("double") / F.count("*")).alias("paa")
+    )
+    z = seg.join(mom, "et").select(
+        "et",
+        "sg",
+        "n",
+        F.expr(
+            "CASE WHEN (CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) > 0"
+            " THEN (paa - CAST(s1 AS DOUBLE) / n)"
+            " / SQRT(CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+            " ELSE 0.0 END"
+        ).alias("z"),
+    )
+    sym = z.select(
+        "et",
+        "sg",
+        "n",
+        F.expr(
+            "CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'"
+            " WHEN z < 0.6745 THEN 'c' ELSE 'd' END"
+        ).alias("c"),
+    )
+    return sym.groupBy(F.col("et").alias("event_type")).agg(
+        F.max("n").alias("n_days"),
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list("
+            "struct(sg, c))), s -> s.c))"
+        ).alias("sax_word"),
+        F.sum(F.expr("CASE WHEN c = 'a' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.expr("CASE WHEN c = 'b' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.expr("CASE WHEN c = 'c' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.expr("CASE WHEN c = 'd' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_d"),
+    )

@@ -152,6 +152,7 @@ HEADLINE = [
     "ts_dtw_distance",
     "ts_garch_volatility",
     "graph_hits",
+    "ts_sax_symbolic",
 ]
 
 

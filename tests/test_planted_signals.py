@@ -2112,3 +2112,35 @@ def test_hits_ranks_planted_hub_authority_structure(spark, tmp_path):
     assert out["N2"].auth_u == _HITS_UNIT
     assert 0 < out["N3"].auth_u < _HITS_UNIT
     assert out["N0"].auth_u == 0 and out["N1"].auth_u == 0
+
+
+def test_sax_word_encodes_planted_step_constant_and_ramp(spark, tmp_path):
+    """ts_sax_symbolic pins: a 60-day step series (30 days at 10, 30 at
+    20) has mu = 15, sigma = 5 exactly, so every low PAA segment is
+    z = -1 -> 'a' and every high one z = +1 -> 'd': the word must be
+    exactly 'a'*6 + 'd'*6. A constant series takes the zero-variance
+    z = 0 -> all-'c' contract. A linear ramp must produce a
+    non-decreasing word using both tails of the alphabet."""
+    n = 60
+    step = [10.0] * (n // 2) + [20.0] * (n // 2)
+    const = [42.0] * n
+    ramp = [float(i) for i in range(n)]
+    types, values, days = _interleave(
+        {"step": step, "const": const, "ramp": ramp}
+    )
+    alt = _planted(tmp_path, "sax", types, values, days)
+    out = {
+        r.event_type: r
+        for r in _q("ts_sax_symbolic")(spark, alt).collect()
+    }
+    assert set(out) == {"step", "const", "ramp"}
+    s = out["step"]
+    assert (s.n_days, s.n_segments) == (60, 12)
+    assert s.sax_word == "a" * 6 + "d" * 6
+    assert (s.n_a, s.n_b, s.n_c, s.n_d) == (6, 0, 0, 6)
+    c = out["const"]
+    assert c.sax_word == "c" * 12 and c.n_c == 12
+    r = out["ramp"]
+    assert list(r.sax_word) == sorted(r.sax_word)  # monotone symbols
+    assert r.sax_word[0] == "a" and r.sax_word[-1] == "d"
+    assert r.n_a > 0 and r.n_b > 0 and r.n_c > 0 and r.n_d > 0
