@@ -3478,3 +3478,129 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rejected"),
     )
+
+
+# First-order Markov chain over per-user event sequences
+
+_MKV_ROUNDS = 6
+_MKV_UNIT = 1_000_000
+
+
+def _markov_sql(rounds: int) -> str:
+    """DuckDB twin: the stationary power iteration unrolled into a
+    MATERIALIZED CTE chain (each p{i} is joined by the next round —
+    the graph_kcore MATERIALIZED-loop rule). All-integer message
+    arithmetic; `//` floors but every term is nonnegative, so it
+    agrees with Spark's truncating `div`."""
+    ctes = [
+        """seq AS (
+  SELECT event_type AS ft,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS tt
+  FROM events)""",
+        """tr AS MATERIALIZED (
+  SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE tt IS NOT NULL GROUP BY 1, 2)""",
+        "outd AS MATERIALIZED (SELECT ft, SUM(c) AS o FROM tr GROUP BY 1)",
+        "st AS (SELECT DISTINCT event_type AS s FROM events)",
+        f"p0 AS (SELECT s, CAST({_MKV_UNIT} AS BIGINT) AS pu FROM st)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT n.s, CAST(COALESCE(SUM((p.pu * t.c) // o.o), 0) AS BIGINT) AS pu
+  FROM st n
+  LEFT JOIN tr t ON t.tt = n.s
+  LEFT JOIN p{i - 1} p ON p.s = t.ft
+  LEFT JOIN outd o ON o.ft = t.ft
+  GROUP BY n.s)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT t.ft AS from_type, t.tt AS to_type, t.c AS n_trans,
+       CAST(t.c AS DOUBLE) / o.o AS prob,
+       p.pu AS stat_from_u,
+       CAST(p.pu AS DOUBLE) / {_MKV_UNIT} AS stat_from
+FROM tr t
+JOIN outd o ON o.ft = t.ft
+JOIN p{rounds} p ON p.s = t.ft"""
+    )
+
+
+@query("ml_markov_chain", oracle=_markov_sql(_MKV_ROUNDS))
+def ml_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event sequences — the
+    SEQUENCE-model member of the behavioral family: win_event_pattern
+    matches one fixed motif and win_funnel_steps one fixed order,
+    while the Markov transition matrix models ALL pairwise dynamics at
+    once (the standard clickstream/user-journey model), and its
+    stationary distribution says where the process spends its time in
+    the long run — the model a curation pipeline uses to score
+    session plausibility or synthesize negative sequences.
+
+    Long-form output: one row per observed (from_type → to_type)
+    transition with its count, row-normalized probability (exact
+    integer-ratio double — unrounded per the CLAUDE.md rule), and the
+    from-state's stationary mass after {_MKV_ROUNDS} lattice power
+    rounds: π' = π·P evaluated as per-edge exact floor terms
+    (π_u·c_uv) div out_u — nonnegative BIGINTs, so truncating div and
+    flooring // agree and every round is bit-identical across engines
+    (the graph_pagerank discipline; floor leakage per round is < |E|
+    micro-units, identically on both engines). States with no
+    out-transitions absorb nothing and leak their mass — documented,
+    same both engines.
+
+    Scale: the LEAD window partitions by user_id — high-cardinality,
+    perfectly parallel, each partition a bounded session; transitions
+    aggregate to the |types|² grain (saturating); the iteration runs
+    on K-row frames with per-round localCheckpoint (flat lineage).
+    Sequence extraction is the only fact-scale pass."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("ft"),
+        F.lead("event_type").over(w).alias("tt"),
+    )
+    tr = (
+        seq.filter(F.col("tt").isNotNull())
+        .groupBy("ft", "tt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    outd = tr.groupBy("ft").agg(F.sum("c").alias("o"))
+    st = ev.select(F.col("event_type").alias("s")).distinct()
+    p = st.withColumn("pu", F.lit(_MKV_UNIT).cast("long"))
+    tro = tr.join(outd, "ft").select(
+        F.col("ft"), F.col("tt"), F.col("c"), F.col("o")
+    )
+    tro = tro.localCheckpoint(eager=True)
+    for _ in range(_MKV_ROUNDS):
+        inbox = (
+            tro.join(
+                F.broadcast(p.withColumnRenamed("s", "ps")),
+                F.col("ft") == F.col("ps"),
+            )
+            .select(
+                "tt", F.expr("(pu * c) div o").alias("m")
+            )
+            .groupBy("tt")
+            .agg(F.sum("m").alias("sm"))
+        )
+        p = st.join(inbox, st.s == inbox.tt, "left").select(
+            "s", F.coalesce("sm", F.lit(0)).cast("long").alias("pu")
+        )
+        p = p.localCheckpoint(eager=True)
+    return (
+        tr.join(outd, "ft")
+        .join(F.broadcast(p), F.col("ft") == F.col("s"))
+        .select(
+            F.col("ft").alias("from_type"),
+            F.col("tt").alias("to_type"),
+            F.col("c").alias("n_trans"),
+            (F.col("c").cast("double") / F.col("o")).alias("prob"),
+            F.col("pu").alias("stat_from_u"),
+            (F.col("pu").cast("double") / _MKV_UNIT).alias("stat_from"),
+        )
+    )

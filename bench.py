@@ -153,6 +153,7 @@ HEADLINE = [
     "ts_garch_volatility",
     "graph_hits",
     "ts_sax_symbolic",
+    "ml_markov_chain",
 ]
 
 

@@ -2144,3 +2144,46 @@ def test_sax_word_encodes_planted_step_constant_and_ramp(spark, tmp_path):
     assert list(r.sax_word) == sorted(r.sax_word)  # monotone symbols
     assert r.sax_word[0] == "a" and r.sax_word[-1] == "d"
     assert r.n_a > 0 and r.n_b > 0 and r.n_c > 0 and r.n_d > 0
+
+
+def test_markov_chain_learns_planted_aab_cycle(spark, tmp_path):
+    """ml_markov_chain on one user's planted 'A A B' cycle: the only
+    transitions are A->A, A->B (equal halves of A's exits) and B->A
+    (probability exactly 1), the true stationary split is 2/3 A, 1/3
+    B, and the lattice power iteration must match a pure-Python replay
+    of the exact integer recursion bit-for-bit."""
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        _MKV_ROUNDS,
+        _MKV_UNIT,
+    )
+
+    n_blocks = 67
+    seq = ["A", "A", "B"] * n_blocks
+    n = len(seq)
+    alt = _planted(
+        tmp_path, "markov", seq, [1.0] * n, list(range(n))
+    )
+    rows = _q("ml_markov_chain")(spark, alt).collect()
+    got = {(r.from_type, r.to_type): r for r in rows}
+    assert set(got) == {("A", "A"), ("A", "B"), ("B", "A")}
+
+    counts = {}
+    for a, b in zip(seq, seq[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    outs = {}
+    for (a, _), c in counts.items():
+        outs[a] = outs.get(a, 0) + c
+    pu = {"A": _MKV_UNIT, "B": _MKV_UNIT}
+    for _ in range(_MKV_ROUNDS):
+        nxt = {"A": 0, "B": 0}
+        for (a, b), c in counts.items():
+            nxt[b] += (pu[a] * c) // outs[a]
+        pu = nxt
+    for (a, b), r in got.items():
+        assert r.n_trans == counts[(a, b)]
+        assert r.prob == counts[(a, b)] / outs[a]
+        assert r.stat_from_u == pu[a], (a, r.stat_from_u, pu[a])
+        assert r.stat_from == pu[a] / _MKV_UNIT
+    assert got[("B", "A")].prob == 1.0
+    mass = pu["A"] + pu["B"]
+    assert abs(pu["A"] / mass - 2 / 3) < 0.02
