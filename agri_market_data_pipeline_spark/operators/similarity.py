@@ -3555,3 +3555,247 @@ def ml_ndcg_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg.alias("avg_ndcg10"),
         )
     )
+
+
+# One alternating-least-squares round (k = 2) on the purchase matrix
+
+_ALS_LAMBDA = "1.0"  # ridge regularizer (exact literal both engines)
+_ALS_QLAT = 1000  # item-init factor lattice (md5 % 1000 / 1000)
+_ALS_ULAT = 10_000  # re-quantization lattice for solved factors
+
+_ALS_SQL = f"""
+WITH ratings AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS p,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(20,0))) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+q0 AS (
+  SELECT p_partkey AS p,
+         CAST('0x' || substring(md5(p_partkey::VARCHAR || ':q1'), 1, 6)
+              AS BIGINT) % {_ALS_QLAT} AS n1,
+         CAST('0x' || substring(md5(p_partkey::VARCHAR || ':q2'), 1, 6)
+              AS BIGINT) % {_ALS_QLAT} AS n2
+  FROM part
+),
+us AS (
+  SELECT r.u,
+         SUM(q.n1 * q.n1) AS s11, SUM(q.n2 * q.n2) AS s22,
+         SUM(q.n1 * q.n2) AS s12,
+         SUM(r.r * q.n1) AS sb1, SUM(r.r * q.n2) AS sb2
+  FROM ratings r JOIN q0 q ON q.p = r.p
+  GROUP BY 1
+),
+uf AS (
+  SELECT u,
+         CAST(FLOOR(
+           ((CAST(s22 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+              * (CAST(sb1 AS DOUBLE) / 1e3)
+            - (CAST(s12 AS DOUBLE) / 1e6) * (CAST(sb2 AS DOUBLE) / 1e3))
+           / ((CAST(s11 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+                * (CAST(s22 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+              - (CAST(s12 AS DOUBLE) / 1e6) * (CAST(s12 AS DOUBLE) / 1e6))
+           * {_ALS_ULAT} + 0.5) AS BIGINT) AS lu1,
+         CAST(FLOOR(
+           ((CAST(s11 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+              * (CAST(sb2 AS DOUBLE) / 1e3)
+            - (CAST(s12 AS DOUBLE) / 1e6) * (CAST(sb1 AS DOUBLE) / 1e3))
+           / ((CAST(s11 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+                * (CAST(s22 AS DOUBLE) / 1e6 + {_ALS_LAMBDA})
+              - (CAST(s12 AS DOUBLE) / 1e6) * (CAST(s12 AS DOUBLE) / 1e6))
+           * {_ALS_ULAT} + 0.5) AS BIGINT) AS lu2
+  FROM us
+),
+its AS (
+  SELECT r.p,
+         CAST(COUNT(*) AS BIGINT) AS nr,
+         SUM(f.lu1 * f.lu1) AS s11, SUM(f.lu2 * f.lu2) AS s22,
+         SUM(f.lu1 * f.lu2) AS s12,
+         SUM(r.r * f.lu1) AS sb1, SUM(r.r * f.lu2) AS sb2
+  FROM ratings r JOIN uf f ON f.u = r.u
+  GROUP BY 1
+),
+qf AS (
+  SELECT p, nr,
+         CAST(FLOOR(
+           ((CAST(s22 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+              * (CAST(sb1 AS DOUBLE) / 1e4)
+            - (CAST(s12 AS DOUBLE) / 1e8) * (CAST(sb2 AS DOUBLE) / 1e4))
+           / ((CAST(s11 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+                * (CAST(s22 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+              - (CAST(s12 AS DOUBLE) / 1e8) * (CAST(s12 AS DOUBLE) / 1e8))
+           * {_ALS_ULAT} + 0.5) AS BIGINT) AS lq1,
+         CAST(FLOOR(
+           ((CAST(s11 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+              * (CAST(sb2 AS DOUBLE) / 1e4)
+            - (CAST(s12 AS DOUBLE) / 1e8) * (CAST(sb1 AS DOUBLE) / 1e4))
+           / ((CAST(s11 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+                * (CAST(s22 AS DOUBLE) / 1e8 + {_ALS_LAMBDA})
+              - (CAST(s12 AS DOUBLE) / 1e8) * (CAST(s12 AS DOUBLE) / 1e8))
+           * {_ALS_ULAT} + 0.5) AS BIGINT) AS lq2
+  FROM its
+),
+err AS (
+  SELECT r.p,
+         CAST(r.r AS DECIMAL(38,0)) * 100000000
+           - CAST(f.lu1 AS DECIMAL(38,0)) * q.lq1
+           - CAST(f.lu2 AS DECIMAL(38,0)) * q.lq2 AS e
+  FROM ratings r
+  JOIN uf f ON f.u = r.u
+  JOIN qf q ON q.p = r.p
+)
+SELECT q.p AS partkey, q.nr AS n_raters, q.lq1, q.lq2,
+       CAST(q.lq1 AS DOUBLE) / {_ALS_ULAT} AS q1,
+       CAST(q.lq2 AS DOUBLE) / {_ALS_ULAT} AS q2,
+       ROUND(SQRT(CAST(SUM(e * e) AS DOUBLE) / q.nr) / 1e8, 6) AS rmse
+FROM qf q JOIN err e ON e.p = q.p
+GROUP BY q.p, q.nr, q.lq1, q.lq2
+"""
+
+
+@query("ml_als_factorize", oracle=_ALS_SQL)
+def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full alternating-least-squares round (k = 2, ridge λ = 1)
+    on the customer × part purchase-quantity matrix — the MATRIX-
+    FACTORIZATION recommender beside ml_ridge_closed_form's single
+    regression: items start at deterministic md5 factors, every user
+    then solves its 2×2 ridge normal equations in closed form against
+    the items it rated, every item re-solves against the new user
+    factors, and the round is scored by per-item train RMSE of
+    r̂ = u·q — the classic implicit-feedback ALS half-step pair
+    (Koren/Hu-style), one round, fully relational.
+
+    Engine determinism (the whole point of the construction): every
+    CROSS-PARTITION sum is an exact BIGINT lattice sum — init factors
+    are md5 % {_ALS_QLAT} integers, user/item Gram matrices and
+    right-hand sides are integer products summed exactly, and each
+    closed-form solve is the SAME IEEE expression of those exact sums
+    on both engines; solved factors are re-quantized to the
+    {_ALS_ULAT} lattice with FLOOR(x·L + 0.5) (pure IEEE, the
+    CLAUDE.md half-tie rule) before the next stage ever sums them, so
+    no float fold order is ever observable. λ = 1 makes both 2×2
+    systems positive definite: det ≥ λ² = 1 mathematically, and the
+    computed det is the same double both engines — no zero-denominator
+    path (degencheck class: empty Gram groups can't occur — inner
+    joins). Residuals ride a DECIMAL(38,0) square sum (err can reach
+    ~1e12, err² ~1e24 — past int64, inside DECIMAL38), and the final
+    RMSE takes ROUND(6) because a 26-digit DECIMAL→DOUBLE cast is
+    past the ~19-digit bitwise span (the ts_twap rule).
+
+    Scale: ratings aggregate once from the facts (orderkey shuffle,
+    then (cust, part) grain, localCheckpointed against the three
+    downstream references — Spark shares no subplan results); each
+    half-step is one equi-join + groupBy on a natural key — the
+    standard distributed-ALS shape (factor frames partition by their
+    key; at 100 TB the item frame broadcasts and the user frame
+    shuffles, both 2-column-narrow). Reference: the reference has no
+    recommender; this extends the §2.C ml family."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    pt = load(spark, sf_dir, "part")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(20,0)"))
+            .cast("bigint")
+            .alias("r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    q0 = pt.select(
+        F.col("p_partkey").alias("p"),
+        (
+            F.expr(
+                "conv(substring(md5(concat(cast(p_partkey AS STRING),"
+                " ':q1')), 1, 6), 16, 10)"
+            ).cast("bigint")
+            % _ALS_QLAT
+        ).alias("n1"),
+        (
+            F.expr(
+                "conv(substring(md5(concat(cast(p_partkey AS STRING),"
+                " ':q2')), 1, 6), 16, 10)"
+            ).cast("bigint")
+            % _ALS_QLAT
+        ).alias("n2"),
+    )
+    us = (
+        ratings.join(q0, "p")
+        .groupBy("u")
+        .agg(
+            F.sum(F.col("n1") * F.col("n1")).alias("s11"),
+            F.sum(F.col("n2") * F.col("n2")).alias("s22"),
+            F.sum(F.col("n1") * F.col("n2")).alias("s12"),
+            F.sum(F.col("r") * F.col("n1")).alias("sb1"),
+            F.sum(F.col("r") * F.col("n2")).alias("sb2"),
+        )
+    )
+
+    def _solve2(scale_a: str, scale_b: str, out1: str, out2: str):
+        lam = _ALS_LAMBDA
+        a11 = f"(CAST(s11 AS DOUBLE) / {scale_a} + {lam})"
+        a22 = f"(CAST(s22 AS DOUBLE) / {scale_a} + {lam})"
+        a12 = f"(CAST(s12 AS DOUBLE) / {scale_a})"
+        b1 = f"(CAST(sb1 AS DOUBLE) / {scale_b})"
+        b2 = f"(CAST(sb2 AS DOUBLE) / {scale_b})"
+        det = f"({a11} * {a22} - {a12} * {a12})"
+        e1 = (
+            f"CAST(FLOOR(({a22} * {b1} - {a12} * {b2}) / {det}"
+            f" * {_ALS_ULAT} + 0.5) AS BIGINT) AS {out1}"
+        )
+        e2 = (
+            f"CAST(FLOOR(({a11} * {b2} - {a12} * {b1}) / {det}"
+            f" * {_ALS_ULAT} + 0.5) AS BIGINT) AS {out2}"
+        )
+        return e1, e2
+
+    u1, u2 = _solve2("1e6", "1e3", "lu1", "lu2")
+    uf = us.selectExpr("u", u1, u2).localCheckpoint(eager=True)
+    its = (
+        ratings.join(uf, "u")
+        .groupBy("p")
+        .agg(
+            F.count("*").cast("bigint").alias("nr"),
+            F.sum(F.col("lu1") * F.col("lu1")).alias("s11"),
+            F.sum(F.col("lu2") * F.col("lu2")).alias("s22"),
+            F.sum(F.col("lu1") * F.col("lu2")).alias("s12"),
+            F.sum(F.col("r") * F.col("lu1")).alias("sb1"),
+            F.sum(F.col("r") * F.col("lu2")).alias("sb2"),
+        )
+    )
+    q1, q2 = _solve2("1e8", "1e4", "lq1", "lq2")
+    qf = its.selectExpr("p", "nr", q1, q2)
+    err = (
+        ratings.join(uf, "u")
+        .join(qf, "p")
+        .select(
+            "p",
+            "nr",
+            "lq1",
+            "lq2",
+            F.expr(
+                "CAST(r AS DECIMAL(38,0)) * 100000000"
+                " - CAST(lu1 AS DECIMAL(38,0)) * lq1"
+                " - CAST(lu2 AS DECIMAL(38,0)) * lq2"
+            ).alias("e"),
+        )
+    )
+    return err.groupBy(
+        F.col("p").alias("partkey"),
+        F.col("nr").alias("n_raters"),
+        "lq1",
+        "lq2",
+    ).agg(
+        (F.col("lq1").cast("double") / _ALS_ULAT).alias("q1"),
+        (F.col("lq2").cast("double") / _ALS_ULAT).alias("q2"),
+        F.round(
+            F.sqrt(
+                F.expr("CAST(SUM(e * e) AS DOUBLE)") / F.col("n_raters")
+            )
+            / 1e8,
+            6,
+        ).alias("rmse"),
+    )

@@ -154,6 +154,7 @@ HEADLINE = [
     "graph_hits",
     "ts_sax_symbolic",
     "ml_markov_chain",
+    "ml_als_factorize",
 ]
 
 

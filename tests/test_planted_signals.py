@@ -2187,3 +2187,164 @@ def test_markov_chain_learns_planted_aab_cycle(spark, tmp_path):
     assert got[("B", "A")].prob == 1.0
     mass = pu["A"] + pu["B"]
     assert abs(pu["A"] / mass - 2 / 3) < 0.02
+
+
+def test_als_fits_planted_rank1_matrix_and_matches_replay(spark, tmp_path):
+    """ml_als_factorize on a planted DENSE rank-1 matrix r[u][p] =
+    c_u * d_p (6 users x 4 parts): because every user rates every
+    part, the user half-step makes each user factor exactly
+    proportional to c_u, so the item re-solve can nearly fit the
+    matrix in ONE round — per-item RMSE must be tiny against the
+    rating scale (lambda shrinkage + lattice floors are the only
+    residual). And the whole integer/IEEE pipeline must match a
+    pure-Python replay: init factors, Gram sums, 2x2 solves,
+    re-quantization, residuals — lq bit-for-bit, rmse to 1e-9."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from agri_market_data_pipeline_spark.operators.similarity import (
+        _ALS_QLAT,
+        _ALS_ULAT,
+    )
+
+    cs = [1, 2, 3, 4, 5, 6]
+    ds = [2, 3, 4, 5]
+    alt = tmp_path / "als"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    part = pd.read_parquet("/root/testdata/sf0.001/part.parquet").head(
+        len(ds)
+    )
+    part = part.assign(p_partkey=[1 + i for i in range(len(ds))])
+    part.to_parquet(alt / "part.parquet")
+    papq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(
+                    [300 + u for u in range(len(cs))], pa.int64()
+                ),
+                "o_custkey": pa.array(
+                    [100 + u for u in range(len(cs))], pa.int64()
+                ),
+                "o_orderstatus": ["F"] * len(cs),
+                "o_totalprice": pa.array([1.0] * len(cs)),
+                "o_orderdate": pa.array(
+                    [pd.Timestamp("2024-01-01")] * len(cs),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": ["1-URGENT"] * len(cs),
+            }
+        ),
+        alt / "orders.parquet",
+    )
+    rows = []
+    ln = 0
+    for u, c in enumerate(cs):
+        for p, d in enumerate(ds):
+            ln += 1
+            rows.append((300 + u, 1 + p, 200, ln, float(c * d)))
+    papq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in rows]),
+                "l_extendedprice": pa.array([1.0] * len(rows)),
+                "l_discount": pa.array([0.0] * len(rows)),
+                "l_tax": pa.array([0.0] * len(rows)),
+                "l_returnflag": ["N"] * len(rows),
+                "l_linestatus": ["O"] * len(rows),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("2024-01-02")] * len(rows),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        alt / "lineitem.parquet",
+    )
+
+    def h(p, tag):
+        return (
+            int(hashlib.md5(f"{p}:{tag}".encode()).hexdigest()[:6], 16)
+            % _ALS_QLAT
+        )
+
+    lam = 1.0
+    q0 = {1 + p: (h(1 + p, "q1"), h(1 + p, "q2")) for p in range(len(ds))}
+    ratings = {
+        (100 + u, 1 + p): cs[u] * ds[p]
+        for u in range(len(cs))
+        for p in range(len(ds))
+    }
+
+    def solve(s11, s22, s12, sb1, sb2, sa, sb):
+        a11 = s11 / sa + lam
+        a22 = s22 / sa + lam
+        a12 = s12 / sa
+        b1 = sb1 / sb
+        b2 = sb2 / sb
+        det = a11 * a22 - a12 * a12
+        x1 = (a22 * b1 - a12 * b2) / det
+        x2 = (a11 * b2 - a12 * b1) / det
+        return (
+            math.floor(x1 * _ALS_ULAT + 0.5),
+            math.floor(x2 * _ALS_ULAT + 0.5),
+        )
+
+    uf = {}
+    for u in [100 + i for i in range(len(cs))]:
+        s = [0] * 5
+        for (uu, p), r in ratings.items():
+            if uu == u:
+                n1, n2 = q0[p]
+                s[0] += n1 * n1
+                s[1] += n2 * n2
+                s[2] += n1 * n2
+                s[3] += r * n1
+                s[4] += r * n2
+        uf[u] = solve(*s, 1e6, 1e3)
+    qf = {}
+    for p in [1 + i for i in range(len(ds))]:
+        s = [0] * 5
+        nr = 0
+        for (u, pp), r in ratings.items():
+            if pp == p:
+                lu1, lu2 = uf[u]
+                s[0] += lu1 * lu1
+                s[1] += lu2 * lu2
+                s[2] += lu1 * lu2
+                s[3] += r * lu1
+                s[4] += r * lu2
+                nr += 1
+        qf[p] = (nr,) + solve(*s, 1e8, 1e4)
+    out = {
+        r.partkey: r
+        for r in _q("ml_als_factorize")(spark, str(alt)).collect()
+    }
+    assert set(out) == set(qf)
+    for p, (nr, lq1, lq2) in qf.items():
+        r = out[p]
+        assert (r.n_raters, r.lq1, r.lq2) == (nr, lq1, lq2), (p, r)
+        assert r.q1 == lq1 / _ALS_ULAT and r.q2 == lq2 / _ALS_ULAT
+        e2 = 0
+        for (u, pp), rv in ratings.items():
+            if pp == p:
+                lu1, lu2 = uf[u]
+                e = rv * 10**8 - lu1 * lq1 - lu2 * lq2
+                e2 += e * e
+        rmse = math.sqrt(e2 / nr) / 1e8
+        # the operator emits ROUND(rmse, 6)
+        assert abs(r.rmse - rmse) < 1e-6, (p, r.rmse, rmse)
+        # rank-1 data, dense: one round must nearly fit the scale
+        mean_r = sum(
+            rv for (u, pp), rv in ratings.items() if pp == p
+        ) / nr
+        assert r.rmse < 0.1 * mean_r, (p, r.rmse, mean_r)
