@@ -3744,3 +3744,153 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_d"),
     )
+
+
+# Two-state Viterbi regime decoding of daily up/down observations
+
+_VIT_STAY = 2  # max-plus transition bonus for staying in a regime
+_VIT_MATCH = 3  # emission bonus when the day's sign matches the regime
+
+_VIT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                    / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS lv
+  FROM events GROUP BY 1, 2
+),
+dif AS (
+  SELECT et, day_no,
+         lv - LAG(lv) OVER (PARTITION BY et ORDER BY day_no) AS r
+  FROM daily
+),
+obs AS MATERIALIZED (
+  SELECT et, day_no, CASE WHEN r > 0 THEN 1 ELSE 0 END AS o,
+         ROW_NUMBER() OVER (PARTITION BY et ORDER BY day_no) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY et) AS BIGINT) AS n
+  FROM dif WHERE r IS NOT NULL
+),
+fwd AS (
+  SELECT et, rk, n, day_no, o,
+         CAST(CASE WHEN o = 0 THEN {_VIT_MATCH} ELSE 0 END AS BIGINT) AS vl,
+         CAST(CASE WHEN o = 1 THEN {_VIT_MATCH} ELSE 0 END AS BIGINT) AS vh,
+         'L' AS bpl, 'H' AS bph
+  FROM obs WHERE rk = 1
+  UNION ALL
+  SELECT d.et, d.rk, d.n, d.day_no, d.o,
+         CASE WHEN d.o = 0 THEN {_VIT_MATCH} ELSE 0 END
+           + GREATEST(f.vl + {_VIT_STAY}, f.vh) AS vl,
+         CASE WHEN d.o = 1 THEN {_VIT_MATCH} ELSE 0 END
+           + GREATEST(f.vh + {_VIT_STAY}, f.vl) AS vh,
+         CASE WHEN f.vl + {_VIT_STAY} >= f.vh THEN 'L' ELSE 'H' END AS bpl,
+         CASE WHEN f.vh + {_VIT_STAY} >= f.vl THEN 'H' ELSE 'L' END AS bph
+  FROM fwd f JOIN obs d ON d.et = f.et AND d.rk = f.rk + 1
+),
+fwdm AS MATERIALIZED (SELECT * FROM fwd),
+back AS (
+  SELECT et, rk, CASE WHEN vh > vl THEN 'H' ELSE 'L' END AS st
+  FROM fwdm WHERE rk = n
+  UNION ALL
+  SELECT f.et, f.rk - 1,
+         CASE WHEN b.st = 'L' THEN f.bpl ELSE f.bph END AS st
+  FROM back b JOIN fwdm f ON f.et = b.et AND f.rk = b.rk
+  WHERE f.rk > 1
+)
+SELECT f.et AS event_type, f.day_no, f.o AS up_day, b.st AS regime
+FROM fwdm f JOIN back b ON b.et = f.et AND b.rk = f.rk
+"""
+
+
+@query("ts_regime_viterbi", oracle=_VIT_SQL)
+def ts_regime_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state Viterbi regime decoding over each daily series'
+    up/down sign sequence — the HMM-DECODING member of the series
+    family: ts_cusum_changepoint finds ONE mean shift, ts_sax_symbolic
+    quantizes levels, while Viterbi segments the whole series into
+    persistent bull/bear regimes by globally maximizing a max-plus
+    path score (emission +{_VIT_MATCH} when the day's sign matches the
+    regime, transition +{_VIT_STAY} for staying) — exactly the
+    integer-weight formulation of 2-state HMM MAP decoding (weights =
+    scaled log-odds), so switches only happen when a sign run is long
+    enough to pay the switching cost — the smoothing a raw sign
+    sequence can't do.
+
+    Determinism: observations are signs of exact-lattice BIGINT
+    returns (ts_holt_forecast recipe); ALL path scores are small
+    integers in max-plus algebra — no floats anywhere — and every tie
+    is broken by a fixed rule both engines share (stay beats switch
+    at equal score via >=; final state prefers 'L' via strict >).
+    Spark runs forward+backtrace per series in applyInPandas (the
+    sanctioned sequential path); the oracle is TWO chained DuckDB
+    recursive CTEs — a forward pass materializing per-step scores and
+    backpointers, then a backward pass walking them — with the
+    forward frame MATERIALIZED (referenced by both the backward
+    recursion and the final join: the graph_kcore lazy-CTE rule).
+
+    Scale: facts reduce to (type, day) in one partial agg; the
+    recursion rides the saturating per-series calendar grain; output
+    is day-grain long form, all atomic columns."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lv")
+    )
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day_no")
+        lvs = [int(x) for x in pdf["lv"]]
+        days = [int(x) for x in pdf["day_no"]]
+        obs = [
+            (1 if b - a > 0 else 0, d)
+            for a, b, d in zip(lvs, lvs[1:], days[1:])
+        ]
+        if not obs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "day_no": pd.Series([], dtype="int64"),
+                    "up_day": pd.Series([], dtype="int64"),
+                    "regime": pd.Series([], dtype="object"),
+                }
+            )
+        o0 = obs[0][0]
+        vl = _VIT_MATCH if o0 == 0 else 0
+        vh = _VIT_MATCH if o0 == 1 else 0
+        bps = [("L", "H")]
+        for o, _ in obs[1:]:
+            bpl = "L" if vl + _VIT_STAY >= vh else "H"
+            bph = "H" if vh + _VIT_STAY >= vl else "L"
+            nvl = (_VIT_MATCH if o == 0 else 0) + max(vl + _VIT_STAY, vh)
+            nvh = (_VIT_MATCH if o == 1 else 0) + max(vh + _VIT_STAY, vl)
+            vl, vh = nvl, nvh
+            bps.append((bpl, bph))
+        st = "H" if vh > vl else "L"
+        states = [st]
+        for t in range(len(obs) - 1, 0, -1):
+            bpl, bph = bps[t]
+            st = bpl if st == "L" else bph
+            states.append(st)
+        states.reverse()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["et"].iloc[0]] * len(obs),
+                "day_no": [d for _, d in obs],
+                "up_day": [o for o, _ in obs],
+                "regime": states,
+            }
+        )
+
+    return daily.groupBy("et").applyInPandas(
+        viterbi,
+        schema="event_type string, day_no long, up_day long, regime string",
+    )

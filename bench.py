@@ -155,6 +155,7 @@ HEADLINE = [
     "ts_sax_symbolic",
     "ml_markov_chain",
     "ml_als_factorize",
+    "ts_regime_viterbi",
 ]
 
 

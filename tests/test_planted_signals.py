@@ -2348,3 +2348,46 @@ def test_als_fits_planted_rank1_matrix_and_matches_replay(spark, tmp_path):
             rv for (u, pp), rv in ratings.items() if pp == p
         ) / nr
         assert r.rmse < 0.1 * mean_r, (p, r.rmse, mean_r)
+
+
+def test_viterbi_segments_planted_regimes_and_resists_jitter(
+    spark, tmp_path
+):
+    """ts_regime_viterbi pins: (a) a 40-day ramp-up then 40-day
+    ramp-down with one contrarian jitter day inside each half decodes
+    to exactly H*40 then L*39 — the switching cost must smooth the
+    planted one-day sign flips away (a raw sign copy would show 4
+    extra regime flips); (b) a strictly alternating up/down series
+    must decode to ONE constant regime end-to-end (per-day matching
+    gains 3 but every switch forfeits the 2-point stay bonus twice —
+    staying wins); (c) up_day must equal the exact return sign."""
+    n = 80
+    vals = []
+    v = 100.0
+    for i in range(n):
+        if i < n // 2:
+            v += 5.0 if i not in (13,) else -3.0  # one contrarian day
+        else:
+            v -= 5.0 if i not in (57,) else -3.0
+        vals.append(v)
+    alt_vals = [100.0 + (3.0 if i % 2 == 0 else -3.0) for i in range(n)]
+    types, values, days = _interleave({"trend": vals, "alt": alt_vals})
+    alt = _planted(tmp_path, "viterbi", types, values, days)
+    rows = _q("ts_regime_viterbi")(spark, alt).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r)
+    for k in by:
+        by[k].sort(key=lambda r: r.day_no)
+    tr = by["trend"]
+    assert len(tr) == n - 1
+    assert [r.regime for r in tr] == ["H"] * 39 + ["L"] * 40
+    # the two planted contrarian days ARE down/up sign days —
+    # the decoder smoothed them, the observation column did not
+    assert tr[12].up_day == 0 and tr[12].regime == "H"
+    assert tr[56].up_day == 1 and tr[56].regime == "L"
+    al = by["alt"]
+    assert len(set(r.regime for r in al)) == 1
+    assert [r.up_day for r in al] == [
+        1 if i % 2 == 0 else 0 for i in range(1, n)
+    ]
