@@ -3604,3 +3604,165 @@ def ml_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pu").cast("double") / _MKV_UNIT).alias("stat_from"),
         )
     )
+
+
+# CUPED covariate-adjusted A/B metric (pre-period spend as covariate)
+
+_CUPED_SPLIT = "1998-01-01"  # pre/post boundary inside the 1995-2001 span
+
+_CUPED_SQL = f"""
+WITH cust AS (
+  SELECT o_custkey AS u,
+         CAST('0x' || substring(md5(o_custkey::VARCHAR || ':arm'), 1, 6)
+              AS BIGINT) % 2 AS arm,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(30,2)) ELSE 0 END) * 100
+              AS BIGINT) AS xc,
+         CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN CAST(o_totalprice AS DECIMAL(30,2)) ELSE 0 END) * 100
+              AS BIGINT) AS yc
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(xc) AS sx, SUM(yc) AS sy,
+         SUM(CAST(xc AS DECIMAL(19,0)) * yc) AS sxy,
+         SUM(CAST(xc AS DECIMAL(19,0)) * xc) AS sxx,
+         SUM(CAST(yc AS DECIMAL(19,0)) * yc) AS syy
+  FROM cust GROUP BY 1
+),
+gmom AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS gn,
+         CAST(SUM(sx) AS DOUBLE) AS gsx, CAST(SUM(sy) AS DOUBLE) AS gsy,
+         CAST(SUM(sxy) AS DOUBLE) AS gsxy, CAST(SUM(sxx) AS DOUBLE) AS gsxx
+  FROM mom
+),
+th AS (
+  SELECT gn, gsx,
+         CASE WHEN (gn * gsxx - gsx * gsx) > 0
+              THEN ROUND((gn * gsxy - gsx * gsy)
+                         / (gn * gsxx - gsx * gsx), 6)
+              ELSE 0.0 END AS theta
+  FROM gmom
+)
+SELECT m.arm, m.n AS n_units,
+       CAST(m.sy AS DOUBLE) / m.n / 100 AS mean_y,
+       t.theta,
+       (CAST(m.sy AS DOUBLE) / m.n
+        - t.theta * (CAST(m.sx AS DOUBLE) / m.n - t.gsx / t.gn)) / 100
+         AS mean_y_adj,
+       CASE WHEN m.n > 1 THEN ROUND(
+         (m.n * CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE)
+            * CAST(m.sy AS DOUBLE))
+         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, 4) END AS var_y,
+       CASE WHEN m.n > 1 THEN ROUND(
+         ((m.n * CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE)
+             * CAST(m.sy AS DOUBLE))
+          - 2 * t.theta * (m.n * CAST(m.sxy AS DOUBLE)
+             - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+          + t.theta * t.theta * (m.n * CAST(m.sxx AS DOUBLE)
+             - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)))
+         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, 4) END AS var_y_adj
+FROM mom m, th t
+"""
+
+
+@query("agg_cuped_adjust", oracle=_CUPED_SQL)
+def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED covariate-adjusted A/B metric (Deng et al.'s standard
+    experimentation variance-reduction) — the EFFICIENCY member of the
+    testing family: agg_ttest_ab compares raw arm means, while CUPED
+    subtracts θ·(X − μ_X) using each unit's PRE-period covariate
+    (spend before {_CUPED_SPLIT}) so the post-period comparison sheds
+    the between-user variance the covariate explains;
+    θ = cov(X,Y)/var(X) is fit GLOBALLY (both arms pooled — the
+    unbiasedness-preserving convention) and both the adjusted mean and
+    the adjusted variance var(Y) − 2θcov + θ²var(X) are reported per
+    md5-hashed arm.
+
+    Determinism (the agg_corr_covar recipe, cent-lattice variant):
+    per-customer pre/post spends are EXACT cent BIGINTs via
+    DECIMAL(30,2) conditional sums ·100; arm moments are exact BIGINT/
+    DECIMAL(19,0)-product sums (xc ≤ ~1e9 cents keeps xc·yc inside the
+    38-digit product); every downstream formula is the same IEEE tree
+    on identical doubles. θ is ROUND(6)-canonicalized BEFORE any
+    downstream use (its numerator's DECIMAL→DOUBLE cast carries ~18
+    digits — at the bitwise-span edge, the ts_twap rule), and the two
+    variances take ROUND(4); var(X) = 0 takes the θ = 0 no-adjustment
+    contract via the same CASE both engines (degencheck class: a
+    single-customer or constant-spend fixture never divides).
+    mean_y/mean_y_adj stay unrounded: exact-BIGINT-ratio doubles
+    composed with the canonical θ — bitwise.
+
+    Scale: ONE orders scan → customer grain (partial-aggregable
+    conditional sums), then a 2-row arm-moment frame and a 1-row θ
+    frame (allowlisted bounded BNLJ) — the textbook two-level
+    experiment rollup, no fact-side join at all."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("u")).agg(
+        F.expr(
+            "CAST(conv(substring(md5(concat(cast(o_custkey AS STRING),"
+            " ':arm')), 1, 6), 16, 10) AS BIGINT) % 2"
+        ).alias("arm"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT}'"
+            " THEN CAST(o_totalprice AS DECIMAL(30,2)) ELSE 0 END) * 100"
+            " AS BIGINT)"
+        ).alias("xc"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT}'"
+            " THEN CAST(o_totalprice AS DECIMAL(30,2)) ELSE 0 END) * 100"
+            " AS BIGINT)"
+        ).alias("yc"),
+    )
+    mom = cust.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(19,0)) * yc")).alias("sxy"),
+        F.sum(F.expr("CAST(xc AS DECIMAL(19,0)) * xc")).alias("sxx"),
+        F.sum(F.expr("CAST(yc AS DECIMAL(19,0)) * yc")).alias("syy"),
+    )
+    mom = mom.localCheckpoint(eager=True)
+    glob = mom.agg(
+        F.expr("CAST(SUM(n) AS DOUBLE)").alias("gn"),
+        F.expr("CAST(SUM(sx) AS DOUBLE)").alias("gsx"),
+        F.expr("CAST(SUM(sy) AS DOUBLE)").alias("gsy"),
+        F.expr("CAST(SUM(sxy) AS DOUBLE)").alias("gsxy"),
+        F.expr("CAST(SUM(sxx) AS DOUBLE)").alias("gsxx"),
+    )
+    th = glob.select(
+        "gn",
+        "gsx",
+        F.expr(
+            "CASE WHEN (gn * gsxx - gsx * gsx) > 0"
+            " THEN ROUND((gn * gsxy - gsx * gsy)"
+            " / (gn * gsxx - gsx * gsx), 6) ELSE 0.0 END"
+        ).alias("theta"),
+    )
+    return mom.crossJoin(F.broadcast(th)).select(
+        "arm",
+        F.col("n").alias("n_units"),
+        F.expr("CAST(sy AS DOUBLE) / n / 100").alias("mean_y"),
+        "theta",
+        F.expr(
+            "(CAST(sy AS DOUBLE) / n"
+            " - theta * (CAST(sx AS DOUBLE) / n - gsx / gn)) / 100"
+        ).alias("mean_y_adj"),
+        F.expr(
+            "CASE WHEN n > 1 THEN ROUND("
+            "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+            " * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * n) / 1e4, 4) END"
+        ).alias("var_y"),
+        F.expr(
+            "CASE WHEN n > 1 THEN ROUND("
+            "((n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
+            " * CAST(sy AS DOUBLE))"
+            " - 2 * theta * (n * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " + theta * theta * (n * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+            " / (CAST(n AS DOUBLE) * n) / 1e4, 4) END"
+        ).alias("var_y_adj"),
+    )

@@ -156,6 +156,7 @@ HEADLINE = [
     "ml_markov_chain",
     "ml_als_factorize",
     "ts_regime_viterbi",
+    "agg_cuped_adjust",
 ]
 
 

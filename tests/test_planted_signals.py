@@ -2391,3 +2391,70 @@ def test_viterbi_segments_planted_regimes_and_resists_jitter(
     assert [r.up_day for r in al] == [
         1 if i % 2 == 0 else 0 for i in range(1, n)
     ]
+
+
+def test_cuped_removes_planted_covariate_variance(spark, tmp_path):
+    """agg_cuped_adjust on 200 planted customers whose post-period
+    spend is exactly 2x their pre-period spend plus small noise: theta
+    must land at ~2, the adjusted variance must shed >90% of the raw
+    between-user variance (the whole point of CUPED), and the raw arm
+    means must match an exact cent-lattice replay (md5 arms included)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / "cuped"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    n_cust = 200
+    rows = []
+    for u in range(1, n_cust + 1):
+        x = round(100.0 + 400.0 * _noise("cupx", u), 2)
+        y = round(2.0 * x + 5.0 * _noise("cupy", u), 2)
+        rows.append((u * 10, u, x, pd.Timestamp("1996-06-01")))
+        rows.append((u * 10 + 1, u, y, pd.Timestamp("1999-06-01")))
+    papq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": ["F"] * len(rows),
+                "o_totalprice": pa.array([r[2] for r in rows]),
+                "o_orderdate": pa.array(
+                    [r[3] for r in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": ["1-URGENT"] * len(rows),
+            }
+        ),
+        alt / "orders.parquet",
+    )
+    out = {
+        r.arm: r for r in _q("agg_cuped_adjust")(spark, str(alt)).collect()
+    }
+    assert set(out) == {0, 1}
+    got_theta = out[0].theta
+    assert got_theta == out[1].theta
+    assert 1.9 < got_theta < 2.1, got_theta
+    arms = {0: [], 1: []}
+    for u in range(1, n_cust + 1):
+        arm = (
+            int(
+                hashlib.md5(f"{u}:arm".encode()).hexdigest()[:6], 16
+            )
+            % 2
+        )
+        y = round(2.0 * round(100.0 + 400.0 * _noise("cupx", u), 2)
+                  + 5.0 * _noise("cupy", u), 2)
+        arms[arm].append(round(y * 100))
+    for a in (0, 1):
+        r = out[a]
+        assert r.n_units == len(arms[a])
+        assert r.mean_y == sum(arms[a]) / len(arms[a]) / 100
+        assert r.var_y > 0
+        assert r.var_y_adj < 0.1 * r.var_y, (r.var_y, r.var_y_adj)
+        # adjustment keeps the metric on the same scale
+        assert abs(r.mean_y_adj - r.mean_y) < r.var_y ** 0.5

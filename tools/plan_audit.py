@@ -254,6 +254,8 @@ NESTED_LOOP_OK = {
     #   type_b pair enumeration over a saturating grain)
     "graph_hits",            # 1-row L-inf max frame per half-round
     #   (normalization scalar cross-joined back onto the nation frame)
+    "agg_cuped_adjust",      # 1-row pooled-theta frame onto the 2-row
+    #   arm-moment frame
 }
 
 # Queries allowed to carry a zero-partition window whose input is
