@@ -512,3 +512,183 @@ def sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_mean"),
         )
     )
+
+
+# Greedy k-center coreset selection over the embedding table
+
+_KC_K = 8  # centers to select
+_KC_LAT = 1_000_000  # element quantization lattice
+
+
+def _kc_d2_spark(a: str, b: str) -> str:
+    """Exact-integer squared L2 distance between two float32 arrays:
+    elements are FLOOR-quantized to the 1e6 lattice (float32→double
+    cast is exact, FLOOR deterministic), so the sum is an
+    order-independent BIGINT — argmax ties break identically on both
+    engines. Parsed-SQL string, not Python-lambda HOFs (the ivfpq
+    plan-build-latency rule)."""
+    qx = f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KC_LAT}) AS BIGINT)"
+    qy = f"CAST(FLOOR(CAST(y AS DOUBLE) * {_KC_LAT}) AS BIGINT)"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> ({qx} - {qy}) * ({qx} - {qy})), "
+        f"CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+
+
+def _kc_d2_sql(a: str, b: str) -> str:
+    """DuckDB twin of _kc_d2_spark (1-based subscripts; COALESCE
+    because DuckDB list_sum([]) is NULL where Spark aggregate is 0)."""
+    qa = f"CAST(FLOOR(CAST({a}[i] AS DOUBLE) * {_KC_LAT}) AS BIGINT)"
+    qb = f"CAST(FLOOR(CAST({b}[i] AS DOUBLE) * {_KC_LAT}) AS BIGINT)"
+    return (
+        f"COALESCE(CAST(list_sum(list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> ({qa} - {qb}) * ({qa} - {qb}))) AS BIGINT), 0)"
+    )
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy farthest-point loop: seed = MIN(vec_id), then
+    k-1 rounds of (max of min-distance → min-id argmax → relax). Every
+    m{i} is referenced by its own MAX scalar AND the next round —
+    MATERIALIZED (the graph_kcore rule)."""
+    d2 = _kc_d2_sql("e.embedding", "c.cv")
+    ctes = [
+        "emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        "c0 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM emb)",
+        """cv0 AS MATERIALIZED (
+  SELECT e.vec_id AS cid, e.embedding AS cv
+  FROM emb e, c0 WHERE e.vec_id = c0.cid)""",
+        f"""m0 AS MATERIALIZED (
+  SELECT e.vec_id, {d2} AS mind
+  FROM emb e, cv0 c)""",
+    ]
+    for i in range(1, k):
+        p = i - 1
+        ctes.append(
+            f"mx{p} AS MATERIALIZED "
+            f"(SELECT MAX(mind) AS mx FROM m{p})"
+        )
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT MIN(m.vec_id) AS cid FROM m{p} m, mx{p} x WHERE m.mind = x.mx)"""
+        )
+        ctes.append(
+            f"""cv{i} AS MATERIALIZED (
+  SELECT e.vec_id AS cid, e.embedding AS cv
+  FROM emb e, c{i} WHERE e.vec_id = c{i}.cid)"""
+        )
+        ctes.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT m.vec_id, LEAST(m.mind, {_kc_d2_sql('e.embedding', 'c.cv')}) AS mind
+  FROM m{p} m JOIN emb e ON e.vec_id = m.vec_id, cv{i} c)"""
+        )
+    ctes.append(
+        f"mx{k - 1} AS MATERIALIZED (SELECT MAX(mind) AS mx FROM m{k - 1})"
+    )
+    sels = [
+        f"""SELECT {i} AS sel_order, cv{i}.cid AS vec_id,
+  mx{i}.mx AS radius_lat,
+  SQRT(CAST(mx{i}.mx AS DOUBLE)) / {_KC_LAT} AS radius
+FROM cv{i}, mx{i}"""
+        for i in range(k)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+@query("sample_kcenter_coreset", oracle=_kcenter_sql(_KC_K))
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset over the embedding
+    table — the DIVERSITY-sampling member of the sample family:
+    sample_stratified/balanced equalize LABEL counts, while k-center
+    picks the {_KC_K} vectors that 2-approximate the minimax coverage
+    radius (Gonzalez's classic guarantee) — the geometric coreset a
+    training pipeline uses to seed diverse exemplars or dedup
+    redundant embedding mass. Output: each center in selection order
+    with the coverage radius AFTER its addition (row {_KC_K - 1}'s
+    radius IS the k-center objective; the monotone non-increasing
+    radius column is the planted test's pin).
+
+    Determinism: distances are exact-integer squared L2 on the
+    FLOOR-1e6 element lattice (float32→double exact, then BIGINT
+    products summed — no float fold order anywhere), the seed is
+    MIN(vec_id), and every argmax tie breaks to MIN(vec_id) via a
+    two-phase max-then-filter (no struct-ordered max_by — the
+    SortAggregate demotion rule). Zero-norm / identical vectors just
+    produce zero distances (degencheck class: no division exists;
+    radius SQRT of a nonnegative integer).
+
+    Scale: each of the {_KC_K} rounds is ONE linear scan of the
+    (vec_id, mind) frame against a broadcast 1-row center (allowlisted
+    bounded BNLJ) — O(K·n·d) total, the textbook greedy; at 100 TB
+    swap in k-means||-style oversampling (one pass, ℓ·K candidates,
+    then local greedy) — same operator contract. mind frames are
+    localCheckpointed per round (flat lineage)."""
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    d2 = _kc_d2_spark("embedding", "cv")
+    seed = emb.agg(F.min("vec_id").alias("cid"))
+    cv = (
+        emb.join(F.broadcast(seed), emb.vec_id == seed.cid)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+    m = emb.crossJoin(F.broadcast(cv.select("cv"))).select(
+        "vec_id", F.expr(d2).alias("mind")
+    )
+    m = m.localCheckpoint(eager=True)
+    out_rows = []
+    mx = m.agg(F.max("mind").alias("mx"))
+    out_rows.append(
+        cv.select(F.col("cid").alias("vec_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.lit(0).cast("bigint").alias("sel_order"),
+            "vec_id",
+            F.col("mx").alias("radius_lat"),
+            (F.sqrt(F.col("mx").cast("double")) / _KC_LAT).alias("radius"),
+        )
+    )
+    for i in range(1, _KC_K):
+        mx1 = m.agg(F.max("mind").alias("mx"))
+        cand = (
+            m.crossJoin(F.broadcast(mx1))
+            .filter(F.col("mind") == F.col("mx"))
+            .agg(F.min("vec_id").alias("cid"))
+        )
+        cvi = (
+            emb.join(F.broadcast(cand), emb.vec_id == cand.cid)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        m = (
+            m.join(emb, "vec_id")
+            .crossJoin(F.broadcast(cvi.select("cv")))
+            .select(
+                "vec_id",
+                F.least(F.col("mind"), F.expr(d2)).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        mx2 = m.agg(F.max("mind").alias("mx"))
+        out_rows.append(
+            cvi.select(F.col("cid").alias("vec_id"))
+            .crossJoin(F.broadcast(mx2))
+            .select(
+                F.lit(i).cast("bigint").alias("sel_order"),
+                "vec_id",
+                F.col("mx").alias("radius_lat"),
+                (F.sqrt(F.col("mx").cast("double")) / _KC_LAT).alias(
+                    "radius"
+                ),
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out

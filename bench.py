@@ -157,6 +157,7 @@ HEADLINE = [
     "ml_als_factorize",
     "ts_regime_viterbi",
     "agg_cuped_adjust",
+    "sample_kcenter_coreset",
 ]
 
 

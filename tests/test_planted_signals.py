@@ -2458,3 +2458,49 @@ def test_cuped_removes_planted_covariate_variance(spark, tmp_path):
         assert r.var_y_adj < 0.1 * r.var_y, (r.var_y, r.var_y_adj)
         # adjustment keeps the metric on the same scale
         assert abs(r.mean_y_adj - r.mean_y) < r.var_y ** 0.5
+
+
+def test_kcenter_coreset_spreads_over_planted_clusters(spark, tmp_path):
+    """sample_kcenter_coreset on the 16-orthogonal-cluster embedding
+    fixture: greedy farthest-point with K=8 must land every center in
+    a DISTINCT cluster (an uncovered cluster is always ~sqrt(2) away
+    while covered points sit at noise scale), the coverage radius
+    must be non-increasing in selection order and stay ~sqrt(2) at
+    the end (8 of 16 clusters remain uncovered), and the full
+    selection (ids AND lattice radii) must match a pure-Python replay
+    of the exact integer greedy bit-for-bit."""
+    from agri_market_data_pipeline_spark.operators.reshape import (
+        _KC_K,
+        _KC_LAT,
+    )
+
+    alt, vecs = _planted_embeddings(tmp_path, "kcenter")
+    rows = _q("sample_kcenter_coreset")(spark, alt).collect()
+    assert len(rows) == _KC_K
+    rows.sort(key=lambda r: r.sel_order)
+
+    lat = [
+        [int((float(x) * _KC_LAT) // 1) for x in v] for v in vecs
+    ]
+
+    def d2(a, b):
+        return sum((p - q) * (p - q) for p, q in zip(a, b))
+
+    seed = 0  # MIN(vec_id)
+    mind = [d2(v, lat[seed]) for v in lat]
+    expect = [(0, seed, max(mind))]
+    for i in range(1, _KC_K):
+        mx = max(mind)
+        cid = min(j for j, d in enumerate(mind) if d == mx)
+        mind = [min(d, d2(v, lat[cid])) for v, d in zip(lat, mind)]
+        expect.append((i, cid, max(mind)))
+    for r, (so, cid, rad) in zip(rows, expect):
+        assert (r.sel_order, r.vec_id, r.radius_lat) == (so, cid, rad)
+        assert r.radius == (rad ** 0.5) / _KC_LAT
+    radii = [r.radius_lat for r in rows]
+    assert radii == sorted(radii, reverse=True)
+    clusters = [r.vec_id % 16 for r in rows]
+    assert len(set(clusters)) == _KC_K, clusters
+    # 8 clusters still uncovered: objective stays at the ~sqrt(2)
+    # inter-cluster scale, far above the 0.05-noise intra scale
+    assert 1.2 < rows[-1].radius < 1.7, rows[-1].radius

@@ -256,6 +256,8 @@ NESTED_LOOP_OK = {
     #   (normalization scalar cross-joined back onto the nation frame)
     "agg_cuped_adjust",      # 1-row pooled-theta frame onto the 2-row
     #   arm-moment frame
+    "sample_kcenter_coreset",  # 1-row center/max frames per greedy
+    #   round (broadcast relaxation scan)
 }
 
 # Queries allowed to carry a zero-partition window whose input is
