@@ -3766,3 +3766,179 @@ def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n AS DOUBLE) * n) / 1e4, 4) END"
         ).alias("var_y_adj"),
     )
+
+
+# Cox proportional-hazards score step (binary covariate, Breslow ties)
+
+_COX_CENSOR_DAYS = 2  # ts_survival_km's censoring convention
+_COX_LAT = 1_000_000_000  # per-event-time term lattice
+
+_COX_SQL = f"""
+WITH span AS MATERIALIZED (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1,
+         CAST(COUNT(*) AS BIGINT) AS ec
+  FROM events GROUP BY user_id
+),
+g AS (
+  SELECT MAX(d1) AS gmax,
+         CAST(SUM(ec) AS DOUBLE) / COUNT(*) AS cmean
+  FROM span
+),
+lt AS MATERIALIZED (
+  SELECT date_diff('day', d0, d1) AS lt,
+         CASE WHEN date_diff('day', d1, gmax) <= {_COX_CENSOR_DAYS}
+              THEN 0 ELSE 1 END AS dead,
+         CASE WHEN ec > cmean THEN 1 ELSE 0 END AS x
+  FROM span, g
+),
+grp AS (
+  SELECT lt,
+         CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(x) AS BIGINT) AS x_at,
+         CAST(SUM(dead) AS BIGINT) AS d,
+         CAST(SUM(dead * x) AS BIGINT) AS s
+  FROM lt GROUP BY lt
+),
+cum AS (
+  SELECT lt, d, s,
+         SUM(n_at) OVER () - SUM(n_at) OVER (ORDER BY lt
+                                             ROWS UNBOUNDED PRECEDING)
+           + n_at AS s0,
+         SUM(x_at) OVER () - SUM(x_at) OVER (ORDER BY lt
+                                             ROWS UNBOUNDED PRECEDING)
+           + x_at AS s1
+  FROM grp
+),
+terms AS (
+  SELECT d, s0,
+         CAST(FLOOR((s - d * (CAST(s1 AS DOUBLE) / s0)) * {_COX_LAT}
+                    + 0.5) AS BIGINT) AS ul,
+         CAST(FLOOR(d * (CAST(s1 AS DOUBLE) / s0)
+                      * (1.0 - CAST(s1 AS DOUBLE) / s0) * {_COX_LAT}
+                    + 0.5) AS BIGINT) AS il
+  FROM cum WHERE d > 0
+)
+SELECT CAST((SELECT COUNT(*) FROM lt) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(d), 0) AS BIGINT) AS n_deaths,
+       CAST(COALESCE(SUM(ul), 0) AS DOUBLE) / {_COX_LAT} AS u_score,
+       CAST(COALESCE(SUM(il), 0) AS DOUBLE) / {_COX_LAT} AS fisher_info,
+       CASE WHEN COALESCE(SUM(il), 0) > 0
+            THEN ROUND(CAST(SUM(ul) AS DOUBLE) / SUM(il), 6) END AS beta1,
+       CASE WHEN COALESCE(SUM(il), 0) > 0
+            THEN ROUND(EXP(CAST(SUM(ul) AS DOUBLE) / SUM(il)), 6) END
+         AS hazard_ratio
+FROM terms
+"""
+
+
+@query("ml_cox_score_step", oracle=_COX_SQL)
+def ml_cox_score_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Newton step of Cox proportional-hazards regression (from
+    β = 0, Breslow ties) on user lifetime with a binary
+    high-activity covariate — the COVARIATE-EFFECT member of the
+    survival family: ts_survival_km estimates the one-sample curve,
+    while the Cox score step asks WHETHER high-activity users churn at
+    a different hazard, β̂ = U(0)/I(0) with
+    U = Σ_t (s_t − d_t·x̄_Rt) and I = Σ_t d_t·x̄_Rt(1 − x̄_Rt) over
+    event times t (binary covariate ⇒ the risk-set variance is
+    p(1−p)) — the first iteration every Cox fitter runs, and for a
+    single binary covariate already the log-rank-test direction.
+
+    Determinism: lifetimes/censoring exactly as ts_survival_km;
+    the covariate cut compares an exact BIGINT count to the exact-
+    ratio global mean; risk-set S0/S1 ride the suffix-cumulative
+    pattern on the lifetime-support grain (aggregate-bounded global
+    windows — GLOBAL_WINDOW_OK names the grain); x̄ = S1/S0 divides
+    only on d > 0 rows where S0 ≥ d ≥ 1 (no guard can fire); each
+    per-time term is FLOOR-quantized to the 1e9 lattice (identical
+    IEEE doubles both engines) so the final sums are exact BIGINTs —
+    no float fold order. I = 0 (constant covariate in every risk set)
+    takes the NULL contract via the same CASE; β and the hazard ratio
+    ROUND(6) (EXP is the only transcendental).
+
+    Scale: one events scan → user grain → lifetime-support grain
+    (saturates at the calendar span); the window is K-row; the final
+    frame is one row."""
+    ev = load(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.count("*").cast("bigint").alias("ec"),
+    )
+    span = span.localCheckpoint(eager=True)
+    g = span.agg(
+        F.max("d1").alias("gmax"),
+        (F.sum("ec").cast("double") / F.count("*")).alias("cmean"),
+    )
+    lt = span.crossJoin(F.broadcast(g)).select(
+        F.expr("datediff(d1, d0)").alias("lt"),
+        F.expr(
+            f"CASE WHEN datediff(gmax, d1) <= {_COX_CENSOR_DAYS}"
+            " THEN 0 ELSE 1 END"
+        ).alias("dead"),
+        F.expr("CASE WHEN ec > cmean THEN 1 ELSE 0 END").alias("x"),
+    )
+    lt = lt.localCheckpoint(eager=True)
+    grp = lt.groupBy("lt").agg(
+        F.count("*").cast("bigint").alias("n_at"),
+        F.sum("x").cast("bigint").alias("x_at"),
+        F.sum("dead").cast("bigint").alias("d"),
+        F.sum(F.col("dead") * F.col("x")).cast("bigint").alias("s"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("lt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "lt",
+        "d",
+        "s",
+        (
+            F.sum("n_at").over(w_all)
+            - F.sum("n_at").over(w_cum)
+            + F.col("n_at")
+        ).alias("s0"),
+        (
+            F.sum("x_at").over(w_all)
+            - F.sum("x_at").over(w_cum)
+            + F.col("x_at")
+        ).alias("s1"),
+    )
+    terms = cum.filter(F.col("d") > 0).select(
+        "d",
+        F.expr(
+            f"CAST(FLOOR((s - d * (CAST(s1 AS DOUBLE) / s0)) * {_COX_LAT}"
+            " + 0.5) AS BIGINT)"
+        ).alias("ul"),
+        F.expr(
+            f"CAST(FLOOR(d * (CAST(s1 AS DOUBLE) / s0)"
+            f" * (1.0 - CAST(s1 AS DOUBLE) / s0) * {_COX_LAT}"
+            " + 0.5) AS BIGINT)"
+        ).alias("il"),
+    )
+    nn = lt.agg(F.count("*").cast("bigint").alias("n_users"))
+    fin = terms.agg(
+        F.coalesce(F.sum("d"), F.lit(0)).cast("bigint").alias("n_deaths"),
+        (
+            F.coalesce(F.sum("ul"), F.lit(0)).cast("double") / _COX_LAT
+        ).alias("u_score"),
+        (
+            F.coalesce(F.sum("il"), F.lit(0)).cast("double") / _COX_LAT
+        ).alias("fisher_info"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(il), 0) > 0"
+            " THEN ROUND(CAST(SUM(ul) AS DOUBLE) / SUM(il), 6) END"
+        ).alias("beta1"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(il), 0) > 0"
+            " THEN ROUND(EXP(CAST(SUM(ul) AS DOUBLE) / SUM(il)), 6) END"
+        ).alias("hazard_ratio"),
+    )
+    return fin.crossJoin(F.broadcast(nn)).select(
+        "n_users",
+        "n_deaths",
+        "u_score",
+        "fisher_info",
+        "beta1",
+        "hazard_ratio",
+    )

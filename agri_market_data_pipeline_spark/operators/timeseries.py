@@ -3894,3 +3894,151 @@ def ts_regime_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         viterbi,
         schema="event_type string, day_no long, up_day long, regime string",
     )
+
+
+# Permutation entropy (ordinal-pattern complexity) per daily series
+
+_PE_NORM = "LN(6.0)"  # 3! ordinal patterns → max-entropy normalizer
+
+_PE_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS et, epoch_us(ts) // 86400000000 AS day_no,
+         CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                    / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS lv
+  FROM events GROUP BY 1, 2
+),
+tri AS (
+  SELECT et, lv AS a,
+         LEAD(lv, 1) OVER (PARTITION BY et ORDER BY day_no) AS b,
+         LEAD(lv, 2) OVER (PARTITION BY et ORDER BY day_no) AS c
+  FROM daily
+),
+pat AS (
+  SELECT et,
+         ((CASE WHEN b < a THEN 1 ELSE 0 END)
+          + (CASE WHEN c < a THEN 1 ELSE 0 END)) * 9
+         + ((CASE WHEN a < b THEN 1 ELSE 0 END)
+            + (CASE WHEN c < b THEN 1 ELSE 0 END)
+            + (CASE WHEN a = b THEN 1 ELSE 0 END)) * 3
+         + (CASE WHEN a < c THEN 1 ELSE 0 END)
+         + (CASE WHEN b < c THEN 1 ELSE 0 END)
+         + (CASE WHEN a = c THEN 1 ELSE 0 END)
+         + (CASE WHEN b = c THEN 1 ELSE 0 END) AS pid
+  FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+),
+cnt AS (
+  SELECT et, pid, CAST(COUNT(*) AS BIGINT) AS k
+  FROM pat GROUP BY 1, 2
+),
+tot AS (
+  SELECT et, CAST(SUM(k) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM cnt GROUP BY 1
+),
+rk AS (
+  SELECT c.et, c.pid, c.k, t.n, t.n_seen,
+         ROW_NUMBER() OVER (PARTITION BY c.et
+                            ORDER BY c.k DESC, c.pid) AS r
+  FROM cnt c JOIN tot t ON t.et = c.et
+)
+SELECT et AS event_type, MAX(n) AS n_triples, MAX(n_seen) AS n_patterns,
+       ROUND(-SUM((CAST(k AS DOUBLE) / n)
+                  * LN(CAST(k AS DOUBLE) / n)) / {_PE_NORM} + 0.0, 6)
+         AS perm_entropy,
+       MAX(CASE WHEN r = 1 THEN pid END) AS top_pattern,
+       MAX(CASE WHEN r = 1 THEN CAST(k AS DOUBLE) / n END) AS top_share
+FROM rk
+GROUP BY et
+"""
+
+
+@query("ts_permutation_entropy", oracle=_PE_SQL)
+def ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation entropy (Bandt–Pompe ordinal-pattern complexity,
+    order 3) per daily event-type series — the COMPLEXITY member of
+    the series family: ts_hurst_exponent measures long-range
+    persistence and ts_sax_symbolic quantizes LEVELS, while
+    permutation entropy ignores amplitude entirely and scores how
+    uniformly the 3! ordinal SHAPES of consecutive-day triples are
+    used — 1.0 for white noise (all six patterns equally likely), → 0
+    for monotone or strictly periodic dynamics. The standard
+    model-free complexity screen for series triage.
+
+    Determinism: triples are exact-lattice BIGINTs (ts_holt_forecast
+    recipe), the ordinal pattern is pure integer comparisons with the
+    Bandt–Pompe STABLE tie rule (equal values rank by time index —
+    the CASE terms add (j<i AND a_j=a_i) exactly), pattern
+    probabilities are exact integer ratios, and the entropy's ln is
+    the only transcendental — ROUND(6) both engines (tie set measure
+    zero). A single-pattern series yields −(1·ln 1) = −0.0, and the
+    engines disagree on the SIGN of zero after ROUND — the +0.0 term
+    canonicalizes it (degencheck's constant-series fixture found it). The dominant pattern breaks count ties to the smallest
+    pattern id via ROW_NUMBER (k DESC, pid); its window rides the
+    ≤27-row per-series pattern grain (grain-bounded exemption), and
+    top_share is an exact ratio of positive integers — no denominator
+    guard can fire (pattern rows exist only where n ≥ 1).
+
+    Scale: facts reduce to (type, day) in one partial agg; LEAD rides
+    the saturating calendar grain; everything after is a ≤27-row
+    frame per series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.floor(
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lv")
+    )
+    w = Window.partitionBy("et").orderBy("day_no")
+    tri = daily.select(
+        "et",
+        F.col("lv").alias("a"),
+        F.lead("lv", 1).over(w).alias("b"),
+        F.lead("lv", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    pat = tri.select(
+        "et",
+        F.expr(
+            "((CASE WHEN b < a THEN 1 ELSE 0 END)"
+            " + (CASE WHEN c < a THEN 1 ELSE 0 END)) * 9"
+            " + ((CASE WHEN a < b THEN 1 ELSE 0 END)"
+            " + (CASE WHEN c < b THEN 1 ELSE 0 END)"
+            " + (CASE WHEN a = b THEN 1 ELSE 0 END)) * 3"
+            " + (CASE WHEN a < c THEN 1 ELSE 0 END)"
+            " + (CASE WHEN b < c THEN 1 ELSE 0 END)"
+            " + (CASE WHEN a = c THEN 1 ELSE 0 END)"
+            " + (CASE WHEN b = c THEN 1 ELSE 0 END)"
+        ).alias("pid"),
+    )
+    cnt = pat.groupBy("et", "pid").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    tot = cnt.groupBy("et").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_seen"),
+    )
+    wr = Window.partitionBy("et").orderBy(F.desc("k"), F.asc("pid"))
+    rk = cnt.join(tot, "et").withColumn("r", F.row_number().over(wr))
+    return rk.groupBy(F.col("et").alias("event_type")).agg(
+        F.max("n").alias("n_triples"),
+        F.max("n_seen").alias("n_patterns"),
+        F.round(
+            -F.sum(
+                (F.col("k").cast("double") / F.col("n"))
+                * F.log(F.col("k").cast("double") / F.col("n"))
+            )
+            / F.expr(_PE_NORM)
+            + F.lit(0.0),  # -0.0 -> +0.0: single-pattern series
+            6,
+        ).alias("perm_entropy"),
+        F.max(F.expr("CASE WHEN r = 1 THEN pid END")).alias("top_pattern"),
+        F.max(
+            F.expr("CASE WHEN r = 1 THEN CAST(k AS DOUBLE) / n END")
+        ).alias("top_share"),
+    )

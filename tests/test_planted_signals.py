@@ -2504,3 +2504,139 @@ def test_kcenter_coreset_spreads_over_planted_clusters(spark, tmp_path):
     # 8 clusters still uncovered: objective stays at the ~sqrt(2)
     # inter-cluster scale, far above the 0.05-noise intra scale
     assert 1.2 < rows[-1].radius < 1.7, rows[-1].radius
+
+
+def test_permutation_entropy_noise_monotone_period2(spark, tmp_path):
+    """ts_permutation_entropy pins: md5-noise uses all 6 ordinal
+    patterns nearly uniformly (H > 0.9); a strictly increasing ramp
+    is the single pattern pid=5 (ranks 012) with H = 0 and share 1;
+    an exact period-2 alternation splits evenly between its two tied
+    patterns (pids 7 and 11 under the stable tie rule) giving
+    H = ln2/ln6 exactly and the count tie broken to pid 7."""
+    import math
+
+    n = 60
+    noise = [100.0 + _noise("pe", i) for i in range(n)]
+    ramp = [float(i) for i in range(n)]
+    alt2 = [10.0 if i % 2 == 0 else 20.0 for i in range(n)]
+    types, values, days = _interleave(
+        {"noise": noise, "ramp": ramp, "alt": alt2}
+    )
+    alt = _planted(tmp_path, "permentropy", types, values, days)
+    out = {
+        r.event_type: r
+        for r in _q("ts_permutation_entropy")(spark, alt).collect()
+    }
+    assert set(out) == {"noise", "ramp", "alt"}
+    nz = out["noise"]
+    assert nz.n_triples == n - 2
+    assert nz.n_patterns == 6
+    assert nz.perm_entropy > 0.9
+    rp = out["ramp"]
+    assert (rp.n_patterns, rp.top_pattern, rp.top_share) == (1, 5, 1.0)
+    assert rp.perm_entropy == 0.0
+    al = out["alt"]
+    assert al.n_patterns == 2
+    assert al.perm_entropy == round(math.log(2) / math.log(6), 6)
+    assert al.top_pattern == 7
+    assert al.top_share == 0.5
+
+
+def test_cox_score_step_detects_planted_hazard_split(spark, tmp_path):
+    """ml_cox_score_step on a planted cohort where HIGH-ACTIVITY users
+    (many events) all churn after a 5-day lifetime while low-activity
+    users live 50 days: the score step must report a clearly positive
+    beta (higher hazard for x=1) and match a pure-Python replay of the
+    exact lattice score/information sums."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from agri_market_data_pipeline_spark.operators.analytics import (
+        _COX_CENSOR_DAYS,
+        _COX_LAT,
+    )
+
+    alt = tmp_path / "cox"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    base = pd.Timestamp("2024-01-01")
+    rows = []  # (event_id, ts, user_id)
+    eid = 0
+    users = {}
+    for u in range(1, 51):  # high activity, short life: 20 ev / 5 days
+        for k in range(20):
+            rows.append((eid, base + pd.Timedelta(days=(k % 6)), u))
+            eid += 1
+        users[u] = (5, 20)
+    for u in range(51, 101):  # low activity, long life: 5 ev / 50 days
+        for k in range(5):
+            rows.append(
+                (eid, base + pd.Timedelta(days=k * 12), u)
+            )  # days 0..48
+            eid += 1
+        users[u] = (48, 5)
+    # sentinel keeps gmax far out so nobody above is censored
+    for k in (0, 60):
+        rows.append((eid, base + pd.Timedelta(days=k), 999))
+        eid += 1
+    users[999] = (60, 2)
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": ["view"] * len(rows),
+                "value": pa.array([1.0] * len(rows)),
+                "props": ["{}"] * len(rows),
+            }
+        ),
+        alt / "events.parquet",
+    )
+    out = _q("ml_cox_score_step")(spark, str(alt)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_users == 101
+    # replay
+    gmax = 60
+    cmean = sum(c for _, c in users.values()) / len(users)
+    lt = [
+        (life, 0 if gmax - life <= _COX_CENSOR_DAYS else 1,
+         1 if c > cmean else 0)
+        for life, c in users.values()
+    ]
+    grp = {}
+    for life, dead, x in lt:
+        g = grp.setdefault(life, [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += x
+        g[2] += dead
+        g[3] += dead * x
+    su, si, nd = 0, 0, 0
+    tot_n = sum(g[0] for g in grp.values())
+    tot_x = sum(g[1] for g in grp.values())
+    pre_n, pre_x = 0, 0
+    for life in sorted(grp):
+        n_at, x_at, d, s = grp[life]
+        s0 = tot_n - pre_n
+        s1 = tot_x - pre_x
+        pre_n += n_at
+        pre_x += x_at
+        if d > 0:
+            xb = s1 / s0
+            su += math.floor((s - d * xb) * _COX_LAT + 0.5)
+            si += math.floor(d * xb * (1.0 - xb) * _COX_LAT + 0.5)
+            nd += d
+    assert r.n_deaths == nd
+    assert r.u_score == su / _COX_LAT
+    assert r.fisher_info == si / _COX_LAT
+    assert r.beta1 == round(su / si, 6) or abs(r.beta1 - su / si) < 1e-6
+    assert r.beta1 > 0.5, r.beta1
+    assert abs(r.hazard_ratio - math.exp(su / si)) < 1e-4

@@ -258,6 +258,8 @@ NESTED_LOOP_OK = {
     #   arm-moment frame
     "sample_kcenter_coreset",  # 1-row center/max frames per greedy
     #   round (broadcast relaxation scan)
+    "ml_cox_score_step",     # 1-row gmax/cmean frame + 1-row n_users
+    #   frame onto the 1-row score aggregate
 }
 
 # Queries allowed to carry a zero-partition window whose input is
@@ -294,6 +296,9 @@ GLOBAL_WINDOW_OK = {
     "ts_survival_km":              # |distinct lifetimes| <= span days;
         ("lifetime support", 3),   #   at-risk countdown + cum product
                                    #   + whole-frame total, same frame
+    "ml_cox_score_step":           # suffix risk-set sums over the same
+        ("lifetime support", 2),   #   lifetime-support grain (whole-
+                                   #   frame total + cum walk)
     "win_pareto_share":            # post-agg brand leaderboard
         ("group-key grain", 2),    #   (K = brand cardinality) — cum
                                    #   share + whole-frame total
