@@ -162,6 +162,13 @@ AUDITED = [
     "udf_map_in_arrow",  # map-only Arrow batches + JVM partial agg
     "ml_kfold_cv",  # two fact passes, 15-row model broadcast between
     "ml_threshold_tuning",  # one scan to the score grain + bounded window
+    # r12, join-bearing / iterative per the policy:
+    "ml_als_factorize",  # ratings agg + two factor-join half-steps
+    "sample_kcenter_coreset",  # K broadcast relaxation scans
+    "ml_markov_chain",  # fact-scale LEAD window + K-row power loop
+    "ml_cox_score_step",  # user-grain agg + lifetime-support windows
+    "graph_hits",  # fact edge build + nation-sized half-rounds
+    "agg_cuped_adjust",  # one orders scan to the customer grain
 ]
 
 
