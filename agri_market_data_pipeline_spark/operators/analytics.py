@@ -3654,7 +3654,7 @@ SELECT m.arm, m.n AS n_units,
        CASE WHEN m.n > 1 THEN ROUND(
          (m.n * CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE)
             * CAST(m.sy AS DOUBLE))
-         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, 4) END AS var_y,
+         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, -2) END AS var_y,
        CASE WHEN m.n > 1 THEN ROUND(
          ((m.n * CAST(m.syy AS DOUBLE) - CAST(m.sy AS DOUBLE)
              * CAST(m.sy AS DOUBLE))
@@ -3662,7 +3662,7 @@ SELECT m.arm, m.n AS n_units,
              - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
           + t.theta * t.theta * (m.n * CAST(m.sxx AS DOUBLE)
              - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)))
-         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, 4) END AS var_y_adj
+         / (CAST(m.n AS DOUBLE) * m.n) / 1e4, -2) END AS var_y_adj
 FROM mom m, th t
 """
 
@@ -3753,7 +3753,7 @@ def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n > 1 THEN ROUND("
             "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)"
             " * CAST(sy AS DOUBLE))"
-            " / (CAST(n AS DOUBLE) * n) / 1e4, 4) END"
+            " / (CAST(n AS DOUBLE) * n) / 1e4, -2) END"
         ).alias("var_y"),
         F.expr(
             "CASE WHEN n > 1 THEN ROUND("
@@ -3763,7 +3763,7 @@ def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
             " + theta * theta * (n * CAST(sxx AS DOUBLE)"
             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
-            " / (CAST(n AS DOUBLE) * n) / 1e4, 4) END"
+            " / (CAST(n AS DOUBLE) * n) / 1e4, -2) END"
         ).alias("var_y_adj"),
     )
 
