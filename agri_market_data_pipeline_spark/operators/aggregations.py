@@ -2299,3 +2299,247 @@ def incr_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("d") == 0, 1).otherwise(0).alias("merge_ok"),
         )
     )
+
+
+# KMV (theta) sketch: union / intersection / DIFFERENCE estimation
+
+_KMV_K = 256
+_KMV_DOM = 1 << 48  # 12 hex digits of md5 → uniform [0, 2^48)
+
+
+def _kmv_h(col: str) -> str:
+    """48-bit uniform hash of a BIGINT key (Spark SQL form)."""
+    return (
+        "CAST(conv(substring(md5(concat('kmv:', CAST("
+        + col
+        + " AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+
+
+def _kmv_h_duck(col: str) -> str:
+    """DuckDB twin of _kmv_h."""
+    return (
+        "CAST('0x' || substring(md5('kmv:' || CAST("
+        + col
+        + " AS VARCHAR)), 1, 12) AS BIGINT)"
+    )
+
+
+_KMV_SQL = f"""
+WITH ca AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u FROM orders
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+cb AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS u FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+),
+sa AS MATERIALIZED (
+  SELECT u, {_kmv_h_duck('u')} AS h FROM ca
+  ORDER BY 2, 1 LIMIT {_KMV_K}
+),
+sb AS MATERIALIZED (
+  SELECT u, {_kmv_h_duck('u')} AS h FROM cb
+  ORDER BY 2, 1 LIMIT {_KMV_K}
+),
+su AS MATERIALIZED (
+  SELECT u, h FROM (SELECT DISTINCT u, h FROM (
+    SELECT u, h FROM sa UNION ALL SELECT u, h FROM sb))
+  ORDER BY 2, 1 LIMIT {_KMV_K}
+),
+ex AS (
+  SELECT (SELECT COUNT(*) FROM ca) AS na,
+         (SELECT COUNT(*) FROM cb) AS nb,
+         (SELECT COUNT(*) FROM ca JOIN cb ON ca.u = cb.u) AS ni
+),
+th AS (
+  SELECT
+    (SELECT COUNT(*) FROM sa) AS ka, (SELECT MAX(h) FROM sa) AS ta,
+    (SELECT COUNT(*) FROM sb) AS kb, (SELECT MAX(h) FROM sb) AS tb,
+    (SELECT COUNT(*) FROM su) AS ku, (SELECT MAX(h) FROM su) AS tu
+),
+eff AS (
+  SELECT ka, kb, ku,
+         CASE WHEN ka < {_KMV_K} THEN {_KMV_DOM} ELSE ta END AS ta,
+         CASE WHEN kb < {_KMV_K} THEN {_KMV_DOM} ELSE tb END AS tb,
+         CASE WHEN ku < {_KMV_K} THEN {_KMV_DOM} ELSE tu END AS tu
+  FROM th
+),
+tmin AS (
+  SELECT ka, kb, ku, ta, tb, tu,
+         LEAST(ta, tb) AS tm FROM eff
+),
+ovl AS (
+  SELECT
+    (SELECT COUNT(*) FROM sa JOIN sb ON sa.u = sb.u, tmin
+     WHERE sa.h < tmin.tm) AS ci,
+    (SELECT COUNT(*) FROM sa LEFT JOIN sb ON sa.u = sb.u, tmin
+     WHERE sa.h < tmin.tm AND sb.u IS NULL) AS cd
+)
+SELECT ex.na AS n_a_exact, ex.nb AS n_b_exact,
+       ex.na + ex.nb - ex.ni AS union_exact,
+       ex.ni AS inter_exact, ex.na - ex.ni AS diff_exact,
+       CASE WHEN t.ka < {_KMV_K} THEN CAST(t.ka AS DOUBLE)
+            WHEN t.ta > 0 THEN ROUND(CAST(({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT)
+                 AS DOUBLE) / t.ta, 4) END AS n_a_est,
+       CASE WHEN t.kb < {_KMV_K} THEN CAST(t.kb AS DOUBLE)
+            WHEN t.tb > 0 THEN ROUND(CAST(({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT)
+                 AS DOUBLE) / t.tb, 4) END AS n_b_est,
+       CASE WHEN t.ku < {_KMV_K} THEN CAST(t.ku AS DOUBLE)
+            WHEN t.tu > 0 THEN ROUND(CAST(({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT)
+                 AS DOUBLE) / t.tu, 4) END AS union_est,
+       CASE WHEN t.tm >= {_KMV_DOM} THEN CAST(o.ci AS DOUBLE)
+            WHEN t.tm > 0 THEN ROUND(CAST(o.ci AS DOUBLE)
+                 * {_KMV_DOM} / t.tm, 4) END AS inter_est,
+       CASE WHEN t.tm >= {_KMV_DOM} THEN CAST(o.cd AS DOUBLE)
+            WHEN t.tm > 0 THEN ROUND(CAST(o.cd AS DOUBLE)
+                 * {_KMV_DOM} / t.tm, 4) END AS diff_est
+FROM ex, tmin t, ovl o
+"""
+
+
+@query("agg_theta_kmv", oracle=_KMV_SQL)
+def agg_theta_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch over two customer cohorts (pre-/post-1998
+    buyers) with union, intersection AND DIFFERENCE estimates — the
+    set-algebra member of the sketch family: HLL
+    (agg_hll_relational/intersect) unions natively but can only reach
+    intersections through inclusion-exclusion (error grows with the
+    union), while the K-minimum-values/theta construction keeps the
+    ACTUAL K smallest hash samples, so any set expression — including
+    A∖B, which HLL cannot express usefully — is estimated by counting
+    retained sample members below θ = min(θ_a, θ_b) and scaling by
+    D/θ (Beyer et al. / the Apache DataSketches theta contract).
+    Exact truth columns ride along as the audit (the agg_hll_relational
+    discipline).
+
+    Determinism: h = 48-bit md5 lattice (the cross-engine hash idiom);
+    each sketch is ORDER BY (h, key) LIMIT {_KMV_K} — Spark plans
+    TakeOrderedAndProject (per-partition heaps, NO global sort; the
+    top-k rule) and ties on colliding hashes break by key identically;
+    θ and all retained counts are exact BIGINTs; the estimators
+    (K−1)·D/θ and cnt·D/θ are the same IEEE division both engines with
+    ROUND(4) absorbing the >2^53 numerator cast. Sub-K cohorts take
+    the EXACT path (sketch = population, estimate = kept count — no
+    division; the degencheck class), guarded by the same CASE chain,
+    with θ_eff = D making the θ-min intersection path collapse to the
+    exact overlap count scaled by 1.
+
+    Scale: each cohort pays one distinct-aggregate scan + a K-row
+    heap; sketches are K-row frames joined on the sample key —
+    merge/intersect/difference cost is O(K), independent of
+    cardinality, and the sketch rows are exactly what a snapshot store
+    would persist for incremental maintenance (incr_hll_merge's
+    pattern). Exact truth columns cost the audit join at test SFs and
+    are dropped in production."""
+    o = load(spark, sf_dir, "orders")
+    ca = (
+        o.filter(F.expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .select(F.col("o_custkey").alias("u"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cb = (
+        o.filter(F.expr("o_orderdate >= TIMESTAMP '1998-01-01'"))
+        .select(F.col("o_custkey").alias("u"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sketch(c: DataFrame) -> DataFrame:
+        return (
+            c.select("u", F.expr(_kmv_h("u")).alias("h"))
+            .orderBy("h", "u")
+            .limit(_KMV_K)
+            .localCheckpoint(eager=True)
+        )
+
+    sa, sb = sketch(ca), sketch(cb)
+    su = (
+        sa.unionByName(sb)
+        .distinct()
+        .orderBy("h", "u")
+        .limit(_KMV_K)
+        .localCheckpoint(eager=True)
+    )
+    ex = (
+        ca.agg(F.count("*").alias("na"))
+        .crossJoin(F.broadcast(cb.agg(F.count("*").alias("nb"))))
+        .crossJoin(
+            F.broadcast(
+                ca.join(cb, "u").agg(F.count("*").alias("ni"))
+            )
+        )
+    )
+    th = (
+        sa.agg(F.count("*").alias("ka"), F.max("h").alias("ta"))
+        .crossJoin(
+            F.broadcast(
+                sb.agg(F.count("*").alias("kb"), F.max("h").alias("tb"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                su.agg(F.count("*").alias("ku"), F.max("h").alias("tu"))
+            )
+        )
+        .selectExpr(
+            "ka",
+            "kb",
+            "ku",
+            f"CASE WHEN ka < {_KMV_K} THEN CAST({_KMV_DOM} AS BIGINT)"
+            " ELSE ta END AS ta",
+            f"CASE WHEN kb < {_KMV_K} THEN CAST({_KMV_DOM} AS BIGINT)"
+            " ELSE tb END AS tb",
+            f"CASE WHEN ku < {_KMV_K} THEN CAST({_KMV_DOM} AS BIGINT)"
+            " ELSE tu END AS tu",
+        )
+        .withColumn("tm", F.expr("LEAST(ta, tb)"))
+    )
+    th = th.localCheckpoint(eager=True)
+    ovl = (
+        sa.join(sb.withColumnRenamed("h", "hb"), "u", "left")
+        .crossJoin(F.broadcast(th.select("tm")))
+        .filter(F.col("h") < F.col("tm"))
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN hb IS NOT NULL THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("ci"),
+            F.sum(F.expr("CASE WHEN hb IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("cd"),
+        )
+        .select(
+            F.coalesce("ci", F.lit(0)).alias("ci"),
+            F.coalesce("cd", F.lit(0)).alias("cd"),
+        )
+    )
+    kd = f"({_KMV_K} - 1) * CAST({_KMV_DOM} AS BIGINT)"
+    return (
+        ex.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(ovl))
+        .selectExpr(
+            "na AS n_a_exact",
+            "nb AS n_b_exact",
+            "na + nb - ni AS union_exact",
+            "ni AS inter_exact",
+            "na - ni AS diff_exact",
+            f"CASE WHEN ka < {_KMV_K} THEN CAST(ka AS DOUBLE)"
+            f" WHEN ta > 0 THEN ROUND(CAST({kd} AS DOUBLE) / ta, 4) END"
+            " AS n_a_est",
+            f"CASE WHEN kb < {_KMV_K} THEN CAST(kb AS DOUBLE)"
+            f" WHEN tb > 0 THEN ROUND(CAST({kd} AS DOUBLE) / tb, 4) END"
+            " AS n_b_est",
+            f"CASE WHEN ku < {_KMV_K} THEN CAST(ku AS DOUBLE)"
+            f" WHEN tu > 0 THEN ROUND(CAST({kd} AS DOUBLE) / tu, 4) END"
+            " AS union_est",
+            f"CASE WHEN tm >= CAST({_KMV_DOM} AS BIGINT) THEN CAST(ci AS DOUBLE)"
+            f" WHEN tm > 0 THEN ROUND(CAST(ci AS DOUBLE) * {_KMV_DOM} / tm, 4) END"
+            " AS inter_est",
+            f"CASE WHEN tm >= CAST({_KMV_DOM} AS BIGINT) THEN CAST(cd AS DOUBLE)"
+            f" WHEN tm > 0 THEN ROUND(CAST(cd AS DOUBLE) * {_KMV_DOM} / tm, 4) END"
+            " AS diff_est",
+        )
+    )

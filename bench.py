@@ -158,6 +158,9 @@ HEADLINE = [
     "ts_regime_viterbi",
     "agg_cuped_adjust",
     "sample_kcenter_coreset",
+    "ts_permutation_entropy",
+    "ml_cox_score_step",
+    "agg_theta_kmv",
 ]
 
 

@@ -2640,3 +2640,66 @@ def test_cox_score_step_detects_planted_hazard_split(spark, tmp_path):
     assert r.beta1 == round(su / si, 6) or abs(r.beta1 - su / si) < 1e-6
     assert r.beta1 > 0.5, r.beta1
     assert abs(r.hazard_ratio - math.exp(su / si)) < 1e-4
+
+
+def _planted_cohort_orders(tmp_path, name, a_keys, b_keys):
+    """Orders fixture: one pre-1998 order per key in a_keys, one
+    post-1998 order per key in b_keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    alt = tmp_path / name
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    rows = [(u, pd.Timestamp("1996-06-01")) for u in a_keys] + [
+        (u, pd.Timestamp("1999-06-01")) for u in b_keys
+    ]
+    papq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderstatus": ["F"] * len(rows),
+                "o_totalprice": pa.array([1.0] * len(rows)),
+                "o_orderdate": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": ["1-URGENT"] * len(rows),
+            }
+        ),
+        alt / "orders.parquet",
+    )
+    return str(alt)
+
+
+def test_theta_kmv_estimates_planted_set_algebra(spark, tmp_path):
+    """agg_theta_kmv pins: (a) on planted cohorts |A|=2000, |B|=2000,
+    |A∩B|=1000 the exact audit columns are exactly right and every
+    estimate lands within 25% (K=256 → ~3/sqrt(K) ≈ 19% at 3 sigma) —
+    including the DIFFERENCE estimate HLL cannot express; (b) sub-K
+    cohorts (100/50, overlap 25) take the exact path: estimates EQUAL
+    the truth with no estimator error at all."""
+    alt = _planted_cohort_orders(
+        tmp_path, "kmv_big", range(1, 2001), range(1001, 3001)
+    )
+    r = _q("agg_theta_kmv")(spark, alt).collect()[0]
+    assert (r.n_a_exact, r.n_b_exact) == (2000, 2000)
+    assert (r.inter_exact, r.diff_exact, r.union_exact) == (
+        1000, 1000, 3000,
+    )
+    for est, exact in (
+        (r.n_a_est, 2000), (r.n_b_est, 2000), (r.union_est, 3000),
+        (r.inter_est, 1000), (r.diff_est, 1000),
+    ):
+        assert abs(est - exact) / exact < 0.25, (est, exact)
+    alt2 = _planted_cohort_orders(
+        tmp_path, "kmv_small", range(1, 101), range(76, 126)
+    )
+    r2 = _q("agg_theta_kmv")(spark, alt2).collect()[0]
+    assert (r2.n_a_exact, r2.n_b_exact, r2.inter_exact) == (100, 50, 25)
+    assert r2.n_a_est == 100.0 and r2.n_b_est == 50.0
+    assert r2.union_est == 125.0
+    assert r2.inter_est == 25.0 and r2.diff_est == 75.0

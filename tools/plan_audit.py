@@ -260,6 +260,8 @@ NESTED_LOOP_OK = {
     #   round (broadcast relaxation scan)
     "ml_cox_score_step",     # 1-row gmax/cmean frame + 1-row n_users
     #   frame onto the 1-row score aggregate
+    "agg_theta_kmv",         # K-row sketch frames + 1-row theta/exact
+    #   frames composed into the single output row
 }
 
 # Queries allowed to carry a zero-partition window whose input is
