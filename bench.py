@@ -161,6 +161,7 @@ HEADLINE = [
     "ts_permutation_entropy",
     "ml_cox_score_step",
     "agg_theta_kmv",
+    "ts_croston_forecast",
 ]
 
 

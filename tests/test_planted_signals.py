@@ -2703,3 +2703,90 @@ def test_theta_kmv_estimates_planted_set_algebra(spark, tmp_path):
     assert r2.n_a_est == 100.0 and r2.n_b_est == 50.0
     assert r2.union_est == 125.0
     assert r2.inter_est == 25.0 and r2.diff_est == 75.0
+
+
+def test_croston_separates_planted_intermittent_demand(spark, tmp_path):
+    """ts_croston_forecast on two planted parts shipping over ~60
+    weeks: part 1 demands exactly 12 units every 4th week (steady
+    intermittent: smoothed size → 12, interval → 4, forecast → 3
+    units/week); part 2 demands 3 units EVERY week (dense: interval →
+    1, forecast → 3). Both must match a pure-Python replay of the
+    exact lattice recursions bit-for-bit — and the two very different
+    demand shapes must converge to the SAME per-period rate, which is
+    precisely the property a raw EWMA of the zero-filled series
+    destroys."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from agri_market_data_pipeline_spark.operators.timeseries import (
+        _CRO_LAT,
+    )
+
+    alt = tmp_path / "croston"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    base = pd.Timestamp("2024-01-06")  # anchor inside one epoch week
+    rows = []
+    ln = 0
+    series = {1: [], 2: []}
+    for wkno in range(60):
+        if wkno % 4 == 0:
+            series[1].append((wkno, 12))
+        series[2].append((wkno, 3))
+    for p, dem in series.items():
+        for wkno, qty in dem:
+            ln += 1
+            rows.append(
+                (300, p, 200, ln, float(qty),
+                 base + pd.Timedelta(weeks=wkno))
+            )
+    papq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in rows]),
+                "l_extendedprice": pa.array([1.0] * len(rows)),
+                "l_discount": pa.array([0.0] * len(rows)),
+                "l_tax": pa.array([0.0] * len(rows)),
+                "l_returnflag": ["N"] * len(rows),
+                "l_linestatus": ["O"] * len(rows),
+                "l_shipdate": pa.array(
+                    [r[5] for r in rows], pa.timestamp("us")
+                ),
+            }
+        ),
+        alt / "lineitem.parquet",
+    )
+    out = {
+        r.partkey: r
+        for r in _q("ts_croston_forecast")(spark, str(alt)).collect()
+    }
+    assert set(out) == {1, 2}
+    for p, dem in series.items():
+        # replay on epoch-week numbers (same div both engines)
+        weeks = [
+            (base + pd.Timedelta(weeks=w)).value // 1000 // 604800000000
+            for w, _ in dem
+        ]
+        zs = [q for _, q in dem]
+        qs = [1] + [b - a for a, b in zip(weeks, weeks[1:])]
+        s, v = zs[0] * _CRO_LAT, qs[0] * _CRO_LAT
+        for z, q in zip(zs[1:], qs[1:]):
+            s = (s + z * _CRO_LAT) // 2
+            v = (v + q * _CRO_LAT) // 2
+        r = out[p]
+        assert r.n_demand_periods == len(zs)
+        assert (r.size_lat, r.interval_lat) == (s, v), (p, r)
+        assert r.croston_fc == s / v
+    assert abs(out[1].smoothed_size - 12.0) < 0.1
+    assert abs(out[1].smoothed_interval - 4.0) < 0.2
+    assert abs(out[2].smoothed_interval - 1.0) < 0.01
+    assert abs(out[1].croston_fc - 3.0) < 0.2
+    assert abs(out[2].croston_fc - 3.0) < 0.01
+    assert abs(out[1].croston_fc - out[2].croston_fc) < 0.25
