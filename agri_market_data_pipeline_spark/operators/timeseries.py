@@ -4100,54 +4100,66 @@ def ts_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the guard, documented here and replayed in the planted test).
     croston_fc is a ratio of exact BIGINTs — bitwise, unrounded.
 
-    Spark runs the per-part recursion in applyInPandas (sequential by
-    nature); the oracle advances all parts in rank lockstep in a
-    recursive CTE off a MATERIALIZED demand frame. The LAG/rank
-    windows partition by part — high-cardinality, perfectly parallel,
-    each partition bounded by the calendar's week count.
+    Spark runs the per-part recursion as a JVM-side aggregate() fold
+    over the week-sorted demand array (struct accumulator carrying
+    s, v, prev-week) — the applyInPandas first cut paid ~9 s at sf0.1
+    purely in 20k-group Python/Arrow churn (measured r12; the holt
+    recursion is fine there because it has 5 groups, not 20k); the
+    fold is the same exact integer recursion with zero Python
+    workers. The oracle advances all parts in rank lockstep in a
+    recursive CTE off a MATERIALIZED demand frame.
 
     Scale: one fact pass to the (part, week) grain; the recursion
     state is two BIGINTs per part; output is part-grain."""
-    import pandas as pd
-
     li = load(spark, sf_dir, "lineitem")
     wk = li.groupBy(
         F.col("l_partkey").alias("p"),
-        F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
-               " div 604800000000").alias("w"),
+        F.expr(
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000"
+        ).alias("w"),
     ).agg(
         F.sum(F.col("l_quantity").cast("decimal(20,0)"))
         .cast("bigint")
         .alias("z")
     )
-
-    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("w")
-        ws = [int(x) for x in pdf["w"]]
-        zs = [int(x) for x in pdf["z"]]
-        qs = [1] + [b - a for a, b in zip(ws, ws[1:])]
-        s = zs[0] * _CRO_LAT
-        v = qs[0] * _CRO_LAT
-        for z, q in zip(zs[1:], qs[1:]):
-            s = (s + z * _CRO_LAT) // 2
-            v = (v + q * _CRO_LAT) // 2
-        return pd.DataFrame(
-            {
-                "partkey": [int(pdf["p"].iloc[0])],
-                "n_demand_periods": [len(zs)],
-                "size_lat": [s],
-                "interval_lat": [v],
-                "smoothed_size": [s / _CRO_LAT],
-                "smoothed_interval": [v / _CRO_LAT],
-                "croston_fc": [s / v],
-            }
+    # JVM-side fold: the first cut ran the recursion in applyInPandas
+    # over |parts| groups — 20k tiny Arrow round-trips cost ~9 s at
+    # sf0.1 (measured r12). The sorted-array aggregate() fold is the
+    # same exact integer recursion (array_sort by week = rank order;
+    # struct accumulator carries s, v, prev week) but stays inside the
+    # JVM — one shuffle, no Python workers.
+    L = _CRO_LAT
+    fold = (
+        "aggregate(slice(arr, 2, size(arr) - 1), "
+        "named_struct('s', arr[0].z * CAST({L} AS BIGINT), "
+        "'v', CAST({L} AS BIGINT), 'pw', arr[0].w), "
+        "(acc, x) -> named_struct("
+        "'s', (acc.s + x.z * {L}) div 2, "
+        "'v', (acc.v + (x.w - acc.pw) * {L}) div 2, "
+        "'pw', x.w))"
+    ).format(L=L)
+    return (
+        wk.groupBy("p")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(w, z)))"
+            ).alias("arr"),
+            F.count("*").cast("bigint").alias("n"),
         )
-
-    return wk.groupBy("p").applyInPandas(
-        croston,
-        schema=(
-            "partkey long, n_demand_periods long, size_lat long, "
-            "interval_lat long, smoothed_size double, "
-            "smoothed_interval double, croston_fc double"
-        ),
+        .select(
+            F.col("p").alias("partkey"),
+            F.col("n").alias("n_demand_periods"),
+            F.expr(fold).alias("st"),
+        )
+        .select(
+            "partkey",
+            "n_demand_periods",
+            F.col("st.s").alias("size_lat"),
+            F.col("st.v").alias("interval_lat"),
+            (F.col("st.s").cast("double") / L).alias("smoothed_size"),
+            (F.col("st.v").cast("double") / L).alias("smoothed_interval"),
+            (F.col("st.s").cast("double") / F.col("st.v")).alias(
+                "croston_fc"
+            ),
+        )
     )
