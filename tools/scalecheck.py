@@ -169,6 +169,8 @@ AUDITED = [
     "ml_cox_score_step",  # user-grain agg + lifetime-support windows
     "graph_hits",  # fact edge build + nation-sized half-rounds
     "agg_cuped_adjust",  # one orders scan to the customer grain
+    "agg_theta_kmv",  # 2 distinct scans + K-row heap sketches + joins
+    "ts_croston_forecast",  # weekly grain + per-part JVM fold
 ]
 
 
