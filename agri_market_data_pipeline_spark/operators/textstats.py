@@ -1399,3 +1399,165 @@ def text_boilerplate_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# One PLSA EM step (K topics) over the document-token matrix
+
+_PLSA_K = 4
+_PLSA_TOP = 5
+_PLSA_LAT = 1_000_000
+
+_PLSA_SQL = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id AS d, token AS w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY 1, 2
+),
+ts AS (SELECT UNNEST([{', '.join(str(i) for i in range(_PLSA_K))}]) AS t),
+pwt AS MATERIALIZED (
+  SELECT w, t,
+         1 + CAST('0x' || substring(md5(w || ':w' || t::VARCHAR), 1, 6)
+                  AS BIGINT) % 999 AS a
+  FROM (SELECT DISTINCT w FROM tok), ts
+),
+ptd AS MATERIALIZED (
+  SELECT d, t,
+         1 + CAST('0x' || substring(md5(d::VARCHAR || ':d' || t::VARCHAR),
+                  1, 6) AS BIGINT) % 999 AS b
+  FROM (SELECT DISTINCT d FROM tok), ts
+),
+e AS (
+  SELECT tok.d, tok.w, pwt.t, tok.c, pwt.a * ptd.b AS num,
+         SUM(pwt.a * ptd.b) OVER (PARTITION BY tok.d, tok.w) AS den
+  FROM tok
+  JOIN pwt ON pwt.w = tok.w
+  JOIN ptd ON ptd.d = tok.d AND ptd.t = pwt.t
+),
+m AS (
+  SELECT w, t,
+         CAST(SUM(CAST(FLOOR(CAST(c * num AS DOUBLE) / den
+                             * {_PLSA_LAT}) AS BIGINT)) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2
+),
+tot AS (
+  SELECT t, CAST(SUM(s) AS BIGINT) AS st FROM m GROUP BY 1
+),
+r AS (
+  SELECT m.w, m.t, m.s, tot.st,
+         ROW_NUMBER() OVER (PARTITION BY m.t
+                            ORDER BY m.s DESC, m.w) AS rnk
+  FROM m JOIN tot ON tot.t = m.t
+)
+SELECT t AS topic, CAST(rnk AS BIGINT) AS rnk, w AS token,
+       s AS weight_lat,
+       CASE WHEN st > 0 THEN CAST(s AS DOUBLE) / st END AS p_w_given_t
+FROM r WHERE rnk <= {_PLSA_TOP}
+"""
+
+
+@query("text_plsa_em_step", oracle=_PLSA_SQL)
+def text_plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM iteration of PLSA (probabilistic latent semantic
+    analysis, Hofmann) with K = {_PLSA_K} topics over the corpus
+    doc-token matrix, reporting each topic's top-{_PLSA_TOP} words —
+    the TOPIC-MODEL member of the text family: text_tfidf scores
+    words per document and text_keyword_extract per corpus, while the
+    PLSA E-step computes the posterior topic responsibility
+    γ(t|d,w) ∝ P(w|t)·P(t|d) per occurrence and the M-step
+    re-estimates P(w|t) ∝ Σ_d c(d,w)·γ — the one-iteration kernel
+    every topic/cluster pipeline loops (and the corpus-composition
+    probe a training-data curator runs to see WHAT is in a crawl).
+
+    Determinism: init weights are md5-lattice integers (1..999), so
+    every E-step responsibility is an exact RATIONAL a·b/Σa·b of
+    BIGINTs; each M-step term is FLOOR-quantized to the 1e6 lattice
+    from the same IEEE double both engines (c·num ≤ 1e9 — exact in a
+    double), making the topic-word sums exact BIGINTs with no float
+    fold order; the top-word rank breaks score ties by token; the
+    final share is an exact BIGINT ratio, guarded st > 0 (an all-
+    floored-to-zero topic yields NULL identically — degencheck
+    class). The γ denominator Σ_t a·b ≥ K > 0 by construction — that
+    division cannot fire on zero.
+
+    Scale: the doc-word matrix aggregates once (map-side explode, one
+    (d,w) shuffle); the E-step expands nnz × K rows via two equi-joins
+    (word-topic params broadcast — vocab-bounded by Heaps' law;
+    doc-topic params co-partition with the matrix on doc_id); the
+    responsibility window partitions on the high-cardinality (d,w)
+    key — perfectly parallel; M-step output is vocab × K. One
+    iteration = two fact-grain passes, the canonical distributed-EM
+    shape."""
+    d = load_parallel(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            F.col("doc_id").alias("d"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .groupBy("d", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tok = tok.localCheckpoint(eager=True)
+    ts = F.explode(F.sequence(F.lit(0), F.lit(_PLSA_K - 1))).alias("t")
+    pwt = (
+        tok.select("w")
+        .distinct()
+        .select("w", ts)
+        .select(
+            "w",
+            "t",
+            F.expr(
+                "1 + CAST(conv(substring(md5(concat(w, ':w',"
+                " CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 999"
+            ).alias("a"),
+        )
+    )
+    ptd = (
+        tok.select("d")
+        .distinct()
+        .select("d", ts)
+        .select(
+            "d",
+            "t",
+            F.expr(
+                "1 + CAST(conv(substring(md5(concat(CAST(d AS STRING),"
+                " ':d', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT)"
+                " % 999"
+            ).alias("b"),
+        )
+    )
+    w_dw = Window.partitionBy("d", "w")
+    e = (
+        tok.join(pwt, "w")
+        .join(ptd, ["d", "t"])
+        .select(
+            "d",
+            "w",
+            "t",
+            "c",
+            (F.col("a") * F.col("b")).alias("num"),
+        )
+        .withColumn("den", F.sum("num").over(w_dw))
+    )
+    m = e.groupBy("w", "t").agg(
+        F.sum(
+            F.expr(
+                f"CAST(FLOOR(CAST(c * num AS DOUBLE) / den"
+                f" * {_PLSA_LAT}) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    tot = m.groupBy("t").agg(F.sum("s").cast("bigint").alias("st"))
+    w_rk = Window.partitionBy("t").orderBy(F.desc("s"), F.asc("w"))
+    r = m.join(tot, "t").withColumn("rnk", F.row_number().over(w_rk))
+    return r.filter(F.col("rnk") <= _PLSA_TOP).select(
+        F.col("t").alias("topic"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("w").alias("token"),
+        F.col("s").alias("weight_lat"),
+        F.expr(
+            "CASE WHEN st > 0 THEN CAST(s AS DOUBLE) / st END"
+        ).alias("p_w_given_t"),
+    )

@@ -162,6 +162,7 @@ HEADLINE = [
     "ml_cox_score_step",
     "agg_theta_kmv",
     "ts_croston_forecast",
+    "text_plsa_em_step",
 ]
 
 

@@ -2790,3 +2790,87 @@ def test_croston_separates_planted_intermittent_demand(spark, tmp_path):
     assert abs(out[1].croston_fc - 3.0) < 0.2
     assert abs(out[2].croston_fc - 3.0) < 0.01
     assert abs(out[1].croston_fc - out[2].croston_fc) < 0.25
+
+
+def test_plsa_em_step_matches_exact_replay(spark, tmp_path):
+    """text_plsa_em_step on a 12-doc planted corpus: the whole one-step
+    EM (md5 init weights, exact-rational responsibilities, FLOOR-1e6
+    M-step terms, tie-broken top words, share ratios) must match a
+    pure-Python replay bit-for-bit, and the M-step must conserve mass:
+    sum of all topic-word weights within nnz*K lattice floors of
+    total_tokens * 1e6."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from agri_market_data_pipeline_spark.operators.textstats import (
+        _PLSA_K,
+        _PLSA_LAT,
+        _PLSA_TOP,
+    )
+
+    docs = []
+    for i in range(12):
+        ws = (
+            ["apple", "banana", "cherry", "apple"]
+            if i % 2 == 0
+            else ["xray", "yankee", "zulu", "zulu", "xray"]
+        )
+        docs.append((i, " ".join(ws + [f"shared{i % 3}"])))
+    alt = tmp_path / "plsa"
+    alt.mkdir()
+    for t in _TABLES:
+        shutil.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", alt / f"{t}.parquet"
+        )
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["planted"] * len(docs),
+                "n_chars": pa.array(
+                    [len(d[1]) for d in docs], pa.int64()
+                ),
+            }
+        ),
+        alt / "documents.parquet",
+    )
+    rows = _q("text_plsa_em_step")(spark, str(alt)).collect()
+
+    def h6(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:6], 16)
+
+    tok = {}
+    for d, text in docs:
+        for w in text.split(" "):
+            tok[(d, w)] = tok.get((d, w), 0) + 1
+    S = {}
+    total_c = sum(tok.values())
+    for (d, w), c in tok.items():
+        nums = {
+            t: (1 + h6(f"{w}:w{t}") % 999) * (1 + h6(f"{d}:d{t}") % 999)
+            for t in range(_PLSA_K)
+        }
+        den = sum(nums.values())
+        for t, num in nums.items():
+            term = int((c * num) / den * _PLSA_LAT // 1)
+            S[(w, t)] = S.get((w, t), 0) + term
+    # mass conservation within floor slack
+    assert 0 <= total_c * _PLSA_LAT - sum(S.values()) <= len(tok) * _PLSA_K
+    expect = {}
+    for t in range(_PLSA_K):
+        ws = sorted(
+            ((w2, s) for (w2, t2), s in S.items() if t2 == t),
+            key=lambda x: (-x[1], x[0]),
+        )[:_PLSA_TOP]
+        st = sum(s for (w2, t2), s in S.items() if t2 == t)
+        for rnk, (w2, s) in enumerate(ws, 1):
+            expect[(t, rnk)] = (w2, s, s / st if st > 0 else None)
+    got = {(r.topic, r.rnk): (r.token, r.weight_lat, r.p_w_given_t)
+           for r in rows}
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], (k, got[k], expect[k])
