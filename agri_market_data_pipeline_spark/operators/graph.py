@@ -2082,19 +2082,33 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: fact-side work is ONE edge-list aggregation
     (localCheckpointed so the loop never re-reads facts); each
-    half-round is a nation-sized join + aggregate; the per-round MAX
-    rides a 1-row frame cross-joined back (constant-folds to the
-    allowlisted bounded BroadcastNestedLoopJoin — see
-    NESTED_LOOP_OK)."""
+    half-round is a nation-sized join + aggregate; the per-round L∞
+    normalization rides a GLOBAL MAX WINDOW over the ≤|nation|-row
+    state frame (GLOBAL_WINDOW_OK: nation grain, constant cardinality
+    by schema) — r12: the window replaces the r11
+    agg→crossJoin(broadcast) scalar pattern, and BOTH scores ride ONE
+    (node, au, hu) state frame checkpointed once per round:
+    {_HITS_ROUNDS} shallow driver jobs instead of 8 (one per
+    half-round), and the final hub⋈auth join reads the checkpointed
+    state instead of re-deriving the whole auth chain (the r11 lazy
+    double-reference; guide §2.4)."""
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     nodes = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-    hub = nodes.withColumn("hu", F.lit(_HITS_UNIT).cast("long"))
+    norm = (
+        f"CASE WHEN max(s) OVER () > 0 THEN (s * {_HITS_UNIT})"
+        " div max(s) OVER () ELSE CAST(0 AS BIGINT) END"
+    )
+    state = nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("au"),
+        F.lit(_HITS_UNIT).cast("long").alias("hu"),
+    )
     for _ in range(_HITS_ROUNDS):
         inbox = (
             e.join(
-                F.broadcast(hub.withColumnRenamed("node", "hn")),
+                F.broadcast(state.selectExpr("node AS hn", "hu")),
                 e.src == F.col("hn"),
             )
             .select("dst", (F.col("w") * F.col("hu")).alias("c"))
@@ -2104,15 +2118,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ar = nodes.join(inbox, nodes.node == inbox.dst, "left").select(
             "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
         )
-        mx = ar.agg(F.max("s").alias("mx"))
-        auth = ar.crossJoin(F.broadcast(mx)).select(
-            "node",
-            F.expr(
-                f"CASE WHEN mx > 0 THEN (s * {_HITS_UNIT}) div mx "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias("au"),
-        )
-        auth = auth.localCheckpoint(eager=True)
+        auth = ar.select("node", F.expr(norm).alias("au"))
         outbox = (
             e.join(
                 F.broadcast(auth.withColumnRenamed("node", "an")),
@@ -2125,21 +2131,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         hr = nodes.join(outbox, nodes.node == outbox.src, "left").select(
             "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
         )
-        mx2 = hr.agg(F.max("s").alias("mx"))
-        hub = hr.crossJoin(F.broadcast(mx2)).select(
-            "node",
-            F.expr(
-                f"CASE WHEN mx > 0 THEN (s * {_HITS_UNIT}) div mx "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias("hu"),
-        )
-        hub = hub.localCheckpoint(eager=True)
+        hub = hr.select("node", F.expr(norm).alias("hu"))
+        state = auth.join(hub, "node").localCheckpoint(eager=True)
     nat = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
     )
     return (
-        hub.join(auth, "node")
-        .join(F.broadcast(nat), "node")
+        state.join(F.broadcast(nat), "node")
         .select(
             "nation",
             F.col("hu").alias("hub_u"),

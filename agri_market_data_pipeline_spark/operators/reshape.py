@@ -587,13 +587,22 @@ def _kcenter_sql(k: int) -> str:
         f"mx{k - 1} AS MATERIALIZED (SELECT MAX(mind) AS mx FROM m{k - 1})"
     )
     sels = [
-        f"""SELECT {i} AS sel_order, cv{i}.cid AS vec_id,
+        f"""SELECT CAST({i} AS BIGINT) AS sel_order, cv{i}.cid AS vec_id,
   mx{i}.mx AS radius_lat,
   SQRT(CAST(mx{i}.mx AS DOUBLE)) / {_KC_LAT} AS radius
 FROM cv{i}, mx{i}"""
         for i in range(k)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sels)
+
+
+# Packed argmax multiplier: mind ≤ d·(2·LAT·max|x|)² ≈ 1e14 for unit-norm
+# embeddings, vec_id < 1e12 by the id contract — packed = mind·1e12 +
+# (1e12-1-vec_id) fits DECIMAL(38,0) with ~12 digits of headroom, and
+# MAX(packed) is argmax-by-mind with ties broken to MIN(vec_id) in ONE
+# hash aggregate (the CLAUDE.md pack-the-tiebreak rule, lifted to
+# DECIMAL because mind·id overflows int64).
+_KC_PACK = 1_000_000_000_000
 
 
 @query("sample_kcenter_coreset", oracle=_kcenter_sql(_KC_K))
@@ -611,83 +620,96 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: distances are exact-integer squared L2 on the
     FLOOR-1e6 element lattice (float32→double exact, then BIGINT
-    products summed — no float fold order anywhere), the seed is
-    MIN(vec_id), and every argmax tie breaks to MIN(vec_id) via a
-    two-phase max-then-filter (no struct-ordered max_by — the
-    SortAggregate demotion rule). Zero-norm / identical vectors just
-    produce zero distances (degencheck class: no division exists;
-    radius SQRT of a nonnegative integer).
+    products summed — no float fold order anywhere; elements are
+    quantized ONCE up front, which is bit-identical to re-quantizing
+    per round). The seed is MIN(vec_id); every argmax tie breaks to
+    MIN(vec_id) via the packed DECIMAL(38,0) MAX above — one hash
+    aggregate per round instead of a max-then-filter double scan.
+    Zero-norm / identical vectors just produce zero distances
+    (degencheck class: no division exists; radius SQRT of a
+    nonnegative integer).
 
-    Scale: each of the {_KC_K} rounds is ONE linear scan of the
-    (vec_id, mind) frame against a broadcast 1-row center (allowlisted
-    bounded BNLJ) — O(K·n·d) total, the textbook greedy; at 100 TB
-    swap in k-means||-style oversampling (one pass, ℓ·K candidates,
-    then local greedy) — same operator contract. mind frames are
-    localCheckpointed per round (flat lineage)."""
-    emb = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
+    Scale (r12): the state frame carries (vec_id, qe, mind) so each of
+    the {_KC_K} rounds is ONE map-only relaxation against a broadcast
+    1-row center (allowlisted bounded BNLJ) — the r11 form re-joined
+    the mind frame to the embedding table every round, shuffling the
+    vector payload {_KC_K - 1} times; now ZERO shuffle exchanges exist
+    in the whole loop (guide §2.4/§8: move the heavy payload once,
+    decide on it in place). O(K·n·d) total, the textbook greedy; at
+    100 TB swap in k-means||-style oversampling (one pass, ℓ·K
+    candidates, then local greedy) — same operator contract. State
+    frames are localCheckpointed per round (flat lineage; the packed
+    argmax is re-scanned once more by the output row — two linear
+    passes per round, same as the r11 max+filter pair)."""
+    qe = (
+        f"transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KC_LAT}) AS BIGINT))"
+    )
+    d2q = (
+        "aggregate(zip_with(qe, cqe, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    packed = F.expr(
+        f"CAST(mind AS DECIMAL(38,0)) * {_KC_PACK}"
+        f" + ({_KC_PACK} - 1 - vec_id)"
+    )
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(qe).alias("qe")
+    )
+    seed = emb.agg(F.min("vec_id").alias("cid"))
+    cv = emb.join(F.broadcast(seed), emb.vec_id == seed.cid).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("cqe")
+    )
+    m = (
+        emb.crossJoin(F.broadcast(cv.select("cqe")))
+        .select("vec_id", "qe", F.expr(d2q).alias("mind"))
         .localCheckpoint(eager=True)
     )
-    d2 = _kc_d2_spark("embedding", "cv")
-    seed = emb.agg(F.min("vec_id").alias("cid"))
-    cv = (
-        emb.join(F.broadcast(seed), emb.vec_id == seed.cid)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
-    )
-    m = emb.crossJoin(F.broadcast(cv.select("cv"))).select(
-        "vec_id", F.expr(d2).alias("mind")
-    )
-    m = m.localCheckpoint(eager=True)
+
+    def unpack(best: DataFrame) -> DataFrame:
+        """1-row (cid, radius_lat) from the packed argmax."""
+        return best.select(
+            (
+                F.lit(_KC_PACK - 1)
+                - (F.col("pk") % _KC_PACK).cast("bigint")
+            ).alias("cid"),
+            # pk ≥ 0: integral `div` is the exact quotient (a decimal
+            # `/` would round when the result precision saturates at 38)
+            F.expr(f"CAST(pk div {_KC_PACK} AS BIGINT)").alias(
+                "radius_lat"
+            ),
+        )
+
     out_rows = []
-    mx = m.agg(F.max("mind").alias("mx"))
-    out_rows.append(
-        cv.select(F.col("cid").alias("vec_id"))
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.lit(0).cast("bigint").alias("sel_order"),
-            "vec_id",
-            F.col("mx").alias("radius_lat"),
-            (F.sqrt(F.col("mx").cast("double")) / _KC_LAT).alias("radius"),
-        )
-    )
-    for i in range(1, _KC_K):
-        mx1 = m.agg(F.max("mind").alias("mx"))
-        cand = (
-            m.crossJoin(F.broadcast(mx1))
-            .filter(F.col("mind") == F.col("mx"))
-            .agg(F.min("vec_id").alias("cid"))
-        )
-        cvi = (
-            emb.join(F.broadcast(cand), emb.vec_id == cand.cid)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.col("embedding").alias("cv"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        m = (
-            m.join(emb, "vec_id")
-            .crossJoin(F.broadcast(cvi.select("cv")))
-            .select(
-                "vec_id",
-                F.least(F.col("mind"), F.expr(d2)).alias("mind"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        mx2 = m.agg(F.max("mind").alias("mx"))
+    prev_cid = cv.select("cid")  # 1-row frame: center i's id
+    for i in range(1, _KC_K + 1):
+        best = unpack(m.agg(F.max(packed).alias("pk")))
         out_rows.append(
-            cvi.select(F.col("cid").alias("vec_id"))
-            .crossJoin(F.broadcast(mx2))
-            .select(
-                F.lit(i).cast("bigint").alias("sel_order"),
-                "vec_id",
-                F.col("mx").alias("radius_lat"),
-                (F.sqrt(F.col("mx").cast("double")) / _KC_LAT).alias(
+            prev_cid.crossJoin(F.broadcast(best.select("radius_lat"))).select(
+                F.lit(i - 1).cast("bigint").alias("sel_order"),
+                F.col("cid").alias("vec_id"),
+                "radius_lat",
+                (F.sqrt(F.col("radius_lat").cast("double")) / _KC_LAT).alias(
                     "radius"
                 ),
             )
         )
+        if i == _KC_K:
+            break
+        cvi = m.join(
+            F.broadcast(best.select(F.col("cid").alias("next_cid"))),
+            m.vec_id == F.col("next_cid"),
+        ).select(F.col("qe").alias("cqe"))
+        m = (
+            m.crossJoin(F.broadcast(cvi))
+            .select(
+                "vec_id",
+                "qe",
+                F.least(F.col("mind"), F.expr(d2q)).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_cid = best.select("cid")
     out = out_rows[0]
     for o in out_rows[1:]:
         out = out.unionByName(o)

@@ -3330,43 +3330,57 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lat"),
         )
         .agg(F.count("*").cast("bigint").alias("f"))
-        .localCheckpoint(eager=True)  # feeds the cal walk AND test scoring
     )
-    wcum = (
+    # r12: the calibration walk and the test scoring both ride
+    # brand-partitioned windows over the SAME cell frame — one pass,
+    # cells referenced once (no checkpoint), and the qhat/tst broadcast
+    # joins of the r11 form disappear (guide §2.4). Window order
+    # (lat, is_cal) is unique within a brand (cells is grouped on
+    # exactly those keys), and the CASE masks keep test rows out of
+    # the cal cumulative (they contribute 0/NULL).
+    w_ord = (
         Window.partitionBy("brand")
-        .orderBy("lat")
+        .orderBy("lat", "is_cal")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("brand")
-    cal = cells.filter("is_cal").select(
+    cal_f = F.when(F.col("is_cal"), F.col("f"))
+    stepped = cells.select(
         "brand",
+        "is_cal",
         "lat",
-        F.sum("f").over(wcum).alias("cum"),
-        F.sum("f").over(wall).alias("n_cal"),
+        "f",
+        F.coalesce(F.sum(cal_f).over(w_ord), F.lit(0)).alias("cum"),
+        F.coalesce(F.sum(cal_f).over(wall), F.lit(0)).alias("n_cal"),
     )
     k = F.expr("(9 * (n_cal + 1) + 9) div 10")
-    qhat = cal.groupBy("brand").agg(
-        F.max("n_cal").cast("bigint").alias("n_cal"),
-        F.min(F.when(F.col("cum") >= k, F.col("lat")))
-        .cast("bigint")
-        .alias("qlat"),
+    qlat_w = F.min(
+        F.when(F.col("is_cal") & (F.col("cum") >= k), F.col("lat"))
+    ).over(wall)
+    scored = stepped.select(
+        "brand",
+        "is_cal",
+        "lat",
+        "f",
+        "n_cal",
+        qlat_w.cast("bigint").alias("qlat"),
     )
-    tst = (
-        cells.filter(~F.col("is_cal"))
-        .join(F.broadcast(qhat.select("brand", "qlat")), "brand", "left")
-        .groupBy("brand")
-        .agg(
-            F.sum("f").cast("bigint").alias("n_test"),
-            F.sum(
-                F.when(
-                    F.col("qlat").isNotNull()
-                    & (F.col("lat") <= F.col("qlat")),
-                    F.col("f"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("hits"),
+    agg = scored.groupBy("brand").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max("qlat").cast("bigint").alias("qlat"),
+        F.sum(F.when(~F.col("is_cal"), F.col("f")))
+        .cast("bigint")
+        .alias("n_test"),
+        F.sum(
+            F.when(
+                ~F.col("is_cal")
+                & F.col("qlat").isNotNull()
+                & (F.col("lat") <= F.col("qlat")),
+                F.col("f"),
+            ).otherwise(F.lit(0))
         )
+        .cast("bigint")
+        .alias("hits"),
     )
     n_test = F.coalesce(F.col("n_test"), F.lit(0)).cast("bigint")
     coverage = (
@@ -3376,8 +3390,7 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         mu.select("brand", "n_train")
-        .join(F.broadcast(qhat), "brand", "left")
-        .join(F.broadcast(tst), "brand", "left")
+        .join(F.broadcast(agg), "brand", "left")
         .select(
             "brand",
             "n_train",
@@ -3703,6 +3716,12 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("r")
         )
+        # r12: every consumer of ratings is keyed by u (us groupBy,
+        # its join, err join) — repartition by u ONCE before the
+        # checkpoint so all three share the exchange (guide §2.4);
+        # localCheckpoint preserves the hash partitioning, so the two
+        # u-joins and the u-groupBy below run exchange-free.
+        .repartition("u")
         .localCheckpoint(eager=True)
     )
     q0 = pt.select(
@@ -3723,7 +3742,7 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n2"),
     )
     us = (
-        ratings.join(q0, "p")
+        ratings.join(F.broadcast(q0), "p")  # item dim: broadcasts at every scale
         .groupBy("u")
         .agg(
             F.sum(F.col("n1") * F.col("n1")).alias("s11"),
@@ -3770,7 +3789,7 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     qf = its.selectExpr("p", "nr", q1, q2)
     err = (
         ratings.join(uf, "u")
-        .join(qf, "p")
+        .join(F.broadcast(qf), "p")  # item frame: the docstring scale contract broadcasts it
         .select(
             "p",
             "nr",
