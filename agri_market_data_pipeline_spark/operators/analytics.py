@@ -2543,9 +2543,14 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hash-bucket partial aggregation producing a single
     ~{2 * _PERM_R + 4}-column row; scalar algebra after. Experiment
-    readouts stay scan-bound at any corpus size."""
+    readouts stay scan-bound at any corpus size. r12: the scan rides
+    load_parallel — {_PERM_R + 1} md5s per row on a single-file scan
+    ran in one task (guide §2.5 input skew; the agg_bootstrap_se
+    discipline, which was already parallelized)."""
+    from ..tables import load_parallel as _lp
+
     lat = int(_AB_LAT)
-    ev = load(spark, sf_dir, "events")
+    ev = _lp(spark, sf_dir, "events")
 
     def h(tag: str, col) -> F.Column:
         return (

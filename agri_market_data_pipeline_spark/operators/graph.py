@@ -1041,10 +1041,14 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — full value-hash oracle with zero rounding.
 
     Scale: facts reduce ONCE to the <=n² edge list; the rank pass and
-    every round run on edge-list/node-cardinality frames. Per round
-    the distance frame is consumed twice (carry + neighbor MIN), so it
-    is stats-reset via _materialized — the localCheckpoint
-    stats-squaring lesson (CLAUDE.md); at real graph scale the same
+    every round run on edge-list/node-cardinality frames. r12: the
+    relaxation edge set carries ZERO-COST SELF-LOOPS, so each round is
+    min(du + c) over ONE inner join — d(v) <- min(d(v)+0,
+    min_u d(u)+1) with a single reference to the distance frame, which
+    removes the r11 per-round temp-parquet round-trip (_materialized
+    existed only to break the carry + neighbor-MIN double reference;
+    guide §2.4) — the whole {_KHOP_K}-round loop is one lazy plan over
+    the checkpointed edge frame. At real graph scale the same
     relaxation shuffles on (u, v) with the frontier as a delta frame."""
     _assert_node_radix(spark, sf_dir, 32, "graph_khop_distance")
     e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
@@ -1056,20 +1060,28 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _KHOP_TOP)
         .select("src", "dst")
     )
-    und = (
-        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .distinct()
-        # static per-round factor: materialize once so the fact-scale
-        # edge build never re-runs inside the loop (graph_pagerank's
-        # discipline)
-        .localCheckpoint(eager=True)
-    )
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
     nodes = nat.join(
         F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
     ).select(F.col("n_nationkey").alias("node"), "n_name", "r_name")
+    und = (
+        knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .withColumn("c", F.lit(1).cast("bigint"))
+        .unionByName(
+            nodes.select(
+                F.col("node").alias("u"),
+                F.col("node").alias("v"),
+                F.lit(0).cast("bigint").alias("c"),
+            )
+        )
+        # static per-round factor: materialize once so the fact-scale
+        # edge build never re-runs inside the loop (graph_pagerank's
+        # discipline)
+        .localCheckpoint(eager=True)
+    )
     dist = nodes.select(
         "node",
         F.when(
@@ -1077,20 +1089,20 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dist"),
     )
     for _ in range(_KHOP_K):
-        m = (
+        dist = (
             und.join(
-                dist.select(
-                    F.col("node").alias("u"), F.col("dist").alias("du")
+                F.broadcast(
+                    dist.select(
+                        F.col("node").alias("u"), F.col("dist").alias("du")
+                    )
                 ),
                 "u",
             )
             .groupBy("v")
-            .agg((F.min("du") + 1).cast("bigint").alias("m"))
-        )
-        dist = _materialized(
-            dist.join(m, dist.node == m.v, "left").select(
-                "node", F.least(F.col("dist"), F.col("m")).alias("dist")
+            .agg(
+                F.min(F.col("du") + F.col("c")).cast("bigint").alias("dist")
             )
+            .withColumnRenamed("v", "node")
         )
     return dist.join(
         F.broadcast(nodes.select("node", "n_name")), "node"
@@ -1422,11 +1434,16 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor), so harmonic is an exact 1e-6-lattice sum and avg_dist an
     unrounded integer-ratio double — zero rounding anywhere.
 
-    Scale: the backbone build reduces facts once; per round the
-    frontier join shuffles on the node key and the visited union is
-    stats-reset via _materialized (each round's frame is consumed
-    twice — the localCheckpoint stats-squaring lesson); frame sizes
-    are bounded by reachable pairs, which the kNN degree cap bounds
+    Scale: the backbone build reduces facts once; r12: the BFS runs as
+    a bounded-k MIN-RELAXATION over an edge set carrying ZERO-COST
+    SELF-LOOPS — hop(src,v) <- min over edges u→v of hop(src,u)+c, so
+    the visited frame is referenced ONCE per round and the whole loop
+    is one lazy plan (the r11 frontier/anti-join/union form consumed
+    the frame three times per round and paid a temp-parquet
+    _materialized round-trip each round; guide §2.4). Min-relaxation
+    at round h labels exactly the ≤h-hop reachable set with shortest
+    hops — identical rows to the first-visit expansion. Frame sizes
+    stay bounded by reachable pairs, which the kNN degree cap bounds
     geometrically per hop."""
     _assert_node_radix(spark, sf_dir, 32, "graph_harmonic_centrality")
     e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
@@ -1438,31 +1455,39 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HC_TOP)
         .select("src", "dst")
     )
-    und = (
+    nat = load(spark, sf_dir, "nation")
+    rel = (
         knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
+        .withColumn("c", F.lit(1).cast("bigint"))
+        .unionByName(
+            nat.select(
+                F.col("n_nationkey").alias("u"),
+                F.col("n_nationkey").alias("v"),
+                F.lit(0).cast("bigint").alias("c"),
+            )
+        )
         .localCheckpoint(eager=True)
     )
-    nat = load(spark, sf_dir, "nation")
     seen = nat.select(
         F.col("n_nationkey").alias("src"),
         F.col("n_nationkey").alias("node"),
         F.lit(0).cast("bigint").alias("hop"),
     )
-    for h in range(1, _HC_K + 1):
-        frontier = seen.filter(F.col("hop") == h - 1).select(
-            "src", F.col("node").alias("u")
+    for _ in range(_HC_K):
+        seen = (
+            rel.join(
+                F.broadcast(
+                    seen.select(
+                        "src", F.col("node").alias("u"), "hop"
+                    )
+                ),
+                "u",
+            )
+            .groupBy("src", F.col("v").alias("node"))
+            .agg(F.min(F.col("hop") + F.col("c")).cast("bigint").alias("hop"))
         )
-        cand = (
-            frontier.join(und, "u")
-            .select("src", F.col("v").alias("node"))
-            .distinct()
-        )
-        new = cand.join(seen, ["src", "node"], "left_anti").select(
-            "src", "node", F.lit(h).cast("bigint").alias("hop")
-        )
-        seen = _materialized(seen.unionAll(new))
     return (
         seen.filter(F.col("hop") > 0)
         .join(

@@ -918,6 +918,10 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) and each point lookup touches the candidate shards
     only."""
     li = load(spark, sf_dir, "lineitem")
+    # r12: keys feeds the index build, the truth join and the shard
+    # count — lazily checkpointed so the fact distinct runs ONCE (the
+    # r11 form re-ran the lineitem scan+distinct per reference: 3x via
+    # the index union + truth + tot ≈ 5 passes; guide §2.4).
     keys = (
         li.select(
             F.expr(
@@ -927,6 +931,7 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").alias("okey"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def hpos(col: str, i: int):
@@ -940,11 +945,14 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("bigint") % _BFP_M
 
-    idx = None
-    for i in range(_BFP_K):
-        part = keys.select("shard", hpos("okey", i).alias("pos"))
-        idx = part if idx is None else idx.unionAll(part)
-    idx = idx.distinct()
+    # r12: the k positions explode out of ONE pass over keys instead of
+    # a k-way self-union (same md5 count per row, one plan reference).
+    idx = keys.select(
+        "shard",
+        F.explode(
+            F.array(*[hpos("okey", i) for i in range(_BFP_K)])
+        ).alias("pos"),
+    ).distinct()
 
     probes = (
         load(spark, sf_dir, "orders")
@@ -967,13 +975,16 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
         .distinct()
+        .localCheckpoint(eager=False)  # r12: feeds ppos, truth, joined
     )
-    ppos = None
-    for i in range(_BFP_K):
-        part = probes.select(
-            "okey", F.lit(i).alias("h"), hpos("okey", i).alias("pos")
-        )
-        ppos = part if ppos is None else ppos.unionAll(part)
+    # r12: posexplode replaces the k-way self-union (h = array position
+    # == the old F.lit(i) label; one plan reference).
+    ppos = probes.select(
+        "okey",
+        F.posexplode(
+            F.array(*[hpos("okey", i) for i in range(_BFP_K)])
+        ).alias("h", "pos"),
+    )
 
     cand = (
         ppos.join(idx, "pos")
@@ -981,6 +992,7 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("h").alias("nh"))
         .filter(F.col("nh") == _BFP_K)
         .select("okey", "shard")
+        .localCheckpoint(eager=False)  # r12: read twice (c and c2)
     )
     truth = keys.join(F.broadcast(probes), "okey").select("okey", "shard")
     tot = keys.agg(F.count_distinct("shard").cast("bigint").alias("n_shards"))

@@ -2171,8 +2171,9 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n,
             6,
         ).alias("intercept"),
-    ).localCheckpoint(eager=True)  # referenced by ev's broadcast AND the
-    # final join — materialize the 15 rows once
+    )  # referenced by ev's broadcast AND the final join — both re-derive
+    # it lazily from the CHECKPOINTED sf_ frame: ≤15-row algebra twice
+    # beats the extra eager driver job the r11 checkpoint paid (r12)
     resid = y - (
         F.col("intercept") + F.col("beta1") * x1 + F.col("beta2") * x2
     )
@@ -2354,38 +2355,40 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ad2").cast("bigint").alias("sad2"),
         )
     )
-    mas = (
-        model.join(dev, "grp")
-        .select(
-            "grp",
-            "beta1",
-            "beta2",
-            (
-                F.abs(F.col("beta1"))
-                * (F.col("sad1").cast("double") / 1e6 / F.col("n"))
-            ).alias("mas1"),
-            (
-                F.abs(F.col("beta2"))
-                * (F.col("sad2").cast("double") / 1e6 / F.col("n"))
-            ).alias("mas2"),
-        )
-        .localCheckpoint(eager=True)  # 3 rows; referenced by both features
+    mas = model.join(dev, "grp").select(
+        "grp",
+        "beta1",
+        "beta2",
+        (
+            F.abs(F.col("beta1"))
+            * (F.col("sad1").cast("double") / 1e6 / F.col("n"))
+        ).alias("mas1"),
+        (
+            F.abs(F.col("beta2"))
+            * (F.col("sad2").cast("double") / 1e6 / F.col("n"))
+        ).alias("mas2"),
     )
+    # r12: both feature rows come out of ONE inline() over the lazy mas
+    # frame — a single plan reference, so the r11 eager 3-row checkpoint
+    # (one extra driver job) and the two-branch union disappear; the
+    # emitted values are bit-identical (same IEEE trees).
     tot = F.col("mas1") + F.col("mas2")
-    parts = [
-        mas.select(
-            "grp",
-            F.lit("quantity").alias("feature"),
-            F.col("beta1").alias("beta"),
-            F.col("mas1").alias("mean_abs_shap"),
-            F.when(tot > 0, F.col("mas1") / tot).alias("share"),
+    return mas.select(
+        "grp",
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("quantity").alias("feature"),
+                    F.col("beta1").alias("beta"),
+                    F.col("mas1").alias("mean_abs_shap"),
+                    F.when(tot > 0, F.col("mas1") / tot).alias("share"),
+                ),
+                F.struct(
+                    F.lit("discount").alias("feature"),
+                    F.col("beta2").alias("beta"),
+                    F.col("mas2").alias("mean_abs_shap"),
+                    F.when(tot > 0, F.col("mas2") / tot).alias("share"),
+                ),
+            )
         ),
-        mas.select(
-            "grp",
-            F.lit("discount").alias("feature"),
-            F.col("beta2").alias("beta"),
-            F.col("mas2").alias("mean_abs_shap"),
-            F.when(tot > 0, F.col("mas2") / tot).alias("share"),
-        ),
-    ]
-    return parts[0].unionByName(parts[1])
+    )
