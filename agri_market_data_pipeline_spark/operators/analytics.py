@@ -966,9 +966,16 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # r12: repartition by the basket key FIRST — hash(ok) satisfies the
+    # (ok, brand) distinct's clustering, the conditional cap window
+    # partitions on ok, and the pair self-join keys on ok, so all of
+    # them reuse this one exchange (guide §2.4); the lazy checkpoint
+    # pins the fact join+distinct to ONE execution (it feeds n_orders,
+    # brand_n and BOTH self-join sides — 4 plan references in r11).
     ob = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .repartition("ok")
         .distinct()
     )
     # Conditional rank pass (VERDICT r5): distinct brands per basket ≤
@@ -982,6 +989,7 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("_rn") <= _MB_DEGREE_CAP)
             .drop("_rn")
         )
+    ob = ob.localCheckpoint(eager=False)
     n_orders = ob.select("ok").distinct().agg(F.count("*").alias("n"))
     brand_n = ob.groupBy("brand").agg(F.count("*").alias("nb"))
     a, b = ob.alias("a"), ob.alias("b")

@@ -540,34 +540,34 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    alive = u.select(F.col("src").alias("node")).distinct()
+    # r12: the peel loop runs as a WINDOW RELAXATION on the symmetric
+    # edge frame — edge-alive flag a_i = (deg_a(src) >= k AND
+    # deg_a(dst) >= k) with degrees as COUNT windows over src / dst
+    # (symmetry makes the dst window the dst's true degree). Round i's
+    # alive-node set {deg >= k} is exactly the r11 semi-join peel's
+    # alive_i, so a_i == "both endpoints alive_i" — identical survivor
+    # edges — but each round references the edge frame ONCE, so the
+    # whole loop is one lazy plan with ZERO per-round eager
+    # checkpoints (the r11 form paid one checkpoint + two broadcast
+    # semi-joins per round; guide §2.4).
+    ws_, wd_ = Window.partitionBy("src"), Window.partitionBy("dst")
+    ef = u.withColumn("a", F.lit(True))
     for _ in range(_KCORE_ROUNDS):
-        surv = u.join(
-            F.broadcast(alive.select(F.col("node").alias("src"))),
+        ef = ef.select(
             "src",
-            "leftsemi",
-        ).join(
-            F.broadcast(alive.select(F.col("node").alias("dst"))),
             "dst",
-            "leftsemi",
+            (
+                (F.sum(F.col("a").cast("int")).over(ws_) >= _KCORE_K)
+                & (F.sum(F.col("a").cast("int")).over(wd_) >= _KCORE_K)
+            ).alias("a"),
         )
-        alive = (
-            surv.groupBy("src")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= _KCORE_K)
-            .select(F.col("src").alias("node"))
-            .localCheckpoint(eager=True)
-        )
-    core_edges = u.join(
-        F.broadcast(alive.select(F.col("node").alias("src"))), "src", "leftsemi"
-    ).join(
-        F.broadcast(alive.select(F.col("node").alias("dst"))), "dst", "leftsemi"
-    )
     nat = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("src"), F.col("n_name").alias("nation")
+        F.col("n_nationkey").alias("src"),
+        F.col("n_name").alias("nation"),
     )
     return (
-        core_edges.groupBy("src")
+        ef.filter("a")
+        .groupBy("src")
         .agg(F.count("*").alias("core_degree"))
         .join(F.broadcast(nat), "src")
         .select("nation", "core_degree")
@@ -702,11 +702,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("lbl"),
             )
         )
-    sz = labels.groupBy("lbl").agg(
-        F.count("*").cast("bigint").alias("community_size")
-    )
+    # r12: community sizes ride a COUNT window over the label key — one
+    # reference to the 4-round label chain instead of the r11
+    # groupBy+self-join, which re-derived the entire lazy loop a second
+    # time (the graph_hits double-reference lesson; guide §2.4).
     return (
-        labels.join(F.broadcast(sz), "lbl")
+        labels.select(
+            "node",
+            "lbl",
+            F.count("*")
+            .over(Window.partitionBy("lbl"))
+            .cast("bigint")
+            .alias("community_size"),
+        )
         .join(F.broadcast(nodes), "node")
         .select(
             F.col("n_name").alias("nation"),

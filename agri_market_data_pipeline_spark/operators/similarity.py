@@ -264,26 +264,36 @@ def _lsh_plane(band: int, j: int, dim: int) -> list[int]:
 
 def _lsh_quantize(vec_col: str) -> F.Column:
     """FLOOR(v·1e6) BIGINT lattice of a float32 vector — exact and
-    identical across engines (float→double widening is lossless)."""
-    return F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("long"),
+    identical across engines (float→double widening is lossless).
+    Built as ONE parsed-SQL expression — the Python-lambda HOF form
+    pays ~10 py4j round-trips per lambda at plan-build time (the
+    ivfpq/spark_dot_expr lesson; guide §4)."""
+    return F.expr(
+        f"transform({vec_col}, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))"
     )
 
 
 def _lsh_bucket(vq_col: str, band: int, dim: int) -> F.Column:
     """Signed-random-projection bucket id for one band over the
-    quantized vector: bit j = sign(vq · int_plane_j), all-BIGINT."""
-    bucket = F.lit(0)
+    quantized vector: bit j = sign(vq · int_plane_j), all-BIGINT.
+    One parsed-SQL expression per band — the r11 form built
+    {_LSH_PLANES} zip_with+aggregate Python-lambda pairs per band
+    (~10 py4j round-trips each) plus dim F.lit() calls per plane;
+    identical Catalyst tree, one parser call (guide §4)."""
+    bits = []
     for j in range(_LSH_PLANES):
-        arr = F.array(*[F.lit(v) for v in _lsh_plane(band, j, dim)])
-        dot = F.aggregate(
-            F.zip_with(F.col(vq_col), arr, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
+        arr = (
+            "array("
+            + ",".join(f"{v}L" for v in _lsh_plane(band, j, dim))
+            + ")"
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        dot = (
+            f"aggregate(zip_with({vq_col}, {arr}, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("(" + " + ".join(bits) + ")")
 
 
 def _lsh_sql(dim: int) -> str:
