@@ -2355,6 +2355,12 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mi"),
         )
         .agg((dsum("l_extendedprice") / dsum("l_quantity")).alias("p"))
+        # r12: bm feeds BOTH sides of the pairwise self-join — without
+        # the checkpoint each side re-executed the fact scan + join +
+        # month aggregation (2 full passes for a ~brands×months-row
+        # frame). Lazy localCheckpoint: one fact pass, the self-join
+        # reads the materialized grain frame twice (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     a, b = bm.alias("a"), bm.alias("b")
     slopes = a.join(
@@ -3411,6 +3417,12 @@ def agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sq"),
         )
         .filter(F.col("n") > 1)
+        # r12: the (brand, arm) moment frame feeds BOTH the R and the N
+        # branch of the downstream join — without the checkpoint each
+        # branch re-executed the fact scan + broadcast join + partial
+        # agg (2 full passes for a ~|brands|×2-row frame). Lazy
+        # localCheckpoint: one fact pass (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     mean = F.col("sv").cast("double") / 100 / F.col("n")
     var = F.greatest(
@@ -3567,47 +3579,65 @@ def ml_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the LEAD window partitions by user_id — high-cardinality,
     perfectly parallel, each partition a bounded session; transitions
-    aggregate to the |types|² grain (saturating); the iteration runs
-    on K-row frames with per-round localCheckpoint (flat lineage).
-    Sequence extraction is the only fact-scale pass."""
+    aggregate to the |types|² grain (saturating) in ONE fact pass
+    (null-successor rows kept through the groupBy so the state
+    universe falls out of the same aggregate — every event is exactly
+    one row's ft, so DISTINCT ft over it equals DISTINCT event_type;
+    the r11 form paid a second fact pass for that distinct). The
+    |types|²-grain iteration then folds to one row and all
+    {_MKV_ROUNDS} power rounds run as ONE array-aggregate expression —
+    the ts_croston O(1)-carried-state discipline; r12 measured the
+    per-round-checkpoint loop at 42 driver jobs / ~2.0 s vs ~0.9 s
+    folded, same exact integers (per-edge floor terms summed per
+    target state, empty inbox → 0, as before)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("ft"),
         F.lead("event_type").over(w).alias("tt"),
     )
-    tr = (
-        seq.filter(F.col("tt").isNotNull())
-        .groupBy("ft", "tt")
+    trn = (
+        seq.groupBy("ft", "tt")
         .agg(F.count("*").cast("bigint").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # feeds tr, outd, and the states
     )
+    tr = trn.filter(F.col("tt").isNotNull())
     outd = tr.groupBy("ft").agg(F.sum("c").alias("o"))
-    st = ev.select(F.col("event_type").alias("s")).distinct()
-    p = st.withColumn("pu", F.lit(_MKV_UNIT).cast("long"))
-    tro = tr.join(outd, "ft").select(
-        F.col("ft"), F.col("tt"), F.col("c"), F.col("o")
+    nd_row = trn.select(F.col("ft").alias("s")).distinct().agg(
+        F.expr("sort_array(collect_list(s))").alias("nd")
     )
-    tro = tro.localCheckpoint(eager=True)
-    for _ in range(_MKV_ROUNDS):
-        inbox = (
-            tro.join(
-                F.broadcast(p.withColumnRenamed("s", "ps")),
-                F.col("ft") == F.col("ps"),
-            )
-            .select(
-                "tt", F.expr("(pu * c) div o").alias("m")
-            )
-            .groupBy("tt")
-            .agg(F.sum("m").alias("sm"))
+    es_row = (
+        tr.join(outd, "ft")
+        .crossJoin(F.broadcast(nd_row))
+        .select(
+            F.expr("CAST(array_position(nd, ft) AS INT)").alias("fi"),
+            F.expr("CAST(array_position(nd, tt) AS INT)").alias("ti"),
+            "c",
+            "o",
         )
-        p = st.join(inbox, st.s == inbox.tt, "left").select(
-            "s", F.coalesce("sm", F.lit(0)).cast("long").alias("pu")
-        )
-        p = p.localCheckpoint(eager=True)
+        .filter("fi > 0 AND ti > 0")
+        .agg(F.expr("collect_list(struct(fi, ti, c, o))").alias("es"))
+    )
+    fold = f"""
+aggregate(
+  sequence(1, {_MKV_ROUNDS}),
+  transform(nd, x -> CAST({_MKV_UNIT} AS BIGINT)),
+  (pu, rnd) -> transform(nd, (x, i) ->
+    CAST(aggregate(
+        filter(es, ed -> ed.ti = i + 1),
+        CAST(0 AS BIGINT),
+        (s, ed) -> s + (element_at(pu, ed.fi) * ed.c) div ed.o
+    ) AS BIGINT)))
+"""
+    stat = (
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("pu"))
+        .select(F.expr("explode(arrays_zip(nd, pu))").alias("z"))
+        .select(F.col("z.nd").alias("s"), F.col("z.pu").alias("pu"))
+    )
     return (
         tr.join(outd, "ft")
-        .join(F.broadcast(p), F.col("ft") == F.col("s"))
+        .join(F.broadcast(stat), F.col("ft") == F.col("s"))
         .select(
             F.col("ft").alias("from_type"),
             F.col("tt").alias("to_type"),

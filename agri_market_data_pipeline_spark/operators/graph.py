@@ -114,45 +114,80 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT arithmetic end to end, so the iteration is engine- and
     order-independent (no float fold divergence to ROUND away).
 
-    Scale shape: the fact-side work is ONE edge-list aggregation; each
-    iteration then joins rank(nodes) ⋈ edges — at web scale that join
-    shuffles on src/dst and the rank frame is re-checkpointed per round
-    to keep lineage flat (dedup_cluster's loop discipline; here the
-    graph is nation-sized, so the loop frames stay broadcast-small).
-    Dangling mass: nodes with no out-edges leak their rank (the
-    simplified formulation) — identically on both engines."""
-    e = _edges(spark, sf_dir)
+    Scale shape: the fact-side work is ONE edge-list aggregation; the
+    nation-grain graph (≤ 25² edges at ANY corpus size — constant
+    cardinality) then folds to a single row and the whole
+    {_PR_ROUNDS}-round power iteration runs as ONE array-aggregate
+    expression (the ts_croston O(1)-carried-state discipline: when the
+    loop state is grain-bounded, fold the recursion JVM-side instead
+    of paying per-round driver jobs). r12 measured the alternatives at
+    sf0.1: per-round eager checkpoints = 34 driver jobs / ~1.9 s;
+    checkpoint-free lazy loop = quadratic AQE replanning / ~2.5 s;
+    this fold = one action, ~0.6 s. On an OPEN-domain graph (web
+    scale) the state is data-proportional and the classic
+    join-per-round loop with per-round materialization returns —
+    dedup_cluster keeps that shape. Dangling mass: nodes with no
+    out-edges leak their rank (the simplified formulation) —
+    identically on both engines (per-edge terms and the damped update
+    are the SAME exact-BIGINT ops as the r11 join-per-round form,
+    evaluated in the same order per node)."""
+    # e feeds wout AND the join below — materialize the ≤n²-row edge
+    # aggregate once so the fact-scale pass never re-executes (Spark
+    # shares no subplan results; AQE exchange reuse is best-effort).
+    e = _edges(spark, sf_dir).localCheckpoint(eager=True)
     wout = e.groupBy("src").agg(F.sum("w").alias("wo"))
-    # (src, dst, w, wo): static per-round factor. Materialized ONCE —
-    # without the checkpoint every round's lineage re-runs the
-    # fact-scale edge aggregation, turning {_PR_ROUNDS} rounds into
-    # {_PR_ROUNDS}+1 full fact passes; with it the facts are read once
-    # and the loop iterates over the nation-sized graph only.
-    ew = e.join(wout, "src").localCheckpoint(eager=True)
-    nodes = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node")
+    ew = e.join(wout, "src")
+    nd_row = load(spark, sf_dir, "nation").agg(
+        F.expr(
+            "sort_array(collect_list(struct(n_nationkey AS node,"
+            " n_name AS nation)))"
+        ).alias("nd")
     )
-    r = nodes.withColumn("ru", F.lit(_PR_UNIT).cast("long"))
-    for _ in range(_PR_ROUNDS):
-        inbox = (
-            ew.join(F.broadcast(r), ew.src == r.node)
-            .select("dst", F.expr("(ru * w) div wo").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    # per-edge endpoint INDEXES into the sorted node array, resolved
+    # once here (not per round); an endpoint outside the node table
+    # drops, exactly like the r11 inner joins against the rank frame.
+    es_row = (
+        ew.crossJoin(F.broadcast(nd_row))
+        .select(
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), src)"
+                " AS INT)"
+            ).alias("si"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), dst)"
+                " AS INT)"
+            ).alias("di"),
+            "w",
+            "wo",
         )
-        r = nodes.join(inbox, nodes.node == inbox.dst, "left").select(
-            "node",
-            F.expr("CAST(150000 + (85 * coalesce(s, 0)) div 100 AS BIGINT)")
-            .alias("ru"),
-        )
-        # flatten lineage per round (dedup_cluster's loop discipline):
-        # without this, round k re-optimizes a k-deep join tree and
-        # Catalyst planning time — not data — dominates the query
-        r = r.localCheckpoint(eager=True)
-    nat = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+        .filter("si > 0 AND di > 0")
+        .agg(F.expr("collect_list(struct(si, di, w, wo))").alias("es"))
     )
-    return r.join(F.broadcast(nat), "node").select("nation", F.col("ru").alias("rank_u"))
+    # The fold: accumulator = the rank array aligned to nd. aggregate's
+    # accumulator is a bound VALUE at each step (never re-evaluated),
+    # so total work is rounds × nodes × edges interpreted ops — NOT the
+    # exponential re-evaluation a chained-projection form would get
+    # after ProjectCollapse inlining.
+    fold = f"""
+aggregate(
+  sequence(1, {_PR_ROUNDS}),
+  transform(nd, x -> CAST({_PR_UNIT} AS BIGINT)),
+  (ru, rnd) -> transform(nd, (x, i) ->
+    CAST(150000 + (85 * aggregate(
+        filter(es, ed -> ed.di = i + 1),
+        CAST(0 AS BIGINT),
+        (s, ed) -> s + (element_at(ru, ed.si) * ed.w) div ed.wo
+    )) div 100 AS BIGINT)))
+"""
+    return (
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("ru"))
+        .select(F.expr("explode(arrays_zip(nd, ru))").alias("z"))
+        .select(
+            F.col("z.nd.nation").alias("nation"),
+            F.col("z.ru").alias("rank_u"),
+        )
+    )
 
 
 _TRI_SQL = f"""
@@ -381,10 +416,21 @@ def _bp_capped_cust_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-table upper bound proves the cap can't bind."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
+    # r12 (guide §2.4): the distinct (cust, part) frame feeds BOTH
+    # sides of the pair self-join — without the checkpoint each side
+    # re-executed the whole scan + broadcast-join + distinct subtree
+    # (2 fact scans, 6 exchanges — see
+    # plans/r12/graph_bipartite_projection_before.txt). The lazy
+    # localCheckpoint materializes it once; the self-join then
+    # re-shuffles only the narrow 2-column grain frame. (A pre-distinct
+    # repartition("cust") would NOT help: localCheckpoint does not
+    # preserve outputPartitioning in Spark 4.1 — measured r12 — and it
+    # would defeat the map-side partial distinct.)
     cp0 = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # degree(cust) = |distinct parts| ≤ orders-per-customer ×
     # lines-per-order, each a memoized single-column partial-agg max —
@@ -1048,18 +1094,25 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels are exact BIGINTs, LEAST/MIN skip NULLs identically on both
     engines — full value-hash oracle with zero rounding.
 
-    Scale: facts reduce ONCE to the <=n² edge list; the rank pass and
-    every round run on edge-list/node-cardinality frames. r12: the
-    relaxation edge set carries ZERO-COST SELF-LOOPS, so each round is
-    min(du + c) over ONE inner join — d(v) <- min(d(v)+0,
-    min_u d(u)+1) with a single reference to the distance frame, which
-    removes the r11 per-round temp-parquet round-trip (_materialized
-    existed only to break the carry + neighbor-MIN double reference;
-    guide §2.4) — the whole {_KHOP_K}-round loop is one lazy plan over
-    the checkpointed edge frame. At real graph scale the same
-    relaxation shuffles on (u, v) with the frontier as a delta frame."""
+    Scale: facts reduce ONCE to the <=n² edge list; the rank pass runs
+    on the edge-list frame. r12: the node state is nation-grain
+    (constant cardinality by schema), so the whole {_KHOP_K}-round
+    min-relaxation folds to ONE array-aggregate expression over a
+    single row (the ts_croston O(1)-carried-state discipline, see
+    graph_pagerank) — d(v) <- min(d(v), min_u d(u)+1) with unreached
+    = an integer sentinel standing in for the r11 NULL (min skips
+    NULLs exactly as least() never picks the sentinel; the final
+    CASE maps sentinel -> -1 like the old coalesce). At real graph
+    scale the same relaxation shuffles on (u, v) with the frontier as
+    a delta frame and per-round materialization."""
     _assert_node_radix(spark, sf_dir, 32, "graph_khop_distance")
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    # e feeds both unionAll branches of the symmetrized backbone —
+    # materialize the edge aggregate once (fact pass never re-runs).
+    e = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     wk = Window.partitionBy("src").orderBy(
         (F.col("w") * 32 + (31 - F.col("dst"))).desc()
     )
@@ -1070,53 +1123,57 @@ def graph_khop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
-    nodes = nat.join(
-        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
-    ).select(F.col("n_nationkey").alias("node"), "n_name", "r_name")
+    nd_row = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("node"),
+            "n_name",
+            (F.col("r_name") == _KHOP_SRC_REGION).alias("is_src"),
+        )
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(node, n_name, is_src)))"
+            ).alias("nd")
+        )
+    )
     und = (
         knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .withColumn("c", F.lit(1).cast("bigint"))
-        .unionByName(
-            nodes.select(
-                F.col("node").alias("u"),
-                F.col("node").alias("v"),
-                F.lit(0).cast("bigint").alias("c"),
-            )
-        )
-        # static per-round factor: materialize once so the fact-scale
-        # edge build never re-runs inside the loop (graph_pagerank's
-        # discipline)
-        .localCheckpoint(eager=True)
     )
-    dist = nodes.select(
-        "node",
-        F.when(
-            F.col("r_name") == _KHOP_SRC_REGION, F.lit(0).cast("bigint")
-        ).alias("dist"),
-    )
-    for _ in range(_KHOP_K):
-        dist = (
-            und.join(
-                F.broadcast(
-                    dist.select(
-                        F.col("node").alias("u"), F.col("dist").alias("du")
-                    )
-                ),
-                "u",
-            )
-            .groupBy("v")
-            .agg(
-                F.min(F.col("du") + F.col("c")).cast("bigint").alias("dist")
-            )
-            .withColumnRenamed("v", "node")
+    es_row = (
+        und.crossJoin(F.broadcast(nd_row))
+        .select(
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), u) AS INT)"
+            ).alias("ui"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), v) AS INT)"
+            ).alias("vi"),
         )
-    return dist.join(
-        F.broadcast(nodes.select("node", "n_name")), "node"
-    ).select(
-        F.col("n_name").alias("nation"),
-        F.coalesce(F.col("dist"), F.lit(-1)).cast("bigint").alias("hops"),
+        .filter("ui > 0 AND vi > 0")
+        .agg(F.expr("collect_list(struct(ui, vi))").alias("es"))
+    )
+    inf = 1 << 40  # > any reachable hop count; far from int64 overflow
+    fold = f"""
+aggregate(
+  sequence(1, {_KHOP_K}),
+  transform(nd, x -> IF(x.is_src, CAST(0 AS BIGINT),
+                        CAST({inf} AS BIGINT))),
+  (d, rnd) -> transform(nd, (x, i) -> least(
+      element_at(d, i + 1),
+      aggregate(filter(es, ed -> ed.vi = i + 1), CAST({inf} AS BIGINT),
+                (m, ed) -> least(m, element_at(d, ed.ui) + 1)))))
+"""
+    return (
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("d"))
+        .select(F.expr("explode(arrays_zip(nd, d))").alias("z"))
+        .select(
+            F.col("z.nd.n_name").alias("nation"),
+            F.expr(f"CASE WHEN z.d < {inf} THEN z.d ELSE CAST(-1 AS BIGINT)"
+                   " END").alias("hops"),
+        )
     )
 
 
@@ -1442,19 +1499,27 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor), so harmonic is an exact 1e-6-lattice sum and avg_dist an
     unrounded integer-ratio double — zero rounding anywhere.
 
-    Scale: the backbone build reduces facts once; r12: the BFS runs as
-    a bounded-k MIN-RELAXATION over an edge set carrying ZERO-COST
-    SELF-LOOPS — hop(src,v) <- min over edges u→v of hop(src,u)+c, so
-    the visited frame is referenced ONCE per round and the whole loop
-    is one lazy plan (the r11 frontier/anti-join/union form consumed
-    the frame three times per round and paid a temp-parquet
-    _materialized round-trip each round; guide §2.4). Min-relaxation
-    at round h labels exactly the ≤h-hop reachable set with shortest
-    hops — identical rows to the first-visit expansion. Frame sizes
-    stay bounded by reachable pairs, which the kNN degree cap bounds
-    geometrically per hop."""
+    Scale: the backbone build reduces facts once; r12: the node state
+    is nation-grain (constant cardinality by schema), so the
+    all-sources bounded-k BFS folds to ONE array-aggregate expression
+    over a single row — the state is the |n|×|n| hop matrix as an
+    array of per-source distance arrays, each round the min-relaxation
+    hop[s][v] <- min(hop[s][v], min_u hop[s][u]+1) with unreached = an
+    integer sentinel standing in for the r11 absent row (the
+    ts_croston O(1)-carried-state discipline, see graph_pagerank).
+    The per-source harmonic/avg sums are exact-integer aggregates over
+    the final arrays — identical values to the r11 grouped sums. At
+    open-domain scale the visited set swaps for HLL registers per node
+    (the documented approximation path) and the join-per-round loop
+    returns."""
     _assert_node_radix(spark, sf_dir, 32, "graph_harmonic_centrality")
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    # e feeds both unionAll branches of the symmetrized backbone —
+    # materialize the edge aggregate once (fact pass never re-runs).
+    e = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     wk = Window.partitionBy("src").orderBy(
         (F.col("w") * 32 + (31 - F.col("dst"))).desc()
     )
@@ -1464,57 +1529,60 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     nat = load(spark, sf_dir, "nation")
-    rel = (
+    nd_row = nat.select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    ).agg(F.expr("sort_array(collect_list(struct(node, nation)))").alias("nd"))
+    und = (
         knn.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(knn.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .withColumn("c", F.lit(1).cast("bigint"))
-        .unionByName(
-            nat.select(
-                F.col("n_nationkey").alias("u"),
-                F.col("n_nationkey").alias("v"),
-                F.lit(0).cast("bigint").alias("c"),
-            )
-        )
-        .localCheckpoint(eager=True)
     )
-    seen = nat.select(
-        F.col("n_nationkey").alias("src"),
-        F.col("n_nationkey").alias("node"),
-        F.lit(0).cast("bigint").alias("hop"),
-    )
-    for _ in range(_HC_K):
-        seen = (
-            rel.join(
-                F.broadcast(
-                    seen.select(
-                        "src", F.col("node").alias("u"), "hop"
-                    )
-                ),
-                "u",
-            )
-            .groupBy("src", F.col("v").alias("node"))
-            .agg(F.min(F.col("hop") + F.col("c")).cast("bigint").alias("hop"))
+    es_row = (
+        und.crossJoin(F.broadcast(nd_row))
+        .select(
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), u) AS INT)"
+            ).alias("ui"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), v) AS INT)"
+            ).alias("vi"),
         )
+        .filter("ui > 0 AND vi > 0")
+        .agg(F.expr("collect_list(struct(ui, vi))").alias("es"))
+    )
+    inf = 1 << 40
+    fold = f"""
+aggregate(
+  sequence(1, {_HC_K}),
+  transform(nd, (sx, si) -> transform(nd, (x, i) ->
+      IF(i = si, CAST(0 AS BIGINT), CAST({inf} AS BIGINT)))),
+  (dd, rnd) -> transform(dd, ds -> transform(nd, (x, i) -> least(
+      element_at(ds, i + 1),
+      aggregate(filter(es, ed -> ed.vi = i + 1), CAST({inf} AS BIGINT),
+                (m, ed) -> least(m, element_at(ds, ed.ui) + 1))))))
+"""
+    reached = f"filter(ds, h -> h > 0 AND h < {inf})"
     return (
-        seen.filter(F.col("hop") > 0)
-        .join(
-            F.broadcast(
-                nat.select(
-                    F.col("n_nationkey").alias("src"),
-                    F.col("n_name").alias("nation"),
-                )
-            ),
-            "src",
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("dd"))
+        .select(F.expr("explode(arrays_zip(nd, dd))").alias("z"))
+        .select(
+            F.col("z.nd.nation").alias("nation"),
+            F.col("z.dd").alias("ds"),
         )
-        .groupBy("nation")
-        .agg(
-            F.count("*").cast("bigint").alias("n_reached"),
-            (
-                F.sum(F.expr("1000000 div hop")).cast("double") / 1e6
+        .select(
+            "nation",
+            F.expr(f"CAST(size({reached}) AS BIGINT)").alias("n_reached"),
+            F.expr(
+                f"CAST(aggregate({reached}, CAST(0 AS BIGINT),"
+                " (s, h) -> s + 1000000 div h) AS DOUBLE) / 1e6"
             ).alias("harmonic"),
-            (F.sum("hop").cast("double") / F.count("*")).alias("avg_dist"),
+            F.expr(
+                f"CAST(aggregate({reached}, CAST(0 AS BIGINT),"
+                f" (s, h) -> s + h) AS DOUBLE) / size({reached})"
+            ).alias("avg_dist"),
         )
+        .filter(F.col("n_reached") > 0)
     )
 
 
@@ -2114,68 +2182,75 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same CASE guard both engines.
 
     Scale shape: fact-side work is ONE edge-list aggregation
-    (localCheckpointed so the loop never re-reads facts); each
-    half-round is a nation-sized join + aggregate; the per-round L∞
-    normalization rides a GLOBAL MAX WINDOW over the ≤|nation|-row
-    state frame (GLOBAL_WINDOW_OK: nation grain, constant cardinality
-    by schema) — r12: the window replaces the r11
-    agg→crossJoin(broadcast) scalar pattern, and BOTH scores ride ONE
-    (node, au, hu) state frame checkpointed once per round:
-    {_HITS_ROUNDS} shallow driver jobs instead of 8 (one per
-    half-round), and the final hub⋈auth join reads the checkpointed
-    state instead of re-deriving the whole auth chain (the r11 lazy
-    double-reference; guide §2.4)."""
+    (localCheckpointed so nothing re-reads facts); the nation-grain
+    graph (constant cardinality by schema) folds to a single row and
+    all {_HITS_ROUNDS} mutual rounds run as ONE array-aggregate
+    expression — the ts_croston O(1)-carried-state discipline (see
+    graph_pagerank; r12 measured the per-round-checkpoint loop at
+    ~2.6 s / ~30 driver jobs vs ~1 s folded). Each half-round's L∞
+    max rides a let-binding (single-element transform) so the raw
+    score array is evaluated once; every term — Σ w·state floor
+    normalization s·UNIT div max — is the same exact-BIGINT op as the
+    r11 join-per-round form. On an OPEN-domain graph the state is
+    data-proportional and the join-per-round loop with per-round
+    materialization returns (dedup_cluster keeps that shape)."""
     e = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    nodes = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node")
+    nd_row = load(spark, sf_dir, "nation").agg(
+        F.expr(
+            "sort_array(collect_list(struct(n_nationkey AS node,"
+            " n_name AS nation)))"
+        ).alias("nd")
     )
-    norm = (
-        f"CASE WHEN max(s) OVER () > 0 THEN (s * {_HITS_UNIT})"
-        " div max(s) OVER () ELSE CAST(0 AS BIGINT) END"
-    )
-    state = nodes.select(
-        "node",
-        F.lit(0).cast("long").alias("au"),
-        F.lit(_HITS_UNIT).cast("long").alias("hu"),
-    )
-    for _ in range(_HITS_ROUNDS):
-        inbox = (
-            e.join(
-                F.broadcast(state.selectExpr("node AS hn", "hu")),
-                e.src == F.col("hn"),
-            )
-            .select("dst", (F.col("w") * F.col("hu")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ar = nodes.join(inbox, nodes.node == inbox.dst, "left").select(
-            "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
-        )
-        auth = ar.select("node", F.expr(norm).alias("au"))
-        outbox = (
-            e.join(
-                F.broadcast(auth.withColumnRenamed("node", "an")),
-                e.dst == F.col("an"),
-            )
-            .select("src", (F.col("w") * F.col("au")).alias("c"))
-            .groupBy("src")
-            .agg(F.sum("c").alias("s"))
-        )
-        hr = nodes.join(outbox, nodes.node == outbox.src, "left").select(
-            "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
-        )
-        hub = hr.select("node", F.expr(norm).alias("hu"))
-        state = auth.join(hub, "node").localCheckpoint(eager=True)
-    nat = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
-    )
-    return (
-        state.join(F.broadcast(nat), "node")
+    es_row = (
+        e.crossJoin(F.broadcast(nd_row))
         .select(
-            "nation",
-            F.col("hu").alias("hub_u"),
-            F.col("au").alias("auth_u"),
-            (F.col("hu").cast("double") / _HITS_UNIT).alias("hub"),
-            (F.col("au").cast("double") / _HITS_UNIT).alias("auth"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), src)"
+                " AS INT)"
+            ).alias("si"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), dst)"
+                " AS INT)"
+            ).alias("di"),
+            "w",
+        )
+        .filter("si > 0 AND di > 0")
+        .agg(F.expr("collect_list(struct(si, di, w))").alias("es"))
+    )
+
+    def _half(state_arr: str, from_idx: str, at_idx: str) -> str:
+        """One half-round: raw scores Σ w·state over edges into each
+        node, then s·UNIT div max(s) with the raw array let-bound so
+        it (and its max) evaluate once, guarded to 0 on max = 0."""
+        raw = (
+            f"transform(nd, (x, i) -> aggregate("
+            f"filter(es, ed -> ed.{at_idx} = i + 1), CAST(0 AS BIGINT),"
+            f" (t, ed) -> t + ed.w * element_at({state_arr}, ed.{from_idx})))"
+        )
+        return (
+            f"element_at(transform(array({raw}), sa -> transform(sa,"
+            f" s -> CASE WHEN array_max(sa) > 0 THEN (s * {_HITS_UNIT})"
+            f" div array_max(sa) ELSE CAST(0 AS BIGINT) END)), 1)"
+        )
+
+    fold = f"""
+aggregate(
+  sequence(1, {_HITS_ROUNDS}),
+  named_struct(
+    'au', transform(nd, x -> CAST(0 AS BIGINT)),
+    'hu', transform(nd, x -> CAST({_HITS_UNIT} AS BIGINT))),
+  (acc, rnd) -> element_at(transform(array({_half("acc.hu", "si", "di")}),
+    au -> named_struct('au', au, 'hu', {_half("au", "di", "si")})), 1))
+"""
+    return (
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("st"))
+        .select(F.expr("explode(arrays_zip(nd, st.au, st.hu))").alias("z"))
+        .select(
+            F.col("z.nd.nation").alias("nation"),
+            F.col("z.hu").alias("hub_u"),
+            F.col("z.au").alias("auth_u"),
+            (F.col("z.hu").cast("double") / _HITS_UNIT).alias("hub"),
+            (F.col("z.au").cast("double") / _HITS_UNIT).alias("auth"),
         )
     )

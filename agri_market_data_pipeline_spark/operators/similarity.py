@@ -3726,12 +3726,13 @@ def ml_als_factorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("r")
         )
-        # r12: every consumer of ratings is keyed by u (us groupBy,
-        # its join, err join) — repartition by u ONCE before the
-        # checkpoint so all three share the exchange (guide §2.4);
-        # localCheckpoint preserves the hash partitioning, so the two
-        # u-joins and the u-groupBy below run exchange-free.
-        .repartition("u")
+        # r12: materialized once — ratings feeds three consumers (us
+        # groupBy, its join, err join) and without the checkpoint each
+        # re-executed the fact join+agg. NO pre-checkpoint
+        # repartition("u"): localCheckpoint does not preserve
+        # outputPartitioning in Spark 4.1 (measured — downstream still
+        # re-exchanges), so it was a pure extra shuffle of the grain
+        # frame.
         .localCheckpoint(eager=True)
     )
     q0 = pt.select(

@@ -49,14 +49,44 @@ def source_fingerprint(sf_dir: str, *names: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
+_LOAD_CACHE: dict = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table (projection/predicate pushdown
-    applies to whatever the caller selects/filters downstream)."""
+    applies to whatever the caller selects/filters downstream).
+
+    The returned DataFrame (an immutable logical plan, no data, no
+    cached blocks) is memoized per (applicationId, sf_dir, name, source
+    fingerprint) — the register_views discipline applied to the
+    DataFrame path: `spark.read.parquet` re-resolves the footer and
+    re-infers the schema on EVERY call (~0.1-0.15 s of py4j + listing
+    even warm, measured r12), and queries call load() 1-5× per run, so
+    the un-memoized form billed the whole suite a scan-independent tax
+    (guide §1.2: per-task work after the algorithm, and this is pure
+    plan-build latency). Execution still scans parquet fresh each
+    action; expressions evaluate under the session conf at execution
+    time, so hostile-session re-poisoning (timezone/ANSI) sees the
+    identical plan it would have built itself. The fingerprint
+    invalidates on regenerated testdata."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        name,
+        source_fingerprint(sf_dir, name),
+    )
+    got = _LOAD_CACHE.get(key)
+    if got is None:
+        if len(_LOAD_CACHE) > 256:
+            _LOAD_CACHE.clear()  # plans are cheap to rebuild
+        if name == "events":
+            got = load_events(spark, sf_dir)
+        else:
+            got = spark.read.parquet(table_path(sf_dir, name))
+        _LOAD_CACHE[key] = got
+    return got
 
 
 _MAX_GROUP_CACHE: dict = {}

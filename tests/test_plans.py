@@ -521,10 +521,11 @@ def test_round8_operators_plan_shapes(spark, sf_dir):
 
 
 def test_graph_khop_serving_plan_is_state_sized(spark, sf_dir):
-    """The BFS loop's _materialized stats reset means the SERVING plan
-    reads only the final k-round distance parquet plus nation/region —
-    the fact tables were reduced once inside the loop and must not
-    appear; joins are broadcast (node-cardinality), never cartesian."""
+    """r12 folded form: the fact tables reduce ONCE into the
+    checkpointed edge frame, so the serving plan must not rescan them;
+    the whole k-round relaxation is a single array-aggregate over the
+    one-row nation-grain fold (no per-round state parquet, no
+    cartesian products of data-proportional frames)."""
     from agri_market_data_pipeline_spark.operators.graph import (
         graph_khop_distance,
     )
@@ -533,5 +534,9 @@ def test_graph_khop_serving_plan_is_state_sized(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan and "orders" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
-    assert "graph_state_" in plan  # final state parquet is the source
-    assert "BroadcastHashJoin" in plan
+    # the k-round fold is ONE expression over the one-row frames: the
+    # serving plan explodes the zipped (node, distance) arrays and
+    # reads the checkpointed edge aggregate, never a per-round state
+    # parquet or a rounds-deep join tree
+    assert "explode" in plan and "arrays_zip" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed edge aggregate

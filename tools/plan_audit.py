@@ -252,8 +252,12 @@ NESTED_LOOP_OK = {
     #   p-value frame (BH rejection cut)
     "ts_dtw_distance",       # |types|-row series frames (type_a <
     #   type_b pair enumeration over a saturating grain)
-    "graph_hits",            # 1-row L-inf max frame per half-round
-    #   (normalization scalar cross-joined back onto the nation frame)
+    "graph_hits",            # 1-row nation-grain fold frames (node
+    #   array × edge-index array; constant cardinality by schema)
+    "graph_pagerank",        # same 1-row nation-grain fold frames
+    "ml_markov_chain",       # 1-row |event-types|-grain fold frames
+    "graph_khop_distance",   # 1-row nation-grain fold frames
+    "graph_harmonic_centrality",  # 1-row nation-grain fold frames
     "agg_cuped_adjust",      # 1-row pooled-theta frame onto the 2-row
     #   arm-moment frame
     "sample_kcenter_coreset",  # 1-row center/max frames per greedy

@@ -53,6 +53,22 @@ def main() -> int:
     calib = statistics.median(calibs)
     print(f"calibration_sec={calib:.3f} samples={[round(c,3) for c in calibs]}")
 
+    def job_stats() -> tuple[int, int]:
+        """(job count, total task count) so far — deterministic
+        counters immune to machine noise."""
+        st = spark.sparkContext.statusTracker()
+        jids = st.getJobIdsForGroup(None)
+        tasks = 0
+        for j in jids:
+            ji = st.getJobInfo(j)
+            if ji is None:
+                continue
+            for s in ji.stageIds:
+                si = st.getStageInfo(s)
+                if si is not None:
+                    tasks += si.numTasks
+        return len(jids), tasks
+
     for name in args.names:
         fn = queries[name]
 
@@ -66,12 +82,15 @@ def main() -> int:
             gc.collect()
             return t1 - t0, t2 - t1
 
+        j0, t0n = job_stats()
         one_run()
+        j1, t1n = job_stats()
         runs = [one_run() for _ in range(args.n)]
         tot = [b + e for b, e in runs]
         med = statistics.median(tot)
         msg = (
             f"{name:40s} median={med:6.3f}  norm={med / calib:6.2f}"
+            f"  jobs={j1 - j0} tasks={t1n - t0n}"
             f"  samples={[round(t, 3) for t in tot]}"
         )
         if args.split:
