@@ -574,49 +574,77 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     is broadcast-probed. At web-scale graphs the same loop runs with
     the degree aggregate hash-partitioned by node — still K rounds of
     linear work, the textbook distributed k-core."""
-    e = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    # e feeds the threshold scalar AND the pruned edge set — one fact
+    # pass via the checkpoint (graph_pagerank's discipline).
+    e = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
     thr = e.agg((F.sum("w").cast("double") / F.count("*")).alias("t"))
     ue = (
         e.join(F.broadcast(thr))
         .filter(F.col("w") >= F.col("t"))
         .select("src", "dst")
     )
-    u = (
-        ue.union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    u = ue.union(
+        ue.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # r12: the node state is nation-grain (constant cardinality by
+    # schema), so the whole {_KCORE_ROUNDS}-round peel folds to ONE
+    # array-aggregate expression (the ts_croston O(1)-carried-state
+    # discipline, see graph_pagerank): alive'[u] = |{edges (u,v):
+    # alive[u] ∧ alive[v]}| >= k — exactly the unrolled SQL's
+    # a_i = {u : COUNT(u-edges with both endpoints ∈ a_{i-1}) >= k}
+    # (a dead u zeroes its own count, keeping the peel monotone). The
+    # serving row count of a node is its surviving-edge count against
+    # the final alive set; nodes with zero surviving edges emit no row,
+    # like the SQL's inner joins. (The r11 window-relaxation form paid
+    # 2 node-keyed window exchanges per round.)
+    nd_row = load(spark, sf_dir, "nation").agg(
+        F.expr(
+            "sort_array(collect_list(struct(n_nationkey AS node,"
+            " n_name AS nation)))"
+        ).alias("nd")
     )
-    # r12: the peel loop runs as a WINDOW RELAXATION on the symmetric
-    # edge frame — edge-alive flag a_i = (deg_a(src) >= k AND
-    # deg_a(dst) >= k) with degrees as COUNT windows over src / dst
-    # (symmetry makes the dst window the dst's true degree). Round i's
-    # alive-node set {deg >= k} is exactly the r11 semi-join peel's
-    # alive_i, so a_i == "both endpoints alive_i" — identical survivor
-    # edges — but each round references the edge frame ONCE, so the
-    # whole loop is one lazy plan with ZERO per-round eager
-    # checkpoints (the r11 form paid one checkpoint + two broadcast
-    # semi-joins per round; guide §2.4).
-    ws_, wd_ = Window.partitionBy("src"), Window.partitionBy("dst")
-    ef = u.withColumn("a", F.lit(True))
-    for _ in range(_KCORE_ROUNDS):
-        ef = ef.select(
-            "src",
-            "dst",
-            (
-                (F.sum(F.col("a").cast("int")).over(ws_) >= _KCORE_K)
-                & (F.sum(F.col("a").cast("int")).over(wd_) >= _KCORE_K)
-            ).alias("a"),
+    es_row = (
+        u.crossJoin(F.broadcast(nd_row))
+        .select(
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), src)"
+                " AS INT)"
+            ).alias("ui"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), dst)"
+                " AS INT)"
+            ).alias("vi"),
         )
-    nat = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("src"),
-        F.col("n_name").alias("nation"),
+        .filter("ui > 0 AND vi > 0")
+        .agg(F.expr("collect_list(struct(ui, vi))").alias("es"))
+    )
+    fold = f"""
+aggregate(
+  sequence(1, {_KCORE_ROUNDS}),
+  transform(nd, x -> true),
+  (al, rnd) -> transform(nd, (x, i) ->
+    size(filter(es, ed -> ed.ui = i + 1 AND element_at(al, ed.ui)
+                AND element_at(al, ed.vi))) >= {_KCORE_K}))
+"""
+    cd = (
+        "transform(nd, (x, i) -> CAST(size(filter(es, ed ->"
+        " ed.ui = i + 1 AND element_at(al, ed.ui)"
+        " AND element_at(al, ed.vi))) AS BIGINT))"
     )
     return (
-        ef.filter("a")
-        .groupBy("src")
-        .agg(F.count("*").alias("core_degree"))
-        .join(F.broadcast(nat), "src")
-        .select("nation", "core_degree")
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", "es", F.expr(fold).alias("al"))
+        .select("nd", F.expr(cd).alias("cd"))
+        .select(F.expr("explode(arrays_zip(nd, cd))").alias("z"))
+        .filter(F.col("z.cd") > 0)
+        .select(
+            F.col("z.nd.nation").alias("nation"),
+            F.col("z.cd").alias("core_degree"),
+        )
     )
 
 
@@ -694,12 +722,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-lattice argument, here with no division at all).
 
     Scale: the fact-scale work is the one edge-list build (same
-    broadcast-dim + orderkey-shuffle plan as graph_pagerank); each
-    round joins the ≤n² aggregated edge list to an n-row label frame —
-    Pregel-on-relational, bounded rounds, no fact re-scan (the plan
-    test pins the exchange budget)."""
+    broadcast-dim + orderkey-shuffle plan as graph_pagerank); the node
+    state is nation-grain (constant cardinality by schema), so all
+    {_LPA_ROUNDS} synchronous rounds fold to ONE array-aggregate
+    expression over a one-row label array + edge-index array (the
+    ts_croston O(1)-carried-state discipline, see graph_pagerank) —
+    per node, the weighted label argmax folds over the node's incident
+    edges with the SAME injective ws*1024+(1023−lbl) packed key, so
+    every round is bit-identical to the r11 join-per-round form;
+    community sizes are an in-array count instead of a label window.
+    On an open-domain graph the Pregel-on-relational loop with
+    per-round materialization returns (dedup_cluster's shape)."""
     _assert_node_radix(spark, sf_dir, 1024, "graph_label_propagation")
-    edges = _edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    edges = (
+        _edges(spark, sf_dir)
+        .filter(F.col("src") != F.col("dst"))
+        # feeds both unionAll branches: fact pass runs once
+        .localCheckpoint(eager=True)
+    )
     und = (
         edges.select(
             F.col("src").alias("u"), F.col("dst").alias("v"), "w"
@@ -711,61 +751,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "v")
         .agg(F.sum("w").cast("bigint").alias("w"))
-        # consumed once per round: materialize so the fact-scale edge
-        # build runs once, not _LPA_ROUNDS times (graph_kcore's lesson,
-        # Spark side)
-        .localCheckpoint(eager=True)
     )
-    nodes = load(spark, sf_dir, "nation").select(
+    nd_row = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
-    )
-    labels = nodes.select(
-        "node", F.col("node").cast("bigint").alias("lbl")
-    )
-    for _ in range(_LPA_ROUNDS):
-        ws = (
-            und.join(
-                labels.select(
-                    F.col("node").alias("v"), F.col("lbl").alias("plbl")
-                ),
-                "v",
-            )
-            .groupBy("u", "plbl")
-            .agg(F.sum("w").cast("bigint").alias("ws"))
-        )
-        new = ws.groupBy("u").agg(
-            F.max_by(
-                "plbl", F.col("ws") * 1024 + (1023 - F.col("plbl"))
-            ).alias("new_lbl")
-        )
-        labels = (
-            nodes.select("node")
-            .join(new, nodes.node == new.u, "left")
-            .select(
-                "node",
-                F.coalesce(
-                    F.col("new_lbl"), F.col("node").cast("bigint")
-                ).alias("lbl"),
-            )
-        )
-    # r12: community sizes ride a COUNT window over the label key — one
-    # reference to the 4-round label chain instead of the r11
-    # groupBy+self-join, which re-derived the entire lazy loop a second
-    # time (the graph_hits double-reference lesson; guide §2.4).
-    return (
-        labels.select(
-            "node",
-            "lbl",
-            F.count("*")
-            .over(Window.partitionBy("lbl"))
-            .cast("bigint")
-            .alias("community_size"),
-        )
-        .join(F.broadcast(nodes), "node")
+    ).agg(F.expr("sort_array(collect_list(struct(node, n_name)))").alias("nd"))
+    es_row = (
+        und.crossJoin(F.broadcast(nd_row))
         .select(
-            F.col("n_name").alias("nation"),
-            F.col("lbl").alias("community"),
-            "community_size",
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), u) AS INT)"
+            ).alias("ui"),
+            F.expr(
+                "CAST(array_position(transform(nd, x -> x.node), v) AS INT)"
+            ).alias("vi"),
+            "w",
+        )
+        .filter("ui > 0 AND vi > 0")
+        .agg(F.expr("collect_list(struct(ui, vi, w))").alias("es"))
+    )
+    # Per round, per node: let-bind the node's incident edges, then
+    # argmax neighbor-label weight via the packed key over the DISTINCT
+    # neighbor labels (ws >= 1 whenever a neighbor exists, so the -1
+    # init never wins a nonempty fold); no neighbors -> keep own id —
+    # the r11 left-join COALESCE.
+    fold = f"""
+aggregate(
+  sequence(1, {_LPA_ROUNDS}),
+  transform(nd, x -> CAST(x.node AS BIGINT)),
+  (lbl, rnd) -> transform(nd, (x, i) -> element_at(
+    transform(array(filter(es, ed -> ed.ui = i + 1)), eu ->
+      IF(size(eu) = 0, CAST(x.node AS BIGINT),
+         1023 - pmod(aggregate(
+             array_distinct(transform(eu, ed -> element_at(lbl, ed.vi))),
+             CAST(-1 AS BIGINT),
+             (bk, cand) -> greatest(bk,
+                 aggregate(filter(eu, ed -> element_at(lbl, ed.vi) = cand),
+                           CAST(0 AS BIGINT), (s, ed) -> s + ed.w)
+                 * 1024 + (1023 - cand))), 1024))), 1)))
+"""
+    return (
+        nd_row.join(F.broadcast(es_row))
+        .select("nd", F.expr(fold).alias("lbl"))
+        .select(
+            "nd",
+            "lbl",
+            F.expr(
+                "transform(lbl, l -> CAST(size(filter(lbl, m -> m = l))"
+                " AS BIGINT))"
+            ).alias("cs"),
+        )
+        .select(F.expr("explode(arrays_zip(nd, lbl, cs))").alias("z"))
+        .select(
+            F.col("z.nd.n_name").alias("nation"),
+            F.col("z.lbl").alias("community"),
+            F.col("z.cs").alias("community_size"),
         )
     )
 
