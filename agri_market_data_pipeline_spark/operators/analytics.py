@@ -1903,72 +1903,69 @@ def agg_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: one md5 per 4 replicates (128 bits = 4×32-bit uniforms),
     # over a load_parallel scan — the md5 work is the operator's cost
     # and must use every core, not the single source file's one task.
-    src = _lp(spark, sf_dir, "events").select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    # r12: every stage builds as PARSED-SQL strings (the ivfpq
+    # plan-build-latency rule) — the r11 Column-builder loops (160
+    # nested when/otherwise pairs alone) issued ~700 py4j round-trips,
+    # ~1.8 s of the query's median. Identical expression trees (the
+    # when-chain IS the CASE's first-match semantics), same bitwise
+    # results.
+    src = _lp(spark, sf_dir, "events").selectExpr(
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents",
         *[
-            F.md5(
-                F.concat(F.lit(f"bs:{g}:"), F.col("event_id").cast("string"))
-            ).alias(f"h{g}")
+            f"md5(concat('bs:{g}:', CAST(event_id AS STRING))) AS h{g}"
             for g in range(n_h)
         ],
     )
+
     # stage 2: slice uniforms, stage 3: CDF-lookup weights — as narrow
     # column pipelines so codegen stays within method limits instead of
     # one 40-branch mega-aggregate.
-    u_cols = []
-    for r in range(1, _BS_B + 1):
+    def u_sql(r: int) -> str:
         g, chunk = divmod(r - 1, 4)
-        u_cols.append(
-            (
-                F.conv(
-                    F.substring(F.col(f"h{g}"), 1 + 8 * chunk, 8), 16, 10
-                ).cast("long")
-                % 1000000
-            ).alias(f"u{r}")
+        return (
+            f"CAST(conv(substring(h{g}, {1 + 8 * chunk}, 8), 16, 10)"
+            f" AS BIGINT) % 1000000"
         )
-    u = src.select("cents", *u_cols)
 
-    def w(r: int):
-        expr = F.lit(8)
-        for k in reversed(range(len(_BS_CDF))):
-            expr = F.when(F.col(f"u{r}") < _BS_CDF[k], F.lit(k)).otherwise(expr)
-        return expr
+    u = src.selectExpr(
+        "cents", *[f"{u_sql(r)} AS u{r}" for r in range(1, _BS_B + 1)]
+    )
 
-    wt = u.select(
-        "cents", *[w(r).alias(f"wt{r}") for r in range(1, _BS_B + 1)]
+    def w_sql(r: int) -> str:
+        cases = " ".join(
+            f"WHEN u{r} < {t} THEN {k}" for k, t in enumerate(_BS_CDF)
+        )
+        return f"CASE {cases} ELSE 8 END"
+
+    wt = u.selectExpr(
+        "cents", *[f"{w_sql(r)} AS wt{r}" for r in range(1, _BS_B + 1)]
     )
     aggs = [
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("sc"),
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(sum(cents) AS BIGINT) AS sc",
     ]
     for r in range(1, _BS_B + 1):
-        aggs += [
-            F.sum(F.col(f"wt{r}") * F.col("cents")).cast("long").alias(f"s{r}"),
-            F.sum(f"wt{r}").cast("long").alias(f"w{r}"),
-        ]
-    a = wt.agg(*aggs)
-    m = a.select(
+        aggs.append(f"CAST(sum(wt{r} * cents) AS BIGINT) AS s{r}")
+        aggs.append(f"CAST(sum(wt{r}) AS BIGINT) AS w{r}")
+    a = wt.agg(*[F.expr(x) for x in aggs])
+    m = a.selectExpr(
         "n",
         "sc",
         *[
-            (F.col(f"s{r}").cast("double") / F.col(f"w{r}")).alias(f"m{r}")
+            f"CAST(s{r} AS DOUBLE) / w{r} AS m{r}"
             for r in range(1, _BS_B + 1)
         ],
     )
-    mbar = None
-    for r in range(1, _BS_B + 1):
-        c = F.col(f"m{r}")
-        mbar = c if mbar is None else mbar + c
-    mb = m.withColumn("mb", mbar / F.lit(_BS_B))
-    var = None
-    for r in range(1, _BS_B + 1):
-        t = (F.col(f"m{r}") - F.col("mb")) * (F.col(f"m{r}") - F.col("mb"))
-        var = t if var is None else var + t
-    return mb.select(
-        F.col("n").cast("long").alias("n"),
-        (F.col("sc").cast("double") / F.col("n")).alias("mean_cents"),
-        F.lit(_BS_B).cast("long").alias("n_replicates"),
-        F.sqrt(var / F.lit(_BS_B - 1)).alias("se_cents"),
+    mbar = " + ".join(f"m{r}" for r in range(1, _BS_B + 1))
+    mb = m.withColumn("mb", F.expr(f"({mbar}) / {_BS_B}"))
+    var = " + ".join(
+        f"(m{r} - mb) * (m{r} - mb)" for r in range(1, _BS_B + 1)
+    )
+    return mb.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(sc AS DOUBLE) / n AS mean_cents",
+        f"CAST({_BS_B} AS BIGINT) AS n_replicates",
+        f"sqrt(({var}) / {_BS_B - 1}) AS se_cents",
     )
 
 
@@ -2566,93 +2563,74 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = int(_AB_LAT)
     ev = _lp(spark, sf_dir, "events")
 
-    def h(tag: str, col) -> F.Column:
+    # r12: all four stages build as PARSED-SQL strings (the ivfpq
+    # plan-build-latency rule) — the r11 Column-builder loops issued
+    # ~600 py4j round-trips (~1.9 s of the query's 3.1 s median was
+    # plan construction). Identical expression trees, same bitwise
+    # results.
+    def h(tag: str, col: str) -> str:
         return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(tag), col.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2
+            f"CAST(conv(substring(md5(concat('{tag}',"
+            f" CAST({col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2"
         )
 
-    assigned = ev.select(
-        h("ab:", F.col("user_id")).alias("v"),
-        F.floor(F.col("value") * lat).cast("bigint").alias("lv"),
-        *[
-            h(f"perm:{r}:", F.col("event_id")).alias(f"p{r}")
-            for r in range(_PERM_R)
-        ],
+    assigned = ev.selectExpr(
+        f"{h('ab:', 'user_id')} AS v",
+        f"CAST(FLOOR(value * {lat}) AS BIGINT) AS lv",
+        *[f"{h(f'perm:{r}:', 'event_id')} AS p{r}" for r in range(_PERM_R)],
     )
     aggs = [
-        F.sum("lv").cast("bigint").alias("s_all"),
-        F.count("*").cast("bigint").alias("n_all"),
-        F.coalesce(F.sum(F.when(F.col("v") == 0, F.col("lv"))), F.lit(0))
-        .cast("bigint")
-        .alias("s_a"),
-        F.count(F.when(F.col("v") == 0, 1)).cast("bigint").alias("n_a"),
+        "CAST(sum(lv) AS BIGINT) AS s_all",
+        "CAST(count(*) AS BIGINT) AS n_all",
+        "CAST(coalesce(sum(CASE WHEN v = 0 THEN lv END), 0) AS BIGINT)"
+        " AS s_a",
+        "CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_a",
     ]
     for r in range(_PERM_R):
         aggs.append(
-            F.coalesce(
-                F.sum(F.when(F.col(f"p{r}") == 0, F.col("lv"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias(f"s{r}_0")
+            f"CAST(coalesce(sum(CASE WHEN p{r} = 0 THEN lv END), 0)"
+            f" AS BIGINT) AS s{r}_0"
         )
         aggs.append(
-            F.count(F.when(F.col(f"p{r}") == 0, 1))
-            .cast("bigint")
-            .alias(f"c{r}_0")
+            f"CAST(count(CASE WHEN p{r} = 0 THEN 1 END) AS BIGINT)"
+            f" AS c{r}_0"
         )
-    g = assigned.agg(*aggs)
-    s_all, n_all = F.col("s_all"), F.col("n_all")
+    g = assigned.agg(*[F.expr(a) for a in aggs])
     # an empty arm (every row hashed to one variant — degencheck's
     # 23-row events table does this) has no defined mean difference:
     # NULL on both engines, and the d_r >= |NULL| indicators all
     # evaluate false so n_extreme/p_value stay 0 identically
-    diff_obs = F.when(
-        (F.col("n_a") > 0) & (n_all > F.col("n_a")),
-        F.col("s_a").cast("double") / lat / F.col("n_a")
-        - (s_all - F.col("s_a")).cast("double")
-        / lat
-        / (n_all - F.col("n_a")),
-    ).otherwise(F.lit(None).cast("double"))
-    d = g.select(
-        F.col("n_a"),
-        (n_all - F.col("n_a")).alias("n_b"),
-        diff_obs.alias("diff_obs"),
+    diff_obs = (
+        "CASE WHEN n_a > 0 AND n_all > n_a THEN"
+        f" CAST(s_a AS DOUBLE) / {lat} / n_a"
+        f" - CAST(s_all - s_a AS DOUBLE) / {lat} / (n_all - n_a)"
+        " ELSE CAST(NULL AS DOUBLE) END"
+    )
+    d = g.selectExpr(
+        "n_a",
+        "n_all - n_a AS n_b",
+        f"{diff_obs} AS diff_obs",
         "s_all",
         "n_all",
         *[
-            F.when(
-                (F.col(f"c{r}_0") > 0) & (n_all > F.col(f"c{r}_0")),
-                F.abs(
-                    F.col(f"s{r}_0").cast("double") / lat / F.col(f"c{r}_0")
-                    - (s_all - F.col(f"s{r}_0")).cast("double")
-                    / lat
-                    / (n_all - F.col(f"c{r}_0"))
-                ),
-            ).alias(f"d{r}")
+            f"CASE WHEN c{r}_0 > 0 AND n_all > c{r}_0 THEN"
+            f" abs(CAST(s{r}_0 AS DOUBLE) / {lat} / c{r}_0"
+            f" - CAST(s_all - s{r}_0 AS DOUBLE) / {lat}"
+            f" / (n_all - c{r}_0)) END AS d{r}"
             for r in range(_PERM_R)
         ],
     )
-    extreme = None
-    for r in range(_PERM_R):
-        ind = F.when(
-            F.col(f"d{r}").isNotNull()
-            & (F.col(f"d{r}") >= F.abs(F.col("diff_obs"))),
-            1,
-        ).otherwise(0)
-        extreme = ind if extreme is None else extreme + ind
-    return d.select(
+    extreme = " + ".join(
+        f"(CASE WHEN d{r} IS NOT NULL AND d{r} >= abs(diff_obs)"
+        " THEN 1 ELSE 0 END)"
+        for r in range(_PERM_R)
+    )
+    return d.selectExpr(
         "n_a",
         "n_b",
-        F.round(F.col("diff_obs"), 4).alias("diff_obs"),
-        extreme.cast("bigint").alias("n_extreme"),
-        (extreme.cast("double") / _PERM_R).alias("p_value"),
+        "round(diff_obs, 4) AS diff_obs",
+        f"CAST({extreme} AS BIGINT) AS n_extreme",
+        f"CAST({extreme} AS DOUBLE) / {_PERM_R} AS p_value",
     )
 
 
