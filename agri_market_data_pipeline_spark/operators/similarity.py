@@ -955,6 +955,10 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             _argmax_cell("cells", "embedding").alias("cell_id"),
         )
+        # r12: assign0 feeds the centroid update AND the before-counts —
+        # without the checkpoint both branches re-ran the scan + the
+        # n×K×dim assignment fold (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     cent = (
         assign0.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
