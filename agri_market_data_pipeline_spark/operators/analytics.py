@@ -992,7 +992,15 @@ def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = ob.localCheckpoint(eager=False)
     n_orders = ob.select("ok").distinct().agg(F.count("*").alias("n"))
     brand_n = ob.groupBy("brand").agg(F.count("*").alias("nb"))
-    a, b = ob.alias("a"), ob.alias("b")
+    # r12: explicit N-way repartition for the pair expansion —
+    # localCheckpoint does not preserve partitioning (the r11 comment
+    # above predates that measurement) and AQE coalesces the narrow
+    # grain frame to a handful of partitions, serializing the C(deg,2)
+    # expansion (the graph_bipartite_projection fix; guide §2.5).
+    from ..session import default_parallelism
+
+    obr = ob.repartition(default_parallelism(), "ok")
+    a, b = obr.alias("a"), obr.alias("b")
     pairs = (
         a.join(
             b,

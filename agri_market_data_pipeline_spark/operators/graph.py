@@ -491,6 +491,16 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the pair join's cust shuffle. Top-k via
     TakeOrderedAndProject — no global sort."""
     cp = _bp_capped_cust_parts(spark, sf_dir)
+    # r12: explicit N-way repartition on the join key — AQE coalesces
+    # the checkpointed grain frame to ~5 partitions (14 MB advisory),
+    # which would run the C(deg,2) pair expansion nearly serially; a
+    # fixed-width exchange of the narrow frame restores full
+    # parallelism for the expansion+count (measured 3.8 -> 1.3 s warm
+    # at sf0.1; guide §2.5 — parallelism for the EXPANSION must be
+    # sized to its output, which AQE sizes by its input).
+    from ..session import default_parallelism
+
+    cp = cp.repartition(default_parallelism(), "cust")
     a = cp.alias("a")
     b = cp.alias("b")
     pairs = (
