@@ -1490,13 +1490,14 @@ def text_plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     division cannot fire on zero.
 
     Scale: the doc-word matrix aggregates once (map-side explode, one
-    (d,w) shuffle); the E-step expands nnz × K rows via two equi-joins
-    (word-topic params broadcast — vocab-bounded by Heaps' law;
-    doc-topic params co-partition with the matrix on doc_id); the
-    responsibility window partitions on the high-cardinality (d,w)
-    key — perfectly parallel; M-step output is vocab × K. One
-    iteration = two fact-grain passes, the canonical distributed-EM
-    shape."""
+    (d,w) shuffle); the E-step is ROW-LOCAL — the init params are pure
+    md5 functions of (w,t)/(d,t), so each (d,w) row computes its two
+    K-vectors and the γ denominator in place (zero joins, zero
+    windows; a LATER EM round, whose params come from the previous
+    M-step, would broadcast the vocab-bounded word-topic frame and
+    co-partition doc-topic on doc_id); the K responsibility terms
+    posexplode map-side straight into the (w,t) partial aggregate.
+    One iteration = one fact-grain pass + one vocab×K shuffle."""
     d = load_parallel(spark, sf_dir, "documents")
     tok = (
         d.select(
@@ -1506,57 +1507,68 @@ def text_plsa_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
-    tok = tok.localCheckpoint(eager=True)
-    ts = F.explode(F.sequence(F.lit(0), F.lit(_PLSA_K - 1))).alias("t")
-    pwt = (
-        tok.select("w")
-        .distinct()
-        .select("w", ts)
-        .select(
-            "w",
-            "t",
-            F.expr(
-                "1 + CAST(conv(substring(md5(concat(w, ':w',"
-                " CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 999"
-            ).alias("a"),
-        )
+    tok = tok.localCheckpoint(eager=True)  # feeds aw/bd distincts + E-step
+    # r12 (guide §2.4 + §3.1): the r11 E-step paid two nnz×K SHUFFLE
+    # equi-joins (tok⋈pwt on w, ⋈ptd on (d,t)) plus an nnz×K window
+    # for the γ denominator — 4 fact-grain exchanges. The params are
+    # topic-VECTORS per key, so ship each key's whole K-vector as one
+    # array column (vocab- and doc-bounded frames, both broadcastable
+    # — at 100 TB the doc side co-partitions instead), compute
+    # den = Σ_t a·b with an exact BIGINT array aggregate row-locally
+    # (identical to the window's integer sum — order-free), posexplode
+    # the K num terms map-side, and partial-aggregate straight into
+    # the (w, t) grain: zero pre-aggregate shuffles, zero windows.
+    # Arrays are parsed-SQL transform() strings (the ivfpq plan-build
+    # rule); a pure row-local form (md5 per (d,w,t) occurrence, no
+    # joins at all) was measured a WASH — 2K·nnz hashes cost what the
+    # joins did; hashing once per distinct key keeps K·(vocab+docs).
+    # Every per-row value (num, den, c·num/den, the FLOOR lattice) is
+    # the same BIGINT/IEEE arithmetic as the r11 form — bit-identical.
+    aw = (
+        f"transform(sequence(0, {_PLSA_K - 1}), t ->"
+        " 1 + CAST(conv(substring(md5(concat(w, ':w',"
+        " CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 999) AS aw"
     )
-    ptd = (
-        tok.select("d")
-        .distinct()
-        .select("d", ts)
-        .select(
-            "d",
-            "t",
-            F.expr(
-                "1 + CAST(conv(substring(md5(concat(CAST(d AS STRING),"
-                " ':d', CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT)"
-                " % 999"
-            ).alias("b"),
-        )
+    bd = (
+        f"transform(sequence(0, {_PLSA_K - 1}), t ->"
+        " 1 + CAST(conv(substring(md5(concat(CAST(d AS STRING), ':d',"
+        " CAST(t AS STRING))), 1, 6), 16, 10) AS BIGINT) % 999) AS bd"
     )
-    w_dw = Window.partitionBy("d", "w")
+    aw_arr = tok.select("w").distinct().selectExpr("w", aw)
+    bd_arr = tok.select("d").distinct().selectExpr("d", bd)
     e = (
-        tok.join(pwt, "w")
-        .join(ptd, ["d", "t"])
-        .select(
-            "d",
+        tok.join(F.broadcast(aw_arr), "w")
+        .join(F.broadcast(bd_arr), "d")
+        .selectExpr(
             "w",
-            "t",
             "c",
-            (F.col("a") * F.col("b")).alias("num"),
+            "zip_with(aw, bd, (x, y) -> x * y) AS nums",
         )
-        .withColumn("den", F.sum("num").over(w_dw))
+        .selectExpr(
+            "w",
+            "c",
+            "nums",
+            "aggregate(nums, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            " AS den",
+        )
     )
-    m = e.groupBy("w", "t").agg(
-        F.sum(
-            F.expr(
-                f"CAST(FLOOR(CAST(c * num AS DOUBLE) / den"
-                f" * {_PLSA_LAT}) AS BIGINT)"
-            )
+    m = (
+        e.select(
+            "w", "c", "den", F.posexplode("nums").alias("t", "num")
         )
-        .cast("bigint")
-        .alias("s")
+        .groupBy("w", "t")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CAST(FLOOR(CAST(c * num AS DOUBLE) / den"
+                    f" * {_PLSA_LAT}) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+        # vocab×K grain; feeds the topic-total agg AND the rank join
+        .localCheckpoint(eager=False)
     )
     tot = m.groupBy("t").agg(F.sum("s").cast("bigint").alias("st"))
     w_rk = Window.partitionBy("t").orderBy(F.desc("s"), F.asc("w"))
