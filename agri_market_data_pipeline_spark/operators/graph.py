@@ -503,20 +503,37 @@ def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = cp.repartition(default_parallelism(), "cust")
     a = cp.alias("a")
     b = cp.alias("b")
+    # r12 (guide §2.3 — shuffle fewer bytes): the ~13M expanded pairs
+    # flow into the count aggregate keyed by ONE packed BIGINT instead
+    # of two part columns (part_a·2³² + part_b; part keys ≪ 2³¹, ANSI
+    # overflows loudly far beyond any plausible SF). Packing preserves
+    # the (part_a, part_b) lexicographic order, so the tiebreak is the
+    # packed ascending order and unpacking happens on the final 50
+    # rows only. Measured 2.53 → 2.18 s settled median at sf0.1; rows
+    # bit-identical.
     pairs = (
         a.join(
             b,
             (F.col("a.cust") == F.col("b.cust"))
             & (F.col("a.part") < F.col("b.part")),
         )
-        .groupBy(
-            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        .select(
+            (F.col("a.part") * F.lit(4294967296) + F.col("b.part")).alias(
+                "pk"
+            )
         )
+        .groupBy("pk")
         .agg(F.count("*").cast("long").alias("weight"))
     )
-    return pairs.orderBy(
-        F.desc("weight"), F.asc("part_a"), F.asc("part_b")
-    ).limit(_BP_TOP)
+    return (
+        pairs.orderBy(F.desc("weight"), F.asc("pk"))
+        .limit(_BP_TOP)
+        .select(
+            F.expr("CAST(pk div 4294967296 AS BIGINT)").alias("part_a"),
+            (F.col("pk") % 4294967296).alias("part_b"),
+            "weight",
+        )
+    )
 
 
 _KCORE_K = 3
