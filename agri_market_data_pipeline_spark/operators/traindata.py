@@ -2128,83 +2128,84 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — Spark shares no subplan results across references (ADVICE r10:
     # without this the lineitem moment aggregation can run up to 4x in
     # one plan), so the fold-moment scan is pinned to exactly one pass.
+    # r12 (the §3 parsed-SQL rule): everything below the checkpoint is
+    # ≤15-row algebra whose COLUMN-BUILDER form cost ~0.5 s of py4j
+    # round-trips per build (measured with the checkpoint split out).
+    # selectExpr strings parse to the identical Catalyst trees (same
+    # op order, same ROUND placement; double literals carry the D
+    # suffix so no DECIMAL literal sneaks in), so every emitted value
+    # is bit-identical — oracle hash unchanged.
     mom = ["sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2", "sx1y", "sx2y"]
     tot = sf_.groupBy("grp").agg(
-        F.sum("n").alias("tn"), *[F.sum(m).alias(f"t{m}") for m in mom]
+        F.expr("SUM(n) AS tn"),
+        *[F.expr(f"SUM({m}) AS t{m}") for m in mom],
     )
     tr = (
         sf_.join(F.broadcast(tot), "grp")
         # empty training complement (the fold holds ALL of its group's
         # rows — degencheck's single-row returnflag group) → no model;
         # drop the fold on both engines before the /n moment algebra
-        .filter(F.col("tn") > F.col("n"))
-        .select(
+        .filter("tn > n")
+        .selectExpr(
             "grp",
             "fold",
-            (F.col("tn") - F.col("n")).alias("n"),
-            *[
-                (F.col(f"t{m}") - F.col(m)).cast("double").alias(m)
-                for m in mom
-            ],
+            "tn - n AS n",
+            *[f"CAST(t{m} - {m} AS DOUBLE) AS {m}" for m in mom],
         )
     )
-    n = F.col("n")
-    a11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n + F.lit(
-        _RIDGE_LAMBDA
-    )
-    a22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n + F.lit(
-        _RIDGE_LAMBDA
-    )
-    a12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
-    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
-    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
-    det = a11 * a22 - a12 * a12
-    beta1 = F.round((a22 * c1 - a12 * c2) / det, 6)
-    beta2 = F.round((a11 * c2 - a12 * c1) / det, 6)
-    model = tr.select(
+    lam = f"{_RIDGE_LAMBDA}D"
+    a11 = f"(sx1x1 - sx1 * sx1 / n + {lam})"
+    a22 = f"(sx2x2 - sx2 * sx2 / n + {lam})"
+    a12 = "(sx1x2 - sx1 * sx2 / n)"
+    c1 = "(sx1y - sx1 * sy / n)"
+    c2 = "(sx2y - sx2 * sy / n)"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    beta1 = f"round(({a22} * {c1} - {a12} * {c2}) / {det}, 6)"
+    beta2 = f"round(({a11} * {c2} - {a12} * {c1}) / {det}, 6)"
+    model = tr.selectExpr(
         "grp",
         "fold",
-        n.alias("n_train"),
-        beta1.alias("beta1"),
-        beta2.alias("beta2"),
-        F.round(
-            (F.col("sy") - beta1 * F.col("sx1") - beta2 * F.col("sx2")) / n,
-            6,
-        ).alias("intercept"),
+        "n AS n_train",
+        f"{beta1} AS beta1",
+        f"{beta2} AS beta2",
+        f"round((sy - {beta1} * sx1 - {beta2} * sx2) / n, 6) AS intercept",
     )  # referenced by ev's broadcast AND the final join — both re-derive
     # it lazily from the CHECKPOINTED sf_ frame: ≤15-row algebra twice
     # beats the extra eager driver job the r11 checkpoint paid (r12)
-    resid = y - (
-        F.col("intercept") + F.col("beta1") * x1 + F.col("beta2") * x2
+    resid = (
+        "(l_extendedprice - (intercept + beta1 * l_quantity"
+        " + beta2 * l_discount))"
     )
     ev = (
-        li.select(F.col("l_returnflag").alias("grp"), fold, x1, x2, y)
+        li.selectExpr(
+            "l_returnflag AS grp",
+            f"l_orderkey % {_CV_K} AS fold",
+            "l_quantity",
+            "l_discount",
+            "l_extendedprice",
+        )
         .join(F.broadcast(model), ["grp", "fold"])
-        .select(
+        .selectExpr(
             "grp",
             "fold",
-            F.floor(resid * resid * 100 + F.lit(0.5))
-            .cast("bigint")
-            .alias("r2lat"),
+            f"CAST(FLOOR({resid} * {resid} * 100 + 0.5D) AS BIGINT)"
+            " AS r2lat",
         )
         .groupBy("grp", "fold")
         .agg(
-            F.count("*").cast("bigint").alias("n_test"),
-            F.sum("r2lat").cast("bigint").alias("sse_lat"),
+            F.expr("CAST(COUNT(*) AS BIGINT) AS n_test"),
+            F.expr("CAST(SUM(r2lat) AS BIGINT) AS sse_lat"),
         )
     )
-    return model.join(ev, ["grp", "fold"]).select(
+    return model.join(ev, ["grp", "fold"]).selectExpr(
         "grp",
-        F.col("fold").cast("bigint").alias("fold"),
-        F.col("n_train").cast("bigint").alias("n_train"),
+        "CAST(fold AS BIGINT) AS fold",
+        "CAST(n_train AS BIGINT) AS n_train",
         "n_test",
         "beta1",
         "beta2",
         "intercept",
-        F.sqrt(
-            (F.col("sse_lat").cast("double") / F.lit(100.0))
-            / F.col("n_test")
-        ).alias("rmse"),
+        "SQRT((CAST(sse_lat AS DOUBLE) / 100.0D) / n_test) AS rmse",
     )
 
 
@@ -2337,58 +2338,49 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((a22 * c1 - a12 * c2) / det, 6).alias("beta1"),
         F.round((a11 * c2 - a12 * c1) / det, 6).alias("beta2"),
     ).localCheckpoint(eager=True)  # 3 rows; feeds the dev scan AND mas
+    # r12 (the §3 parsed-SQL rule, same as ml_kfold_cv): the Column-
+    # builder form of everything below the checkpoint cost ~0.2-0.3 s
+    # of py4j plan construction per build; the selectExpr strings parse
+    # to identical trees (double literals carry D; 1e6 stays the same
+    # double), so every value is bit-identical.
     dev = (
-        li.select(F.col("l_returnflag").alias("grp"), x1, x2)
+        li.selectExpr("l_returnflag AS grp", "l_quantity", "l_discount")
         .join(F.broadcast(model.select("grp", "mu1", "mu2")), "grp")
-        .select(
+        .selectExpr(
             "grp",
-            F.floor(F.abs(x1 - F.col("mu1")) * 1e6 + F.lit(0.5))
-            .cast("bigint")
-            .alias("ad1"),
-            F.floor(F.abs(x2 - F.col("mu2")) * 1e6 + F.lit(0.5))
-            .cast("bigint")
-            .alias("ad2"),
+            "CAST(FLOOR(ABS(l_quantity - mu1) * 1.0E6 + 0.5D) AS BIGINT)"
+            " AS ad1",
+            "CAST(FLOOR(ABS(l_discount - mu2) * 1.0E6 + 0.5D) AS BIGINT)"
+            " AS ad2",
         )
         .groupBy("grp")
         .agg(
-            F.sum("ad1").cast("bigint").alias("sad1"),
-            F.sum("ad2").cast("bigint").alias("sad2"),
+            F.expr("CAST(SUM(ad1) AS BIGINT) AS sad1"),
+            F.expr("CAST(SUM(ad2) AS BIGINT) AS sad2"),
         )
     )
-    mas = model.join(dev, "grp").select(
+    mas = model.join(dev, "grp").selectExpr(
         "grp",
         "beta1",
         "beta2",
-        (
-            F.abs(F.col("beta1"))
-            * (F.col("sad1").cast("double") / 1e6 / F.col("n"))
-        ).alias("mas1"),
-        (
-            F.abs(F.col("beta2"))
-            * (F.col("sad2").cast("double") / 1e6 / F.col("n"))
-        ).alias("mas2"),
+        "ABS(beta1) * (CAST(sad1 AS DOUBLE) / 1.0E6 / n) AS mas1",
+        "ABS(beta2) * (CAST(sad2 AS DOUBLE) / 1.0E6 / n) AS mas2",
     )
     # r12: both feature rows come out of ONE inline() over the lazy mas
     # frame — a single plan reference, so the r11 eager 3-row checkpoint
     # (one extra driver job) and the two-branch union disappear; the
     # emitted values are bit-identical (same IEEE trees).
-    tot = F.col("mas1") + F.col("mas2")
-    return mas.select(
+    return mas.selectExpr(
         "grp",
-        F.inline(
-            F.array(
-                F.struct(
-                    F.lit("quantity").alias("feature"),
-                    F.col("beta1").alias("beta"),
-                    F.col("mas1").alias("mean_abs_shap"),
-                    F.when(tot > 0, F.col("mas1") / tot).alias("share"),
-                ),
-                F.struct(
-                    F.lit("discount").alias("feature"),
-                    F.col("beta2").alias("beta"),
-                    F.col("mas2").alias("mean_abs_shap"),
-                    F.when(tot > 0, F.col("mas2") / tot).alias("share"),
-                ),
-            )
-        ),
+        "inline(array("
+        "  named_struct("
+        "    'feature', 'quantity', 'beta', beta1,"
+        "    'mean_abs_shap', mas1,"
+        "    'share', CASE WHEN mas1 + mas2 > 0"
+        "                  THEN mas1 / (mas1 + mas2) END),"
+        "  named_struct("
+        "    'feature', 'discount', 'beta', beta2,"
+        "    'mean_abs_shap', mas2,"
+        "    'share', CASE WHEN mas1 + mas2 > 0"
+        "                  THEN mas2 / (mas1 + mas2) END)))",
     )
