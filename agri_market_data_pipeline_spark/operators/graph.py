@@ -1929,142 +1929,157 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("c"),
     )
-    lbl0 = nat.select("node", "c")
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.sum("w").cast("bigint").alias("d")
+    # r12 fold (the §2 constant-grain technique applied to the ONE-PASS
+    # move sweep): everything below the ≤n² edge aggregate is ≤n-row
+    # algebra, but the relational form paid ~10 tiny-frame operations
+    # per call (5 broadcast builds, a window, the eager moves
+    # checkpoint) — 29 driver jobs, ~2.0 s of build for 0.25 s of
+    # execution. Collect the edge list and the node table into ONE row
+    # each (grain-bounded by schema: ≤ nations² edges) and run the
+    # whole sweep — degrees, community totals, per-neighbor-community
+    # gains, the strictly-positive argmax move, and both modularity
+    # passes — as array expressions. Every value is the identical
+    # exact-BIGINT op sequence (the gain lattice; tie-break to the
+    # SMALLEST community via max(struct(gain, -b)); Q's integer sums
+    # cast to DOUBLE in the same expression shape), so the emitted
+    # rows are bit-identical. Base = nodes WITH degree (d > 0 ⇔
+    # present in und), matching the oracle's own CTE: a node whose
+    # only edges are self-loops is dropped by the src<>dst filter, has
+    # no degree, no neighbor communities, and no modularity mass — the
+    # ADVICE r10 SF-sensitive divergence class.
+    er = und.agg(F.expr("array_sort(collect_list(struct(u, v, w))) AS es"))
+    nr = nat.agg(
+        F.expr("array_sort(collect_list(struct(node, n_name, c))) AS ns")
     )
-    w2 = deg.agg(F.sum("d").cast("bigint").alias("w2"))
-    ctot = (
-        lbl0.join(deg, "node")
-        .groupBy("c")
-        .agg(F.sum("d").cast("bigint").alias("cdeg"))
+    base = er.join(nr)  # 1-row × 1-row (plan_audit NESTED_LOOP_OK)
+    # node → community label; every edge endpoint is a nation, so the
+    # ANSI map access can never miss
+    s1 = base.selectExpr(
+        "es",
+        "ns",
+        "map_from_entries(transform(ns, x -> struct(x.node, x.c)))"
+        " AS lbl",
     )
-    kuc = (
-        und.join(
-            F.broadcast(lbl0.select(F.col("node").alias("v"), "c")), "v"
-        )
-        .groupBy(F.col("u").alias("node"), "c")
-        .agg(F.sum("w").cast("bigint").alias("k"))
+    # per-node: label, degree
+    s2 = s1.selectExpr(
+        "es",
+        "lbl",
+        "transform(ns, x -> named_struct("
+        "  'node', x.node, 'n_name', x.n_name, 'a', x.c,"
+        "  'd', aggregate(filter(es, e -> e.u = x.node),"
+        "                 CAST(0 AS BIGINT), (s, e) -> s + e.w)"
+        ")) AS nd",
     )
-    own = (
-        lbl0.select("node", F.col("c").alias("a"))
-        .join(deg, "node")
-        .join(
-            F.broadcast(
-                ctot.select(F.col("c").alias("a"), F.col("cdeg").alias("adeg"))
-            ),
-            "a",
-        )
-        .join(
-            kuc.select(
-                "node", F.col("c").alias("a"), F.col("k").alias("ka")
-            ),
-            ["node", "a"],
-            "left",
-        )
-        .fillna({"ka": 0})
+    # community totals over DEGREED nodes + the graph total w2
+    s3 = s2.selectExpr(
+        "es",
+        "lbl",
+        "nd",
+        "map_from_entries(transform("
+        "  array_distinct(transform(filter(nd, x -> x.d > 0),"
+        "                           x -> x.a)),"
+        "  cc -> struct(cc, aggregate("
+        "    filter(nd, x -> x.d > 0 AND x.a = cc),"
+        "    CAST(0 AS BIGINT), (s, x) -> s + x.d))"
+        ")) AS ctot",
+        "aggregate(nd, CAST(0 AS BIGINT), (s, x) -> s + x.d) AS w2",
     )
-    gain = (
-        2 * (F.col("k") - F.col("ka")) * F.col("w2")
-        + 2 * F.col("d") * (F.col("adeg") - F.col("cdeg") - F.col("d"))
-    ).alias("gain_lat")
-    cand = (
-        own.join(
-            kuc.filter(F.col("c").isNotNull()).select(
-                "node", F.col("c").alias("b"), F.col("k")
-            ),
-            "node",
-        )
-        .filter(F.col("b") != F.col("a"))
-        .join(
-            F.broadcast(ctot.select(F.col("c").alias("b"), "cdeg")), "b"
-        )
-        .join(F.broadcast(w2))
-        .select("node", "a", "b", gain)
+    # per degreed node: the best strictly-ranked neighbor-community
+    # move — gain DESC, community ASC via max(struct(gain, -b)); the
+    # per-b gain re-derives k (weight into b) and ka (weight into own
+    # community) as exact BIGINT folds over the node's edges
+    s4 = s3.selectExpr(
+        "es",
+        "lbl",
+        "transform(filter(nd, x -> x.d > 0), x -> named_struct("
+        "  'node', x.node, 'n_name', x.n_name, 'a', x.a, 'd', x.d,"
+        "  'best', array_max(transform("
+        "    filter(array_distinct(transform("
+        "             filter(es, e -> e.u = x.node), e -> lbl[e.v])),"
+        "           b -> b != x.a),"
+        "    b -> struct("
+        "      2 * (aggregate(filter(es, e -> e.u = x.node"
+        "                             AND lbl[e.v] = b),"
+        "                     CAST(0 AS BIGINT), (s, e) -> s + e.w)"
+        "           - aggregate(filter(es, e -> e.u = x.node"
+        "                               AND lbl[e.v] = x.a),"
+        "                       CAST(0 AS BIGINT), (s, e) -> s + e.w))"
+        "        * w2"
+        "      + 2 * x.d * (ctot[x.a] - ctot[b] - x.d) AS g,"
+        "      -b AS nb)))"
+        ")) AS cands",
     )
-    wbest = Window.partitionBy("node").orderBy(
-        F.desc("gain_lat"), F.asc("b")
-    )
-    best = (
-        cand.withColumn("rn", F.row_number().over(wbest))
-        .filter(F.col("rn") == 1)
-        .select("node", "b", "gain_lat")
-    )
-    moved = F.col("gain_lat") > 0
-    # Base = nodes WITH degree (inner join deg), matching the oracle's
-    # own CTE: a node whose only edges are self-loops is dropped by the
-    # src<>dst filter, has no degree, no neighbor communities, and no
-    # modularity mass — emitting it from one engine only is the
-    # SF-sensitive divergence class (ADVICE r10: latent at all shipped
-    # SFs, where every nation has a cross-nation trade edge).
-    moves = (
-        lbl0.join(deg.select("node"), "node")
-        .select("node", F.col("c").alias("c_before"))
-        .join(F.broadcast(best), "node", "left")
-        .select(
-            "node",
-            "c_before",
-            F.when(moved, F.col("b"))
-            .otherwise(F.col("c_before"))
-            .alias("c_after"),
-            F.coalesce(moved.cast("bigint"), F.lit(0)).alias("moved"),
-            F.coalesce(
-                F.when(moved, F.col("gain_lat")).otherwise(F.lit(0)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("gain_lat"),
-        )
-        .localCheckpoint(eager=True)  # feeds output + both Q passes
+    # the synchronized move decision (strictly-positive gain only)
+    s5 = s4.selectExpr(
+        "es",
+        "transform(cands, x -> named_struct("
+        "  'node', x.node, 'n_name', x.n_name,"
+        "  'c_before', x.a,"
+        "  'c_after', CASE WHEN x.best.g > 0 THEN -x.best.nb"
+        "             ELSE x.a END,"
+        "  'moved', CASE WHEN x.best.g > 0 THEN CAST(1 AS BIGINT)"
+        "           ELSE CAST(0 AS BIGINT) END,"
+        "  'gain_lat', CASE WHEN x.best.g > 0 THEN x.best.g"
+        "              ELSE CAST(0 AS BIGINT) END"
+        ")) AS mv",
     )
 
-    def q_of(col: str):
-        mu = moves.select(
-            F.col("node").alias("u"), F.col(col).alias("cu")
+    def q_rows(col: str) -> str:
+        """Per-community (cdeg, cwin) BIGINT sums under the `col`
+        assignment, as one array expression (assignment map let-bound
+        via a single-element transform — the HITS trick)."""
+        amap = (
+            f"map_from_entries(transform(mv, m -> struct(m.node,"
+            f" m.{col})))"
         )
-        mv = moves.select(
-            F.col("node").alias("v"), F.col(col).alias("cv")
+        cdeg = (
+            "aggregate(filter(es, e -> am[e.u] = cc),"
+            " CAST(0 AS BIGINT), (s, e) -> s + e.w)"
         )
-        cm = (
-            und.join(F.broadcast(mu), "u")
-            .join(F.broadcast(mv), "v")
-            .groupBy(F.col("cu").alias("cc"))
-            .agg(
-                F.sum("w").cast("bigint").alias("cdeg"),
-                F.coalesce(
-                    F.sum(F.when(F.col("cu") == F.col("cv"), F.col("w"))),
-                    F.lit(0),
-                )
-                .cast("bigint")
-                .alias("cwin"),
-            )
+        cwin = (
+            "aggregate(filter(es, e -> am[e.u] = cc AND am[e.v] = cc),"
+            " CAST(0 AS BIGINT), (s, e) -> s + e.w)"
         )
-        d_, wn = F.col("cdeg"), F.col("cwin")
-        return cm.agg(
-            (
-                (
-                    F.sum(d_).cast("double") * F.sum(wn).cast("double")
-                    - F.sum(d_ * d_).cast("double")
-                )
-                / (F.sum(d_).cast("double") * F.sum(d_).cast("double"))
-            ).alias("q")
+        return (
+            f"transform(array({amap}), am -> "
+            f"  transform(array_distinct(transform(mv, m -> m.{col})),"
+            f"            cc -> struct({cdeg} AS cd, {cwin} AS cw))"
+            ")[0]"
         )
 
-    qb = q_of("c_before").select(F.col("q").alias("q_before"))
-    qa = q_of("c_after").select(F.col("q").alias("q_after"))
-    return (
-        moves.join(F.broadcast(nat.select("node", "n_name")), "node")
-        .join(F.broadcast(qb))
-        .join(F.broadcast(qa))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("c_before").alias("community_before"),
-            F.col("c_after").alias("community_after"),
-            "moved",
-            "gain_lat",
-            "q_before",
-            "q_after",
+    def q_final(rows: str) -> str:
+        """(Σd·Σwin − Σd²)/Σd² — the identical double tree as the r11
+        relational cm.agg."""
+        sd = f"aggregate({rows}, CAST(0 AS BIGINT), (s, r) -> s + r.cd)"
+        sw = f"aggregate({rows}, CAST(0 AS BIGINT), (s, r) -> s + r.cw)"
+        sdd = (
+            f"aggregate({rows}, CAST(0 AS BIGINT),"
+            " (s, r) -> s + r.cd * r.cd)"
         )
+        return (
+            f"(CAST({sd} AS DOUBLE) * CAST({sw} AS DOUBLE)"
+            f" - CAST({sdd} AS DOUBLE))"
+            f" / (CAST({sd} AS DOUBLE) * CAST({sd} AS DOUBLE))"
+        )
+
+    s6 = s5.selectExpr(
+        "mv",
+        f"{q_rows('c_before')} AS qrows_b",
+        f"{q_rows('c_after')} AS qrows_a",
+    ).selectExpr(
+        "mv",
+        f"{q_final('qrows_b')} AS q_before",
+        f"{q_final('qrows_a')} AS q_after",
+    )
+    return s6.selectExpr(
+        "inline(transform(mv, m -> named_struct("
+        "  'nation', m.n_name,"
+        "  'community_before', m.c_before,"
+        "  'community_after', m.c_after,"
+        "  'moved', m.moved,"
+        "  'gain_lat', m.gain_lat)))",
+        "q_before",
+        "q_after",
     )
 
 

@@ -190,6 +190,7 @@ AUDITED = [
 # sweep found exactly these).
 NESTED_LOOP_OK = {
     "join_range_theta",      # documented 5x25 theta demo
+    "graph_louvain_move",    # 1-row edge-array x 1-row node-array fold join
     "sample_balanced",       # 1-row min-count broadcast cross join
     "sample_neyman",         # 1-row allocation-total broadcast join
     "mix_temperature",       # 1-row normalizer frames
