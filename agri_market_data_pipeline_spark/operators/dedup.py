@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import SQL_SHINGLES3, shingles3, tokens
 from ..functions.vectors import sql_cosine, vec_cosine
+from .. import memo
 from ..registry import query
 from ..tables import load, load_parallel
 
@@ -100,7 +101,7 @@ bands AS (
 """
 
 
-_MINHASH_BANDS_CACHE: dict = {}
+_MINHASH_BANDS_CACHE: dict = memo.register({})
 
 
 def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,7 +131,7 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _MINHASH_BANDS_CACHE.get(key)
     if hit is not None:
         return hit
-    _MINHASH_BANDS_CACHE.clear()  # one live index at a time
+    memo.evict(_MINHASH_BANDS_CACHE)  # one live index at a time
     out = _minhash_bands_build(spark, sf_dir).localCheckpoint(eager=True)
     _MINHASH_BANDS_CACHE[key] = out
     return out
@@ -304,8 +305,8 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_LABEL_CACHE: dict = {}
-_CUR_STAGE_CACHE: dict = {}
+_CC_LABEL_CACHE: dict = memo.register({})
+_CUR_STAGE_CACHE: dict = memo.register({})
 
 
 def _curation_stage_frames(spark: SparkSession, sf_dir: str):
@@ -341,7 +342,7 @@ def _curation_stage_frames(spark: SparkSession, sf_dir: str):
         )
         gated_ids = gated.select("doc_id").localCheckpoint(eager=True)
         hit = (gated_ids, exact)
-        _CUR_STAGE_CACHE.clear()
+        memo.evict(_CUR_STAGE_CACHE)
         _CUR_STAGE_CACHE[key] = hit
     return hit
 
@@ -366,7 +367,7 @@ def _minhash_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is None:
         pairs = dedup_near_minhash_pairs(spark, sf_dir)
         hit = _connected_components(pairs, "doc_a", "doc_b")
-        _CC_LABEL_CACHE.clear()  # one live entry — sf_dirs don't mix
+        memo.evict(_CC_LABEL_CACHE)  # one live entry — sf_dirs don't mix
         _CC_LABEL_CACHE[key] = hit
     return hit
 

@@ -20,6 +20,7 @@ from ..functions.vectors import (
     vec_dot,
     vec_norm2,
 )
+from .. import memo
 from ..registry import query
 from ..tables import load, load_parallel
 
@@ -537,7 +538,7 @@ WHERE rnk <= {_KNN_K}{where}
     )
 
 
-_KNN_CELL_CACHE: dict = {}
+_KNN_CELL_CACHE: dict = memo.register({})
 
 
 def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
@@ -578,7 +579,7 @@ def _knn_trained_arr(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFram
         eager=True
     )
     arr = _cells_arr(cells)
-    _KNN_CELL_CACHE.clear()  # one live entry — sessions/sf_dirs don't mix
+    memo.evict(_KNN_CELL_CACHE)  # one live entry — sessions/sf_dirs don't mix
     _KNN_CELL_CACHE[key] = arr
     return arr
 
@@ -948,18 +949,21 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
     seed_arr = _cells_arr(seeds)
-    assign0 = (
-        e.join(F.broadcast(seed_arr))
-        .select(
-            "vec_id",
-            "embedding",
-            _argmax_cell("cells", "embedding").alias("cell_id"),
-        )
-        # r12: assign0 feeds the centroid update AND the before-counts —
-        # without the checkpoint both branches re-ran the scan + the
-        # n×K×dim assignment fold (guide §2.4)
-        .localCheckpoint(eager=False)
+    assign0 = e.join(F.broadcast(seed_arr)).select(
+        "vec_id",
+        "embedding",
+        _argmax_cell("cells", "embedding").alias("cell_id"),
     )
+    # r13 (VERDICT r12 item 1): assign0 feeds the centroid update AND
+    # the before-counts. r12 checkpointed the FACT-GRAIN assignment to
+    # share it — serializing n×(dim+2) to block storage cost more than
+    # the fold it saved (measured 1.48→3.06 s). Instead the long-form
+    # centroid partial agg carries the per-cell membership count too
+    # (embeddings are fixed-dim — 64 at every shipped SF and in the
+    # degenerate fixture — so COUNT per (cell_id, idx) IS the member
+    # count), and only the K×dim POST-aggregate frame is checkpointed
+    # (tiny) to stop its two consumers (carr, c0) re-running the
+    # n×K×dim fold (guide §2.4: Spark shares no subplan results).
     cent = (
         assign0.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("cell_id", (F.col("pos") + 1).cast("long").alias("idx"))
@@ -968,8 +972,10 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.floor(F.col("v") * 1e9)).cast("double")
                 / F.lit(1e9)
                 / F.count("*")
-            ).alias("cv")
+            ).alias("cv"),
+            F.count("*").alias("n"),
         )
+        .localCheckpoint(eager=True)
     )
     carr = cent.groupBy("cell_id").agg(
         F.transform(
@@ -984,7 +990,9 @@ def ml_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _argmax_cell("cells", "embedding").alias("cell_id"),
         )
     )
-    c0 = assign0.groupBy("cell_id").agg(F.count("*").alias("n_seeded"))
+    c0 = cent.filter(F.col("idx") == 1).select(
+        "cell_id", F.col("n").alias("n_seeded")
+    )
     c1 = assign1.groupBy("cell_id").agg(F.count("*").alias("n1"))
     return (
         c0.join(c1, "cell_id", "left")
@@ -1045,7 +1053,7 @@ def _kmeans_cells(
     return cells
 
 
-_KMI_CELL_CACHE: dict = {}
+_KMI_CELL_CACHE: dict = memo.register({})
 
 
 def _kmi_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,7 +1080,7 @@ def _kmi_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     e = load_parallel(spark, sf_dir, "embeddings")
     cells = _kmeans_cells(e, _KMI_ROUNDS).localCheckpoint(eager=True)
-    _KMI_CELL_CACHE.clear()  # one live quantizer — sessions/sf_dirs don't mix
+    memo.evict(_KMI_CELL_CACHE)  # one live quantizer — sessions/sf_dirs don't mix
     _KMI_CELL_CACHE[key] = cells
     return cells
 
@@ -1328,7 +1336,7 @@ def _pq_codebooks(e: DataFrame) -> DataFrame:
     )
 
 
-_PQ_INDEX_CACHE: dict = {}
+_PQ_INDEX_CACHE: dict = memo.register({})
 
 
 def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1354,7 +1362,7 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     hit = _PQ_INDEX_CACHE.get(key)
     if hit is not None:
         return hit
-    _PQ_INDEX_CACHE.clear()  # one live index at a time (bounded memory)
+    memo.evict(_PQ_INDEX_CACHE)  # one live index at a time (bounded memory)
     e = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
@@ -2586,7 +2594,7 @@ _UPS_MOD = 10  # batch = vec_id % _UPS_MOD == _UPS_REM (the new arrivals)
 _UPS_REM = 7
 
 
-_UPS_STORED_CACHE: dict = {}
+_UPS_STORED_CACHE: dict = memo.register({})
 
 _ANN_UPSERT_SQL = f"""
 WITH cents AS (
@@ -2691,7 +2699,7 @@ def incr_ann_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stored = _UPS_STORED_CACHE.get(key)
     if stored is None:
-        _UPS_STORED_CACHE.clear()
+        memo.evict(_UPS_STORED_CACHE)
         stored = (
             assign(e.filter(~is_batch))
             .withColumn("src", F.lit(0))

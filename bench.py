@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from agri_market_data_pipeline_spark import memo  # noqa: E402
 from agri_market_data_pipeline_spark.registry import all_queries  # noqa: E402
 from agri_market_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -291,6 +292,14 @@ def main() -> int:
             # GC-pressure later ones — each timing starts from the same
             # clean executor state.
             spark.catalog.clearCache()
+            # r13 (VERDICT r12 item 2): also evict the data memos
+            # (index builds, stored-side assignments, curation stage
+            # frames) and unpersist their checkpointed blocks, so every
+            # timed sample pays its own builds instead of inheriting
+            # them from the untimed warm-up — one rule for every
+            # memoizing operator. Metadata memos (plans, footer row
+            # counts, one-row plan-shape stats) persist; see memo.py.
+            memo.clear_all()
             gc.collect()
             return dt
 

@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from agri_market_data_pipeline_spark import memo  # noqa: E402
 from agri_market_data_pipeline_spark.registry import all_queries  # noqa: E402
 from agri_market_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -79,6 +80,9 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             t2 = time.time()
             spark.catalog.clearCache()
+            # bench.py's sample boundary (r13): evict data memos so
+            # every sample pays its own index/state builds.
+            memo.clear_all()
             gc.collect()
             return t1 - t0, t2 - t1
 
