@@ -629,114 +629,103 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degencheck class: no division exists; radius SQRT of a
     nonnegative integer).
 
-    Scale (r12): the quantized embedding frame is materialized ONCE;
-    per round, max(struct(packed, qe)) returns the round's radius, the
-    next center's id AND its vector in a single 1-row checkpointed
-    frame (no join back into the state frame), and the relaxed state
-    re-materializes per round so each round's aggregate depends on
-    exactly one checkpoint. Measured at sf0.1: the r12-batch-2 form
-    (full-state checkpoint + re-join + per-row cross-joined output)
-    ran 51 driver jobs / ~4 s; a fully-LAZY relax chain was measured
-    and rejected (each round's aggregate re-resolves every prior
-    1-row broadcast per ACTION — O(K²) sub-jobs, 57 total); this form
-    is ~37 jobs / ~2.3 s, with the K sequential argmax reductions as
-    the irreducible floor. O(K·n·d) arithmetic, the textbook greedy;
-    at 100 TB swap in k-means||-style oversampling (one pass, ℓ·K
-    candidates, then local greedy) — same operator contract. Every
-    value (packed DECIMAL argmax, FLOOR-lattice d², LEAST relax) is
-    the identical exact-integer op sequence as before, so the selected
-    centers, radii and the oracle hash are unchanged."""
+    Scale (r13, VERDICT r12 item 8): the quantized embedding frame is
+    materialized ONCE, and each round is ONE job — the round's packed
+    argmax rides the relaxed state's materialization as an Observation
+    metric (`df.observe(max(struct(packed, qe)))`), so the relax scan
+    and the argmax reduction are the SAME pass. The observed 1-row
+    result (next center id, its vector, the radius) is O(d) constant
+    driver bytes per round — the documented observe() contract
+    (obs_observe_metrics: accumulator merge, no data collect) — and
+    the next round's relax embeds the winner vector as a PARSED-SQL
+    literal array, so there are no per-round broadcasts, no
+    crossJoins, and no 1-row checkpoint frames at all. r12's form
+    (separate argmax + relax checkpoints, broadcast center frames) ran
+    ~37 jobs / ~2.3 s at sf0.1; this form runs K+2 ≈ 10 jobs with the
+    K sequential relax scans as the irreducible floor. O(K·n·d)
+    arithmetic, the textbook greedy; at 100 TB swap in
+    k-means||-style oversampling (one pass, ℓ·K candidates, then
+    local greedy) — same operator contract. Every value (packed
+    DECIMAL argmax — observed and agg'd maxes are the same exact
+    integers, FLOOR-lattice d², LEAST relax) is the identical
+    exact-integer op sequence as before, so the selected centers,
+    radii and the oracle hash are unchanged."""
+    from pyspark.sql import Observation
+
     qe = (
         f"transform(embedding, x -> "
         f"CAST(FLOOR(CAST(x AS DOUBLE) * {_KC_LAT}) AS BIGINT))"
     )
-    d2q = (
-        "aggregate(zip_with(qe, cqe, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (s, x) -> s + x)"
-    )
+
+    def lit_arr(vals) -> str:
+        """Parsed-SQL BIGINT array literal of a center's quantized
+        vector (one parser call; exact integers)."""
+        return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+    def d2_lit(cvals) -> str:
+        """Exact-integer squared L2 of qe against a literal center."""
+        return (
+            f"aggregate(zip_with(qe, {lit_arr(cvals)}, "
+            f"(x, y) -> (x - y) * (x - y)), "
+            f"CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+
     packed = F.expr(
         f"CAST(mind AS DECIMAL(38,0)) * {_KC_PACK}"
         f" + ({_KC_PACK} - 1 - vec_id)"
     )
+    # seed = MIN(vec_id) with its vector (vec_id unique → struct order
+    # == vec_id order), observed as a byproduct of the ONE heavy
+    # materialization.
+    obs0 = Observation()
     emb = (
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.expr(qe).alias("qe"))
-        .localCheckpoint(eager=True)  # the ONE heavy materialization
-    )
-    # seed = MIN(vec_id) with its vector, via the same struct-min trick
-    # (vec_id unique → struct order == vec_id order): 1-row frame.
-    b0 = (
-        emb.agg(F.min(F.struct("vec_id", "qe")).alias("s"))
-        .select(
-            F.col("s.vec_id").alias("cid"),
-            F.lit(None).cast("bigint").alias("radius_lat"),
-            F.col("s.qe").alias("cqe"),
-        )
+        .observe(obs0, F.min(F.struct("vec_id", "qe")).alias("s"))
         .localCheckpoint(eager=True)
     )
-    bests = [b0]
-    m = emb.crossJoin(F.broadcast(b0.select("cqe"))).select(
-        "vec_id", "qe", F.expr(d2q).alias("mind")
-    )
+    seed = obs0.get["s"]
+    centers = [int(seed.vec_id)]  # center i's vec_id
+    radii = []  # radius_lat AFTER adding center i
+    m = emb.select("vec_id", "qe", F.expr(d2_lit(seed.qe)).alias("mind"))
     for i in range(1, _KC_K + 1):
-        # ONE job: the packed argmax carries the winner's qe along
-        # (struct order is (pk, qe); pk is unique), so the round's
-        # radius, next center id AND next center vector land in a
-        # single 1-row checkpoint — no join back into the state frame.
-        best = (
-            m.agg(F.max(F.struct(packed.alias("pk"), F.col("qe"))).alias("s"))
-            .select(
-                (
-                    F.lit(_KC_PACK - 1)
-                    - (F.col("s.pk") % _KC_PACK).cast("bigint")
-                ).alias("cid"),
-                # pk ≥ 0: integral `div` is the exact quotient (a
-                # decimal `/` would round at precision 38)
-                F.expr(f"CAST(s.pk div {_KC_PACK} AS BIGINT)").alias(
-                    "radius_lat"
-                ),
-                F.col("s.qe").alias("cqe"),
-            )
-            .localCheckpoint(eager=True)
+        # ONE job: materialize the relaxed state and observe its packed
+        # argmax (radius, next center id AND next center vector) in the
+        # same pass. The final round only needs the observation, so it
+        # drains through the noop sink instead of storing state.
+        obs = Observation()
+        m = m.observe(
+            obs, F.max(F.struct(packed.alias("pk"), F.col("qe"))).alias("s")
         )
-        bests.append(best)
+        if i == _KC_K:
+            m.write.format("noop").mode("overwrite").save()
+        else:
+            m = m.localCheckpoint(eager=True)
+        s = obs.get["s"]
+        pk = int(s.pk)  # DECIMAL(38,0) → exact Python int
+        radii.append(pk // _KC_PACK)
         if i == _KC_K:
             break
-        # Re-materialize the relaxed state each round: a lazy chain
-        # would make round i's aggregate re-resolve i one-row
-        # broadcasts (each a sub-job per ACTION — broadcasts are not
-        # reused across actions), i.e. O(K²) driver jobs; measured 57
-        # jobs lazy vs ~30 materialized at sf0.1.
-        m = (
-            m.crossJoin(F.broadcast(best.select("cqe")))
-            .select(
-                "vec_id",
-                "qe",
-                F.least(F.col("mind"), F.expr(d2q)).alias("mind"),
-            )
-            .localCheckpoint(eager=True)
+        centers.append(_KC_PACK - 1 - (pk % _KC_PACK))
+        # Relax against the winner as a literal array — no broadcast,
+        # no crossJoin; exactly one lazy layer sits on each checkpoint.
+        m = m.select(
+            "vec_id",
+            "qe",
+            F.least(F.col("mind"), F.expr(d2_lit(s.qe))).alias("mind"),
         )
-    # Output row i = center i's id (best_i) + the radius AFTER adding
-    # it (best_{i+1}): one 9-row union + one self-join on the round
-    # index instead of K cross-joined 1-row pairs.
-    rows = bests[0].select(
-        F.lit(0).cast("bigint").alias("ord"), "cid", "radius_lat"
+    # Output: K driver-side (id, radius_lat) scalars → one local
+    # relation; sqrt stays an in-engine expression (same IEEE op as
+    # the oracle's SQRT(CAST(mx AS DOUBLE))/LAT).
+    out = spark.createDataFrame(
+        [(j, centers[j], radii[j]) for j in range(_KC_K)],
+        "sel_order bigint, vec_id bigint, radius_lat bigint",
     )
-    for j, b in enumerate(bests[1:], start=1):
-        rows = rows.unionByName(
-            b.select(
-                F.lit(j).cast("bigint").alias("ord"), "cid", "radius_lat"
-            )
-        )
-    a_, b_ = rows.alias("a"), rows.alias("b")
-    return (
-        a_.join(F.broadcast(b_), F.expr("b.ord = a.ord + 1"))
-        .select(
-            F.col("a.ord").alias("sel_order"),
-            F.col("a.cid").alias("vec_id"),
-            F.col("b.radius_lat").alias("radius_lat"),
-            (
-                F.sqrt(F.col("b.radius_lat").cast("double")) / _KC_LAT
-            ).alias("radius"),
-        )
+    return out.select(
+        "sel_order",
+        "vec_id",
+        "radius_lat",
+        (F.sqrt(F.col("radius_lat").cast("double")) / _KC_LAT).alias(
+            "radius"
+        ),
     )
