@@ -844,9 +844,13 @@ def _cells_arr(cells: DataFrame) -> DataFrame:
     """One-row broadcastable (cell_id, cvec, cnrm) struct array from a
     (cell_id, cvec) centroid frame — the centroid norm is computed
     once per cell here instead of once per (vector, cell) pair in the
-    assignment fold."""
-    return cells.select(
-        "cell_id", "cvec", F.sqrt(vec_norm2("cvec")).alias("cnrm")
+    assignment fold. The norm rides a parsed-SQL string
+    (spark_dot_expr — identical Catalyst tree to the vec_norm2
+    lambdas at a fraction of the py4j plan-build cost; r13)."""
+    return cells.selectExpr(
+        "cell_id",
+        "cvec",
+        f"sqrt({spark_dot_expr('cvec', 'cvec')}) AS cnrm",
     ).agg(F.collect_list(F.struct("cell_id", "cvec", "cnrm")).alias("cells"))
 
 
@@ -861,24 +865,26 @@ def _argmax_cell(cells_col: str, vec_col: str, nrm_col: str | None = None):
     column) — the same float expression as vec_cosine, so bitwise-
     equal to the oracle's full form at a third of the per-pair cost.
     Zero-norm cosines (vector or centroid) are 0.0 — vec_cosine's
-    guard, matching the oracle's sql_cosine CASE."""
+    guard, matching the oracle's sql_cosine CASE. Built as ONE
+    parsed-SQL expression instead of 3 Python-lambda HOFs (~0.165 s
+    of py4j per call, measured r13 — the spark_dot_expr rule); the
+    parsed tree is the identical cosine/guard/tie-break op sequence,
+    so every assignment is unchanged."""
     na = (
-        F.col(nrm_col)
+        nrm_col
         if nrm_col is not None
-        else F.sqrt(vec_norm2(F.col(vec_col)))
+        else f"sqrt({spark_dot_expr(vec_col, vec_col)})"
     )
-    best = F.array_max(
-        F.transform(
-            F.col(cells_col),
-            lambda c: F.struct(
-                _safe_round_cos(
-                    vec_dot(F.col(vec_col), c.cvec), na * c.cnrm
-                ).alias("cos"),
-                (-c.cell_id).alias("neg_id"),
-            ),
-        )
+    dot = spark_dot_expr(vec_col, "c.cvec")
+    cos = (
+        f"CASE WHEN ({na}) * c.cnrm > 0 "
+        f"THEN round(({dot}) / (({na}) * c.cnrm), 6) ELSE 0.0D END"
     )
-    return (-best.neg_id).cast("long")
+    return F.expr(
+        f"CAST(-array_max(transform({cells_col}, "
+        f"c -> struct({cos} AS cos, -c.cell_id AS neg_id))).neg_id "
+        f"AS BIGINT)"
+    )
 
 
 @query(
@@ -1315,6 +1321,29 @@ def _pq_encode(m: int) -> F.Column:
     return F.element_at(F.array_sort(scored), 1)
 
 
+def _pq_encode_code_expr(m: int) -> str:
+    """Parsed-SQL twin of `_pq_encode(m).code` (the spark_dot_expr
+    rule, guide §4 plan latency): the Column form builds 3 Python
+    lambdas per subspace — ~0.9 s of py4j round-trips for the 8-wide
+    codes projection, measured r13 — while this string costs one
+    parser call and yields the same ROUND(6) squared-L2 argmin with
+    the same (dist, code) struct-order tie-break. The winner's cw is
+    dropped from the sort struct (code is unique per codebook, so
+    (dist, code) already totally orders; the selected code is
+    identical)."""
+    sub = f"slice(embedding, {m * _PQ_DSUB + 1}, {_PQ_DSUB})"
+    d2 = (
+        f"round(aggregate(zip_with({sub}, c.cw, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"0.0D, (s, v) -> s + v), 6)"
+    )
+    return (
+        f"element_at(array_sort(transform(cb{m}, "
+        f"c -> struct({d2} AS dist, c.code AS code))), 1).code AS w{m}"
+    )
+
+
 def _pq_codebooks(e: DataFrame) -> DataFrame:
     """One broadcast row of per-subspace codebooks: cb<m> = sorted
     (code, cw) structs from the first _PQ_CODES vectors — array_sort
@@ -1363,24 +1392,32 @@ def _pq_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     if hit is not None:
         return hit
     memo.evict(_PQ_INDEX_CACHE)  # one live index at a time (bounded memory)
-    e = load(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    # r13: no fact-grain checkpoint of e — it forced the whole encode
+    # into ONE task (1.5 s single-threaded, measured); the tiny
+    # cents/codebook branches re-scan the memoized parquet plan instead,
+    # and the codes MAIN side rides load_parallel so the n×K argmax +
+    # n×M×codes encode folds engage every core (the incr_ann_upsert
+    # rule). Encode projection is parsed-SQL (one parser call) instead
+    # of 8 × 3 Python-lambda HOFs (~0.9 s of py4j, measured).
+    e = load(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cvec")
     )
     cell_arr = _cells_arr(cents)
     cbrow = _pq_codebooks(e).localCheckpoint(eager=True)
     codes = (
-        e.join(F.broadcast(cell_arr))
+        load_parallel(spark, sf_dir, "embeddings")
+        .join(F.broadcast(cell_arr))
         .select(
             "vec_id",
             "embedding",
             _argmax_cell("cells", "embedding").alias("cell_id"),
         )
         .join(F.broadcast(cbrow))
-        .select(
+        .selectExpr(
             "vec_id",
             "cell_id",
-            *[_pq_encode(m).code.alias(f"w{m}") for m in range(_PQ_M)],
+            *[_pq_encode_code_expr(m) for m in range(_PQ_M)],
         )
         .localCheckpoint(eager=True)
     )

@@ -33,7 +33,9 @@ def test_clear_all_unpersists_checkpoint_blocks(spark):
         # tests (session-scoped Spark), so <= not ==
         assert _n_persistent(spark) <= base
     finally:
-        memo._REGISTRY.remove(cache)
+        # remove by IDENTITY — list.remove uses ==, and an emptied
+        # dict equals every other emptied registry entry
+        memo._REGISTRY[:] = [c for c in memo._REGISTRY if c is not cache]
 
 
 def test_evict_single_key_leaves_others(spark):
@@ -52,7 +54,9 @@ def test_evict_single_key_leaves_others(spark):
         assert _n_persistent(spark) == base + 1
     finally:
         memo.evict(cache)
-        memo._REGISTRY.remove(cache)
+        # remove by IDENTITY — list.remove uses ==, and an emptied
+        # dict equals every other emptied registry entry
+        memo._REGISTRY[:] = [c for c in memo._REGISTRY if c is not cache]
 
 
 def test_operators_rebuild_after_clear(spark, sf_dir):
